@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** One engine query: a Spark DataFrame program plus (when SQL-expressible)
+  * an equivalent ANSI SQL string the driver runs in DuckDB over the same
+  * parquet tables. `oracle == None` → driver records a rows-only check.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Cross-engine (Spark vs DuckDB) bit-reproducibility helpers.
+  *
+  * The oracle hash-compares values, so aggregate outputs must be
+  * bit-identical across engines. Double sums are order-dependent, and
+  * engines disagree on decimal *downscale* rounding (Spark HALF_UP,
+  * DuckDB half-even/truncating), so the rules are:
+  *
+  *  1. quantize each input double at a scale that covers its true decimal
+  *     precision (money/qty → DECIMAL(18,4); rates in [0,10) → (5,4)):
+  *     both engines round the same binary double to the same decimal;
+  *  2. keep all arithmetic in exact decimal; only ever downscale when the
+  *     dropped digits are provably zero (e.g. a 2dp×2dp product has ≤4
+  *     decimals, so (30,12)→(24,6) is exact) — never a lossy downscale;
+  *  3. sum in decimal (exact, order-independent), keeping the scaled
+  *     magnitude under 2^53 so the final CAST(... AS DOUBLE) is a single
+  *     correctly-rounded conversion in both engines (verified identical);
+  *  4. counts → BIGINT on both sides (DuckDB sum(int) would give HUGEINT
+  *     → pandas float);
+  *  5. timestamps in output → ISO strings (pandas datetime64[us] vs [ns]
+  *     dtype skew between the two load paths);
+  *  6. untouched double columns pass through bit-identical — safe.
+  */
+object Sql {
+  val D18_4 = DataTypes.createDecimalType(18, 4)
+  val D5_4 = DataTypes.createDecimalType(5, 4)
+  val D22_4 = DataTypes.createDecimalType(22, 4)
+  val D24_6 = DataTypes.createDecimalType(24, 6)
+  val D18_2 = DataTypes.createDecimalType(18, 2)
+
+  /** money/qty double (≤4 dp) as exact decimal */
+  def dec(c: Column): Column = c.cast(D18_4)
+  /** small rate double in [0,10), ≤4 dp (discount/tax) as exact decimal */
+  def rate(c: Column): Column = c.cast(D5_4)
+  /** final aggregate → double (single correctly-rounded conversion) */
+  def out(c: Column): Column = c.cast("double")
+  val oneRate: Column = lit(1).cast(D5_4)
+
+  /** price*(1-disc): (18,4)*(5,4)=(24,8), ≤4 true decimals → exact (22,4) */
+  def discPrice(price: Column, disc: Column): Column =
+    (dec(price) * (oneRate - rate(disc))).cast(D22_4)
+
+  /** price*(1-disc)*(1+tax): ≤6 true decimals → exact (24,6) */
+  def charge(price: Column, disc: Column, tax: Column): Column =
+    (dec(price) * (oneRate - rate(disc)) * (oneRate + rate(tax))).cast(D24_6)
+
+  /** timestamp → ISO string, matching DuckDB strftime '%Y-%m-%d %H:%M:%S' */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read it as raw nanos and rebuild the timestamp.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.3–§2.9): scan/filter/
+  * project, hash + broadcast joins (inner/semi/anti), partial+final hash
+  * aggregation, windows, distinct, set ops, scalar string/date/math
+  * functions, rollup, time bucketing.
+  *
+  * Every query is declarative DataFrame API so Catalyst pushes filters +
+  * projections into the parquet scan and AQE picks join strategies; at
+  * 100 TB the same plans hold (dims broadcast, fact-fact joins shuffle on
+  * their keys, aggregates combine map-side).
+  */
+object Relational {
+
+  private val sumQty = "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+  private val discPriceSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(22,4))"
+  private val chargeSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))) AS DECIMAL(24,6))"
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q01
+    // TPC-H Q1-style pricing summary: full-scan partial+final hash agg.
+    // Scale: map-side combine reduces 100 TB of lineitem to |flag×status|
+    // groups per partition before the (tiny) shuffle.
+    Q(
+      "q01_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-01 00:00:00").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            out(sum(dec($"l_quantity"))).as("sum_qty"),
+            out(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+            out(sum(discPrice($"l_extendedprice", $"l_discount")))
+              .as("sum_disc_price"),
+            out(sum(charge($"l_extendedprice", $"l_discount", $"l_tax")))
+              .as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          $sumQty AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(sum($discPriceSql) AS DOUBLE) AS sum_disc_price,
+          CAST(sum($chargeSql) AS DOUBLE) AS sum_charge,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q02
+    // Filter + top-k: predicate pushed to parquet, TakeOrderedAndProject
+    // (per-partition heap + driver merge — no global sort at scale).
+    // Unique (price, orderkey, linenumber) tiebreak → deterministic set.
+    Q(
+      "q02_filter_topk",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .filter($"l_quantity" >= 48)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity >= 48
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ---------------------------------------------------------------- q03
+    // Star join: fact⋈fact shuffle join on orderkey, dims broadcast.
+    Q(
+      "q03_join_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val cust = table(s, dir, "customer")
+        val nat = table(s, dir, "nation")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            out(sum(discPrice($"l_extendedprice", $"l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT n_name,
+          CAST(sum($discPriceSql) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    // ---------------------------------------------------------------- q04
+    // Left-semi join (EXISTS): no row multiplication, build side small
+    // after pushdown → broadcastable at any scale.
+    Q(
+      "q04_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val ord = table(s, dir, "orders")
+        val big = table(s, dir, "lineitem").filter($"l_quantity" > 49)
+        ord.join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey AND l_quantity > 49)""")),
+
+    // ---------------------------------------------------------------- q05
+    // Left-anti join (NOT EXISTS).
+    Q(
+      "q05_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer")
+        val recent = table(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("2001-06-01 00:00:00").cast("timestamp"))
+        cust.join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')""")),
+
+    // ---------------------------------------------------------------- q06
+    // Window functions: rank + running decimal sum, deterministic order
+    // (orderdate, orderkey unique). One shuffle on the partition key.
+    Q(
+      "q06_window_running",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        table(s, dir, "orders")
+          .select(
+            $"o_custkey", $"o_orderkey", tsStr($"o_orderdate").as("od"),
+            row_number().over(w).cast("long").as("rn"),
+            out(sum(dec($"o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .as("running_spend"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders""")),
+
+    // ---------------------------------------------------------------- q07
+    // DISTINCT → partial+final hash aggregate.
+    Q(
+      "q07_distinct",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus").distinct()
+      },
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ---------------------------------------------------------------- q08
+    // INTERSECT (set semantics).
+    Q(
+      "q08_intersect",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "customer").select($"c_custkey".as("custkey"))
+          .intersect(table(s, dir, "orders").select($"o_custkey".as("custkey")))
+      },
+      Some("""
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders""")),
+
+    // ---------------------------------------------------------------- q09
+    // EXCEPT (set semantics): parts never shipped.
+    Q(
+      "q09_except",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "part").select($"p_partkey".as("partkey"))
+          .except(table(s, dir, "lineitem")
+            .filter($"l_shipdate" >= lit("2001-01-01 00:00:00").cast("timestamp"))
+            .select($"l_partkey".as("partkey")))
+      },
+      Some("""
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""")),
+
+    // ---------------------------------------------------------------- q10
+    // Scalar string/math functions, all codegen'd builtins.
+    Q(
+      "q10_scalar_string",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "part").select(
+          $"p_partkey",
+          upper($"p_brand").as("brand_u"),
+          lower($"p_type").as("type_l"),
+          substring($"p_name", 1, 8).as("name8"),
+          length($"p_name").cast("long").as("name_len"),
+          concat_ws(":", $"p_brand", $"p_type").as("brand_type"),
+          abs($"p_size" - lit(25)).as("size_dev"),
+          out($"p_retailprice".cast(D18_2)).as("price2"),
+          ($"p_partkey" % 7).as("k7"))
+      },
+      Some("""
+        SELECT p_partkey,
+          upper(p_brand) AS brand_u,
+          lower(p_type) AS type_l,
+          substr(p_name, 1, 8) AS name8,
+          length(p_name) AS name_len,
+          concat_ws(':', p_brand, p_type) AS brand_type,
+          abs(p_size - 25) AS size_dev,
+          CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price2,
+          p_partkey % 7 AS k7
+        FROM part""")),
+
+    // ---------------------------------------------------------------- q11
+    // Date/time functions on a timestamp column.
+    Q(
+      "q11_datetime",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders").select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("d"),
+          quarter($"o_orderdate").cast("long").as("q"),
+          tsStr(date_trunc("month", $"o_orderdate")).as("mon"),
+          date_format($"o_orderdate", "yyyy-MM").as("ym"))
+      },
+      Some("""
+        SELECT o_orderkey,
+          year(o_orderdate) AS y,
+          month(o_orderdate) AS m,
+          day(o_orderdate) AS d,
+          quarter(o_orderdate) AS q,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS mon,
+          strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders""")),
+
+    // ---------------------------------------------------------------- q12
+    // Conditional aggregation (CASE WHEN inside agg) + min/max.
+    Q(
+      "q12_cond_agg",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_cust"),
+            count(when($"c_acctbal" < 0, 1)).as("n_negative"),
+            out(sum(dec($"c_acctbal"))).as("total_bal"),
+            out(min(dec($"c_acctbal"))).as("min_bal"),
+            out(max(dec($"c_acctbal"))).as("max_bal"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+          count(*) AS n_cust,
+          count(CASE WHEN c_acctbal < 0 THEN 1 END) AS n_negative,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal,
+          CAST(min(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS min_bal,
+          CAST(max(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS max_bal
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- q13
+    // ROLLUP grouping sets.
+    Q(
+      "q13_rollup",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), out(sum(dec($"l_quantity"))).as("qty"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n, $sumQty AS qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ---------------------------------------------------------------- q14
+    // Event-time tumbling window (batch form of the streaming agg):
+    // hour bucketing + count/sum per event type.
+    Q(
+      "q14_events_hourly",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events")
+          .groupBy(tsStr(date_trunc("hour", $"ts")).as("h"), $"event_type")
+          .agg(count(lit(1)).as("n"), out(sum(dec($"value"))).as("total"))
+      },
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type"""))
+  )
+}
