@@ -8,7 +8,8 @@ object SparkEntry {
   /** All engine queries, in registration order. */
   def allQueries: Seq[Q] =
     graft.queries.Relational.all ++
-    graft.queries.Workloads.all
+    graft.queries.Workloads.all ++
+    graft.queries.Generic.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
