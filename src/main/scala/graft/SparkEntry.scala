@@ -9,7 +9,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     graft.queries.Relational.all ++
     graft.queries.Workloads.all ++
-    graft.queries.Generic.all
+    graft.queries.Generic.all ++
+    graft.queries.Llm.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

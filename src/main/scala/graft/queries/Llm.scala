@@ -1,0 +1,481 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over the `documents` / `embeddings` /
+  * `events` tables: deduplication (exact, MinHash+LSH, SimHash, blocked
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force +
+  * IVF-bucketed), text analysis (tokens, quality, language-ID,
+  * fingerprint), multimodal byte plumbing, JSON extraction and
+  * sessionization.
+  *
+  * Cross-engine determinism notes (see [[graft.Sql]]):
+  *  - MinHash uses the lexicographic MIN of hex md5 strings as the
+  *    min-wise hash family — engine-neutral (both collate ASCII hex
+  *    binary) and uniform, so no custom hash is needed in SQL;
+  *  - SimHash token hashes come from the first 8 md5 hex digits cast to
+  *    an integer (Spark `conv(...,16,10)`, DuckDB `CAST('0x'||h)`);
+  *  - every cosine similarity is a LEFT-FOLD over the vector in index
+  *    order (`aggregate(zip_with(...))` in Spark, `sum(... ORDER BY i)`
+  *    in DuckDB) so double accumulation is bit-identical;
+  *  - Jaccard/ratio divisions are single IEEE double ops on identical
+  *    inputs → identical outputs.
+  *
+  * 100 TB design notes are inline per query; the scale paths avoid all
+  * O(n²) work via LSH banding / blocking keys (never a cross join).
+  */
+object Llm {
+
+  /** Left-fold dot product of two float vectors in index order (exact
+    * cross-engine reproducibility; see class doc).
+    */
+  private def dotD(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def cosine(df: DataFrame): DataFrame =
+    df.withColumn("dot", dotD("ea", "eb"))
+      .withColumn("na", dotD("ea", "ea"))
+      .withColumn("nb", dotD("eb", "eb"))
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+
+  /** DuckDB: per-pair cosine via zipped unnest + ordered sums. */
+  private def cosineSql(pairsSql: String, simFilter: String): String = s"""
+        WITH pairs AS ($pairsSql),
+        el AS (
+          SELECT v1, v2, unnest(ea) x, unnest(eb) y, generate_subscripts(ea, 1) i
+          FROM pairs),
+        d AS (
+          SELECT v1, v2,
+            sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS dot,
+            sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) AS na,
+            sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS nb
+          FROM el GROUP BY v1, v2)
+        SELECT v1, v2, dot/(sqrt(na)*sqrt(nb)) AS sim FROM d $simFilter"""
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q20
+    // Exact dedup: content-hash groupBy. At 100 TB: hash is computed in
+    // the scan projection (tiny shuffle of (hash, id) pairs, never the
+    // payload); partial agg collapses per-partition duplicates first.
+    Q(
+      "q20_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy(md5($"text").as("h"))
+          .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_id"))
+      },
+      Some("""
+        SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)""")),
+
+    // ---------------------------------------------------------------- q21
+    // MinHash + LSH near-dup pairs: distinct 5-char shingles of the doc
+    // prefix → 8 min-hashes → 4 bands of 2 → bucket-join on band
+    // signature → exact Jaccard verify on candidates only.
+    // At 100 TB: cost is O(n·shingles) + O(candidates); the band
+    // self-join shuffles on (band, bsig) — never all-pairs. Skewed
+    // buckets (boilerplate prefixes) would be salted / length-capped.
+    Q(
+      "q21_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        val t = table(s, dir, "documents")
+          .select($"doc_id", substring($"text", 1, 200).as("t200"))
+          .filter(length($"t200") >= 5)
+        val sh = t.select($"doc_id",
+          explode(expr("transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5))")).as("g"))
+          .distinct()
+        val sig = sh
+          .select($"doc_id", $"g", explode(expr("sequence(1, 8)")).as("j"))
+          .groupBy($"doc_id", $"j")
+          .agg(min(md5(concat($"j".cast("string"), lit("|"), $"g"))).as("mh"))
+        val bands = sig
+          .withColumn("band", expr("(j-1) div 2"))
+          .groupBy($"doc_id", $"band")
+          .agg(concat_ws(",",
+            expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")).as("bsig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val sets = sh.groupBy($"doc_id").agg(collect_set($"g").as("gs"))
+        cand
+          .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+          .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+          .select($"d1", $"d2",
+            size(array_intersect($"gs1", $"gs2")).as("inter"),
+            size($"gs1").as("na"), size($"gs2").as("nb"))
+          .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+          .filter($"jac" >= 0.35)
+          .select($"d1", $"d2", $"jac")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
+          FROM documents CROSS JOIN generate_series(1, 196) s(i)
+          WHERE s.i <= length(substr(text,1,200)) - 4),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id, h.j, min(md5(CAST(h.j AS VARCHAR) || '|' || g)) AS mh
+          FROM sh CROSS JOIN generate_series(1, 8) h(j)
+          GROUP BY doc_id, h.j),
+        bands AS (
+          SELECT doc_id, (j-1)//2 AS band, string_agg(mh, ',' ORDER BY j) AS bsig
+          FROM sig GROUP BY doc_id, (j-1)//2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS ni
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY c.d1, c.d2)
+        SELECT i.d1, i.d2, CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) AS jac
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.d1
+        JOIN sizes sb ON sb.doc_id = i.d2
+        WHERE CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) >= 0.35""")),
+
+    // ---------------------------------------------------------------- q22
+    // Blocked exact n-gram Jaccard: blocking key (lang, length-bucket)
+    // bounds the pair space (classic entity-resolution blocking — the
+    // deterministic alternative to LSH). All-pairs only *within* blocks.
+    Q(
+      "q22_ngram_blocked_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val t = table(s, dir, "documents")
+          .select($"doc_id", $"lang", expr("length(text) div 50").as("lb"),
+            substring($"text", 1, 100).as("t100"))
+          .filter(length($"t100") >= 3)
+        val sets = t.select($"doc_id", $"lang", $"lb",
+          expr("array_distinct(transform(sequence(1, length(t100)-2), i -> substring(t100, i, 3)))").as("gs"))
+        sets.as("a")
+          .join(sets.as("b"),
+            col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"),
+            size(col("a.gs")).as("na"), size(col("b.gs")).as("nb"))
+          .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+          .filter($"jac" >= 0.5)
+          .select($"d1", $"d2", $"jac")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, length(text)//50 AS lb, substr(text,1,100) AS t100
+          FROM documents WHERE length(substr(text,1,100)) >= 3),
+        sh AS (
+          SELECT DISTINCT doc_id, lang, lb, substr(t100, s.i, 3) AS g
+          FROM t CROSS JOIN generate_series(1, 98) s(i)
+          WHERE s.i <= length(t100) - 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS ni
+          FROM sh s1 JOIN sh s2
+            ON s1.lang = s2.lang AND s1.lb = s2.lb AND s1.g = s2.g
+           AND s1.doc_id < s2.doc_id
+          GROUP BY s1.doc_id, s2.doc_id)
+        SELECT i.d1, i.d2, CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) AS jac
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.d1
+        JOIN sizes sb ON sb.doc_id = i.d2
+        WHERE CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) >= 0.5""")),
+
+    // ---------------------------------------------------------------- q23
+    // SimHash document signatures: 32-bit sign-sum sketch over token
+    // hashes. Narrow + two aggregations; at 100 TB the signature is 8
+    // bytes/doc and near-dup candidates come from hamming-band joins.
+    Q(
+      "q23_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val toks = table(s, dir, "documents")
+          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter($"tok" =!= "")
+        val bits = toks
+          .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+          .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
+          .groupBy($"doc_id", $"b")
+          .agg(sum(expr("IF((shiftright(h, b) & 1) = 1, 1, -1)")).as("s"))
+        bits.groupBy($"doc_id")
+          .agg(sum(expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))"))
+            .cast("long").as("simhash"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        hs AS (
+          SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.b, sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM hs CROSS JOIN generate_series(0, 31) b(b)
+          GROUP BY doc_id, b.b)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q24
+    // Embedding cosine near-dup, IVF-style: pairs only within the same
+    // coarse bucket (label = cluster id), never all-pairs. At 100 TB:
+    // shuffle on bucket id, per-bucket pairwise; skewed buckets get
+    // sub-quantized.
+    Q(
+      "q24_embedding_dup",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val pairs = e.as("a")
+          .join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+            col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        cosine(pairs).filter($"sim" >= 0.3).select($"v1", $"v2", $"sim")
+      },
+      Some(cosineSql(
+        """SELECT a.vec_id v1, b.vec_id v2, a.embedding ea, b.embedding eb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id""",
+        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.3"))),
+
+    // ---------------------------------------------------------------- q25
+    // Brute-force ANN top-k: 5 query vectors against the corpus, top-10
+    // by cosine. The exact baseline for the LSH/IVF scale path; the
+    // query side broadcasts, the corpus scan stays partition-parallel.
+    Q(
+      "q25_ann_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        val qs = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("v1"), $"embedding".as("ea"))
+        val pairs = e.crossJoin(broadcast(qs))
+          .filter($"vec_id" =!= $"v1")
+          .select($"v1", $"vec_id".as("v2"), $"ea", $"embedding".as("eb"))
+        val w = Window.partitionBy($"v1").orderBy($"sim".desc, $"v2".asc)
+        cosine(pairs)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 10)
+          .select($"v1".as("qid"), $"v2".as("vec_id"), $"sim", $"rk")
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT v1, v2, sim,
+            row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+          FROM (${cosineSql(
+        """SELECT q.vec_id v1, e.vec_id v2, q.embedding ea, e.embedding eb
+           FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id""",
+        "")}) sims)
+        SELECT v1 AS qid, v2 AS vec_id, sim, rk FROM ranked WHERE rk <= 10""")),
+
+    // ---------------------------------------------------------------- q26
+    // Token statistics: whitespace tokens, BPE-ish regex tokens, unique
+    // word count — all per-row scan work, no shuffle at all.
+    Q(
+      "q26_token_stats",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents").select(
+          $"doc_id",
+          length($"text").cast("long").as("len_chars"),
+          size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).cast("long").as("n_re_tokens"),
+          size(array_distinct(filter(split(lower($"text"), "[^a-z]+"), x => x =!= "")))
+            .cast("long").as("n_unique_words"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS len_chars,
+          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
+          CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS BIGINT) AS n_unique_words
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- q27
+    // Quality scoring: punctuation/uppercase/digit/stopword counts and a
+    // categorical grade. Pure scan projection.
+    Q(
+      "q27_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("n_char"),
+            length(regexp_replace($"text", "[^.!?,;]", "")).cast("long").as("n_punct"),
+            length(regexp_replace($"text", "[^A-Z]", "")).cast("long").as("n_upper"),
+            length(regexp_replace($"text", "[^0-9]", "")).cast("long").as("n_digit"),
+            size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)"))
+              .cast("long").as("stop_hits"))
+          .withColumn("punct_ratio",
+            $"n_punct".cast("double") / greatest($"n_char", lit(1L)))
+          .withColumn("grade",
+            when($"n_char" >= 100 && $"stop_hits" >= 3, "good")
+              .when($"n_char" >= 30, "ok")
+              .otherwise("poor"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_char,
+          CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+          CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+          CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+          CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in)\b')) AS BIGINT) AS stop_hits,
+          CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+          CASE WHEN length(text) >= 100 AND len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in)\b')) >= 3 THEN 'good'
+               WHEN length(text) >= 30 THEN 'ok'
+               ELSE 'poor' END AS grade
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- q28
+    // Language ID: stopword-marker scoring with a deterministic argmax
+    // (CASE order breaks ties). N-gram heuristic, scan-only.
+    Q(
+      "q28_langid",
+      (s, dir) => {
+        import s.implicits._
+        def hits(pat: String): Column =
+          size(expr(s"regexp_extract_all(lower(text), '\\\\b($pat)\\\\b', 0)")).cast("long")
+        table(s, dir, "documents")
+          .select($"doc_id", $"lang".as("labeled_lang"),
+            hits("the|and|of|is").as("s_en"),
+            hits("le|la|les|et|est").as("s_fr"),
+            hits("el|los|las|es|y").as("s_es"),
+            hits("der|die|das|und|ist").as("s_de"))
+          .withColumn("best", greatest($"s_en", $"s_fr", $"s_es", $"s_de"))
+          .withColumn("pred_lang",
+            when($"best" === 0, "unknown")
+              .when($"s_en" === $"best", "en")
+              .when($"s_fr" === $"best", "fr")
+              .when($"s_es" === $"best", "es")
+              .otherwise("de"))
+          .select($"doc_id", $"labeled_lang", $"s_en", $"s_fr", $"s_es", $"s_de", $"pred_lang")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, lang AS labeled_lang,
+            CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is)\b')) AS BIGINT) AS s_en,
+            CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS BIGINT) AS s_fr,
+            CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b')) AS BIGINT) AS s_es,
+            CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de
+          FROM documents)
+        SELECT doc_id, labeled_lang, s_en, s_fr, s_es, s_de,
+          CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+               WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+               WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+               ELSE 'de' END AS pred_lang
+        FROM s""")),
+
+    // ---------------------------------------------------------------- q29
+    // Document fingerprinting: whitespace-normalized content hash
+    // (md5 prefix) + length bucket. The canonical "group by fingerprint"
+    // dedup key at scale.
+    Q(
+      "q29_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id",
+            trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+          .select($"doc_id",
+            substring(md5($"norm"), 1, 16).as("fp"),
+            expr("length(norm) div 100").as("len_bucket"))
+      },
+      Some("""
+        SELECT doc_id,
+          substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp,
+          length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) // 100 AS len_bucket
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- q30
+    // Multimodal byte plumbing: treat content as an opaque binary column
+    // with typed metadata — byte length, magic-header hex, content hash,
+    // chunk count. The decode stage itself is the mapPartitions stub in
+    // graft.ops.Multimodal (no media libs in this container).
+    Q(
+      "q30_multimodal_bytes",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", encode($"text", "UTF-8").as("media"))
+          .select(
+            $"doc_id",
+            length($"media").cast("long").as("n_bytes"),
+            hex(expr("substring(media, 1, 4)")).as("header_hex"),
+            md5($"media").as("content_md5"),
+            expr("length(media) div 256").cast("long").as("n_chunks"))
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          hex(CAST(substr(text, 1, 4) AS BLOB)) AS header_hex,
+          md5(text) AS content_md5,
+          CAST(octet_length(CAST(text AS BLOB)) // 256 AS BIGINT) AS n_chunks
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- q31
+    // Semi-structured extraction: JSON property pull-out from the events
+    // props column.
+    Q(
+      "q31_events_json",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events").select(
+          $"event_id", $"event_type",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("long").as("k"))
+      },
+      Some("""
+        SELECT event_id, event_type,
+          json_extract_string(props, '$.k') AS k_str,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events""")),
+
+    // ---------------------------------------------------------------- q32
+    // Sessionization: lag + cumulative-sum session ids per user with a
+    // 30-minute inactivity gap, then per-session aggregates. One shuffle
+    // on user_id; windows run in-partition.
+    Q(
+      "q32_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms".asc, $"event_id".asc)
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "events")
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+          .withColumn("gap", $"ms" - lag($"ms", 1).over(w))
+          .withColumn("is_new", when($"gap".isNull || $"gap" > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"is_new").over(wc))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"ms").as("t_start"), max($"ms").as("t_end"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        g AS (
+          SELECT user_id, event_id, ms,
+            ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap
+          FROM e),
+        sid AS (
+          SELECT user_id, event_id, ms,
+            sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          count(*) AS n_events, min(ms) AS t_start, max(ms) AS t_end
+        FROM sid GROUP BY user_id, session_id"""))
+  )
+}
