@@ -10,7 +10,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
     graft.queries.Workloads.all ++
     graft.queries.Generic.all ++
-    graft.queries.Llm.all
+    graft.queries.Llm.all ++
+    graft.queries.Extensions.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

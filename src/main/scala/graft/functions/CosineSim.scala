@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors.
+  *
+  * A codegen'd single-pass loop (dot + both norms fused) that stays
+  * inside whole-stage codegen — measured well ahead of the
+  * `aggregate(zip_with(...))` higher-order-function formulation, which
+  * allocates an intermediate array per row and interprets the lambdas.
+  * Accumulation order is the same left-to-right fold, so results are
+  * bit-identical with the HOF form (and with the DuckDB oracle's
+  * ordered sums).
+  *
+  * This is the hot inner loop of the ANN scale path
+  * ([[graft.ops.AnnIndex]]): at 100 TB the candidate stream after LSH
+  * bucketing is billions of rows and per-row interpretation overhead
+  * dominates — exactly the case where a custom `Expression` with
+  * `doGenCode` is warranted (SURVEY.md §7.4).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double dot = 0.0, na = 0.0, nb = 0.0;
+        for (int i = 0; i < n; i++) {
+          double x = (double) $a.getFloat(i);
+          double y = (double) $b.getFloat(i);
+          dot += x * y; na += x * x; nb += y * y;
+        }
+        ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Register `cosine_sim(a, b)` for SQL/expr use in this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+}
