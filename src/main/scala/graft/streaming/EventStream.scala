@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.Sql._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the events table — pure extension beyond
+  * the reference (which is strictly batch, SURVEY.md §2.10), showing the
+  * engine's streaming surface: watermarked tumbling-window aggregation
+  * and custom sessionization state via flatMapGroupsWithState.
+  *
+  * At scale this is the same code against Kafka/kinesis sources: state
+  * lives in the state store keyed by (window, event_type) / user_id,
+  * watermarks bound state size, and the batch queries (q14, q32) are
+  * the replayable backfill versions of these exact aggregations.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionUpdate(user_id: Long, session_start_ms: Long,
+      n_events: Long, closed: Boolean)
+
+  /** Watermarked 1-hour tumbling counts per event type (streaming form
+    * of batch q14_events_hourly).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("total"))
+
+  /** Custom stateful sessionization: 30-minute inactivity gap closes a
+    * session (streaming form of batch q32_sessionize).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state: (session_start_ms, last_ms, n_events)
+        (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (start, last, n) =
+            state.getOption.getOrElse((-1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            if (start < 0) { start = ms; last = ms; n = 1 }
+            else if (ms - last > 1800000L) {
+              out += SessionUpdate(userId, start, n, closed = true)
+              start = ms; last = ms; n = 1
+            } else { last = ms; n += 1 }
+          }
+          if (start >= 0) state.update((start, last, n))
+          out.iterator
+      }
+  }
+
+  /** Drive both streaming queries from the parquet events table through
+    * a file-stream source into memory sinks; returns (hourly rows,
+    * closed-session rows). Used by StreamingSpec and runnable standalone.
+    */
+  def runOnce(spark: SparkSession, sfDir: String): (Long, Long) = {
+    import spark.implicits._
+    // raw parquet schema (ts as raw nanos long, see graft.Sql.table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream source needs a directory: stream the sf dir with a
+    // glob filter selecting just the events table file
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    // complete mode: the memory sink holds the full current aggregate,
+    // directly comparable to the batch q14 result (append mode would
+    // withhold windows still inside the watermark)
+    val q1 = hourlyCounts(src)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    val q2 = sessionize(src.select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event])
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    (spark.sql("SELECT * FROM hourly").count(),
+      spark.sql("SELECT * FROM sessions").count())
+  }
+}
