@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan audit: the properties SCALING.md claims must actually
+  * appear in the executed plans (explain(formatted) inspection, pinned
+  * as tests so regressions surface).
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter is pushed to the parquet scan and top-k uses TakeOrderedAndProject") {
+    val p = plan("q02_filter_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,48"),
+      s"missing pushed filter in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$p")
+  }
+
+  test("q02 scan prunes columns to the 4 selected") {
+    val p = plan("q02_filter_topk")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_returnflag"),
+      s"scan reads more columns than projected: $read")
+  }
+
+  test("q03 star join broadcasts the dimension tables") {
+    val p = plan("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair → the string appears at least twice
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"expected partial+final HashAggregate pair in:\n$p")
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.allQueries.foreach { q =>
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      withClue(q.name) {
+        assert(!p.contains("CartesianProduct"), s"cartesian product in ${q.name}")
+      }
+    }
+  }
+
+  test("whole-stage codegen covers the scan-side of the hot queries") {
+    Seq("q01_pricing_summary", "q15_wordcount", "q26_token_stats").foreach { n =>
+      // AQE prints codegen stages only in the finalized plan → execute first
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.collect() // executes *this* plan, finalizing AQE
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the plan string
+      assert(p.contains("*(1)"), s"$n fell out of whole-stage codegen:\n$p")
+    }
+  }
+}
