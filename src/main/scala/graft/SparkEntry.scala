@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.Workloads.all ++
     graft.queries.Generic.all ++
     graft.queries.Llm.all ++
-    graft.queries.Extensions.all
+    graft.queries.Extensions.all ++
+    graft.queries.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
