@@ -52,6 +52,23 @@ object Stats {
         SELECT c_mktsegment,
           array_to_string((array_agg(c_name ORDER BY c_name))[1:5], ',') AS first5,
           count(*) AS n
-        FROM customer GROUP BY c_mktsegment"""))
+        FROM customer GROUP BY c_mktsegment""")),
+
+    // HLL sketch aggregation (rows-only: HLL implementations differ
+    // across engines by design; StatsSpec bounds the error vs the exact
+    // count instead). The sketch is the 100 TB answer to COUNT(DISTINCT)
+    // — fixed-size state, partial-aggregable, no giant shuffle.
+    Q(
+      "q37_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            approx_count_distinct($"l_orderkey").as("approx_orders"),
+            count(lit(1)).as("n"))
+      },
+      None)
   )
 }
