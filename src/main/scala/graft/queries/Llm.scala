@@ -86,9 +86,12 @@ object Llm {
         val t = table(s, dir, "documents")
           .select($"doc_id", substring($"text", 1, 200).as("t200"))
           .filter(length($"t200") >= 5)
-        val sh = t.select($"doc_id",
-          explode(expr("transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5))")).as("g"))
-          .distinct()
+        // per-doc distinct shingle set computed map-side (array_distinct
+        // in the projection) — no DISTINCT shuffle, and the same array
+        // feeds the verification stage without a collect_set shuffle
+        val docSets = t.select($"doc_id",
+          expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
+        val sh = docSets.select($"doc_id", explode($"gs").as("g"))
         // all 8 hashes as plain projected columns (computed once per
         // shingle), min-aggregated per hash in a single partial+final
         // agg — one |docs|-sized shuffle instead of exploding 8× and
@@ -115,7 +118,7 @@ object Llm {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        val sets = sh.groupBy($"doc_id").agg(collect_set($"g").as("gs"))
+        val sets = docSets
         cand
           .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
           .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
