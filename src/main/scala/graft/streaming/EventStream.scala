@@ -60,6 +60,25 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup: watermarked dropDuplicates on a content
+    * fingerprint — the streaming form of the q20/q29 dedup pattern
+    * (state = one fingerprint per distinct event inside the watermark).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("fp", md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("fp")
+
+  /** Stream-static enrichment join: the streaming fact joins a static
+    * dimension (broadcast per micro-batch) — the streaming counterpart
+    * of q03's star join.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") % 1500 === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+
   /** Drive both streaming queries from the parquet events table through
     * a file-stream source into memory sinks; returns (hourly rows,
     * closed-session rows). Used by StreamingSpec and runnable standalone.

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
 
 /** Streaming results must agree with their batch counterparts: the
   * hourly windowed agg with q14_events_hourly and stateful
@@ -26,5 +27,35 @@ class StreamingSpec extends SparkSuite {
       .select("user_id").distinct().count()
     assert(sessionRows + users === batchSessions,
       s"closed=$sessionRows users=$users batch=$batchSessions")
+  }
+
+  test("streaming dedup and stream-static join match batch equivalents") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val qd = EventStream.dedupEvents(src)
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    val cust = graft.Sql.table(spark, sf, "customer")
+    val qe = EventStream.enrich(src, cust)
+      .writeStream.outputMode("complete").format("memory").queryName("enriched").start()
+    qd.processAllAvailable(); qe.processAllAvailable()
+    qd.stop(); qe.stop()
+
+    val batchEvents = graft.Sql.table(spark, sf, "events")
+    val batchDistinct = batchEvents
+      .select(md5(concat_ws("|", $"user_id", $"event_type", $"props")).as("fp"))
+      .distinct().count()
+    assert(spark.sql("SELECT count(*) FROM deduped").collect()(0).getLong(0) === batchDistinct)
+
+    val batchEnriched = batchEvents.join(cust, $"user_id" % 1500 === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamEnriched = spark.sql("SELECT * FROM enriched")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamEnriched === batchEnriched)
   }
 }
