@@ -172,13 +172,21 @@ object Llm {
           .filter(length($"t100") >= 3)
         val sets = t.select($"doc_id", $"lang", $"lb",
           expr("array_distinct(transform(sequence(1, length(t100)-2), i -> substring(t100, i, 3)))").as("gs"))
-        sets.as("a")
-          .join(sets.as("b"),
-            col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            size(array_intersect(col("a.gs"), col("b.gs"))).as("inter"),
-            size(col("a.gs")).as("na"), size(col("b.gs")).as("nb"))
+        // intersection sizes via a narrow shingle-level join + partial
+        // agg: joining the wide shingle arrays onto every candidate pair
+        // shuffles ~100-element array rows and dominated the runtime;
+        // (block, gram) join rows are 4 small columns instead
+        val sh3 = sets.select($"doc_id", $"lang", $"lb", explode($"gs").as("g"))
+        val inter = sh3.as("x")
+          .join(sh3.as("y"),
+            col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb") &&
+              col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        val sizes = sets.select($"doc_id", size($"gs").as("n"))
+        inter
+          .join(sizes.select($"doc_id".as("d1"), $"n".as("na")), "d1")
+          .join(sizes.select($"doc_id".as("d2"), $"n".as("nb")), "d2")
           .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
           .filter($"jac" >= 0.5)
           .select($"d1", $"d2", $"jac")
