@@ -41,6 +41,41 @@ object Llm {
     df.withColumn("sim", expr("cosine_sim(ea, eb)"))
   }
 
+  /** SimHash signature frame (doc_id, simhash) — shared by q23 and the
+    * hamming-band pairing q38.
+    */
+  private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = table(s, dir, "documents")
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+      .filter($"tok" =!= "")
+    val bits = toks
+      .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
+      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(expr("IF((shiftright(h, b) & 1) = 1, 1, -1)")).as("s"))
+    bits.groupBy($"doc_id")
+      .agg(sum(expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))"))
+        .cast("long").as("simhash"))
+  }
+
+  /** DuckDB CTEs producing the same (doc_id, simhash) relation. */
+  private val simhashSqlCtes = """
+        toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        hs AS (
+          SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+          FROM toks),
+        bits AS (
+          SELECT doc_id, b.b, sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM hs CROSS JOIN generate_series(0, 31) b(b)
+          GROUP BY doc_id, b.b),
+        sig AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)"""
+
   /** DuckDB: per-pair cosine via zipped unnest + ordered sums. */
   private def cosineSql(pairsSql: String, simFilter: String): String = s"""
         WITH pairs AS ($pairsSql),
@@ -215,37 +250,53 @@ object Llm {
     // ---------------------------------------------------------------- q23
     // SimHash document signatures: 32-bit sign-sum sketch over token
     // hashes. Narrow + two aggregations; at 100 TB the signature is 8
-    // bytes/doc and near-dup candidates come from hamming-band joins.
+    // bytes/doc and near-dup candidates come from hamming-band joins
+    // (q38).
     Q(
       "q23_simhash",
+      (s, dir) => simhashSignatures(s, dir),
+      Some(s"""
+        WITH $simhashSqlCtes
+        SELECT doc_id, simhash FROM sig""")),
+
+    // ---------------------------------------------------------------- q38
+    // SimHash near-dup pairs: pigeonhole hamming-banding (4 bands of 8
+    // bits — any pair within hamming distance 3 must agree on at least
+    // one band), then exact popcount verify on candidates. The scale
+    // form of simhash dedup: candidates come from equality joins on
+    // band bytes, never pairwise popcounts over the corpus.
+    Q(
+      "q38_simhash_pairs",
       (s, dir) => {
         import s.implicits._
-        val toks = table(s, dir, "documents")
-          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
-          .filter($"tok" =!= "")
-        val bits = toks
-          .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-          .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
-          .groupBy($"doc_id", $"b")
-          .agg(sum(expr("IF((shiftright(h, b) & 1) = 1, 1, -1)")).as("s"))
-        bits.groupBy($"doc_id")
-          .agg(sum(expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))"))
-            .cast("long").as("simhash"))
+        val sig = simhashSignatures(s, dir)
+        val bands = sig
+          .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+          .filter($"hamming" <= 3)
+          .select($"d1", $"d2", $"hamming")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
-          FROM documents),
-        hs AS (
-          SELECT doc_id, CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS h
-          FROM toks),
-        bits AS (
-          SELECT doc_id, b.b, sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
-          FROM hs CROSS JOIN generate_series(0, 31) b(b)
-          GROUP BY doc_id, b.b)
-        SELECT doc_id,
-          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id""")),
+      Some(s"""
+        WITH $simhashSqlCtes,
+        bands AS (
+          SELECT doc_id, simhash, b.b, (simhash >> (b.b * 8)) & 255 AS band
+          FROM sig CROSS JOIN generate_series(0, 3) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.simhash AS s1, y.simhash AS s2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")),
 
     // ---------------------------------------------------------------- q24
     // Embedding cosine near-dup, IVF-style: pairs only within the same
