@@ -25,6 +25,9 @@ object MrlCtl {
     }.toMap
     flags.headOption match {
       case Some("submit") =>
+        // reuse a live session when embedded (tests/driver); only own —
+        // and only stop — a session this invocation created
+        val preexisting = SparkSession.getActiveSession.isDefined
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
           .appName("graft-mrl-ctl")
@@ -40,7 +43,7 @@ object MrlCtl {
           aux,
           opts.getOrElse("partitions", "0").toInt)
         println(s"job completed: ${opts("workload")} -> ${opts("output")}")
-        spark.stop()
+        if (!preexisting) spark.stop()
       case other =>
         System.err.println(
           s"unknown command $other; usage: submit --workload W --input GLOB --output DIR [--partitions N] [-- aux...]")
