@@ -68,21 +68,23 @@ object MapReduce {
   /** The core dataflow on an arbitrary KeyValue dataset. Grouping
     * compares key *bytes* (the typed encoder makes Array[Byte] a
     * BinaryType column, so the shuffle groups by value, not reference).
-    * `numPartitions` plays the reference's `n_reduce` role; 0 → leave it
-    * to spark.sql.shuffle.partitions / AQE.
+    *
+    * `numPartitions` plays the reference's `n_reduce` role for the
+    * OUTPUT partition/file count; the grouping shuffle itself is sized
+    * by spark.sql.shuffle.partitions / AQE. (Repartitioning the map
+    * output by key before groupByKey would not be recognized by the
+    * grouping's own requirement — lambda-derived key attribute — and
+    * just paid an extra full shuffle of every mapped record.)
     */
   def run(
       w: Workload,
       input: Dataset[KeyValue],
       aux: Seq[String] = Nil,
       numPartitions: Int = 0): Dataset[Array[Byte]] = {
-    val mapped = input.flatMap(kv => w.mapFn(kv, aux))
-    val repartitioned =
-      if (numPartitions > 0) mapped.repartition(numPartitions, col("key"))
-      else mapped
-    repartitioned
+    val reduced = input.flatMap(kv => w.mapFn(kv, aux))
       .groupByKey(_.key)
       .mapGroups((key, kvs) => w.reduceFn(key, kvs.map(_.value), aux))
+    if (numPartitions > 0) reduced.repartition(numPartitions) else reduced
   }
 
   /** Full job: glob → map/reduce → newline-text sink (the reference's

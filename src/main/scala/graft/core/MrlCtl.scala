@@ -26,8 +26,12 @@ object MrlCtl {
     flags.headOption match {
       case Some("submit") =>
         // reuse a live session when embedded (tests/driver); only own —
-        // and only stop — a session this invocation created
-        val preexisting = SparkSession.getActiveSession.isDefined
+        // and only stop — a session this invocation created. Check the
+        // default session too: getActiveSession is thread-local and
+        // would miss a session created on another thread.
+        val preexisting =
+          SparkSession.getActiveSession.isDefined ||
+          SparkSession.getDefaultSession.isDefined
         val spark = SparkSession.builder()
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
           .appName("graft-mrl-ctl")

@@ -20,8 +20,12 @@ object WorkloadRegistry {
   private def readU64be(b: Array[Byte]): Long =
     ByteBuffer.wrap(b, 0, 8).getLong
 
-  /** Word count: split on non-alphabetic (Unicode letter class, matching
-    * Rust `char::is_alphabetic` at `workload/src/wc.rs:12`), lowercase,
+  /** Word count: split on non-letters (Unicode `\p{L}`; Rust
+    * `char::is_alphabetic` at `workload/src/wc.rs:12` is slightly wider
+    * — it also includes Nl and Other_Alphabetic code points — a
+    * documented divergence that only shows on exotic scripts),
+    * lowercase (Locale.ROOT: locale-sensitive lowercasing would diverge
+    * from both the reference and the SQL `lower()` under e.g. tr-TR),
     * drop empties; value = big-endian u64 1; reduce sums; output
     * "word count\n" (`wc.rs:41`).
     */
@@ -31,7 +35,8 @@ object WorkloadRegistry {
         .split("[^\\p{L}]+")
         .iterator
         .filter(_.nonEmpty)
-        .map(w => KeyValue(w.toLowerCase.getBytes(UTF_8), u64be(1L))),
+        .map(w => KeyValue(
+          w.toLowerCase(java.util.Locale.ROOT).getBytes(UTF_8), u64be(1L))),
     reduceFn = (key, values, _) => {
       val count = values.map(readU64be).sum
       s"${new String(key, UTF_8)} $count\n".getBytes(UTF_8)
@@ -44,7 +49,10 @@ object WorkloadRegistry {
     */
   val grep: Workload = Workload(
     mapFn = (kv, aux) => {
-      val term = aux.headOption.getOrElse("")
+      // fail fast like the reference's clap parse (grep.rs:19-21): a
+      // missing term would otherwise match every line via contains("")
+      val term = aux.headOption.getOrElse(
+        throw new IllegalArgumentException("grep requires a search term (aux args)"))
       kv.valueString.split("\n", -1).iterator.zipWithIndex
         .filter { case (line, _) => line.contains(term) }
         .map { case (line, i) =>
@@ -109,9 +117,18 @@ object WorkloadRegistry {
       val bSide = rows.filter(_.last == "B")
       val sb = new StringBuilder
       for (a <- aSide; b <- bSide)
-        sb.append(s"${a(0)} ${b(0)} ${a(1).toDouble * b(1).toDouble} C\n")
+        sb.append(s"${a(0)} ${b(0)} ${fmtF64(a(1).toDouble * b(1).toDouble)} C\n")
       sb.toString.getBytes(UTF_8)
     })
+
+  /** Rust `f64` Display parity for workload output: integral values
+    * print without a fractional part ("6", not "6.0") and without
+    * scientific notation; non-integral values use shortest repr (which
+    * can still differ from Rust in edge cases — SURVEY.md §7.5.3 says
+    * compare numerically, not textually).
+    */
+  private def fmtF64(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   /** Matrix multiply phase 2: key = "i j", sum partial products, emit
     * "i j sum C\n" (`workload/src/matrix_multiply.rs:98-152`).
@@ -126,7 +143,7 @@ object WorkloadRegistry {
         },
     reduceFn = (key, values, _) => {
       val sum = values.map(v => new String(v, UTF_8).split(" ")(0).toDouble).sum
-      s"${new String(key, UTF_8)} $sum C\n".getBytes(UTF_8)
+      s"${new String(key, UTF_8)} ${fmtF64(sum)} C\n".getBytes(UTF_8)
     })
 
   /** Name registry ≈ `workload/src/lib.rs:31-55`. */

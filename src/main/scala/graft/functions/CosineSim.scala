@@ -44,15 +44,23 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: with non-nullable inputs this code is pasted at
+      // method scope, so fixed local names would collide when two
+      // cosine_sim calls share one codegen scope
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
       s"""
-        int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double dot = 0.0, na = 0.0, nb = 0.0;
-        for (int i = 0; i < n; i++) {
-          double x = (double) $a.getFloat(i);
-          double y = (double) $b.getFloat(i);
-          dot += x * y; na += x * x; nb += y * y;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x$i = (double) $a.getFloat($i);
+          double y$i = (double) $b.getFloat($i);
+          $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
         }
-        ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

@@ -17,11 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
+  /** Deterministic per-row salt: content hash of every column. A salt
+    * derived from partition id / row position would change on task
+    * retry and corrupt results after a shuffle-fetch failure (the
+    * SPARK-23207 class of bug); a content hash is retry-stable.
+    * Degenerate case: a hot key whose rows are bit-identical all land
+    * in one salt bucket — add a distinguishing column upstream if so.
+    */
+  private def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+
   /** count(*) per key, skew-safe. Equivalent to
     * `df.groupBy(key).count()` (property-tested).
     */
   def saltedCount(df: DataFrame, key: Column, salt: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("__salt", contentSalt(df, salt))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col("__key"))
@@ -29,7 +39,7 @@ object Salted {
 
   /** Algebraic sum per key, skew-safe. */
   def saltedSum(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    df.withColumn("__salt", contentSalt(df, salt))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(col("__key"))

@@ -481,11 +481,15 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         table(s, dir, "documents")
-          .select($"doc_id", encode($"text", "UTF-8").as("media"))
+          .select($"doc_id", encode($"text", "UTF-8").as("media"),
+            // header from the first 4 CHARACTERS then encoded, matching
+            // the oracle's substr-then-BLOB (a byte-slice of media would
+            // diverge on multi-byte UTF-8 leaders)
+            encode(substring($"text", 1, 4), "UTF-8").as("header"))
           .select(
             $"doc_id",
             length($"media").cast("long").as("n_bytes"),
-            hex(expr("substring(media, 1, 4)")).as("header_hex"),
+            hex($"header").as("header_hex"),
             md5($"media").as("content_md5"),
             expr("length(media) div 256").cast("long").as("n_chunks"))
       },

@@ -60,15 +60,18 @@ object EventStream {
       }
   }
 
-  /** Streaming dedup: watermarked dropDuplicates on a content
-    * fingerprint — the streaming form of the q20/q29 dedup pattern
-    * (state = one fingerprint per distinct event inside the watermark).
+  /** Streaming dedup: watermarked dropDuplicatesWithinWatermark on a
+    * content fingerprint — the streaming form of the q20/q29 dedup
+    * pattern. The WithinWatermark variant is what actually bounds the
+    * state store (plain dropDuplicates("fp") would keep one entry per
+    * distinct fingerprint forever — the watermark only evicts dedup
+    * state when event time is part of the key set).
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withColumn("fp", md5(concat_ws("|", col("user_id"), col("event_type"), col("props"))))
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Stream-static enrichment join: the streaming fact joins a static
     * dimension (broadcast per micro-batch) — the streaming counterpart
