@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Sql._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Order statistics and ordered string aggregation — the remaining
@@ -53,6 +54,39 @@ object Stats {
           array_to_string((array_agg(c_name ORDER BY c_name))[1:5], ',') AS first5,
           count(*) AS n
         FROM customer GROUP BY c_mktsegment""")),
+
+    // As-of join: each event picks the latest order at-or-before its
+    // timestamp for its customer — expressed as a pushed-down range
+    // join + per-event top-1 window (deterministic orderkey tiebreak,
+    // so both engines agree; DuckDB's ASOF JOIN keyword leaves ties
+    // unspecified). At 100 TB the range join shuffles on the equi-key
+    // (custkey) and the window is per-event local; a custom
+    // sort-merge-asof SparkPlan is the upgrade path if the per-key
+    // order multiplicity explodes (SURVEY.md §7.4 preference order).
+    Q(
+      "q39_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "events")
+        val o = table(s, dir, "orders")
+        val w = Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        e.join(o, ($"user_id" % 1500) === $"o_custkey" && $"o_orderdate" <= $"ts")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"user_id", $"o_orderkey",
+            tsStr($"o_orderdate").as("asof_orderdate"))
+      },
+      Some("""
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+            row_number() OVER (PARTITION BY e.event_id
+                               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id % 1500 = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+        FROM j WHERE rn = 1""")),
 
     // HLL sketch aggregation (rows-only: HLL implementations differ
     // across engines by design; StatsSpec bounds the error vs the exact
