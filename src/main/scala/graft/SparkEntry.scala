@@ -12,7 +12,8 @@ object SparkEntry {
     graft.queries.Generic.all ++
     graft.queries.Llm.all ++
     graft.queries.Extensions.all ++
-    graft.queries.Stats.all
+    graft.queries.Stats.all ++
+    graft.queries.Tpch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shaped analytics (Q3/Q5/Q10 analogs) over the testdata
+  * star schema — deeper join trees than the operator-focused queries:
+  * selective dimension filters pushed to scans, multi-way joins with
+  * broadcast dims, decimal-exact revenue aggregation, top-k output.
+  */
+object Tpch {
+
+  private val revSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(22,4))"
+
+  val all: Seq[Q] = Seq(
+    // Q3 analog: shipping-priority — revenue of unshipped orders for a
+    // market segment, top 10.
+    Q(
+      "q40_shipping_priority",
+      (s, dir) => {
+        import s.implicits._
+        val cust = table(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = table(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val li = table(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1997-01-01 00:00:00").cast("timestamp"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", tsStr($"o_orderdate").as("orderdate"))
+          .agg(out(sum(discPrice($"l_extendedprice", $"l_discount"))).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey".asc)
+          .limit(10)
+      },
+      Some(s"""
+        SELECT l_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+          CAST(sum($revSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // Q5 analog: local-supplier volume — 6-way join (region → nation →
+    // customer/supplier colocation → orders → lineitem), revenue per
+    // nation in a date window.
+    Q(
+      "q41_local_supplier_volume",
+      (s, dir) => {
+        import s.implicits._
+        val reg = table(s, dir, "region")
+        val nat = table(s, dir, "nation")
+        val cust = table(s, dir, "customer")
+        val sup = table(s, dir, "supplier")
+        val ord = table(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val li = table(s, dir, "lineitem")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(sup),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(out(sum(discPrice($"l_extendedprice", $"l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT r_name, n_name,
+          CAST(sum($revSql) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name""")),
+
+    // Q10 analog: returned-item reporting — top 20 customers by revenue
+    // lost to returns in a quarter.
+    Q(
+      "q42_returned_items",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        val ord = table(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-04-01 00:00:00").cast("timestamp"))
+        val cust = table(s, dir, "customer")
+        val nat = table(s, dir, "nation")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"n_name")
+          .agg(out(sum(discPrice($"l_extendedprice", $"l_discount"))).as("revenue"))
+          .orderBy($"revenue".desc, $"c_custkey".asc)
+          .limit(20)
+      },
+      Some(s"""
+        SELECT c_custkey, c_name, n_name,
+          CAST(sum($revSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+  )
+}
