@@ -90,6 +90,36 @@ object Llm {
           FROM el GROUP BY v1, v2)
         SELECT v1, v2, dot/(sqrt(na)*sqrt(nb)) AS sim FROM d $simFilter"""
 
+  /** q21's oracle SQL, shared with the q45 clustering query. */
+  private val minhashPairsSql: String = """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
+          FROM documents CROSS JOIN generate_series(1, 196) s(i)
+          WHERE s.i <= length(substr(text,1,200)) - 4),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id, h.j, min(md5(CAST(h.j AS VARCHAR) || '|' || g)) AS mh
+          FROM sh CROSS JOIN generate_series(1, 8) h(j)
+          GROUP BY doc_id, h.j),
+        bands AS (
+          SELECT doc_id, (j-1)//4 AS band, string_agg(mh, ',' ORDER BY j) AS bsig
+          FROM sig GROUP BY doc_id, (j-1)//4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS ni
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY c.d1, c.d2)
+        SELECT i.d1, i.d2, CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) AS jac
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.d1
+        JOIN sizes sb ON sb.doc_id = i.d2
+        WHERE CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) >= 0.35"""
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q20
     // Exact dedup: content-hash groupBy. At 100 TB: hash is computed in
@@ -164,34 +194,7 @@ object Llm {
           .filter($"jac" >= 0.35)
           .select($"d1", $"d2", $"jac")
       },
-      Some("""
-        WITH sh AS (
-          SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
-          FROM documents CROSS JOIN generate_series(1, 196) s(i)
-          WHERE s.i <= length(substr(text,1,200)) - 4),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        sig AS (
-          SELECT doc_id, h.j, min(md5(CAST(h.j AS VARCHAR) || '|' || g)) AS mh
-          FROM sh CROSS JOIN generate_series(1, 8) h(j)
-          GROUP BY doc_id, h.j),
-        bands AS (
-          SELECT doc_id, (j-1)//4 AS band, string_agg(mh, ',' ORDER BY j) AS bsig
-          FROM sig GROUP BY doc_id, (j-1)//4),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-        inter AS (
-          SELECT c.d1, c.d2, count(*) AS ni
-          FROM cand c
-          JOIN sh s1 ON s1.doc_id = c.d1
-          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-          GROUP BY c.d1, c.d2)
-        SELECT i.d1, i.d2, CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) AS jac
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.d1
-        JOIN sizes sb ON sb.doc_id = i.d2
-        WHERE CAST(i.ni AS DOUBLE)/(sa.n + sb.n - i.ni) >= 0.35""")),
+      Some(minhashPairsSql)),
 
     // ---------------------------------------------------------------- q22
     // Blocked exact n-gram Jaccard: blocking key (lang, length-bucket)
@@ -552,6 +555,48 @@ object Llm {
           FROM g)
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
           count(*) AS n_events, min(ms) AS t_start, max(ms) AS t_end
-        FROM sid GROUP BY user_id, session_id"""))
+        FROM sid GROUP BY user_id, session_id""")),
+
+    // ---------------------------------------------------------------- q45
+    // Near-dup CLUSTER formation: connected components over the q21 pair
+    // graph (cluster id = min doc_id in the component) — the step that
+    // turns pairwise matches into dedup groups. Spark: Pregel-style
+    // reachability iterated to a fixpoint with a driver-coordinated loop
+    // (the pair graph is tiny relative to the corpus; at 100 TB switch
+    // to large-star/small-star — same loop shape, O(log n) rounds).
+    // DuckDB: recursive CTE to the same fixpoint.
+    Q(
+      "q45_dedup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
+          .run(s, dir).select($"d1", $"d2")
+        val edges = pairs
+          .union(pairs.select($"d2", $"d1"))
+          .toDF("a", "b").distinct().cache()
+        var reach = edges.select($"a".as("v"), $"a".as("r")).distinct().cache()
+        var prev = -1L
+        var size = reach.count()
+        while (size != prev) {
+          prev = size
+          val step = reach.as("rv")
+            .join(edges.as("ed"), col("rv.r") === col("ed.a"))
+            .select(col("rv.v").as("v"), col("ed.b").as("r"))
+          reach = reach.union(step).distinct().cache()
+          size = reach.count()
+        }
+        reach.groupBy($"v").agg(min($"r").as("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashPairsSql),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+        SELECT v, min(r) AS cluster_id FROM reach GROUP BY v"""))
   )
 }
