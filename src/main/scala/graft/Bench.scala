@@ -24,15 +24,21 @@ object Bench {
     Sql.table(spark, sfDir, "lineitem").count()
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.run(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += q.name
+          System.err.println(s"[bench] ${q.name} FAILED: $e")
+      }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,12 @@ object Sql {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read it as raw nanos and rebuild the timestamp.
+      // The conf DELIBERATELY stays set for the whole session: it is
+      // consulted at plan-execution time (not here), so a save/restore
+      // would break this very scan when it finally runs. Session-wide
+      // effect: any later nanos-timestamp parquet also reads as LONG —
+      // acceptable because events is the only nanos table in this engine
+      // and the returned frame already rebuilds its `ts`.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -20,6 +20,18 @@ object WorkloadRegistry {
   private def readU64be(b: Array[Byte]): Long =
     ByteBuffer.wrap(b, 0, 8).getLong
 
+  /** Rust `str::lines()` parity (the reference iterates lines with it,
+    * e.g. `workload/src/grep.rs:25`): split on '\n', strip one trailing
+    * '\r' per line (CRLF input), and no phantom empty line after a
+    * trailing newline. A plain `split("\n", -1)` keeps the '\r' and the
+    * trailing empty — both diverge from the reference on CRLF files.
+    */
+  private def lines(s: String): Iterator[String] = {
+    val raw = s.split("\n", -1)
+    val n = if (raw.nonEmpty && raw.last.isEmpty) raw.length - 1 else raw.length
+    raw.iterator.take(n).map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+  }
+
   /** Word count: split on non-letters (Unicode `\p{L}`; Rust
     * `char::is_alphabetic` at `workload/src/wc.rs:12` is slightly wider
     * — it also includes Nl and Other_Alphabetic code points — a
@@ -53,7 +65,7 @@ object WorkloadRegistry {
       // missing term would otherwise match every line via contains("")
       val term = aux.headOption.getOrElse(
         throw new IllegalArgumentException("grep requires a search term (aux args)"))
-      kv.valueString.split("\n", -1).iterator.zipWithIndex
+      lines(kv.valueString).zipWithIndex
         .filter { case (line, _) => line.contains(term) }
         .map { case (line, i) =>
           val lineBytes = line.getBytes(UTF_8)
@@ -78,7 +90,7 @@ object WorkloadRegistry {
     */
   val vertexDegree: Workload = Workload(
     mapFn = (kv, _) =>
-      kv.valueString.split("\n").iterator
+      lines(kv.valueString)
         .filter(_.trim.nonEmpty)
         .flatMap { line =>
           val parts = line.trim.split("\\s+", 3)
@@ -100,7 +112,7 @@ object WorkloadRegistry {
     */
   val matrixMultiply1: Workload = Workload(
     mapFn = (kv, _) =>
-      kv.valueString.split("\n").iterator
+      lines(kv.valueString)
         .filter(_.nonEmpty)
         .map { line =>
           val f = line.split(" ")
@@ -135,7 +147,7 @@ object WorkloadRegistry {
     */
   val matrixMultiply2: Workload = Workload(
     mapFn = (kv, _) =>
-      kv.valueString.split("\n").iterator
+      lines(kv.valueString)
         .filter(_.nonEmpty)
         .map { line =>
           val f = line.split(" ")

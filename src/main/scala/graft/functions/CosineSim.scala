@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * allocates an intermediate array per row and interprets the lambdas.
   * Accumulation order is the same left-to-right fold, so results are
   * bit-identical with the HOF form (and with the DuckDB oracle's
-  * ordered sums).
+  * ordered sums) — including the edge cases: length-mismatched vectors
+  * yield NULL (like zip_with's null padding) and zero-norm vectors
+  * yield NaN (IEEE 0/0, same in both forms).
   *
   * This is the hot inner loop of the ANN scale path
   * ([[graft.ops.AnnIndex]]): at 100 TB the candidate stream after LSH
@@ -27,10 +29,19 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Length-mismatched inputs yield NULL (exactly what the HOF form
+  // produces: zip_with pads the shorter vector with nulls and the sum
+  // goes null), so the expression is result-nullable even when both
+  // children are non-nullable. Zero-norm vectors yield NaN (IEEE
+  // 0.0/0.0) in BOTH forms — identical, and documented here rather
+  // than special-cased.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var i = 0
     var dot = 0.0; var na = 0.0; var nb = 0.0
     while (i < n) {
@@ -53,14 +64,18 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val i = ctx.freshName("i")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double x$i = (double) $a.getFloat($i);
-          double y$i = (double) $b.getFloat($i);
-          $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double x$i = (double) $a.getFloat($i);
+            double y$i = (double) $b.getFloat($i);
+            $dot += x$i * y$i; $na += x$i * x$i; $nb += y$i * y$i;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

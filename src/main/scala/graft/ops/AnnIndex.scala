@@ -83,7 +83,11 @@ object AnnIndex {
     val idCol = vectors.columns(0)
     val embCol = vectors.columns(1)
     val planes = planeMatrix(dim)
-    vectors.select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+    // L·B·dim multiply-adds per vector: spread a single-row-group local
+    // scan across cores before the flatMap (explicit count so AQE can't
+    // coalesce the tiny shuffle back to one partition)
+    vectors.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), col(embCol)).as[(Long, Array[Float])]
       .flatMap { case (id, emb) =>
         buckets(emb, planes).zipWithIndex.map { case (bk, t) => (id, emb, t.toLong, bk) }
       }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
-import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
@@ -17,6 +16,15 @@ import org.apache.spark.sql.functions._
   * collect); partitioning by size via maxPartitionBytes keeps batches
   * even; features (small fixed-size vectors) shuffle instead of raw
   * media wherever possible.
+  *
+  * The stub derives everything from the md5 of the media bytes, so the
+  * whole pipeline is SQL-expressible and the driver's DuckDB oracle
+  * hash-checks it end-to-end (q34). The feature vector is exposed as
+  * eight scalar DOUBLE columns (f0..f7) rather than an ArrayType —
+  * array cells break the driver's pandas-side sort in the compare, and
+  * scalar feature columns are also what a columnar store wants at
+  * scale (no per-row array headers; each dimension prunes/compresses
+  * independently).
   */
 object Multimodal {
 
@@ -25,10 +33,14 @@ object Multimodal {
       doc_id: Long,
       n_bytes: Long,
       mime: String,
-      width: Int,
-      height: Int,
-      n_frames: Int,
-      feature: Array[Float])
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double) {
+    /** Feature-vector view of the scalar columns. */
+    def feature: Seq[Double] = Seq(f0, f1, f2, f3, f4, f5, f6, f7)
+  }
 
   implicit val recEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -37,29 +49,31 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would hand `media` to an image/
     * audio codec here. This fake derives deterministic "dimensions" and
-    * an 8-dim "feature vector" from the bytes so the pipeline is fully
-    * testable; the iterator-in/iterator-out shape (one blob in flight,
-    * constant memory) is the real contract.
+    * an 8-dim "feature vector" from a 60-bit integer taken off the md5
+    * of the bytes (non-negative, so % semantics agree across engines);
+    * the iterator-in/iterator-out shape (one digest object per
+    * partition, one blob in flight, constant memory) is the real
+    * contract.
     */
-  def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+  def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
-      val n = r.media.length
-      var h = 1125899906842597L
-      var i = 0
-      while (i < math.min(n, 1024)) { h = 31 * h + r.media(i); i += 1 }
-      val feature = Array.tabulate(8) { d =>
-        val z = h ^ (0x9E3779B97F4A7C15L * (d + 1))
-        ((z % 1000L).toFloat / 1000.0f)
-      }
+      md.reset()
+      val digest = md.digest(r.media)
+      val hex = digest.map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
+      def f(d: Int): Double = ((h ^ (97531L * (d + 1))) % 1000L).toDouble / 1000.0
       MediaFeatures(
         doc_id = r.doc_id,
-        n_bytes = n.toLong,
+        n_bytes = r.media.length.toLong,
         mime = r.mime_hint,
-        width = 16 + (math.abs(h) % 1024).toInt,
-        height = 16 + (math.abs(h >> 10) % 1024).toInt,
-        n_frames = 1 + (n / 256),
-        feature = feature)
+        width = 16L + h % 1024L,
+        height = 16L + (h >> 10) % 1024L,
+        n_frames = 1L + r.media.length / 256,
+        f0 = f(0), f1 = f(1), f2 = f(2), f3 = f(3),
+        f4 = f(4), f5 = f(5), f6 = f(6), f7 = f(7))
     }
+  }
 
   /** Feature extraction over a (doc_id, media, mime_hint) frame. */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] =

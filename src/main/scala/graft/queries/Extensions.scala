@@ -5,11 +5,12 @@ import graft.Sql._
 import graft.ops.{AnnIndex, Multimodal}
 import org.apache.spark.sql.functions._
 
-/** Non-SQL-expressible extension operators (driver records rows-only
-  * checks): the LSH ANN scale path and the multimodal decode pipeline.
-  * Their correctness is covered by ScalaTest instead: AnnSpec checks
-  * recall against the exact q25 baseline; MultimodalSpec checks the
-  * decode contract.
+/** Extension operators built on imperative per-partition code rather
+  * than Column expressions: the LSH ANN scale path (rows-only check —
+  * ExtensionsSpec proves recall against the exact q25 baseline) and the
+  * multimodal decode pipeline (full DuckDB oracle: the stub decoder is
+  * deliberately md5-derived so the mapPartitions output is
+  * SQL-reproducible).
   */
 object Extensions {
 
@@ -30,7 +31,12 @@ object Extensions {
       None),
 
     // Multimodal feature extraction: binary media column → typed
-    // metadata + fixed-size feature vector via per-partition decode.
+    // metadata + fixed-size feature vector via per-partition decode
+    // (mapPartitions, one digest in flight — see graft.ops.Multimodal).
+    // The oracle replays the md5-derived stub in SQL: h = first 15 md5
+    // hex digits as a 60-bit non-negative BIGINT, f_d = ((h XOR
+    // 97531*(d+1)) % 1000)/1000.0 — every op is exact integer math plus
+    // one shared double division, so values hash-match bit-for-bit.
     Q(
       "q34_multimodal_features",
       (s, dir) => {
@@ -41,6 +47,22 @@ object Extensions {
           lit("text/plain").as("mime_hint"))
         Multimodal.extractFeatures(media).toDF()
       },
-      None)
+      Some {
+        val fs = (0 until 8).map(d =>
+          s"CAST(xor(h, ${97531L * (d + 1)}) % 1000 AS DOUBLE)/1000.0 AS f$d")
+          .mkString(",\n          ")
+        s"""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, n_bytes, 'text/plain' AS mime,
+          16 + h % 1024 AS width,
+          16 + (h >> 10) % 1024 AS height,
+          1 + n_bytes // 256 AS n_frames,
+          $fs
+        FROM h"""
+      })
   )
 }

@@ -19,7 +19,11 @@ object Generic {
       (s, dir) => {
         import s.implicits._
         import MapReduce._
+        // single-row-group local file → spread the map phase across
+        // cores (explicit count so AQE can't coalesce to 1; see
+        // Llm.docsSpread)
         val input = table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .select($"doc_id".cast("string"), $"text")
           .as[(String, String)]
           .map { case (k, v) => KeyValue.utf8(k, v) }

@@ -41,12 +41,31 @@ object Llm {
     df.withColumn("sim", expr("cosine_sim(ea, eb)"))
   }
 
+  /** documents table spread across all cores. The driver's parquet is a
+    * single row group, so the scan is ONE input partition — and these
+    * pipelines do heavy per-doc compute (shingling, 8×md5, 32-way bit
+    * explodes) that would otherwise serialize on one core. The
+    * repartition shuffles only |docs| narrow rows (id + text prefix) —
+    * the local-small-file equivalent of the multi-file/multi-row-group
+    * split a real 100 TB scan gets for free.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // EXPLICIT partition count: a bare repartition($"doc_id") is
+    // advisory under AQE, which coalesces the tiny shuffle to ONE
+    // partition — and then every downstream groupBy(doc_id) satisfies
+    // that partitioning and the whole pipeline runs as a single task
+    // (measured 1.6× slower than no repartition at all).
+    table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+  }
+
   /** SimHash signature frame (doc_id, simhash) — shared by q23 and the
     * hamming-band pairing q38.
     */
   private def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = table(s, dir, "documents")
+    val toks = docsSpread(s, dir)
       .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
       .filter($"tok" =!= "")
     val bits = toks
@@ -148,7 +167,7 @@ object Llm {
       "q21_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        val t = table(s, dir, "documents")
+        val t = docsSpread(s, dir)
           .select($"doc_id", substring($"text", 1, 200).as("t200"))
           .filter(length($"t200") >= 5)
         // per-doc distinct shingle set computed map-side (array_distinct
@@ -171,17 +190,27 @@ object Llm {
         // 2 bands × 4 rows: collision prob = jaccard^4 per band — high
         // precision for the near-identical pairs this threshold targets,
         // and bounded candidate counts even on low-entropy corpora
-        // (wider 4×2 banding floods candidates with word-soup text)
+        // (wider 4×2 banding floods candidates with word-soup text).
+        // Candidates come from a groupBy on (band, bsig) + in-bucket
+        // pair expansion, NOT a bands-self-join: the self-join's two
+        // identical inputs each re-execute the whole shingle+md5
+        // pipeline (AQE does not reuse the exchange), doubling the
+        // dominant stage. The groupBy consumes sig exactly once; the
+        // per-bucket pair blow-up is the standard LSH quadratic-bucket
+        // risk — at 100 TB cap |bucket| (a bucket that big is
+        // boilerplate to drop anyway) or sub-band hot buckets.
         val bands = sig.select($"doc_id",
           explode(expr(
             """array(struct(0L AS band, concat(mh1, ',', mh2, ',', mh3, ',', mh4) AS bsig),
                      struct(1L AS band, concat(mh5, ',', mh6, ',', mh7, ',', mh8) AS bsig))""")).as("tb"))
           .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        val cand = bands
+          .groupBy($"band", $"bsig")
+          .agg(sort_array(collect_list($"doc_id")).as("ids"))
+          .filter(size($"ids") >= 2)
+          .select(explode(expr(
+            "flatten(transform(ids, x -> filter(transform(ids, y -> struct(x AS d1, y AS d2)), p -> p.d1 < p.d2)))")).as("p"))
+          .select($"p.d1".as("d1"), $"p.d2".as("d2"))
           .distinct()
         val sets = docSets
         cand
@@ -204,7 +233,7 @@ object Llm {
       "q22_ngram_blocked_jaccard",
       (s, dir) => {
         import s.implicits._
-        val t = table(s, dir, "documents")
+        val t = docsSpread(s, dir)
           .select($"doc_id", $"lang", expr("length(text) div 20").as("lb"),
             substring($"text", 1, 100).as("t100"))
           .filter(length($"t100") >= 3)
@@ -276,12 +305,19 @@ object Llm {
         val bands = sig
           .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-            col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+        // groupBy-bucket + in-bucket pair expansion instead of a bands
+        // self-join: the self-join's two identical inputs each re-execute
+        // the whole tokenize+simhash pipeline (AQE does not reuse the
+        // exchange) — same restructure as q21's candidate stage.
+        val cand = bands
+          .groupBy($"b", $"band")
+          .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("xs"))
+          .filter(size($"xs") >= 2)
+          .select(explode(expr(
+            """flatten(transform(xs, x -> filter(transform(xs, y ->
+               struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS s1, y.simhash AS s2)),
+               p -> p.d1 < p.d2)))""")).as("p"))
+          .select($"p.d1".as("d1"), $"p.d2".as("d2"), $"p.s1".as("s1"), $"p.s2".as("s2"))
           .distinct()
         cand
           .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
@@ -332,8 +368,11 @@ object Llm {
       "q25_ann_topk",
       (s, dir) => {
         import s.implicits._
+        // spread the single-row-group scan so the 5×|corpus| cosine
+        // stream is partition-parallel (cf. docsSpread)
         val e = table(s, dir, "embeddings")
-        val qs = e.filter($"vec_id" < 5)
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+        val qs = table(s, dir, "embeddings").filter($"vec_id" < 5)
           .select($"vec_id".as("v1"), $"embedding".as("ea"))
         val pairs = e.crossJoin(broadcast(qs))
           .filter($"vec_id" =!= $"v1")
@@ -560,32 +599,55 @@ object Llm {
     // ---------------------------------------------------------------- q45
     // Near-dup CLUSTER formation: connected components over the q21 pair
     // graph (cluster id = min doc_id in the component) — the step that
-    // turns pairwise matches into dedup groups. Spark: Pregel-style
-    // reachability iterated to a fixpoint with a driver-coordinated loop
-    // (the pair graph is tiny relative to the corpus; at 100 TB switch
-    // to large-star/small-star — same loop shape, O(log n) rounds).
-    // DuckDB: recursive CTE to the same fixpoint.
+    // turns pairwise matches into dedup groups. Spark: hash-min label
+    // propagation (each round every vertex takes the min label over its
+    // neighborhood ∪ itself), a driver-coordinated fixpoint in
+    // O(diameter) rounds of one join + one partial+final agg over the
+    // edge list — NOT the transitive closure (whose frontier is
+    // O(Σ component²) rows and was 20s of the round-1 bench). The loop
+    // necessarily executes eagerly inside Q.run (fixpoint needs a count
+    // per round); every superseded frame is unpersisted and the final
+    // result is localCheckpoint'ed so nothing cached leaks out. At
+    // 100 TB: same loop with large-star/small-star rewiring → O(log n)
+    // rounds. DuckDB oracle: recursive CTE over full reachability —
+    // min(reachable) per vertex ≡ component min, so results agree.
     Q(
       "q45_dedup_clusters",
       (s, dir) => {
         import s.implicits._
         val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
           .run(s, dir).select($"d1", $"d2")
+        // the pair graph is orders of magnitude smaller than the corpus
+        // (hundreds of edges here) — collapse it to ONE partition for
+        // the iteration so each round is a single task instead of 32
+        // shuffle partitions of scheduler overhead (~1s/round → ~0.1s).
+        // At 100 TB the edge list is still tiny relative to input but
+        // big enough to stay keyed: drop the coalesce and keep
+        // hash(v)-partitioned rounds.
         val edges = pairs
           .union(pairs.select($"d2", $"d1"))
-          .toDF("a", "b").distinct().cache()
-        var reach = edges.select($"a".as("v"), $"a".as("r")).distinct().cache()
-        var prev = -1L
-        var size = reach.count()
-        while (size != prev) {
-          prev = size
-          val step = reach.as("rv")
-            .join(edges.as("ed"), col("rv.r") === col("ed.a"))
-            .select(col("rv.v").as("v"), col("ed.b").as("r"))
-          reach = reach.union(step).distinct().cache()
-          size = reach.count()
+          .toDF("a", "b").distinct().coalesce(1).cache()
+        var labels = edges.select($"a".as("v"), $"a".as("lbl")).distinct().cache()
+        // labels only ever decrease, so sum(lbl) is unchanged iff the
+        // fixpoint is reached — one cheap action per round, no diff join
+        var sum0 = labels.agg(sum($"lbl")).first().getLong(0)
+        var done = false
+        while (!done) {
+          val prop = edges.join(labels, $"b" === $"v")
+            .select($"a".as("v"), $"lbl")
+          val next = labels.union(prop)
+            .groupBy($"v").agg(min($"lbl").as("lbl")).cache()
+          val sum1 = next.agg(sum($"lbl")).first().getLong(0)
+          labels.unpersist()
+          labels = next
+          done = sum1 == sum0
+          sum0 = sum1
         }
-        reach.groupBy($"v").agg(min($"r").as("cluster_id"))
+        // truncate the iteration lineage, then release every cached frame
+        val result = labels.select($"v", $"lbl".as("cluster_id")).localCheckpoint()
+        labels.unpersist()
+        edges.unpersist()
+        result
       },
       Some(s"""
         WITH RECURSIVE pairs AS ($minhashPairsSql),

@@ -31,7 +31,10 @@ object Workloads {
       "q15_wordcount",
       (s, dir) => {
         import s.implicits._
+        // single-row-group local file → spread the tokenize across cores
+        // (explicit count so AQE can't coalesce to 1; see Llm.docsSpread)
         table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, $"doc_id")
           .select(explode(split($"text", "[^\\p{L}]+")).as("t"))
           .filter($"t" =!= "")
           .select(lower($"t").as("word"))
