@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational coverage, rounding out operator families the
+  * round-1 set did not exercise: PIVOT, CUBE grouping sets, non-equi
+  * (range/band) joins, window navigation functions, and FULL OUTER
+  * join with null-side accounting.
+  *
+  * Scale stance per query is inline; all are declarative so Catalyst
+  * keeps pushdown/pruning, and the only non-equi join broadcasts its
+  * 5-row band dimension (a nested-loop join against a broadcast tiny
+  * side — the right physical shape at any corpus size).
+  */
+object Coverage {
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q46
+    // PIVOT: daily event counts spread across the five event types.
+    // Explicit pivot values keep the plan static (no extra distinct job
+    // to discover them — required for a deterministic plan at scale).
+    // Spark's pivot yields NULL for absent (day, type) cells while the
+    // oracle's conditional counts yield 0 — coalesce makes both 0.
+    Q(
+      "q46_pivot",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = table(s, dir, "events")
+          .groupBy(date_format($"ts", "yyyy-MM-dd").as("d"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(
+          $"d" +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+          count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+          count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+          count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        FROM events GROUP BY 1""")),
+
+    // ---------------------------------------------------------------- q47
+    // CUBE: all four grouping sets over (returnflag, linestatus) in one
+    // pass — Spark expands to a single Expand + hash agg (rows ×4 only
+    // at the partial-agg input, shuffle stays |groups|-sized).
+    Q(
+      "q47_cube",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), out(sum(dec($"l_quantity"))).as("qty"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // ---------------------------------------------------------------- q48
+    // Non-equi range (band) join: lineitem rows bucketed into quantity
+    // bands derived from the region dim. Physical plan:
+    // BroadcastNestedLoopJoin with the 5-row band table broadcast —
+    // theta joins against a tiny dim never shuffle the fact side.
+    Q(
+      "q48_range_band_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = table(s, dir, "region").select(
+          $"r_regionkey".as("band_id"),
+          ($"r_regionkey" * 10 + 1).as("lo"),
+          (($"r_regionkey" + 1) * 10).as("hi"),
+          $"r_name")
+        table(s, dir, "lineitem")
+          .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" <= $"hi")
+          .groupBy($"band_id", $"r_name")
+          .agg(count(lit(1)).as("n"),
+            out(sum(dec($"l_extendedprice"))).as("sum_price"))
+      },
+      Some("""
+        WITH bands AS (
+          SELECT r_regionkey AS band_id, r_regionkey*10+1 AS lo,
+                 (r_regionkey+1)*10 AS hi, r_name
+          FROM region)
+        SELECT band_id, r_name, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+        GROUP BY band_id, r_name""")),
+
+    // ---------------------------------------------------------------- q49
+    // Window navigation: lag/lead, ntile, percent_rank, first_value per
+    // customer order history. Deterministic order (orderdate, orderkey
+    // unique); untouched doubles pass through bit-identical and
+    // percent_rank is the same (rank-1)/(n-1) division in both engines.
+    Q(
+      "q49_window_nav",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+        table(s, dir, "orders").select(
+          $"o_custkey", $"o_orderkey", tsStr($"o_orderdate").as("od"),
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          first_value($"o_orderkey").over(w).as("first_key"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          lead(o_totalprice, 1) OVER w AS next_price,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pr,
+          first_value(o_orderkey) OVER w AS first_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ---------------------------------------------------------------- q50
+    // FULL OUTER join with side accounting: positive-balance customers
+    // vs per-customer order aggregates — both sides have exclusive
+    // keys, so every null-extension path is exercised. At scale a full
+    // outer on a key shuffles both sides (no broadcast variant exists);
+    // partial agg first keeps the right side |custkey|-sized.
+    Q(
+      "q50_full_outer",
+      (s, dir) => {
+        import s.implicits._
+        val c = table(s, dir, "customer")
+          .filter($"c_acctbal" > 0)
+          .select($"c_custkey", $"c_mktsegment")
+        val o = table(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_ord"),
+            out(sum(dec($"o_totalprice"))).as("spend"))
+        c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(
+            coalesce($"c_custkey", $"o_custkey").as("k"),
+            coalesce($"c_mktsegment", lit("none")).as("segment"),
+            coalesce($"n_ord", lit(0L)).as("n_ord"),
+            coalesce($"spend", lit(0.0)).as("spend"),
+            when($"c_custkey".isNull, "order_only")
+              .when($"o_custkey".isNull, "cust_only")
+              .otherwise("both").as("side"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0),
+        o AS (
+          SELECT o_custkey, count(*) AS n_ord,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey)
+        SELECT coalesce(c_custkey, o_custkey) AS k,
+          coalesce(c_mktsegment, 'none') AS segment,
+          coalesce(n_ord, 0) AS n_ord,
+          coalesce(spend, 0.0) AS spend,
+          CASE WHEN c_custkey IS NULL THEN 'order_only'
+               WHEN o_custkey IS NULL THEN 'cust_only'
+               ELSE 'both' END AS side
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
+  )
+}
