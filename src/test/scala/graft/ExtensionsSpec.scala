@@ -24,6 +24,14 @@ class ExtensionsSpec extends SparkSuite {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("cosine_sim edge semantics match the HOF form: length mismatch is NULL") {
+    graft.functions.CosineSim.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS s")
+      .collect()(0)
+    assert(r.isNullAt(0), "length-mismatched vectors must yield NULL")
+  }
+
   test("LSH ANN recall@10 vs exact brute-force baseline") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -41,6 +41,11 @@ class PlanSpec extends SparkSuite {
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
+  test("q48 non-equi band join is a broadcast nested-loop (fact side never shuffles)") {
+    val p = plan("q48_range_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast NLJ in:\n$p")
+  }
+
   test("no query plans a cartesian product") {
     SparkEntry.allQueries.foreach { q =>
       val p = q.run(spark, sf).queryExecution.executedPlan.toString
