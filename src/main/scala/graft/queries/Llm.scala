@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * sessionization.
   *
   * Cross-engine determinism notes (see [[graft.Sql]]):
-  *  - MinHash uses the lexicographic MIN of hex md5 strings as the
-  *    min-wise hash family — engine-neutral (both collate ASCII hex
-  *    binary) and uniform, so no custom hash is needed in SQL;
+  *  - MinHash uses the numeric MIN of the first 60 bits of seeded md5s
+  *    as the min-wise hash family — engine-neutral (Spark: the native
+  *    [[graft.functions.MinHashLongs]] expression; DuckDB:
+  *    `CAST('0x' || substr(md5(j || '|' || g), 1, 15) AS UBIGINT)`),
+  *    uniform, and non-negative in signed BIGINT on both sides;
   *  - SimHash token hashes come from the first 8 md5 hex digits cast to
   *    an integer (Spark `conv(...,16,10)`, DuckDB `CAST('0x'||h)`);
   *  - every cosine similarity is a LEFT-FOLD over the vector in index
@@ -68,14 +70,22 @@ object Llm {
     val toks = docsSpread(s, dir)
       .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
       .filter($"tok" =!= "")
-    val bits = toks
+    // 32 conditional sums in ONE hash aggregate instead of exploding
+    // every token ×32 bit-positions (a 22M-row Generate at sf0.1) into
+    // a two-level groupBy: the partial agg sees each token row once and
+    // keeps 32 mutable LONG buffers per doc — shuffle is |docs|×32
+    // partials either way, but the explode and the second shuffle
+    // disappear.
+    val bitSums = toks
       .withColumn("h", expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"))
-      .select($"doc_id", $"h", explode(expr("sequence(0, 31)")).as("b"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum(expr("IF((shiftright(h, b) & 1) = 1, 1, -1)")).as("s"))
-    bits.groupBy($"doc_id")
-      .agg(sum(expr("IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))"))
-        .cast("long").as("simhash"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(expr("IF((shiftright(h, 0) & 1) = 1, 1, -1)")).as("s0"),
+        (1 to 31).map(b =>
+          sum(expr(s"IF((shiftright(h, $b) & 1) = 1, 1, -1)")).as(s"s$b")): _*)
+    bitSums.select($"doc_id",
+      (0 to 31).map(b => expr(s"IF(s$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+        .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** DuckDB CTEs producing the same (doc_id, simhash) relation. */
@@ -117,11 +127,12 @@ object Llm {
           WHERE s.i <= length(substr(text,1,200)) - 4),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         sig AS (
-          SELECT doc_id, h.j, min(md5(CAST(h.j AS VARCHAR) || '|' || g)) AS mh
+          SELECT doc_id, h.j,
+            min(CAST(CAST(concat('0x', substr(md5(CAST(h.j AS VARCHAR) || '|' || g), 1, 15)) AS UBIGINT) AS BIGINT)) AS mh
           FROM sh CROSS JOIN generate_series(1, 8) h(j)
           GROUP BY doc_id, h.j),
         bands AS (
-          SELECT doc_id, (j-1)//4 AS band, string_agg(mh, ',' ORDER BY j) AS bsig
+          SELECT doc_id, (j-1)//4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bsig
           FROM sig GROUP BY doc_id, (j-1)//4),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -176,17 +187,20 @@ object Llm {
         val docSets = t.select($"doc_id",
           expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
         val sh = docSets.select($"doc_id", explode($"gs").as("g"))
-        // all 8 hashes as plain projected columns (computed once per
-        // shingle), min-aggregated per hash in a single partial+final
-        // agg — one |docs|-sized shuffle instead of exploding 8× and
-        // grouping 7.8M (doc, j) rows
-        val hashed = sh.select(
-          $"doc_id" +: (1 to 8).map(j =>
-            md5(concat(lit(j.toString), lit("|"), $"g")).as(s"h$j")): _*)
+        // all 8 hashes in ONE native-expression call per shingle
+        // (graft.functions.MinHashLongs: reused digest, no per-hash
+        // concat, zero string allocation), min-aggregated per hash in a
+        // single partial+final agg — one |docs|-sized shuffle instead
+        // of exploding 8× and grouping 7.8M (doc, j) rows. LONG hash
+        // values keep the min-agg in HashAggregateExec (min(STRING)
+        // falls back to SortAggregate, a full sort of the shingle
+        // stream — visible in the round-1 plan).
+        graft.functions.MinHashLongs.register(s)
+        val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
         val sig = hashed
           .groupBy($"doc_id")
-          .agg(min($"h1").as("mh1"),
-            (2 to 8).map(j => min(col(s"h$j")).as(s"mh$j")): _*)
+          .agg(min($"hs".getItem(0)).as("mh1"),
+            (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
         // 2 bands × 4 rows: collision prob = jaccard^4 per band — high
         // precision for the near-identical pairs this threshold targets,
         // and bounded candidate counts even on low-entropy corpora
@@ -201,8 +215,8 @@ object Llm {
         // boilerplate to drop anyway) or sub-band hot buckets.
         val bands = sig.select($"doc_id",
           explode(expr(
-            """array(struct(0L AS band, concat(mh1, ',', mh2, ',', mh3, ',', mh4) AS bsig),
-                     struct(1L AS band, concat(mh5, ',', mh6, ',', mh7, ',', mh8) AS bsig))""")).as("tb"))
+            """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
+                     struct(1L AS band, concat_ws(',', CAST(mh5 AS STRING), CAST(mh6 AS STRING), CAST(mh7 AS STRING), CAST(mh8 AS STRING)) AS bsig))""")).as("tb"))
           .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
         val cand = bands
           .groupBy($"band", $"bsig")
@@ -302,22 +316,24 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val sig = simhashSignatures(s, dir)
+        // localCheckpoint the (tiny: |docs|×4 narrow rows) band frame so
+        // the self-join's two sides read materialized partitions instead
+        // of each re-executing the tokenize+simhash pipeline (AQE does
+        // not reuse the exchange). The join stays whole-stage-codegen'd
+        // — unlike an in-bucket pair expansion via transform/filter
+        // HOFs, which evaluate interpreted and were 3s of the bench on
+        // these coarse 1024-bucket groups. Eager materialization inside
+        // the builder is deliberate, same as q45's fixpoint.
         val bands = sig
           .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
-        // groupBy-bucket + in-bucket pair expansion instead of a bands
-        // self-join: the self-join's two identical inputs each re-execute
-        // the whole tokenize+simhash pipeline (AQE does not reuse the
-        // exchange) — same restructure as q21's candidate stage.
-        val cand = bands
-          .groupBy($"b", $"band")
-          .agg(sort_array(collect_list(struct($"doc_id", $"simhash"))).as("xs"))
-          .filter(size($"xs") >= 2)
-          .select(explode(expr(
-            """flatten(transform(xs, x -> filter(transform(xs, y ->
-               struct(x.doc_id AS d1, y.doc_id AS d2, x.simhash AS s1, y.simhash AS s2)),
-               p -> p.d1 < p.d2)))""")).as("p"))
-          .select($"p.d1".as("d1"), $"p.d2".as("d2"), $"p.s1".as("s1"), $"p.s2".as("s2"))
+          .localCheckpoint()
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            col("x.simhash").as("s1"), col("y.simhash").as("s2"))
           .distinct()
         cand
           .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))

@@ -32,6 +32,21 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.isNullAt(0), "length-mismatched vectors must yield NULL")
   }
 
+  test("minhash_longs equals the builtin md5-hex-prefix formulation bit-for-bit") {
+    graft.functions.MinHashLongs.register(spark)
+    import spark.implicits._
+    val g = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(expr(
+        "transform(sequence(1, length(substring(text,1,60))-4), i -> substring(substring(text,1,60), i, 5))")).as("g"))
+    val both = g.select(
+      expr("minhash_longs(g, 8)").as("hs"),
+      array((1 to 8).map(j =>
+        expr(s"CAST(conv(substr(md5(concat('$j', '|', g)), 1, 15), 16, 10) AS BIGINT)")): _*).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("LSH ANN recall@10 vs exact brute-force baseline") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

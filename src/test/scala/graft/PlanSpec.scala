@@ -41,6 +41,12 @@ class PlanSpec extends SparkSuite {
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
+  test("q21 minhash min-agg hash-aggregates (LONG hashes keep it out of SortAggregate)") {
+    val p = plan("q21_minhash_lsh")
+    assert(!p.contains("SortAggregate"),
+      s"minhash min-agg fell back to SortAggregate (string buffers?):\n$p")
+  }
+
   test("q48 non-equi band join is a broadcast nested-loop (fact side never shuffles)") {
     val p = plan("q48_range_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast NLJ in:\n$p")
