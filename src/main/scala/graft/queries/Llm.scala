@@ -183,9 +183,14 @@ object Llm {
           .filter(length($"t200") >= 5)
         // per-doc distinct shingle set computed map-side (array_distinct
         // in the projection) — no DISTINCT shuffle, and the same array
-        // feeds the verification stage without a collect_set shuffle
+        // feeds the verification stage without a collect_set shuffle.
+        // localCheckpoint: the set frame is consumed three times (hash
+        // stream + both sides of the candidate-verify join); without it
+        // each consumer re-runs the shingling projection (~1s each at
+        // sf0.1). |docs| rows × ~140-element arrays — megabytes.
         val docSets = t.select($"doc_id",
           expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
+          .localCheckpoint()
         val sh = docSets.select($"doc_id", explode($"gs").as("g"))
         // all 8 hashes in ONE native-expression call per shingle
         // (graft.functions.MinHashLongs: reused digest, no per-hash
@@ -251,8 +256,12 @@ object Llm {
           .select($"doc_id", $"lang", expr("length(text) div 20").as("lb"),
             substring($"text", 1, 100).as("t100"))
           .filter(length($"t100") >= 3)
+        // localCheckpoint: consumed by both sides of the shingle-level
+        // self-join plus the sizes frame — materialize the (tiny)
+        // per-doc set projection once (cf. q21's docSets)
         val sets = t.select($"doc_id", $"lang", $"lb",
           expr("array_distinct(transform(sequence(1, length(t100)-2), i -> substring(t100, i, 3)))").as("gs"))
+          .localCheckpoint()
         // intersection sizes via a narrow shingle-level join + partial
         // agg: joining the wide shingle arrays onto every candidate pair
         // shuffles ~100-element array rows and dominated the runtime;
