@@ -163,6 +163,33 @@ object Coverage {
           CASE WHEN c_custkey IS NULL THEN 'order_only'
                WHEN o_custkey IS NULL THEN 'cust_only'
                ELSE 'both' END AS side
-        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey"""))
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""")),
+
+    // ---------------------------------------------------------------- q51
+    // Grep with unit enumeration — the DataFrame analog of the
+    // reference's per-file line numbering before the substring filter
+    // (workload/src/grep.rs:25-28, SURVEY.md §2.3 P2): posexplode
+    // attaches the 1-based position, then the predicate filters.
+    // Documents are single-line, so the enumerated unit is the
+    // sentence; the shape (enumerate → filter → emit source:pos:text)
+    // is the P2 contract. Scan-only, no shuffle.
+    Q(
+      "q51_grep_enumerated",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", posexplode(split($"text", "\\. ")))
+          .filter($"col".contains("data"))
+          .select($"doc_id", ($"pos" + 1).cast("long").as("sent_no"),
+            $"col".as("sentence"))
+      },
+      Some("""
+        WITH el AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(text, '\. ')) AS sentence,
+            generate_subscripts(regexp_split_to_array(text, '\. '), 1) AS sent_no
+          FROM documents)
+        SELECT doc_id, CAST(sent_no AS BIGINT) AS sent_no, sentence
+        FROM el WHERE contains(sentence, 'data')"""))
   )
 }
