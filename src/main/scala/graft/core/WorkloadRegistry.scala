@@ -21,15 +21,21 @@ object WorkloadRegistry {
     ByteBuffer.wrap(b, 0, 8).getLong
 
   /** Rust `str::lines()` parity (the reference iterates lines with it,
-    * e.g. `workload/src/grep.rs:25`): split on '\n', strip one trailing
-    * '\r' per line (CRLF input), and no phantom empty line after a
-    * trailing newline. A plain `split("\n", -1)` keeps the '\r' and the
-    * trailing empty — both diverge from the reference on CRLF files.
+    * e.g. `workload/src/grep.rs:25`): split on '\n', strip the '\r' of
+    * each CRLF pair, and no phantom empty line after a trailing
+    * newline. A '\r' NOT followed by '\n' is ordinary line content in
+    * Rust — so only segments that had a following '\n' (every raw
+    * segment except the last) get their trailing '\r' stripped. A
+    * plain `split("\n", -1)` keeps the '\r' and the trailing empty —
+    * both diverge from the reference on CRLF files.
     */
   private def lines(s: String): Iterator[String] = {
     val raw = s.split("\n", -1)
-    val n = if (raw.nonEmpty && raw.last.isEmpty) raw.length - 1 else raw.length
-    raw.iterator.take(n).map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+    val lastIdx = raw.length - 1
+    val keep = if (raw(lastIdx).isEmpty) lastIdx else raw.length
+    raw.iterator.take(keep).zipWithIndex.map { case (l, i) =>
+      if (i < lastIdx && l.endsWith("\r")) l.dropRight(1) else l
+    }
   }
 
   /** Word count: split on non-letters (Unicode `\p{L}`; Rust

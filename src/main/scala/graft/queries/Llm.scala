@@ -655,14 +655,17 @@ object Llm {
         var labels = edges.select($"a".as("v"), $"a".as("lbl")).distinct().cache()
         // labels only ever decrease, so sum(lbl) is unchanged iff the
         // fixpoint is reached — one cheap action per round, no diff join
-        var sum0 = labels.agg(sum($"lbl")).first().getLong(0)
+        // coalesce: sum over an EMPTY label frame (no near-dup pairs at
+        // all) is NULL, and getLong would NPE — 0 makes the loop
+        // converge immediately instead
+        var sum0 = labels.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
         var done = false
         while (!done) {
           val prop = edges.join(labels, $"b" === $"v")
             .select($"a".as("v"), $"lbl")
           val next = labels.union(prop)
             .groupBy($"v").agg(min($"lbl").as("lbl")).cache()
-          val sum1 = next.agg(sum($"lbl")).first().getLong(0)
+          val sum1 = next.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
           labels.unpersist()
           labels = next
           done = sum1 == sum0

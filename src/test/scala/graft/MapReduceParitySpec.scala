@@ -69,6 +69,17 @@ class MapReduceParitySpec extends SparkSuite {
     assert(parsed.sortBy(p => (p._1, p._2)) === expected.sortBy(p => (p._1, p._2)))
   }
 
+  test("grep CRLF parity: \\r of CRLF pairs stripped, bare trailing \\r kept (Rust lines())") {
+    import graft.core.{KeyValue, WorkloadRegistry}
+    val kv = KeyValue.utf8("f.txt", "foo\r\nbar data\r\nbaz data\r")
+    val out = WorkloadRegistry.grep.mapFn(kv, Seq("data")).toSeq
+      .map(o => (java.nio.ByteBuffer.wrap(o.value, 0, 8).getLong,
+        new String(o.value, 8, o.value.length - 8, java.nio.charset.StandardCharsets.UTF_8)))
+    // line 2: CRLF line ending stripped; line 3: the final '\r' has no
+    // following '\n', so Rust lines() keeps it as content
+    assert(out === Seq((2L, "bar data"), (3L, "baz data\r")))
+  }
+
   test("vertex-degree: degree sum equals 2x edge count") {
     assume(Files.isDirectory(testcases))
     val lines = runNamed("vertex-degree", testcases.resolve("graph-edges").toString + "/*.txt")
