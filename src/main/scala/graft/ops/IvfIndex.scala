@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbour index: a k-means
+  * coarse quantizer partitions the corpus into `k` cells; a query
+  * probes its `nprobe` nearest cells and exact-reranks only those
+  * candidates. The classic FAISS-style IVF-Flat layout, DataFrame-
+  * native — the companion scale path to the sign-LSH index
+  * ([[AnnIndex]]): LSH needs no training and bounds worst-case recall;
+  * IVF adapts to the data distribution and prunes harder when the
+  * corpus clusters well.
+  *
+  * Determinism: centroid init picks the k lowest-id vectors (no RNG),
+  * Lloyd iterations are fixed-count, and every reduction is an exact
+  * mean over deterministic cell assignments — same inputs, same index,
+  * every run (ties broken by cell id).
+  *
+  * Scale design (100 TB of vectors):
+  *  - training runs on a SAMPLE (here: the whole local corpus; at
+  *    scale `df.sample` of ~256×k vectors — k-means quality needs only
+  *    that), and the model is k×dim floats — kilobytes, closure-
+  *    broadcast to every executor like [[AnnIndex]]'s plane matrix;
+  *  - assignment is a scan-parallel map (argmax cosine over k
+  *    centroids per vector — k·dim fused multiply-adds);
+  *  - the index is a plain (cell, vec_id, embedding) frame, written
+  *    partitionBy(cell)/bucketBy at rest so probes prune partitions;
+  *  - the probe join shuffles on cell id only; candidates then
+  *    exact-rerank through the codegen'd [[CosineSim]];
+  *  - skew (hot cells) is the k-means analog of LSH hot buckets:
+  *    re-split oversized cells with a sub-quantizer.
+  */
+object IvfIndex {
+
+  /** Train k cell centroids with `iters` Lloyd rounds. Returns the
+    * centroid matrix (cell id = row index). Cosine geometry: vectors
+    * and means are used unnormalized, assignment is argmax cosine —
+    * adequate for a coarse quantizer (and deterministic).
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // deterministic seed cells: the k lowest-id vectors
+    var centroids: Array[Array[Float]] =
+      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    var it = 0
+    while (it < iters) {
+      val cs = centroids
+      // assign → per-cell mean, one partial+final agg over (cell, sum[dim], n)
+      val assigned = vecs.map { case (_, emb) => (nearestCell(emb, cs), emb) }
+      centroids = assigned.rdd
+        .aggregateByKey((new Array[Double](dim), 0L))(
+          seqOp = { case ((acc, n), emb) =>
+            var i = 0
+            while (i < dim && i < emb.length) { acc(i) += emb(i); i += 1 }
+            (acc, n + 1)
+          },
+          combOp = { case ((a, na), (b, nb)) =>
+            var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+            (a, na + nb)
+          })
+        .collect()
+        .sortBy(_._1)
+        .map { case (_, (sum, n)) => sum.map(v => (v / n).toFloat) }
+      // a cell that attracted no vectors simply drops out (the model
+      // shrinks to the surviving centroids — standard empty-cluster
+      // collapse, deterministic since assignment is)
+      it += 1
+    }
+    centroids
+  }
+
+  /** Argmax-cosine cell of one vector (ties → lowest cell id). */
+  def nearestCell(emb: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosine(emb, centroids(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells of one vector, best first. */
+  def nearestCells(emb: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Array[Int] =
+    centroids.indices
+      .map(c => (c, cosine(emb, centroids(c))))
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe)
+      .map(_._1)
+      .toArray
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** (cell, vec_id, embedding) index frame — scan-parallel assignment. */
+  def index(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) => (nearestCell(emb, centroids), id, emb) }
+      .toDF("cell", "vec_id", "embedding")
+  }
+
+  /** Top-k per query via nprobe-cell candidate generation + exact
+    * cosine re-rank (codegen'd CosineSim).
+    */
+  def topK(
+      spark: SparkSession,
+      corpus: DataFrame,   // (vec_id, embedding)
+      queries: DataFrame,  // (vec_id, embedding)
+      k: Int = 10,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    CosineSim.register(spark)
+    val centroids = train(corpus, numCells, iters, dim)
+    val idx = index(corpus, centroids)
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qe) =>
+        nearestCells(qe, centroids, nprobe).map(c => (qid, qe, c))
+      }
+      .toDF("qid", "qe", "cell")
+    val cand = idx.join(probes, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("cosine_sim(embedding, qe)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+}

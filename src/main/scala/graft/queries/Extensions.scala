@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.Sql._
-import graft.ops.{AnnIndex, Multimodal}
+import graft.ops.{AnnIndex, IvfIndex, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Extension operators built on imperative per-partition code rather
@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   * SQL-reproducible).
   */
 object Extensions {
+
+  private def oracleQ34: Option[String] =
+    Some {
+      val fs = (0 until 8).map(d =>
+        s"CAST(xor(h, ${97531L * (d + 1)}) % 1000 AS DOUBLE)/1000.0 AS f$d")
+        .mkString(",\n          ")
+      s"""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, n_bytes, 'text/plain' AS mime,
+          16 + h % 1024 AS width,
+          16 + (h >> 10) % 1024 AS height,
+          1 + n_bytes // 256 AS n_frames,
+          $fs
+        FROM h"""
+    }
 
   val all: Seq[Q] = Seq(
     // LSH-bucketed ANN (scale path of q25): sign-random-projection
@@ -47,22 +66,24 @@ object Extensions {
           lit("text/plain").as("mime_hint"))
         Multimodal.extractFeatures(media).toDF()
       },
-      Some {
-        val fs = (0 until 8).map(d =>
-          s"CAST(xor(h, ${97531L * (d + 1)}) % 1000 AS DOUBLE)/1000.0 AS f$d")
-          .mkString(",\n          ")
-        s"""
-        WITH h AS (
-          SELECT doc_id,
-            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
-          FROM documents)
-        SELECT doc_id, n_bytes, 'text/plain' AS mime,
-          16 + h % 1024 AS width,
-          16 + (h >> 10) % 1024 AS height,
-          1 + n_bytes // 256 AS n_frames,
-          $fs
-        FROM h"""
-      })
+      oracleQ34),
+
+    // IVF-Flat ANN (the trained-quantizer scale path, complementing
+    // q33's training-free sign-LSH): deterministic k-means coarse
+    // cells, nprobe-cell candidate generation, exact cosine re-rank.
+    // Rows-only like q33 — the quantizer is not SQL-expressible;
+    // ExtensionsSpec checks recall against the exact q25 baseline.
+    Q(
+      "q52_ann_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        IvfIndex.topK(
+          s,
+          e.select($"vec_id", $"embedding"),
+          e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+          k = 10)
+      },
+      None)
   )
 }

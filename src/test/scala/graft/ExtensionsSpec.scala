@@ -60,6 +60,25 @@ class ExtensionsSpec extends SparkSuite {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("IVF ANN recall@10 vs exact brute-force baseline") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    val approx = graft.ops.IvfIndex.topK(
+      spark, e.select($"vec_id", $"embedding"), queries, k = 10)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q25_ann_topk")(spark, sf)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall (${(approx & exact).size}/${exact.size})")
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // determinism: same corpus → identical index/results
+    val again = graft.ops.IvfIndex.topK(
+      spark, e.select($"vec_id", $"embedding"), queries, k = 10)
+      .select($"qid", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === approx)
+  }
+
   test("multimodal decode contract: schema, determinism, batch shape") {
     import spark.implicits._
     val media = spark.read.parquet(s"$sf/documents.parquet")
