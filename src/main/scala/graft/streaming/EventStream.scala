@@ -82,6 +82,30 @@ object EventStream {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * same user's clicks from the preceding hour (classic attribution).
+    * Both sides carry event-time watermarks and the join condition
+    * bounds the time range, so the state store evicts rows once they
+    * can no longer match — the requirements for an append-mode
+    * stream-stream inner join. At scale state is keyed by user_id and
+    * bounded by (watermark + interval) per side.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks, expr(
+      """c_user = p_user AND
+         click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"""))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Drive both streaming queries from the parquet events table through
     * a file-stream source into memory sinks; returns (hourly rows,
     * closed-session rows). Used by StreamingSpec and runnable standalone.

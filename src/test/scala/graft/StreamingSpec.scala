@@ -58,4 +58,30 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamEnriched === batchEnriched)
   }
+
+  test("stream-stream interval join (purchase attribution) matches the batch join") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    val q = EventStream.purchaseAttribution(src)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val e = graft.Sql.table(spark, sf, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"))
+    val batchJoin = purchases.join(clicks, expr(
+      "c_user = p_user AND click_ts BETWEEN purchase_ts - INTERVAL 1 HOUR AND purchase_ts"))
+      .count()
+    val streamed = spark.sql("SELECT count(*) FROM attrib").collect()(0).getLong(0)
+    assert(streamed === batchJoin, s"streamed=$streamed batch=$batchJoin")
+    assert(streamed > 0, "expected at least one attributed purchase in testdata")
+  }
 }
