@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.Stats.all ++
     graft.queries.Tpch.all ++
     graft.queries.Subqueries.all ++
-    graft.queries.Coverage.all
+    graft.queries.Coverage.all ++
+    graft.queries.TrainPrep.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators — the last mile of a data
+  * pipeline before an LLM training run: reproducible dataset splits
+  * and token-budget sequence packing.
+  */
+object TrainPrep {
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q53
+    // Deterministic train/val/test split: bucket = first 32 bits of
+    // md5(doc_id || salt) mod 100 → 80/10/10. Content-addressed splits
+    // are the scale-correct form: stable under corpus growth and
+    // re-partitioning (a random() split reshuffles membership every
+    // run and leaks val into train on incremental rebuilds), pure scan
+    // projection, no shuffle, no state.
+    Q(
+      "q53_dataset_split",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id",
+            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|split')), 1, 8), 16, 10) AS BIGINT) % 100")
+              .as("bucket"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "val")
+              .otherwise("test"))
+      },
+      Some("""
+        SELECT doc_id, bucket,
+          CASE WHEN bucket < 80 THEN 'train'
+               WHEN bucket < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+          FROM documents) b""")),
+
+    // ---------------------------------------------------------------- q54
+    // Sequence packing: documents greedily packed into fixed
+    // token-budget bins (8192 whitespace tokens) in deterministic
+    // doc_id order WITHIN each language shard — pack_id = floor(tokens
+    // before this doc / budget). One shuffle on the shard key; the
+    // running sum is per-partition streaming. At 100 TB the shard key
+    // is (lang, shard_no) so no single window partition grows
+    // unbounded; packing stays a per-shard scan.
+    Q(
+      "q54_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          // `div`, not `/`: Column./ on longs is DOUBLE division
+          .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 8192"))
+          .withColumn("pack_offset", ($"cum_tokens" - $"n_tokens") % 8192)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, lang, n_tokens, cum_tokens,
+          (cum_tokens - n_tokens) // 8192 AS pack_id,
+          (cum_tokens - n_tokens) % 8192 AS pack_offset
+        FROM c"""))
+  )
+}
