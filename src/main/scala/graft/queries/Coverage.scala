@@ -190,6 +190,32 @@ object Coverage {
             generate_subscripts(regexp_split_to_array(text, '\. '), 1) AS sent_no
           FROM documents)
         SELECT doc_id, CAST(sent_no AS BIGINT) AS sent_no, sentence
-        FROM el WHERE contains(sentence, 'data')"""))
+        FROM el WHERE contains(sentence, 'data')""")),
+
+    // ---------------------------------------------------------------- q55
+    // NOT IN three-valued logic, via the spark.sql entry path: Spark
+    // plans a null-aware anti join for NOT IN subqueries. The
+    // 'null_free' variant behaves like a plain anti join; the
+    // 'with_null' variant's list contains a NULL, so x NOT IN (...)
+    // is never TRUE and the count is provably 0 — the classic SQL
+    // footgun, pinned cross-engine.
+    Q(
+      "q55_not_in_nulls",
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        table(s, dir, "region").createOrReplaceTempView("region_v")
+        s.sql("""
+          SELECT 'null_free' AS variant, count(*) AS n FROM customer_v
+          WHERE c_nationkey NOT IN (SELECT r_regionkey FROM region_v WHERE r_regionkey < 3)
+          UNION ALL
+          SELECT 'with_null' AS variant, count(*) AS n FROM customer_v
+          WHERE c_nationkey NOT IN (SELECT nullif(r_regionkey, 4) FROM region_v)""")
+      },
+      Some("""
+        SELECT 'null_free' AS variant, count(*) AS n FROM customer
+        WHERE c_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)
+        UNION ALL
+        SELECT 'with_null' AS variant, count(*) AS n FROM customer
+        WHERE c_nationkey NOT IN (SELECT nullif(r_regionkey, 4) FROM region)"""))
   )
 }
