@@ -44,8 +44,9 @@ object Multimodal {
 
   implicit val recEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
-  implicit val frameEnc: Encoder[(Long, Int, Int)] =
-    Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt)
+  // frame rows all-BIGINT so the oracle compare sees identical dtypes
+  implicit val frameEnc: Encoder[(Long, Long, Long)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
 
   /** STUB decoder: a real implementation would hand `media` to an image/
     * audio codec here. This fake derives deterministic "dimensions" and
@@ -85,6 +86,7 @@ object Multimodal {
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.as[MediaRecord].flatMap { r =>
       val n = math.max(r.media.length / 256, 1)
-      (0 until n by stride).map(f => (r.doc_id, f, math.min(256, r.media.length)))
+      (0 until n by stride).map(f =>
+        (r.doc_id, f.toLong, math.min(256, r.media.length).toLong))
     }.toDF("doc_id", "frame_no", "frame_bytes")
 }

@@ -68,6 +68,33 @@ object Extensions {
       },
       oracleQ34),
 
+    // Frame sampling (the multimodal stub's video path): every 2nd
+    // 256-byte chunk stands in for a keyframe; per-partition flatMap,
+    // one blob in flight. The oracle replays the chunk arithmetic with
+    // a constant-range generate_series (DuckDB 1.0 can't take lateral
+    // args there) + WHERE.
+    Q(
+      "q56_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents").select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("video/fake").as("mime_hint"))
+        Multimodal.sampleFrames(media, stride = 2)
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+            greatest(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) // 256, 1) AS nf
+          FROM documents)
+        SELECT doc_id,
+          CAST((s.i - 1) * 2 AS BIGINT) AS frame_no,
+          CAST(least(256, n) AS BIGINT) AS frame_bytes
+        FROM m CROSS JOIN generate_series(1, 4096) s(i)
+        WHERE (s.i - 1) * 2 < nf""")),
+
     // IVF-Flat ANN (the trained-quantizer scale path, complementing
     // q33's training-free sign-LSH): deterministic k-means coarse
     // cells, nprobe-cell candidate generation, exact cosine re-rank.
