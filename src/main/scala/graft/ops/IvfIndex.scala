@@ -44,9 +44,10 @@ object IvfIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    // deterministic seed cells: the k lowest-id vectors
+    // deterministic seed cells: the k lowest-id vectors (TakeOrdered —
+    // no assumption that ids are dense from 0)
     var centroids: Array[Array[Float]] =
-      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      vecs.orderBy(col("vec_id")).limit(k).collect().sortBy(_._1).map(_._2)
     var it = 0
     while (it < iters) {
       val cs = centroids
