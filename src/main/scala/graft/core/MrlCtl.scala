@@ -1,20 +1,74 @@
 package graft.core
 
+import org.apache.spark.scheduler.{JobSucceeded, SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** CLI analog of the reference control plane (`mrl-ctl`, SURVEY.md
-  * §2.12): `submit` runs a named workload as a Spark job; `status`/`jobs`
-  * map onto the Spark scheduler, surfaced here as a simple listener dump.
+  * §2.12): `submit` runs a named workload as a Spark job; `status`
+  * prints the worker (executor) registry and `jobs` the job states —
+  * both read from `SparkStatusTracker`, the scheduler's public query
+  * surface (the reference answers the same questions from its
+  * coordinator's worker registry `mrl-coordinator/src/core.rs:76-103`
+  * and job queue `core.rs:106-125`).
   *
   * Usage:
   *   submit --workload wc --input "/data/books/&#42;" --output /out [--partitions 8] [-- aux args...]
+  *   status | jobs        (against the session this process owns)
   *
-  * The reference's queueing/straggler/heartbeat machinery
-  * (the reference's mrl-coordinator) is Spark's driver: speculation, task retry and
-  * barrier scheduling are config, not code (enable with
-  * spark.speculation=true on a real cluster).
+  * `submit` prints the status + jobs report after the run (a one-shot
+  * CLI has no long-lived coordinator to query later — the Spark UI /
+  * history server is the durable equivalent). The reference's
+  * queueing/straggler/heartbeat machinery (mrl-coordinator) is Spark's
+  * driver: speculation, task retry and barrier scheduling are config,
+  * not code (enable with spark.speculation=true on a real cluster).
   */
 object MrlCtl {
+
+  /** "N workers, each state" ≈ reference `status` (core.rs:76-103). */
+  def statusReport(spark: SparkSession): String = {
+    val execs = spark.sparkContext.statusTracker.getExecutorInfos
+    val lines = execs.zipWithIndex.map { case (e, i) =>
+      s"  worker $i @ ${e.host}: ${e.numRunningTasks()} running tasks"
+    }
+    s"${execs.length} workers\n" + lines.mkString("\n")
+  }
+
+  /** Listener-backed job registry ≈ the reference's job queue states
+    * (Pending→Mapping/Reducing→Completed/Failed,
+    * `mrl-coordinator/src/jobs.rs:6-23`) mapped onto Spark's job
+    * events. A listener, not statusTracker job groups: AQE materializes
+    * shuffle stages from its own thread pool, where the submitting
+    * thread's job-group local property does not reach.
+    */
+  final class JobRegistry extends SparkListener {
+    private val states = scala.collection.concurrent.TrieMap.empty[Int, String]
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      states(e.jobId) = "RUNNING"
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      states(e.jobId) = if (e.jobResult == JobSucceeded) "SUCCEEDED" else "FAILED"
+    def jobCount: Int = states.size
+    def report: String = {
+      val s = states.toSeq.sortBy(_._1)
+      s"${s.length} jobs\n" + s.map { case (id, st) => s"  job $id: $st" }.mkString("\n")
+    }
+  }
+
+  /** Attach a registry to the session's listener bus. */
+  def trackJobs(spark: SparkSession): JobRegistry = {
+    val reg = new JobRegistry
+    spark.sparkContext.addSparkListener(reg)
+    reg
+  }
+
+  /** Job states ≈ reference `jobs` (core.rs:106-125). Waits (bounded)
+    * for the async listener bus to deliver the run's events.
+    */
+  def jobsReport(spark: SparkSession, reg: JobRegistry): String = {
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (reg.jobCount == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    reg.report
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, aux) = args.indexOf("--") match {
       case -1 => (args.toSeq, Nil)
@@ -23,22 +77,37 @@ object MrlCtl {
     val opts = flags.drop(1).grouped(2).collect {
       case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    def session(): (SparkSession, Boolean) = {
+      val preexisting =
+        SparkSession.getActiveSession.isDefined ||
+        SparkSession.getDefaultSession.isDefined
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-mrl-ctl")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      (spark, preexisting)
+    }
     flags.headOption match {
+      case Some("status") =>
+        val (spark, preexisting) = session()
+        println(statusReport(spark))
+        if (!preexisting) spark.stop()
+      case Some("jobs") =>
+        // a fresh one-shot session has run nothing yet — the report is
+        // the (empty) registry; embedded callers use trackJobs+submit
+        val (spark, preexisting) = session()
+        println(trackJobs(spark).report)
+        if (!preexisting) spark.stop()
       case Some("submit") =>
         // reuse a live session when embedded (tests/driver); only own —
         // and only stop — a session this invocation created. Check the
         // default session too: getActiveSession is thread-local and
         // would miss a session created on another thread.
-        val preexisting =
-          SparkSession.getActiveSession.isDefined ||
-          SparkSession.getDefaultSession.isDefined
-        val spark = SparkSession.builder()
-          .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-          .appName("graft-mrl-ctl")
-          .config("spark.sql.shuffle.partitions",
-            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
+        val (spark, preexisting) = session()
+        val reg = trackJobs(spark)
         MapReduce.runWorkload(
           spark,
           opts("workload"),
@@ -47,10 +116,12 @@ object MrlCtl {
           aux,
           opts.getOrElse("partitions", "0").toInt)
         println(s"job completed: ${opts("workload")} -> ${opts("output")}")
+        println(statusReport(spark))
+        println(jobsReport(spark, reg))
         if (!preexisting) spark.stop()
       case other =>
         System.err.println(
-          s"unknown command $other; usage: submit --workload W --input GLOB --output DIR [--partitions N] [-- aux...]")
+          s"unknown command $other; usage: submit|status|jobs; submit --workload W --input GLOB --output DIR [--partitions N] [-- aux...]")
         sys.exit(2)
     }
   }

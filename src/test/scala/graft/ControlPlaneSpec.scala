@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.MrlCtl
+
+/** The mrl-ctl analog end-to-end: submit runs a named workload through
+  * the CLI entry, and status/jobs answer from the scheduler's
+  * statusTracker (the reference asks its coordinator the same
+  * questions).
+  */
+class ControlPlaneSpec extends SparkSuite {
+
+  test("submit CLI runs wc and status/jobs report scheduler state") {
+    val in = Files.createTempDirectory("ctl-in")
+    val out = Files.createTempDirectory("ctl-out").resolve("wc")
+    Files.writeString(in.resolve("a.txt"), "the quick brown fox the end\n")
+    Files.writeString(in.resolve("b.txt"), "the lazy dog\n")
+
+    val reg = MrlCtl.trackJobs(spark)
+    MrlCtl.main(Array(
+      "submit", "--workload", "wc",
+      "--input", in.toString + "/*.txt",
+      "--output", out.toString,
+      "--partitions", "2"))
+
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.nonEmpty)
+      .toSeq
+    val counts = lines.map { l =>
+      val i = l.lastIndexOf(' ')
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+    assert(counts("the") === 3L)
+    assert(counts("fox") === 1L)
+
+    // the session this suite owns answered the reports during submit;
+    // query them directly too — jobs must include completed entries
+    val status = MrlCtl.statusReport(spark)
+    assert(status.contains("workers"), status)
+    val jobs = MrlCtl.jobsReport(spark, reg)
+    assert("job \\d+: SUCCEEDED".r.findFirstIn(jobs).isDefined, jobs)
+    assert(!jobs.contains("FAILED"), jobs)
+  }
+}
