@@ -216,6 +216,29 @@ object Coverage {
         WHERE c_nationkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey < 3)
         UNION ALL
         SELECT 'with_null' AS variant, count(*) AS n FROM customer
-        WHERE c_nationkey NOT IN (SELECT nullif(r_regionkey, 4) FROM region)"""))
+        WHERE c_nationkey NOT IN (SELECT nullif(r_regionkey, 4) FROM region)""")),
+
+    // ---------------------------------------------------------------- q57
+    // Skew-safe salted aggregation, oracle-proven equivalent to the
+    // plain GROUP BY: two-stage (key, salt)-partial → key-final
+    // aggregation through ops.Salted. Decimal partials make the
+    // regrouped sum exactly order/shape-independent, so salting is
+    // semantically invisible — which is the entire point (the oracle
+    // runs the unsalted query).
+    Q(
+      "q57_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val cnt = graft.ops.Salted.saltedCount(li, $"l_returnflag")
+        val qty = graft.ops.Salted.saltedSum(li, $"l_returnflag", dec($"l_quantity"))
+        cnt.join(qty, "__key")
+          .select($"__key".as("l_returnflag"),
+            $"cnt".cast("long").as("n"), out($"total").as("qty"))
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }
