@@ -56,26 +56,33 @@ object Stats {
         FROM customer GROUP BY c_mktsegment""")),
 
     // As-of join: each event picks the latest order at-or-before its
-    // timestamp for its customer — expressed as a pushed-down range
-    // join + per-event top-1 window (deterministic orderkey tiebreak,
-    // so both engines agree; DuckDB's ASOF JOIN keyword leaves ties
-    // unspecified). At 100 TB the range join shuffles on the equi-key
-    // (custkey) and the window is per-event local; a custom
-    // sort-merge-asof SparkPlan is the upgrade path if the per-key
-    // order multiplicity explodes (SURVEY.md §7.4 preference order).
+    // timestamp for its customer (deterministic orderkey tiebreak, so
+    // both engines agree; DuckDB's ASOF JOIN keyword leaves ties
+    // unspecified). Physical shape: pack each customer's order history
+    // into ONE sorted array (|custkey| rows), broadcast it, and take
+    // the last qualifying element per event — the event stream never
+    // shuffles and nothing materializes the |events|×|orders-per-key|
+    // range-join intermediate that the naive join+window form sorts
+    // (that form measured ~2× slower at sf0.1). element_at(..., -1) of
+    // the ascending (date, orderkey) sort IS the rn=1 of the
+    // descending window — same tiebreak. At 100 TB this holds while
+    // per-key history fits a row (orders per customer: hundreds);
+    // unbounded keys fall back to the range join + window, and a
+    // custom sort-merge-asof SparkPlan is the upgrade past that
+    // (SURVEY.md §7.4 preference order).
     Q(
       "q39_asof_join",
       (s, dir) => {
         import s.implicits._
         val e = table(s, dir, "events")
-        val o = table(s, dir, "orders")
-        val w = Window.partitionBy($"event_id")
-          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
-        e.join(o, ($"user_id" % 1500) === $"o_custkey" && $"o_orderdate" <= $"ts")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"event_id", $"user_id", $"o_orderkey",
-            tsStr($"o_orderdate").as("asof_orderdate"))
+        val hist = table(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sort_array(collect_list(struct($"o_orderdate", $"o_orderkey"))).as("hist"))
+        e.join(broadcast(hist), ($"user_id" % 1500) === $"o_custkey")
+          .withColumn("asof", expr("element_at(filter(hist, h -> h.o_orderdate <= ts), -1)"))
+          .filter($"asof".isNotNull)
+          .select($"event_id", $"user_id", $"asof.o_orderkey".as("o_orderkey"),
+            tsStr($"asof.o_orderdate").as("asof_orderdate"))
       },
       Some("""
         WITH j AS (
