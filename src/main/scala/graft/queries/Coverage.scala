@@ -239,6 +239,38 @@ object Coverage {
       Some("""
         SELECT l_returnflag, count(*) AS n,
           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q58
+    // RANGE window frame with a value offset (the frame type q06/q49's
+    // ROWS frames don't cover): per-customer 30-day rolling spend.
+    // RANGE frames include all peers of the boundary values, so tie
+    // order is irrelevant and both engines agree exactly (epoch-second
+    // arithmetic, decimal sums). One shuffle on the partition key; the
+    // frame is a sliding range over the sorted partition.
+    Q(
+      "q58_range_frame_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"sec".asc)
+          .rangeBetween(-30L * 86400, 0)
+        table(s, dir, "orders")
+          .select($"o_custkey", $"o_orderkey",
+            // ANSI mode rejects a direct TIMESTAMP_NTZ→BIGINT cast;
+            // NTZ→TIMESTAMP is exact under the UTC session timezone
+            expr("unix_seconds(CAST(o_orderdate AS TIMESTAMP))").as("sec"),
+            $"o_totalprice")
+          .withColumn("spend_30d", out(sum(dec($"o_totalprice")).over(w)))
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .select($"o_custkey", $"o_orderkey", $"sec", $"spend_30d", $"n_30d")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(epoch(o_orderdate) AS BIGINT) AS sec,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_30d,
+          count(*) OVER w AS n_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
   )
 }
