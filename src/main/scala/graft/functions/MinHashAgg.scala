@@ -1,57 +1,50 @@
 package graft.functions
 
-import java.security.MessageDigest
-
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed MinHash sketch aggregator: folds a stream of shingles into a
-  * k-slot signature of lexicographically-minimal md5 hex digests —
-  * the `Aggregator[IN,BUF,OUT]` form of the UDAF surface (SURVEY.md
+  * k-slot signature of minimal 60-bit hash values — the
+  * `Aggregator[IN,BUF,OUT]` form of the UDAF surface (SURVEY.md
   * §2.11/§7.4; the reference's reduce functions are exactly this
   * shape, `common/src/lib.rs:39-43`).
   *
-  * Uses the same hash family as query q21 (`md5("<j>|<shingle>")`,
-  * min by hex-string order), so signatures are interchangeable with
-  * the SQL formulation — MinHashAggSpec proves equality. Being an
-  * Aggregator it gets Spark's partial aggregation (map-side combine,
-  * merge trees) for free: the sketch is 'k' 32-char strings per group
-  * regardless of input size, the textbook bounded-state sketch at
-  * 100 TB.
+  * Uses THE engine hash family ([[MinHashLongs.hash60]]: first 60 bits
+  * of md5("<j+1>|" + shingle)), so signatures are interchangeable with
+  * the q21 SQL formulation and the native expression —
+  * MinHashAggSpec proves equality. Being an Aggregator it gets Spark's
+  * partial aggregation (map-side combine, merge trees) for free: the
+  * sketch is k longs per group regardless of input size, the textbook
+  * bounded-state sketch at 100 TB.
   */
-class MinHashAgg(k: Int) extends Aggregator[String, Array[String], Array[String]] {
+class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
-  private def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
-  }
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  override def zero: Array[String] = Array.fill(k)(null)
-
-  override def reduce(buf: Array[String], shingle: String): Array[String] = {
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
     var j = 0
     while (j < k) {
-      val h = md5hex(s"${j + 1}|$shingle")
-      if (buf(j) == null || h < buf(j)) buf(j) = h
+      val h = MinHashLongs.hash60(j, shingle)
+      if (h < buf(j)) buf(j) = h
       j += 1
     }
     buf
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var j = 0
     while (j < k) {
-      if (a(j) == null || (b(j) != null && b(j) < a(j))) a(j) = b(j)
+      if (b(j) < a(j)) a(j) = b(j)
       j += 1
     }
     a
   }
 
-  override def finish(buf: Array[String]): Array[String] = buf
+  override def finish(buf: Array[Long]): Array[Long] = buf
 
-  override def bufferEncoder: Encoder[Array[String]] =
-    Encoders.kryo[Array[String]]
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
-  override def outputEncoder: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

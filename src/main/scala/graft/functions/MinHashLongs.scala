@@ -83,6 +83,28 @@ case class MinHashLongs(child: Expression, numHashes: Int)
 }
 
 object MinHashLongs {
+
+  private val tlMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The engine's minhash family as a plain function (shared with the
+    * typed [[MinHashAgg]] surface): first 60 bits of
+    * md5("<j+1>|" + s), non-negative.
+    */
+  def hash60(j: Int, s: String): Long = {
+    val md = tlMd.get()
+    md.reset()
+    md.update(s"${j + 1}|".getBytes(UTF_8))
+    md.update(s.getBytes(UTF_8))
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** Register `minhash_longs(g, n)` (n must be a literal) for expr use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

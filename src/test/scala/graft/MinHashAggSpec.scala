@@ -3,11 +3,13 @@ package graft
 import graft.functions.MinHashAgg
 import org.apache.spark.sql.functions._
 
-/** The typed Aggregator's signatures must equal the SQL min-agg
-  * formulation inside q21 (same hash family, same min order). */
+/** The typed Aggregator's signatures must equal the SQL/native-
+  * expression min-agg formulation inside q21 (same hash family, same
+  * min order). */
 class MinHashAggSpec extends SparkSuite {
 
-  test("MinHashAgg signature equals the SQL min-agg signature") {
+  test("MinHashAgg signature equals the minhash_longs min-agg signature") {
+    graft.functions.MinHashLongs.register(spark)
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", substring($"text", 1, 200).as("t200"))
@@ -16,14 +18,13 @@ class MinHashAggSpec extends SparkSuite {
       explode(expr("transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5))")).as("g"))
       .distinct()
 
-    // SQL formulation (as in q21)
-    val sqlSig = sh.select(
-      $"doc_id" +: (1 to 8).map(j =>
-        md5(concat(lit(j.toString), lit("|"), $"g")).as(s"h$j")): _*)
+    // SQL/native formulation (as in q21)
+    val sqlSig = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
       .groupBy($"doc_id")
-      .agg(min($"h1").as("m1"), (2 to 8).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      .agg(min($"hs".getItem(0)).as("m1"),
+        (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"m$j")): _*)
       .collect()
-      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getString(j)).toVector)
+      .map(r => r.getLong(0) -> (1 to 8).map(j => r.getLong(j)).toVector)
       .toMap
 
     // typed Aggregator formulation
