@@ -40,6 +40,21 @@ class SourcesSpec extends SparkSuite {
     rows.foreach(r => assert(r.getAs[Array[Byte]]("content").length.toLong === r.getLong(1)))
   }
 
+  test("orc round-trip with predicate pushdown (the other builtin columnar format)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val src = spark.read.parquet(s"$sf/part.parquet")
+    src.write.mode("overwrite").orc(s"$tmp/part_orc")
+    val back = spark.read.orc(s"$tmp/part_orc")
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    val filtered = back.filter($"p_size" >= 40).select($"p_partkey", $"p_size")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,40"),
+      s"no ORC pushdown:\n$plan")
+  }
+
   test("partitioned parquet write + partition pruning on read") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-part").toString
