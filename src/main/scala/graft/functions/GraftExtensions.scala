@@ -29,8 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_longs"),
       new ExpressionInfo(classOf[MinHashLongs].getName, "minhash_longs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashLongs(
-          exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue)))
+        MinHashLongs.fromExprs(exprs)))
   }
 }

@@ -105,12 +105,16 @@ object MinHashLongs {
     v >>> 4
   }
 
+  /** Build from a function-registry argument list (n must be foldable —
+    * a clear error beats the NPE a non-literal would hit in eval).
+    */
+  def fromExprs(exprs: Seq[Expression]): MinHashLongs = {
+    require(exprs(1).foldable, "minhash_longs(g, n): n must be a literal")
+    MinHashLongs(exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue)
+  }
+
   /** Register `minhash_longs(g, n)` (n must be a literal) for expr use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_longs",
-      exprs => MinHashLongs(
-        exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue),
-      "scala_udf")
+      "minhash_longs", fromExprs, "scala_udf")
 }
