@@ -80,6 +80,28 @@ object Multimodal {
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] =
     df.as[MediaRecord].mapPartitions(decodeBatch _)
 
+  /** Resize planning: fit (width, height) into a maxDim box preserving
+    * aspect ratio, never upscaling — pure integer arithmetic so the
+    * plan is engine-reproducible. A real implementation resamples
+    * pixels inside [[decodeBatch]] using exactly these target dims;
+    * the dims (and the output pixel count that drives batch sizing)
+    * are the contract downstream GPU batching needs.
+    */
+  def resizePlan(features: org.apache.spark.sql.DataFrame, maxDim: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, greatest, least, lit, when}
+    val m = greatest(col("width"), col("height"))
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      when(m <= maxDim, col("width"))
+        .otherwise(greatest(lit(1L), expr(s"width * $maxDim div greatest(width, height)")))
+        .as("out_w"),
+      when(m <= maxDim, col("height"))
+        .otherwise(greatest(lit(1L), expr(s"height * $maxDim div greatest(width, height)")))
+        .as("out_h"))
+      .withColumn("n_px_out", col("out_w") * col("out_h"))
+      .withColumn("downscaled", (least(col("out_w"), col("out_h")) < least(col("width"), col("height"))).cast("boolean"))
+  }
+
   /** Frame sampling stub: every `stride`-th chunk of the blob stands in
     * for a video frame; real impl would seek keyframes.
     */

@@ -95,6 +95,40 @@ object Extensions {
         FROM m CROSS JOIN generate_series(1, 4096) s(i)
         WHERE (s.i - 1) * 2 < nf""")),
 
+    // Resize planning over the decoded dimensions (the multimodal
+    // stub's image path): box-fit into 256 preserving aspect, no
+    // upscale, pure integer math — the oracle replays the q34 h
+    // derivation plus the same div arithmetic.
+    Q(
+      "q59_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents").select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("image/fake").as("mime_hint"))
+        Multimodal.resizePlan(Multimodal.extractFeatures(media).toDF(), 256)
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents),
+        dims AS (
+          SELECT doc_id, 16 + h % 1024 AS width, 16 + (h >> 10) % 1024 AS height
+          FROM h),
+        rs AS (
+          SELECT doc_id, width, height,
+            CASE WHEN greatest(width, height) <= 256 THEN width
+                 ELSE greatest(1, width * 256 // greatest(width, height)) END AS out_w,
+            CASE WHEN greatest(width, height) <= 256 THEN height
+                 ELSE greatest(1, height * 256 // greatest(width, height)) END AS out_h
+          FROM dims)
+        SELECT doc_id, width, height, out_w, out_h,
+          out_w * out_h AS n_px_out,
+          least(out_w, out_h) < least(width, height) AS downscaled
+        FROM rs""")),
+
     // IVF-Flat ANN (the trained-quantizer scale path, complementing
     // q33's training-free sign-LSH): deterministic k-means coarse
     // cells, nprobe-cell candidate generation, exact cosine re-rank.
