@@ -271,6 +271,31 @@ object Coverage {
           count(*) OVER w AS n_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
+                     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""")),
+
+    // ---------------------------------------------------------------- q60
+    // UNPIVOT / melt — wide→long reshaping (inverse of q46's pivot and
+    // the standard step before per-metric aggregation at scale: one
+    // narrow (id, metric, value) stream instead of N wide columns).
+    // Spark's native unpivot(Expand, no shuffle); oracle as the
+    // portable UNION ALL form.
+    Q(
+      "q60_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "part")
+          .select($"p_partkey",
+            $"p_size".cast("double").as("size"),
+            $"p_retailprice".as("retailprice"))
+          .unpivot(
+            ids = Array($"p_partkey"),
+            values = Array($"size", $"retailprice"),
+            variableColumnName = "metric",
+            valueColumnName = "value")
+      },
+      Some("""
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part"""))
   )
 }
