@@ -296,6 +296,34 @@ object Coverage {
       Some("""
         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         UNION ALL
-        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part"""))
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part""")),
+
+    // ---------------------------------------------------------------- q61
+    // Fuzzy string matching: Levenshtein distance between part names
+    // within a (brand, size) block — the edit-distance flavor of
+    // entity resolution, blocked exactly like q22 so the pair space is
+    // Σ|block|², never n². Both engines implement the same unit-cost
+    // DP, so distances are identical integers.
+    Q(
+      "q61_fuzzy_name_match",
+      (s, dir) => {
+        import s.implicits._
+        val p = table(s, dir, "part")
+          .select($"p_partkey", $"p_brand", $"p_size", $"p_name")
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_size") === col("b.p_size") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+          .filter($"dist" <= 12)
+      },
+      Some("""
+        SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 12"""))
   )
 }
