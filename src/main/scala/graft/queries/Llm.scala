@@ -621,6 +621,66 @@ object Llm {
           count(*) AS n_events, min(ms) AS t_start, max(ms) AS t_end
         FROM sid GROUP BY user_id, session_id""")),
 
+    // ---------------------------------------------------------------- q62
+    // Winnowing fingerprints (Schleimer et al., the MOSS scheme): a
+    // polynomial rolling hash over character 8-grams of the normalized
+    // text, then the minimum hash of every 4-gram window, deduplicated
+    // — the copy-detection fingerprint set whose size is ~2/(w+1) of
+    // the grams. Every k-gram hash is the same closed-form polynomial
+    // sum in both engines (base 31, mod 2^31-1; codes ≤ 'z' keep the
+    // weighted sum < 2^42, far from BIGINT overflow), and the window
+    // minimum is a plain ROWS frame — so integer fingerprints
+    // hash-match exactly. Scan + one window shuffle on doc_id; at
+    // 100 TB fingerprints (8 bytes each) shuffle, documents never do.
+    Q(
+      "q62_winnowing_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        // 31^7 .. 31^0
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+        val poly = pows.zipWithIndex
+          .map { case (p, j) => s"ascii(substring(s, i + $j, 1)) * ${p}L" }
+          .mkString(" + ")
+        val t = docsSpread(s, dir)
+          .select($"doc_id",
+            substring(regexp_replace(lower($"text"), "[^a-z]+", ""), 1, 300).as("s"))
+          .filter(length($"s") >= 8)
+        val grams = t.select($"doc_id",
+          explode(expr(
+            s"transform(sequence(1, length(s) - 7), i -> struct(i AS pos, ($poly) % 2147483647 AS h))")).as("g"))
+          .select($"doc_id", $"g.pos".as("pos"), $"g.h".as("h"))
+        val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+          .rowsBetween(-3, Window.currentRow)
+        grams
+          .withColumn("fp", min($"h").over(w))
+          .filter($"pos" >= 4)
+          .select($"doc_id", $"fp").distinct()
+      },
+      Some {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+        // CAST each term: ord() is INT32 and DuckDB's INT32×INT32
+        // multiply overflow-checks before any promotion
+        val poly = pows.zipWithIndex
+          .map { case (p, j) => s"CAST(ord(substr(s, i.i + $j, 1)) AS BIGINT) * $p" }
+          .mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, substr(regexp_replace(lower(text), '[^a-z]+', '', 'g'), 1, 300) AS s
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i.i AS pos, ($poly) % 2147483647 AS h
+          FROM t CROSS JOIN generate_series(1, 293) i(i)
+          WHERE length(s) >= 8 AND i.i <= length(s) - 7),
+        winnowed AS (
+          SELECT doc_id,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+            pos
+          FROM grams)
+        SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+        FROM winnowed WHERE pos >= 4"""
+      }),
+
     // ---------------------------------------------------------------- q45
     // Near-dup CLUSTER formation: connected components over the q21 pair
     // graph (cluster id = min doc_id in the component) — the step that
