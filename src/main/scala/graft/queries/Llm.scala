@@ -712,7 +712,12 @@ object Llm {
         val edges = pairs
           .union(pairs.select($"d2", $"d1"))
           .toDF("a", "b").distinct().coalesce(1).cache()
-        var labels = edges.select($"a".as("v"), $"a".as("lbl")).distinct().cache()
+        // init = hash-min round 1 fused into the vertex dedup: lbl(v) =
+        // min(v, min over neighbors) — one groupBy instead of a
+        // distinct plus a full first iteration
+        var labels = edges.groupBy($"a")
+          .agg(least($"a", min($"b")).as("lbl"))
+          .select($"a".as("v"), $"lbl").cache()
         // labels only ever decrease, so sum(lbl) is unchanged iff the
         // fixpoint is reached — one cheap action per round, no diff join
         // coalesce: sum over an EMPTY label frame (no near-dup pairs at
