@@ -324,6 +324,35 @@ object Coverage {
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
          AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 12"""))
+        WHERE levenshtein(a.p_name, b.p_name) <= 12""")),
+
+    // ---------------------------------------------------------------- q63
+    // Date arithmetic across a join: ship delay in days (date-boundary
+    // count — identical in both engines regardless of time-of-day),
+    // calendar month delta, and a late flag derived from the SAME day
+    // count (deriving it from timestamp+interval instead would diverge:
+    // Spark's date_add truncates to DATE, DuckDB's + INTERVAL keeps
+    // time-of-day).
+    Q(
+      "q63_date_arithmetic",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_linenumber",
+            datediff($"l_shipdate", $"o_orderdate").cast("long").as("ship_delay_days"),
+            ((year($"l_shipdate") * 12 + month($"l_shipdate")) -
+              (year($"o_orderdate") * 12 + month($"o_orderdate")))
+              .cast("long").as("month_delta"))
+          .withColumn("late_30d", ($"ship_delay_days" > 30).cast("boolean"))
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_delay_days,
+          CAST((year(l_shipdate)*12 + month(l_shipdate)) -
+               (year(o_orderdate)*12 + month(o_orderdate)) AS BIGINT) AS month_delta,
+          date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30 AS late_30d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
   )
 }
