@@ -95,6 +95,54 @@ object Stats {
           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
         FROM j WHERE rn = 1""")),
 
+    // Statistical moments — sample variance/stddev of quantity and the
+    // quantity↔discount correlation per returnflag. NOT the builtin
+    // stddev/corr (those accumulate doubles in partition order — not
+    // reproducible across engines); instead exact decimal power sums
+    // (each cast to double once, scaled magnitudes < 2^53 so the casts
+    // are exact) feed the closed-form moment formulas, which are then
+    // identical IEEE double expressions on identical inputs in both
+    // engines. Quantity is integer-valued and discount has ≤4 dp, so
+    // every downscale drops provably-zero digits. Single partial+final
+    // hash agg — the moment sums ARE the partial-aggregable form.
+    Q(
+      "q64_stats_moments",
+      (s, dir) => {
+        import s.implicits._
+        val sums = table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            out(sum(dec($"l_quantity"))).as("sx"),
+            out(sum((dec($"l_quantity") * dec($"l_quantity")).cast(D18_2))).as("sxx"),
+            out(sum(rate($"l_discount").cast(D18_4))).as("sd"),
+            out(sum((rate($"l_discount") * rate($"l_discount")))).as("sdd"),
+            out(sum((dec($"l_quantity") * rate($"l_discount")).cast(D18_4))).as("sxy"))
+        sums.select($"l_returnflag", $"n", $"sx",
+          ($"sx" / $"n").as("mean_qty"),
+          (($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("var_qty"),
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))).as("stddev_qty"),
+          (($"n" * $"sxy" - $"sx" * $"sd") /
+            sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"sdd" - $"sd" * $"sd")))
+            .as("corr_qty_disc"))
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag,
+            count(*) AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+            CAST(sum(CAST(l_discount AS DECIMAL(5,4)) * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE) AS sdd,
+            CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n, sx,
+          sx / n AS mean_qty,
+          (n*sxx - sx*sx) / (n*(n-1)) AS var_qty,
+          sqrt((n*sxx - sx*sx) / (n*(n-1))) AS stddev_qty,
+          (n*sxy - sx*sd) / sqrt((n*sxx - sx*sx) * (n*sdd - sd*sd)) AS corr_qty_disc
+        FROM sums""")),
+
     // HLL sketch aggregation (rows-only: HLL implementations differ
     // across engines by design; StatsSpec bounds the error vs the exact
     // count instead). The sketch is the 100 TB answer to COUNT(DISTINCT)
