@@ -34,22 +34,23 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // Two passes; report the per-query MIN as the headline. The first
-    // execution of each of the ~50 distinct plans pays JIT + Janino
+    // Two passes. "value" is the SINGLE-PASS (cold) total — the same
+    // methodology round 1 used, so the driver's cross-round comparison
+    // stays apples-to-apples. The per-query MIN of the two passes is
+    // published separately (total_warm / queries_warm): the first
+    // execution of each of the ~60 distinct plans pays JIT + Janino
     // codegen compilation + file-index setup — single-JVM local-mode
     // warm-up, not the steady-state throughput that matters at 100 TB
     // (a real cluster amortizes it across hours of executor lifetime).
-    // The cold first-pass timings are preserved alongside for
-    // transparency.
     val cold = pass()
     val warm = pass()
     val best = cold.zip(warm).map { case ((k, c), (_, w)) => (k, math.min(c, w)) }
     def obj(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = best.map(_._2).sum
+    val totalWarm = best.map(_._2).sum
     val totalCold = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(best)},"queries_cold":${obj(cold)},"total_cold":$totalCold,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(best)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

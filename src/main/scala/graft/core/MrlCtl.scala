@@ -47,6 +47,7 @@ object MrlCtl {
     override def onJobEnd(e: SparkListenerJobEnd): Unit =
       states(e.jobId) = if (e.jobResult == JobSucceeded) "SUCCEEDED" else "FAILED"
     def jobCount: Int = states.size
+    def runningCount: Int = states.valuesIterator.count(_ == "RUNNING")
     def report: String = {
       val s = states.toSeq.sortBy(_._1)
       s"${s.length} jobs\n" + s.map { case (id, st) => s"  job $id: $st" }.mkString("\n")
@@ -61,11 +62,16 @@ object MrlCtl {
   }
 
   /** Job states ≈ reference `jobs` (core.rs:106-125). Waits (bounded)
-    * for the async listener bus to deliver the run's events.
+    * for the async listener bus to deliver the run's events — not just
+    * the first JobStart but the matching JobEnds too, so a completed
+    * run never reports a stale RUNNING (the bus delivers events on its
+    * own thread after the action returns). Polls the registry rather
+    * than `listenerBus.waitUntilEmpty`, which is private[spark].
     */
   def jobsReport(spark: SparkSession, reg: JobRegistry): String = {
     val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    while (reg.jobCount == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    while ((reg.jobCount == 0 || reg.runningCount > 0) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
     reg.report
   }
 

@@ -31,7 +31,7 @@ class SaltedSpec extends SparkSuite {
     // callback directly (builder-path coverage) plus the SQL surface via
     // the per-session fallback registration
     val exts = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(exts) // must not throw
+    new graft.functions.GraftExtensions().apply(exts) // must not throw
     graft.functions.CosineSim.register(spark)
     val sim = spark.sql(
       "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
