@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Shared by q39 (packed-history) and q65 (range-join fallback): one
+    * oracle, two physical strategies.
+    */
+  private val asofOracle = """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+            row_number() OVER (PARTITION BY e.event_id
+                               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON e.user_id % 1500 = o.o_custkey AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
+        FROM j WHERE rn = 1"""
+
   val all: Seq[Q] = Seq(
     // Exact percentiles per group. At scale exact percentiles sort
     // within groups (or use approx_percentile for sketch-based bounds);
@@ -58,42 +72,55 @@ object Stats {
     // As-of join: each event picks the latest order at-or-before its
     // timestamp for its customer (deterministic orderkey tiebreak, so
     // both engines agree; DuckDB's ASOF JOIN keyword leaves ties
-    // unspecified). Physical shape: pack each customer's order history
-    // into ONE sorted array (|custkey| rows), broadcast it, and take
-    // the last qualifying element per event — the event stream never
-    // shuffles and nothing materializes the |events|×|orders-per-key|
-    // range-join intermediate that the naive join+window form sorts
-    // (that form measured ~2× slower at sf0.1). element_at(..., -1) of
-    // the ascending (date, orderkey) sort IS the rn=1 of the
-    // descending window — same tiebreak. At 100 TB this holds while
+    // unspecified). Physical shape (ops.AsOfJoin.packedHistory): pack
+    // each customer's order history into ONE sorted array (|custkey|
+    // rows), broadcast it, and take the last qualifying element per
+    // event — the event stream never shuffles and nothing materializes
+    // the |events|×|orders-per-key| range-join intermediate that the
+    // naive join+window form sorts (that form measured ~2× slower at
+    // sf0.1). try_element_at(..., -1) of the ascending
+    // (date, orderkey) sort IS the rn=1 of the descending window —
+    // same tiebreak — and yields NULL (not an ANSI error) for an event
+    // before its customer's first order. At 100 TB this holds while
     // per-key history fits a row (orders per customer: hundreds);
-    // unbounded keys fall back to the range join + window, and a
-    // custom sort-merge-asof SparkPlan is the upgrade past that
-    // (SURVEY.md §7.4 preference order).
+    // unbounded keys fall back to ops.AsOfJoin.rangeWindow — q65 runs
+    // that path against the SAME oracle, proving the two strategies
+    // interchangeable — and a custom sort-merge-asof SparkPlan is the
+    // upgrade past that (SURVEY.md §7.4 preference order).
     Q(
       "q39_asof_join",
       (s, dir) => {
         import s.implicits._
         val e = table(s, dir, "events")
-        val hist = table(s, dir, "orders")
-          .groupBy($"o_custkey")
-          .agg(sort_array(collect_list(struct($"o_orderdate", $"o_orderkey"))).as("hist"))
-        e.join(broadcast(hist), ($"user_id" % 1500) === $"o_custkey")
-          .withColumn("asof", expr("element_at(filter(hist, h -> h.o_orderdate <= ts), -1)"))
+        graft.ops.AsOfJoin.packedHistory(
+            e, $"user_id" % 1500, $"ts",
+            table(s, dir, "orders"), $"o_custkey",
+            struct($"o_orderdate", $"o_orderkey"), "o_orderdate")
           .filter($"asof".isNotNull)
           .select($"event_id", $"user_id", $"asof.o_orderkey".as("o_orderkey"),
             tsStr($"asof.o_orderdate").as("asof_orderdate"))
       },
-      Some("""
-        WITH j AS (
-          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
-            row_number() OVER (PARTITION BY e.event_id
-                               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-          FROM events e JOIN orders o
-            ON e.user_id % 1500 = o.o_custkey AND o.o_orderdate <= e.ts)
-        SELECT event_id, user_id, o_orderkey,
-          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_orderdate
-        FROM j WHERE rn = 1""")),
+      Some(asofOracle)),
+
+    // The unbounded-key fallback strategy on the same data and the same
+    // oracle SQL as q39: equi-join on custkey with the range predicate,
+    // window keeps the latest match. Both strategies hash-matching the
+    // one oracle is the interchangeability proof for AsOfJoin.auto's
+    // threshold switch.
+    Q(
+      "q65_asof_fallback",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "events")
+        graft.ops.AsOfJoin.rangeWindow(
+            e, $"user_id" % 1500, $"ts", $"event_id",
+            table(s, dir, "orders"), $"o_custkey",
+            struct($"o_orderdate", $"o_orderkey"), "o_orderdate")
+          .filter($"asof".isNotNull)
+          .select($"event_id", $"user_id", $"asof.o_orderkey".as("o_orderkey"),
+            tsStr($"asof.o_orderdate").as("asof_orderdate"))
+      },
+      Some(asofOracle)),
 
     // Statistical moments — sample variance/stddev of quantity and the
     // quantity↔discount correlation per returnflag. NOT the builtin

@@ -18,4 +18,59 @@ class StatsSpec extends SparkSuite {
       assert(math.abs(a - e).toDouble / e < 0.05, s"group $k: approx=$a exact=$e")
     }
   }
+
+  private def asofFixture = {
+    import spark.implicits._
+    // key 1: event BEFORE its first order (must yield NULL asof, not an
+    // ANSI INVALID_ARRAY_INDEX error), one event between orders, one
+    // after both. key 2: no orders at all (unmatched key).
+    val left = Seq(
+      (10L, 1L, 5L), (11L, 1L, 25L), (12L, 1L, 99L), (13L, 2L, 50L)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 20L, 100L), (1L, 20L, 101L), (1L, 30L, 102L)
+    ).toDF("k", "t", "seq")
+    (left, right)
+  }
+
+  private def runAsof(strategy: String): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (left, right) = asofFixture
+    val st = struct($"t".as("rt"), $"seq")
+    val out = strategy match {
+      case "packed" =>
+        graft.ops.AsOfJoin.packedHistory(left, $"k", $"t", right, $"k", st, "rt")
+      case "range" =>
+        graft.ops.AsOfJoin.rangeWindow(left, $"k", $"t", $"id", right, $"k", st, "rt")
+      case "auto-packed" =>
+        graft.ops.AsOfJoin.auto(left, $"k", $"t", $"id", right, $"k", st, "rt",
+          maxHistPerKey = 100L)
+      case "auto-range" =>
+        graft.ops.AsOfJoin.auto(left, $"k", $"t", $"id", right, $"k", st, "rt",
+          maxHistPerKey = 1L) // any key with >1 history rows trips the fallback
+    }
+    out.select($"id", $"asof.seq".as("seq"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("as-of join: empty history yields NULL (no ANSI error) and strategies agree") {
+    val expected = Map(
+      10L -> None, // event before the customer's first order
+      11L -> Some(101L), // tie on t=20 → larger seq wins (desc tiebreak)
+      12L -> Some(102L),
+      13L -> None) // key with no right-side rows
+    for (s <- Seq("packed", "range", "auto-packed", "auto-range"))
+      assert(runAsof(s) === expected, s"strategy $s")
+  }
+
+  test("as-of strategies agree on real testdata (q39 packed vs q65 fallback)") {
+    val sf = "/root/testdata/sf0.001"
+    val packed = SparkEntry.queries("q39_asof_join")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fallback = SparkEntry.queries("q65_asof_fallback")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(packed.nonEmpty)
+    assert(packed === fallback)
+  }
 }
