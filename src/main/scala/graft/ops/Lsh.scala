@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket-safe LSH candidate generation — the guards against the
+  * standard quadratic-bucket failure mode (one boilerplate prefix shared
+  * by a large corpus fraction lands every copy in one bucket, and naive
+  * in-bucket pair expansion goes O(|bucket|²)).
+  *
+  * Two treatments, matched to the banding geometry:
+  *
+  *  - [[expandPairsCapped]] (fine, high-cardinality buckets — minhash
+  *    band signatures): buckets larger than `maxBucket` are DROPPED.
+  *    A minhash band bucket that big is template/boilerplate text, not
+  *    a near-dup cluster worth pairwise scoring — the standard
+  *    web-dedup treatment (exact-duplicate floods are already caught by
+  *    content-hash dedup, q20). This changes results for hot buckets,
+  *    so the cap is part of the operator contract and the q21 oracle
+  *    SQL encodes the same rule.
+  *
+  *  - [[simhashCandidates]] (coarse, few-bucket banding — 8-bit simhash
+  *    bands, where EVERY bucket is hot at corpus scale): hot buckets are
+  *    sub-banded EXACTLY, not dropped. Recursive pigeonhole: a pair
+  *    within hamming distance d that agrees on band b has all ≤ d
+  *    differing bits outside b, so re-banding the remaining bits into
+  *    ≥ d+1 sub-bands guarantees agreement on some sub-band. Candidates
+  *    within a hot bucket then come from equality on
+  *    (band, sub-band) — per-bucket pair counts shrink ~|sub-band
+  *    alphabet|×, and the final candidate set (after the exact hamming
+  *    verify) is provably IDENTICAL to the uncapped plan, so no oracle
+  *    change is needed (pinned by LshSpec's equality property).
+  */
+object Lsh {
+
+  /** Buckets above the cap, for observability/tests: (bucketCols..., n). */
+  def hotBuckets(bands: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    bands.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+
+  /** In-bucket pair expansion via groupBy-collect (consumes the band
+    * stream exactly once — no self-join re-execution), with hot buckets
+    * (size > maxBucket) dropped as boilerplate. Returns distinct
+    * (d1, d2), d1 < d2.
+    */
+  def expandPairsCapped(
+      bands: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      maxBucket: Int): DataFrame =
+    bands.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, x -> filter(transform(ids, y -> struct(x AS d1, y AS d2)), p -> p.d1 < p.d2)))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+
+  /** Exact sub-banded candidate pairs for hamming-banded signatures.
+    *
+    * `bands`: (doc_id, simhash, b, band) — one row per document per
+    * band, `band` = the `bandBits`-bit slice number `b` of `simhash`.
+    * Buckets at/below `maxBucket` pair up by codegen self-join on
+    * (b, band) as before; hot buckets additionally key on a
+    * `subBits`-bit sub-band of the REMAINING signature bits (the bits
+    * outside band b, compacted), giving the recursive-pigeonhole
+    * guarantee: exact for hamming ≤ subBands-1 as long as
+    * subBands × subBits covers the remaining bits. Eager: the sized
+    * band frame is localCheckpoint'ed so the self-join sides read
+    * materialized partitions instead of re-executing the signature
+    * pipeline (AQE does not reuse exchanges across identical self-join
+    * inputs).
+    *
+    * Returns distinct (d1, d2, s1, s2), d1 < d2.
+    */
+  def simhashCandidates(
+      bands: DataFrame,
+      bandBits: Int,
+      subBands: Int,
+      subBits: Int,
+      maxBucket: Int): DataFrame = {
+    val sized = bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("b"), col("band"))))
+      .localCheckpoint()
+    val cold = sized.filter(col("__n") <= maxBucket)
+    // remaining-bits compaction: drop the bandBits-wide slice b out of
+    // the signature — high part shifted down into the hole, low part
+    // kept (b is a column, so the shifts are per-row expressions)
+    val hot = sized.filter(col("__n") > maxBucket)
+      .withColumn("__r", expr(
+        s"""shiftleft(shiftright(simhash, CAST((b + 1) * $bandBits AS INT)), CAST(b * $bandBits AS INT))
+            | (simhash & (shiftleft(CAST(1 AS BIGINT), CAST(b * $bandBits AS INT)) - 1))"""))
+      .withColumn("__j", explode(expr(s"sequence(0, ${subBands - 1})")))
+      .withColumn("__sub", expr(s"shiftright(__r, CAST(__j * $subBits AS INT)) & ${(1L << subBits) - 1}"))
+    def pairs(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.as("x").join(df.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+    pairs(cold, Seq("b", "band"))
+      .union(pairs(hot, Seq("b", "band", "__j", "__sub")))
+      .distinct()
+  }
+}

@@ -119,8 +119,84 @@ object Llm {
           FROM el GROUP BY v1, v2)
         SELECT v1, v2, dot/(sqrt(na)*sqrt(nb)) AS sim FROM d $simFilter"""
 
+  /** Hot-bucket cap for q21's minhash-LSH banding (ops.Lsh
+    * .expandPairsCapped): buckets above this are boilerplate, dropped on
+    * BOTH engines. Testdata's largest bucket is 21 docs (sf0.1), so the
+    * cap never fires on the oracle corpora — LshSpec's skew fixture is
+    * where it engages.
+    */
+  private val lshMaxBucket = 64
+
+  /** The full q21 pipeline over any (doc_id, text) corpus: distinct
+    * 5-char shingles of the 200-char prefix → 8 min-hashes (native
+    * [[graft.functions.MinHashLongs]]) → 2 bands of 4 → capped
+    * in-bucket pair expansion → exact Jaccard verify on candidates.
+    * Package-visible so LshSpec can drive the SHIPPED path on a skewed
+    * fixture (one boilerplate prefix shared by 20% of docs).
+    */
+  private[graft] def minhashLshPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = docs
+      .select($"doc_id", substring($"text", 1, 200).as("t200"))
+      .filter(length($"t200") >= 5)
+    // per-doc distinct shingle set computed map-side (array_distinct
+    // in the projection) — no DISTINCT shuffle, and the same array
+    // feeds the verification stage without a collect_set shuffle.
+    // localCheckpoint: the set frame is consumed three times (hash
+    // stream + both sides of the candidate-verify join); without it
+    // each consumer re-runs the shingling projection (~1s each at
+    // sf0.1). |docs| rows × ~140-element arrays — megabytes.
+    val docSets = t.select($"doc_id",
+      expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
+      .localCheckpoint()
+    val sh = docSets.select($"doc_id", explode($"gs").as("g"))
+    // all 8 hashes in ONE native-expression call per shingle
+    // (graft.functions.MinHashLongs: reused digest, no per-hash
+    // concat, zero string allocation), min-aggregated per hash in a
+    // single partial+final agg — one |docs|-sized shuffle instead
+    // of exploding 8× and grouping 7.8M (doc, j) rows. LONG hash
+    // values keep the min-agg in HashAggregateExec (min(STRING)
+    // falls back to SortAggregate, a full sort of the shingle
+    // stream — visible in the round-1 plan).
+    graft.functions.MinHashLongs.register(s)
+    val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
+    val sig = hashed
+      .groupBy($"doc_id")
+      .agg(min($"hs".getItem(0)).as("mh1"),
+        (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
+    // 2 bands × 4 rows: collision prob = jaccard^4 per band — high
+    // precision for the near-identical pairs this threshold targets,
+    // and bounded candidate counts even on low-entropy corpora
+    // (wider 4×2 banding floods candidates with word-soup text).
+    // Candidates come from a groupBy on (band, bsig) + in-bucket
+    // pair expansion, NOT a bands-self-join: the self-join's two
+    // identical inputs each re-execute the whole shingle+md5
+    // pipeline (AQE does not reuse the exchange), doubling the
+    // dominant stage. The groupBy consumes sig exactly once.
+    // Hot-bucket cap (ops.Lsh.expandPairsCapped): a band bucket
+    // above maxBucket is boilerplate — dropped, never expanded
+    // O(|bucket|²); the oracle SQL encodes the same cap.
+    val bands = sig.select($"doc_id",
+      explode(expr(
+        """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
+                 struct(1L AS band, concat_ws(',', CAST(mh5 AS STRING), CAST(mh6 AS STRING), CAST(mh7 AS STRING), CAST(mh8 AS STRING)) AS bsig))""")).as("tb"))
+      .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
+    val cand = graft.ops.Lsh.expandPairsCapped(
+      bands, Seq("band", "bsig"), "doc_id", maxBucket)
+    cand
+      .join(docSets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+      .join(docSets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+      .select($"d1", $"d2",
+        size(array_intersect($"gs1", $"gs2")).as("inter"),
+        size($"gs1").as("na"), size($"gs2").as("nb"))
+      .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jac" >= 0.35)
+      .select($"d1", $"d2", $"jac")
+  }
+
   /** q21's oracle SQL, shared with the q45 clustering query. */
-  private val minhashPairsSql: String = """
+  private val minhashPairsSql: String = s"""
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
           FROM documents CROSS JOIN generate_series(1, 196) s(i)
@@ -134,10 +210,12 @@ object Llm {
         bands AS (
           SELECT doc_id, (j-1)//4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS bsig
           FROM sig GROUP BY doc_id, (j-1)//4),
+        bsz AS (SELECT band, bsig, count(*) AS n FROM bands GROUP BY band, bsig),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+          JOIN bsz z ON z.band = a.band AND z.bsig = a.bsig AND z.n <= $lshMaxBucket),
         inter AS (
           SELECT c.d1, c.d2, count(*) AS ni
           FROM cand c
@@ -172,76 +250,12 @@ object Llm {
     // prefix → 8 min-hashes → 2 bands of 4 → bucket-join on band
     // signature → exact Jaccard verify on candidates only.
     // At 100 TB: cost is O(n·shingles) + O(candidates); the band
-    // self-join shuffles on (band, bsig) — never all-pairs. Skewed
-    // buckets (boilerplate prefixes) would be salted / length-capped.
+    // self-join shuffles on (band, bsig) — never all-pairs; hot buckets
+    // (boilerplate prefixes) are capped. Pipeline body in
+    // [[minhashLshPairs]], shared with LshSpec's skew fixture.
     Q(
       "q21_minhash_lsh",
-      (s, dir) => {
-        import s.implicits._
-        val t = docsSpread(s, dir)
-          .select($"doc_id", substring($"text", 1, 200).as("t200"))
-          .filter(length($"t200") >= 5)
-        // per-doc distinct shingle set computed map-side (array_distinct
-        // in the projection) — no DISTINCT shuffle, and the same array
-        // feeds the verification stage without a collect_set shuffle.
-        // localCheckpoint: the set frame is consumed three times (hash
-        // stream + both sides of the candidate-verify join); without it
-        // each consumer re-runs the shingling projection (~1s each at
-        // sf0.1). |docs| rows × ~140-element arrays — megabytes.
-        val docSets = t.select($"doc_id",
-          expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
-          .localCheckpoint()
-        val sh = docSets.select($"doc_id", explode($"gs").as("g"))
-        // all 8 hashes in ONE native-expression call per shingle
-        // (graft.functions.MinHashLongs: reused digest, no per-hash
-        // concat, zero string allocation), min-aggregated per hash in a
-        // single partial+final agg — one |docs|-sized shuffle instead
-        // of exploding 8× and grouping 7.8M (doc, j) rows. LONG hash
-        // values keep the min-agg in HashAggregateExec (min(STRING)
-        // falls back to SortAggregate, a full sort of the shingle
-        // stream — visible in the round-1 plan).
-        graft.functions.MinHashLongs.register(s)
-        val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
-        val sig = hashed
-          .groupBy($"doc_id")
-          .agg(min($"hs".getItem(0)).as("mh1"),
-            (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
-        // 2 bands × 4 rows: collision prob = jaccard^4 per band — high
-        // precision for the near-identical pairs this threshold targets,
-        // and bounded candidate counts even on low-entropy corpora
-        // (wider 4×2 banding floods candidates with word-soup text).
-        // Candidates come from a groupBy on (band, bsig) + in-bucket
-        // pair expansion, NOT a bands-self-join: the self-join's two
-        // identical inputs each re-execute the whole shingle+md5
-        // pipeline (AQE does not reuse the exchange), doubling the
-        // dominant stage. The groupBy consumes sig exactly once; the
-        // per-bucket pair blow-up is the standard LSH quadratic-bucket
-        // risk — at 100 TB cap |bucket| (a bucket that big is
-        // boilerplate to drop anyway) or sub-band hot buckets.
-        val bands = sig.select($"doc_id",
-          explode(expr(
-            """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
-                     struct(1L AS band, concat_ws(',', CAST(mh5 AS STRING), CAST(mh6 AS STRING), CAST(mh7 AS STRING), CAST(mh8 AS STRING)) AS bsig))""")).as("tb"))
-          .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
-        val cand = bands
-          .groupBy($"band", $"bsig")
-          .agg(sort_array(collect_list($"doc_id")).as("ids"))
-          .filter(size($"ids") >= 2)
-          .select(explode(expr(
-            "flatten(transform(ids, x -> filter(transform(ids, y -> struct(x AS d1, y AS d2)), p -> p.d1 < p.d2)))")).as("p"))
-          .select($"p.d1".as("d1"), $"p.d2".as("d2"))
-          .distinct()
-        val sets = docSets
-        cand
-          .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
-          .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
-          .select($"d1", $"d2",
-            size(array_intersect($"gs1", $"gs2")).as("inter"),
-            size($"gs1").as("na"), size($"gs2").as("nb"))
-          .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-          .filter($"jac" >= 0.35)
-          .select($"d1", $"d2", $"jac")
-      },
+      (s, dir) => minhashLshPairs(docsSpread(s, dir), lshMaxBucket),
       Some(minhashPairsSql)),
 
     // ---------------------------------------------------------------- q22
@@ -325,25 +339,25 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val sig = simhashSignatures(s, dir)
-        // localCheckpoint the (tiny: |docs|×4 narrow rows) band frame so
-        // the self-join's two sides read materialized partitions instead
-        // of each re-executing the tokenize+simhash pipeline (AQE does
-        // not reuse the exchange). The join stays whole-stage-codegen'd
-        // — unlike an in-bucket pair expansion via transform/filter
-        // HOFs, which evaluate interpreted and were 3s of the bench on
-        // these coarse 1024-bucket groups. Eager materialization inside
-        // the builder is deliberate, same as q45's fixpoint.
+        // Candidate generation via ops.Lsh.simhashCandidates: codegen
+        // self-join within buckets (an in-bucket pair expansion via
+        // transform/filter HOFs evaluates interpreted and was 3s of the
+        // bench on these coarse 1024-bucket groups), with hot buckets
+        // (> 256 docs — and at corpus scale EVERY 8-bit bucket is hot)
+        // sub-banded exactly: 4 sub-bands of 6 bits over the remaining
+        // 24 bits preserve every hamming≤3 pair by recursive pigeonhole
+        // while cutting per-bucket pair counts ~64×. Provably identical
+        // output, so the oracle SQL stays the uncapped form (equality
+        // pinned by LshSpec). The op localCheckpoints the sized band
+        // frame so the self-join sides read materialized partitions
+        // instead of re-executing the tokenize+simhash pipeline (AQE
+        // does not reuse the exchange) — eager inside the builder is
+        // deliberate, same as q45's fixpoint.
         val bands = sig
           .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
-          .localCheckpoint()
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-            col("x.simhash").as("s1"), col("y.simhash").as("s2"))
-          .distinct()
+        val cand = graft.ops.Lsh.simhashCandidates(
+          bands, bandBits = 8, subBands = 4, subBits = 6, maxBucket = 256)
         cand
           .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
           .filter($"hamming" <= 3)

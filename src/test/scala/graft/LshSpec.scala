@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket behavior of the LSH candidate generators (ops.Lsh).
+  *
+  * q21 (minhash, fine buckets): a boilerplate bucket above the cap is
+  * dropped, bounding per-bucket pair expansion — the skew fixture shares
+  * one 200-char prefix across 20% of docs and asserts the shipped
+  * pipeline (Llm.minhashLshPairs) stays bounded with the cap and
+  * explodes without it.
+  *
+  * q38 (simhash, coarse buckets): hot buckets are sub-banded EXACTLY —
+  * the capped candidate path must produce the identical hamming≤3 pair
+  * set as brute-force all-pairs, on a fixture with a deliberately hot
+  * band bucket.
+  */
+class LshSpec extends SparkSuite {
+
+  test("minhash LSH cap drops the boilerplate bucket and bounds pair expansion") {
+    import spark.implicits._
+    // 100 docs: ids 0..19 share ONE boilerplate 200-char prefix (20% of
+    // corpus → one bucket of 20 in each band); ids 20+ are distinct
+    // texts with no 5-shingle overlap (digit-salted words).
+    val boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 5).take(200)
+    val docs = (0 until 100).map { i =>
+      if (i < 20) (i.toLong, boiler + s" tail $i")
+      else (i.toLong, s"unique document number $i " + (1 to 30).map(k => s"w$i-$k").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val capped = graft.queries.Llm.minhashLshPairs(docs, maxBucket = 16)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.queries.Llm.minhashLshPairs(docs, maxBucket = 1000000)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val boilerPairs = uncapped.filter { case (a, b) => a < 20 && b < 20 }
+    assert(boilerPairs.size === 20 * 19 / 2,
+      "without the cap the boilerplate bucket expands quadratically")
+    assert(capped.intersect(boilerPairs).isEmpty,
+      "the cap must drop the boilerplate bucket")
+    assert(capped === uncapped -- boilerPairs,
+      "the cap must not disturb pairs outside hot buckets")
+  }
+
+  test("hotBuckets reports buckets above the cap") {
+    import spark.implicits._
+    val bands = Seq.tabulate(30)(i => (i.toLong, 0L, if (i < 20) "HOT" else s"c$i"))
+      .toDF("doc_id", "band", "bsig")
+    val hot = graft.ops.Lsh.hotBuckets(bands, Seq("band", "bsig"), maxBucket = 16)
+      .collect()
+    assert(hot.length === 1)
+    assert(hot(0).getAs[String]("bsig") === "HOT")
+    assert(hot(0).getAs[Long]("n") === 20L)
+  }
+
+  test("simhash sub-banding is exact: capped candidates = brute-force hamming<=3") {
+    import spark.implicits._
+    // 400 sigs, all sharing band 0 (low byte = 0) → one hot bucket of
+    // 400 for b=0. Even ids: deterministic pseudo-random upper 24 bits;
+    // odd ids: previous sig with 1-3 bits flipped (true near-dups).
+    val sigs = (0 until 400).map { i =>
+      val base = ((i / 2) * 2654435761L) & 0xFFFFFF00L
+      val sig = if (i % 2 == 0) base
+      else base ^ (1L << (8 + (i % 24))) ^ (if (i % 3 == 0) 1L << 31 else 0L)
+      (i.toLong, sig & 0xFFFFFFFFL)
+    }.toDF("doc_id", "simhash")
+
+    val bands = sigs
+      .select($"doc_id", $"simhash", explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
+    assert(graft.ops.Lsh.hotBuckets(bands, Seq("b", "band"), 64).count() >= 1,
+      "fixture must actually contain a hot bucket")
+
+    val capped = graft.ops.Lsh
+      .simhashCandidates(bands, bandBits = 8, subBands = 4, subBits = 6, maxBucket = 64)
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter($"hamming" <= 3)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val brute = sigs.as("x").crossJoin(sigs.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.simhash ^ y.simhash) <= 3"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(brute.nonEmpty, "fixture must contain hamming<=3 pairs")
+    assert(capped === brute)
+  }
+}
