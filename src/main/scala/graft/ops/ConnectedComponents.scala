@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the cluster-formation step
+  * that turns pairwise near-dup matches into dedup groups
+  * (cluster id = min vertex id in the component).
+  *
+  * Two forms behind [[auto]]'s edge-count threshold:
+  *
+  *  - [[hashMinLocal]]: hash-min label propagation (each round every
+  *    vertex takes the min label over its neighborhood ∪ itself),
+  *    O(diameter) rounds, with the edge list collapsed to ONE partition
+  *    so each round is a single task instead of shuffle-partition
+  *    scheduler overhead. Right when the pair graph is
+  *    driver-small (the common case: near-dup graphs are orders of
+  *    magnitude smaller than the corpus).
+  *
+  *  - [[largeStarSmallStar]]: the alternating large-star/small-star
+  *    algorithm (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond", SoCC'14 — public algorithm, reimplemented on DataFrame
+  *    windows). Each phase is one window-aggregate shuffle keyed by
+  *    vertex + a distinct; converges in O(log n) rounds on any graph
+  *    (vs O(diameter) for hash-min — a 1000-hop chain of boilerplate
+  *    docs needs ~10 rounds, not ~1000). No coalesce, no driver-side
+  *    graph: this is the 100 TB path.
+  *
+  * Both return (v, cluster_id) for every vertex incident to an edge.
+  * Eager by necessity (fixpoint detection needs per-round actions);
+  * every intermediate is localCheckpoint'ed/unpersisted so no cached
+  * state leaks out.
+  */
+object ConnectedComponents {
+
+  /** Pick the form by edge count: a pair graph at or below
+    * `localThreshold` edges runs the single-task hash-min loop; bigger
+    * graphs run keyed large-star/small-star.
+    */
+  def auto(pairs: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
+    if (symCanonical(pairs).count() <= localThreshold) hashMinLocal(pairs)
+    else largeStarSmallStar(pairs)._1
+  }
+
+  /** (a, b) both directions, self-loops dropped, distinct. */
+  private def symCanonical(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a", "b")
+    p.union(p.select(col("b"), col("a")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Hash-min label propagation on one partition — O(diameter) rounds,
+    * single task per round. The labels-only-decrease invariant makes
+    * sum(lbl) a cheap fixpoint check (no diff join); sum over an EMPTY
+    * frame is NULL-coalesced to 0 so a pairless input converges
+    * immediately. Each round localCheckpoints: `labels` feeds the next
+    * round TWICE (directly + through the propagation join), so without
+    * lineage truncation the logical plan doubles per round —
+    * exponential planning cost on long-diameter graphs.
+    */
+  def hashMinLocal(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = symCanonical(pairs).coalesce(1).localCheckpoint()
+    // init = hash-min round 1 fused into the vertex dedup: lbl(v) =
+    // min(v, min over neighbors) — one groupBy instead of a distinct
+    // plus a full first iteration
+    var labels = edges.groupBy($"a")
+      .agg(least($"a", min($"b")).as("lbl"))
+      .select($"a".as("v"), $"lbl").localCheckpoint()
+    var sum0 = labels.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
+    var done = false
+    while (!done) {
+      val prop = edges.join(labels, $"b" === $"v")
+        .select($"a".as("v"), $"lbl")
+      val next = labels.union(prop)
+        .groupBy($"v").agg(min($"lbl").as("lbl")).localCheckpoint()
+      val sum1 = next.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      done = sum1 == sum0
+      sum0 = sum1
+    }
+    val result = labels.select($"v", $"lbl".as("cluster_id")).localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    result
+  }
+
+  /** Large-star: every vertex connects its strictly-larger neighbors to
+    * the minimum of its closed neighborhood. One window shuffle on u.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val d = e.union(e.select(col("b"), col("a"))).toDF("u", "v")
+    d.withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star: every vertex connects its smaller-or-equal neighbors
+    * (and itself) to the minimum among them.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.toDF("x", "y")
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val withM = d.withColumn("m", min("v").over(Window.partitionBy("u")))
+    withM.select(col("v").as("a"), col("m").as("b"))
+      .union(withM.select(col("u").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star until the edge set is a fixed star
+    * forest, then read labels off the stars. Returns (labels, rounds).
+    * Per-round localCheckpoint keeps the plan from compounding across
+    * iterations; the fixpoint check is an exact set comparison (count +
+    * except), never a hashed fingerprint that could collide into a
+    * premature stop.
+    */
+  def largeStarSmallStar(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    var e = symCanonical(pairs)
+      .select(greatest($"a", $"b").as("a"), least($"a", $"b").as("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0
+    while (!done && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val n1 = next.count()
+      done = n1 == n && next.except(e).limit(1).count() == 0
+      e = next
+      n = n1
+      rounds += 1
+    }
+    val labels = e.select($"a".as("v"), $"b".as("lbl"))
+      .union(e.select($"b".as("v"), $"b".as("lbl")))
+      .groupBy($"v").agg(min($"lbl").as("cluster_id"))
+    (labels, rounds)
+  }
+}

@@ -698,63 +698,26 @@ object Llm {
     // ---------------------------------------------------------------- q45
     // Near-dup CLUSTER formation: connected components over the q21 pair
     // graph (cluster id = min doc_id in the component) — the step that
-    // turns pairwise matches into dedup groups. Spark: hash-min label
-    // propagation (each round every vertex takes the min label over its
-    // neighborhood ∪ itself), a driver-coordinated fixpoint in
-    // O(diameter) rounds of one join + one partial+final agg over the
-    // edge list — NOT the transitive closure (whose frontier is
-    // O(Σ component²) rows and was 20s of the round-1 bench). The loop
-    // necessarily executes eagerly inside Q.run (fixpoint needs a count
-    // per round); every superseded frame is unpersisted and the final
-    // result is localCheckpoint'ed so nothing cached leaks out. At
-    // 100 TB: same loop with large-star/small-star rewiring → O(log n)
-    // rounds. DuckDB oracle: recursive CTE over full reachability —
-    // min(reachable) per vertex ≡ component min, so results agree.
+    // turns pairwise matches into dedup groups. ops.ConnectedComponents
+    // .auto picks the physical form by edge count: this pair graph is
+    // hundreds of edges, so it runs the single-partition hash-min
+    // fixpoint (O(diameter) rounds, one task per round); past the
+    // threshold it switches to keyed large-star/small-star (O(log n)
+    // rounds, no coalesce, no driver-side graph — the 100 TB form;
+    // CcSpec proves both agree and pins the round count on a long
+    // path graph). Necessarily eager inside Q.run (fixpoint detection
+    // needs per-round actions); nothing cached leaks out. NOT the
+    // transitive closure (whose frontier is O(Σ component²) rows and
+    // was 20s of the round-1 bench). DuckDB oracle: recursive CTE over
+    // full reachability — min(reachable) per vertex ≡ component min,
+    // so results agree.
     Q(
       "q45_dedup_clusters",
       (s, dir) => {
         import s.implicits._
         val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
           .run(s, dir).select($"d1", $"d2")
-        // the pair graph is orders of magnitude smaller than the corpus
-        // (hundreds of edges here) — collapse it to ONE partition for
-        // the iteration so each round is a single task instead of 32
-        // shuffle partitions of scheduler overhead (~1s/round → ~0.1s).
-        // At 100 TB the edge list is still tiny relative to input but
-        // big enough to stay keyed: drop the coalesce and keep
-        // hash(v)-partitioned rounds.
-        val edges = pairs
-          .union(pairs.select($"d2", $"d1"))
-          .toDF("a", "b").distinct().coalesce(1).cache()
-        // init = hash-min round 1 fused into the vertex dedup: lbl(v) =
-        // min(v, min over neighbors) — one groupBy instead of a
-        // distinct plus a full first iteration
-        var labels = edges.groupBy($"a")
-          .agg(least($"a", min($"b")).as("lbl"))
-          .select($"a".as("v"), $"lbl").cache()
-        // labels only ever decrease, so sum(lbl) is unchanged iff the
-        // fixpoint is reached — one cheap action per round, no diff join
-        // coalesce: sum over an EMPTY label frame (no near-dup pairs at
-        // all) is NULL, and getLong would NPE — 0 makes the loop
-        // converge immediately instead
-        var sum0 = labels.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
-        var done = false
-        while (!done) {
-          val prop = edges.join(labels, $"b" === $"v")
-            .select($"a".as("v"), $"lbl")
-          val next = labels.union(prop)
-            .groupBy($"v").agg(min($"lbl").as("lbl")).cache()
-          val sum1 = next.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
-          labels.unpersist()
-          labels = next
-          done = sum1 == sum0
-          sum0 = sum1
-        }
-        // truncate the iteration lineage, then release every cached frame
-        val result = labels.select($"v", $"lbl".as("cluster_id")).localCheckpoint()
-        labels.unpersist()
-        edges.unpersist()
-        result
+        graft.ops.ConnectedComponents.auto(pairs)
       },
       Some(s"""
         WITH RECURSIVE pairs AS ($minhashPairsSql),
