@@ -103,11 +103,66 @@ object AnnIndex {
       queries: DataFrame,  // (vec_id, embedding)
       k: Int = 10,
       dim: Int = 64): DataFrame = {
-    CosineSim.register(spark)
     val idx = index(corpus.select(col("vec_id"), col("embedding")), dim)
-    val probes = index(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), dim)
-    val cand = idx.join(probes, Seq("tbl", "bucket"))
+    rerank(spark, idx, probeFrame(queries, dim), k)
+  }
+
+  /** Combined single-column bucket key (tbl·2^B + bucket): Spark's
+    * bucket pruning only engages for a single-column bucket spec, so
+    * the at-rest layout buckets AND prunes on this one key.
+    */
+  def withBucketKey(idx: DataFrame): DataFrame =
+    idx.withColumn("bkey", col("tbl") * (1L << NumBits) + col("bucket"))
+
+  /** Persist the index as a bucketed+sorted table — the at-rest form
+    * the scaladoc above promises: probes prune to their buckets instead
+    * of scanning the corpus, and the probe join needs no shuffle on the
+    * index side.
+    */
+  def save(
+      corpus: DataFrame,
+      dim: Int,
+      tableName: String,
+      numBuckets: Int = 64): Unit =
+    withBucketKey(index(corpus.select(col("vec_id"), col("embedding")), dim))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .saveAsTable(tableName)
+
+  /** Probe a [[save]]d index table. The probe batch is dimension-sized
+    * (interactive or mini-batch ANN), so its bucket keys are collected
+    * into an IN-filter — that is what turns the bucketed layout into
+    * `SelectedBucketsCount: n/numBuckets` file pruning at the scan. A
+    * corpus-sized probe batch would instead co-bucket both sides and
+    * skip the filter.
+    */
+  def topKFromTable(
+      spark: SparkSession,
+      tableName: String,
+      queries: DataFrame,  // (vec_id, embedding)
+      k: Int = 10,
+      dim: Int = 64): DataFrame = {
+    val probes = withBucketKey(probeFrame(queries, dim))
+    val keys = probes.select("bkey").distinct().collect().map(_.getLong(0))
+    val pruned = spark.table(tableName).filter(col("bkey").isin(keys: _*))
+    rerank(spark, pruned, probes, k)
+  }
+
+  /** (qid, qe, tbl, bucket) — the query batch hashed by the same plane
+    * matrix as the corpus.
+    */
+  private def probeFrame(queries: DataFrame, dim: Int): DataFrame =
+    index(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")), dim)
+
+  /** Candidate join + exact-cosine re-rank, shared by the in-memory and
+    * persisted paths. The probe side is broadcast (dimension-sized by
+    * contract), so the index side streams its (possibly bucketed) scan
+    * with no shuffle.
+    */
+  private def rerank(spark: SparkSession, idx: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    CosineSim.register(spark)
+    val cand = idx.join(broadcast(probes.select(col("qid"), col("qe"), col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("embedding"), col("qe"))
       .distinct()

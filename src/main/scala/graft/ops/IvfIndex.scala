@@ -133,18 +133,61 @@ object IvfIndex {
       nprobe: Int = 4,
       iters: Int = 3,
       dim: Int = 64): DataFrame = {
-    import spark.implicits._
-    CosineSim.register(spark)
     val centroids = train(corpus, numCells, iters, dim)
-    val idx = index(corpus, centroids)
-    val probes = queries
+    rerank(spark, index(corpus, centroids), probeFrame(spark, queries, centroids, nprobe), k)
+  }
+
+  /** Persist the index partitioned by cell — the at-rest form the
+    * scaladoc above promises: one directory per inverted list, so a
+    * probe's cell filter becomes partition pruning at the scan (only
+    * the nprobe directories are listed/read).
+    */
+  def save(corpus: DataFrame, centroids: Array[Array[Float]], path: String): Unit =
+    index(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[save]]d index. The distinct probe cells (≤ nprobe ×
+    * |queries|, dimension-sized by contract) become an IN-filter on the
+    * partition column — PartitionFilters in the scan, pruned file
+    * listing — then the same broadcast-probe re-rank as the in-memory
+    * path.
+    */
+  def topKFromSaved(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      queries: DataFrame,  // (vec_id, embedding)
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val probes = probeFrame(spark, queries, centroids, nprobe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(path).filter(col("cell").isin(cells.map(Int.box): _*))
+    rerank(spark, idx, probes, k)
+  }
+
+  /** (qid, qe, cell) — each query replicated to its nprobe cells. */
+  private def probeFrame(
+      spark: SparkSession,
+      queries: DataFrame,
+      centroids: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
+    queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qe) =>
         nearestCells(qe, centroids, nprobe).map(c => (qid, qe, c))
       }
       .toDF("qid", "qe", "cell")
-    val cand = idx.join(probes, "cell")
+  }
+
+  /** Candidate join + exact re-rank, shared by both paths; the probe
+    * side is broadcast (dimension-sized), so the index side streams its
+    * (possibly partition-pruned) scan without a shuffle.
+    */
+  private def rerank(spark: SparkSession, idx: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    CosineSim.register(spark)
+    val cand = idx.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", expr("cosine_sim(embedding, qe)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{AnnIndex, IvfIndex}
+import org.apache.spark.sql.functions._
+
+/** The at-rest index layouts promised by the AnnIndex/IvfIndex
+  * scaladocs: saving the sign-LSH index `bucketBy(bkey)` makes a probe
+  * prune buckets (`SelectedBucketsCount` in the scan) with no shuffle on
+  * the index side; saving the IVF index `partitionBy(cell)` makes a
+  * probe prune partitions (`PartitionFilters`). Both persisted probes
+  * must return exactly what the in-memory probe returns.
+  */
+class PersistedIndexSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vectors = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def queries = vectors.orderBy("vec_id").limit(5)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("qid", "vec_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** The plan text between the candidate join and the index scan — the
+    * path that must be exchange-free (post-join exchanges on the small
+    * candidate set are legitimate).
+    */
+  private def scanToJoin(plan: String): String = {
+    val start = plan.indexOf("BroadcastHashJoin")
+    val end = plan.indexOf("BroadcastExchange", start)
+    assert(start >= 0 && end > start, s"unexpected plan shape:\n$plan")
+    plan.substring(start, end)
+  }
+
+  test("bucketBy-persisted sign-LSH index probes with bucket pruning and no index-side shuffle") {
+    spark.sql("DROP TABLE IF EXISTS ann_idx")
+    AnnIndex.save(vectors, dim = 64, tableName = "ann_idx", numBuckets = 64)
+
+    val probed = AnnIndex.topKFromTable(spark, "ann_idx", queries, k = 10, dim = 64)
+    val result = rows(probed)
+    val plan = probed.queryExecution.executedPlan.toString
+
+    // bucket pruning engaged: the scan reads a strict subset of buckets
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe read every bucket: ${sel.get.matched}")
+
+    // the index side must not shuffle: between the candidate join and
+    // the bucketed index scan there is no exchange (the probe side is
+    // the broadcast)
+    assert(scanToJoin(plan).contains("FileScan parquet spark_catalog.default.ann_idx"),
+      s"join does not read the persisted index directly:\n$plan")
+    assert(!scanToJoin(plan).contains("Exchange"),
+      s"index side shuffles on probe:\n$plan")
+
+    // and the persisted probe agrees exactly with the in-memory probe
+    assert(result === rows(AnnIndex.topK(spark, vectors, queries, k = 10, dim = 64)))
+    assert(result.nonEmpty)
+  }
+
+  test("partitionBy-persisted IVF index probes with partition pruning") {
+    val path = Files.createTempDirectory("ivf-idx").toString
+    val centroids = IvfIndex.train(vectors, k = 16, iters = 3, dim = 64)
+    IvfIndex.save(vectors, centroids, path)
+
+    val probed = IvfIndex.topKFromSaved(spark, path, centroids, queries, k = 10, nprobe = 4)
+    val result = rows(probed)
+    val plan = probed.queryExecution.executedPlan.toString
+
+    // the cell IN-filter must reach the scan as a partition filter
+    // (Spark then lists/reads only those cell= directories)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n$plan")
+    assert(!scanToJoin(plan).contains("Exchange"),
+      s"index side shuffles on probe:\n$plan")
+
+    // persisted probe equals in-memory probe (same centroids, same data)
+    assert(result === rows(IvfIndex.topK(spark, vectors, queries,
+      k = 10, numCells = 16, nprobe = 4, iters = 3, dim = 64)))
+    assert(result.nonEmpty)
+  }
+}
