@@ -61,6 +61,63 @@ object MrlCtl {
     reg
   }
 
+  /** FIFO multi-job queue ≈ the reference coordinator's job queue
+    * (`mrl-coordinator/src/jobs.rs:165-268` states
+    * Pending→Mapping→Reducing→Completed/Failed;
+    * `job_queue.rs:79-119` FIFO drain + failure-triggered cleanup).
+    * Spark fuses the map/reduce halves into scheduler stages, so the
+    * queue tracks QUEUED→RUNNING→COMPLETED/FAILED; a failing job's
+    * partial output is deleted (the reference deletes its temp/output
+    * objects) and the queue KEEPS DRAINING — one bad job never wedges
+    * the queue.
+    */
+  final class JobQueue(spark: SparkSession) {
+    private case class Entry(
+        id: Int, workload: String, input: String, output: String,
+        aux: Seq[String], partitions: Int)
+    private val entries = scala.collection.mutable.ListBuffer.empty[Entry]
+    private val states = scala.collection.concurrent.TrieMap.empty[Int, String]
+
+    /** Enqueue; returns the job's queue id (submit order). */
+    def submit(
+        workload: String, input: String, output: String,
+        aux: Seq[String] = Nil, partitions: Int = 0): Int = this.synchronized {
+      val id = entries.length
+      entries += Entry(id, workload, input, output, aux, partitions)
+      states(id) = "QUEUED"
+      id
+    }
+
+    def state(id: Int): String = states.getOrElse(id, "UNKNOWN")
+
+    /** Drain the queue in submit order. */
+    def runAll(): Unit = this.synchronized {
+      entries.filter(e => states(e.id) == "QUEUED").foreach { e =>
+        states(e.id) = "RUNNING"
+        try {
+          MapReduce.runWorkload(spark, e.workload, e.input, e.output, e.aux, e.partitions)
+          states(e.id) = "COMPLETED"
+        } catch {
+          case ex: Exception =>
+            states(e.id) = "FAILED"
+            // failure cleanup: remove the job's partial output, like the
+            // reference deletes a failed job's objects
+            val path = new org.apache.hadoop.fs.Path(e.output)
+            val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(path)) fs.delete(path, true)
+            System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
+        }
+      }
+    }
+
+    /** Submit-order report, reference `jobs` shape. */
+    def report: String = this.synchronized {
+      s"${entries.length} jobs\n" + entries.map { e =>
+        s"  job ${e.id}: ${states(e.id)} (${e.workload} -> ${e.output})"
+      }.mkString("\n")
+    }
+  }
+
   /** Job states ≈ reference `jobs` (core.rs:106-125). Waits (bounded)
     * for the async listener bus to deliver the run's events — not just
     * the first JobStart but the matching JobEnds too, so a completed

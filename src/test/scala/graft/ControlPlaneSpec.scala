@@ -45,4 +45,30 @@ class ControlPlaneSpec extends SparkSuite {
     assert("job \\d+: SUCCEEDED".r.findFirstIn(jobs).isDefined, jobs)
     assert(!jobs.contains("FAILED"), jobs)
   }
+
+  test("job queue drains FIFO past a failing job, reports FAILED, and cleans its output") {
+    val in = Files.createTempDirectory("ctlq-in")
+    val outRoot = Files.createTempDirectory("ctlq-out")
+    Files.writeString(in.resolve("a.txt"), "alpha beta alpha\n")
+
+    val q = new MrlCtl.JobQueue(spark)
+    val ok1 = q.submit("wc", in.toString + "/*.txt", outRoot.resolve("ok1").toString)
+    val bad = q.submit("wc", "/nonexistent-ctlq-path/*.txt", outRoot.resolve("bad").toString)
+    val ok2 = q.submit("grep", in.toString + "/*.txt", outRoot.resolve("ok2").toString,
+      aux = Seq("alpha"))
+    assert(Seq(ok1, bad, ok2) === Seq(0, 1, 2), "queue ids are FIFO submit order")
+    assert(q.state(bad) === "QUEUED")
+
+    q.runAll()
+
+    assert(q.state(ok1) === "COMPLETED")
+    assert(q.state(bad) === "FAILED")
+    assert(q.state(ok2) === "COMPLETED", "queue must keep draining after a failure")
+    assert(!Files.exists(outRoot.resolve("bad")), "failed job's partial output must be cleaned")
+    assert(Files.list(outRoot.resolve("ok1")).iterator().hasNext)
+    val report = q.report
+    assert(report.startsWith("3 jobs"), report)
+    assert(report.linesIterator.toSeq(1).contains("COMPLETED"), report)
+    assert(report.linesIterator.toSeq(2).contains("FAILED"), report)
+  }
 }
