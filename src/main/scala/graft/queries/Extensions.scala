@@ -129,6 +129,47 @@ object Extensions {
           least(out_w, out_h) < least(width, height) AS downscaled
         FROM rs""")),
 
+    // The typed-Aggregator UDAF surface (SURVEY.md §2.11) on the query
+    // path: per-document MinHash signatures folded by
+    // graft.functions.MinHashAgg — same hash60 family as q21's native
+    // expression, so the oracle is the q21 sig CTE pivoted to columns.
+    // The Aggregator gets partial aggregation for free: k longs of
+    // state per doc regardless of shingle count (signature columns,
+    // not the ARRAY, because the driver compare requires scalars).
+    Q(
+      "q66_minhash_udaf",
+      (s, dir) => {
+        import s.implicits._
+        val t = Llm.docsSpread(s, dir)
+          .select($"doc_id", substring($"text", 1, 200).as("t200"))
+          .filter(length($"t200") >= 5)
+        val sh = t.select($"doc_id",
+          explode(expr(
+            "array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))")).as("g"))
+        val mh = udaf(new graft.functions.MinHashAgg(8),
+          org.apache.spark.sql.Encoders.STRING)
+        sh.groupBy($"doc_id").agg(mh($"g").as("hs"))
+          .select($"doc_id" +: (1 to 8).map(j => $"hs".getItem(j - 1).as(s"mh$j")): _*)
+      },
+      Some {
+        val cols = (1 to 8)
+          .map(j => s"max(CASE WHEN j = $j THEN mh END) AS mh$j")
+          .mkString(",\n          ")
+        s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
+          FROM documents CROSS JOIN generate_series(1, 196) s(i)
+          WHERE s.i <= length(substr(text,1,200)) - 4),
+        sig AS (
+          SELECT doc_id, h.j,
+            min(CAST(CAST(concat('0x', substr(md5(CAST(h.j AS VARCHAR) || '|' || g), 1, 15)) AS UBIGINT) AS BIGINT)) AS mh
+          FROM sh CROSS JOIN generate_series(1, 8) h(j)
+          GROUP BY doc_id, h.j)
+        SELECT doc_id,
+          $cols
+        FROM sig GROUP BY doc_id"""
+      }),
+
     // IVF-Flat ANN (the trained-quantizer scale path, complementing
     // q33's training-free sign-LSH): deterministic k-means coarse
     // cells, nprobe-cell candidate generation, exact cosine re-rank.

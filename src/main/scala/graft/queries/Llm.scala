@@ -51,7 +51,7 @@ object Llm {
     * the local-small-file equivalent of the multi-file/multi-row-group
     * split a real 100 TB scan gets for free.
     */
-  private def docsSpread(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docsSpread(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // EXPLICIT partition count: a bare repartition($"doc_id") is
     // advisory under AQE, which coalesces the tiny shuffle to ONE
