@@ -39,8 +39,13 @@ object ConnectedComponents {
     * graphs run keyed large-star/small-star.
     */
   def auto(pairs: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
-    if (symCanonical(pairs).count() <= localThreshold) hashMinLocal(pairs)
-    else largeStarSmallStar(pairs)._1
+    // materialize the edge set ONCE: the threshold probe is an action,
+    // and without this the whole upstream pair pipeline (e.g. q21's
+    // shingle+minhash run) would execute twice — once for the count,
+    // once for the iteration
+    val e = symCanonical(pairs).localCheckpoint()
+    if (e.count() <= localThreshold) hashMinEdges(e.coalesce(1))
+    else largeStarSmallStar(e)._1
   }
 
   /** (a, b) both directions, self-loops dropped, distinct. */
@@ -60,10 +65,13 @@ object ConnectedComponents {
     * lineage truncation the logical plan doubles per round —
     * exponential planning cost on long-diameter graphs.
     */
-  def hashMinLocal(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
+  def hashMinLocal(pairs: DataFrame): DataFrame =
+    hashMinEdges(symCanonical(pairs).coalesce(1))
+
+  private def hashMinEdges(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
     import s.implicits._
-    val edges = symCanonical(pairs).coalesce(1).localCheckpoint()
+    val edges = edges0.localCheckpoint()
     // init = hash-min round 1 fused into the vertex dedup: lbl(v) =
     // min(v, min over neighbors) — one groupBy instead of a distinct
     // plus a full first iteration

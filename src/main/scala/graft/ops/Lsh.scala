@@ -81,27 +81,34 @@ object Lsh {
       subBands: Int,
       subBits: Int,
       maxBucket: Int): DataFrame = {
-    val sized = bands
+    // One fused band stream instead of a cold/hot union of two
+    // self-joins: cold-bucket rows carry a single sentinel sub-band key
+    // (-1), hot-bucket rows expand to their subBands keys — one
+    // self-join on (b, band, __j, __sub) then covers both regimes
+    // (sentinel keys only ever match sentinel keys of the same bucket;
+    // a bucket is cold or hot for ALL its members).
+    // remaining-bits compaction for the hot rows: drop the
+    // bandBits-wide slice b out of the signature — high part shifted
+    // down into the hole, low part kept (b is a column, so the shifts
+    // are per-row expressions).
+    val keyed = bands
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("b"), col("band"))))
-      .localCheckpoint()
-    val cold = sized.filter(col("__n") <= maxBucket)
-    // remaining-bits compaction: drop the bandBits-wide slice b out of
-    // the signature — high part shifted down into the hole, low part
-    // kept (b is a column, so the shifts are per-row expressions)
-    val hot = sized.filter(col("__n") > maxBucket)
       .withColumn("__r", expr(
         s"""shiftleft(shiftright(simhash, CAST((b + 1) * $bandBits AS INT)), CAST(b * $bandBits AS INT))
             | (simhash & (shiftleft(CAST(1 AS BIGINT), CAST(b * $bandBits AS INT)) - 1))"""))
-      .withColumn("__j", explode(expr(s"sequence(0, ${subBands - 1})")))
-      .withColumn("__sub", expr(s"shiftright(__r, CAST(__j * $subBits AS INT)) & ${(1L << subBits) - 1}"))
-    def pairs(df: DataFrame, keys: Seq[String]): DataFrame =
-      df.as("x").join(df.as("y"),
-        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      .withColumn("__j", explode(
+        when(col("__n") > maxBucket, expr(s"sequence(0, ${subBands - 1})"))
+          .otherwise(expr("array(-1)"))))
+      .withColumn("__sub",
+        when(col("__j") === -1, lit(-1L))
+          .otherwise(expr(s"shiftright(__r, CAST(__j * $subBits AS INT)) & ${(1L << subBits) - 1}")))
+      .localCheckpoint()
+    keyed.as("x").join(keyed.as("y"),
+        col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+          col("x.__j") === col("y.__j") && col("x.__sub") === col("y.__sub") &&
           col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-          col("x.simhash").as("s1"), col("y.simhash").as("s2"))
-    pairs(cold, Seq("b", "band"))
-      .union(pairs(hot, Seq("b", "band", "__j", "__sub")))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
       .distinct()
   }
 }
