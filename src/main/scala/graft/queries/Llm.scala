@@ -729,6 +729,85 @@ object Llm {
           SELECT a, a FROM edges
           UNION
           SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a)
-        SELECT v, min(r) AS cluster_id FROM reach GROUP BY v"""))
+        SELECT v, min(r) AS cluster_id FROM reach GROUP BY v""")),
+
+    // ---------------------------------------------------------------- q67
+    // Train/eval decontamination — the canonical pre-training hygiene
+    // pass: find training documents sharing any 13-char shingle with
+    // the benchmark set (here: doc_id < 20 stands in for the eval
+    // suite). Shingles are hashed to 60-bit longs map-side, so the join
+    // shuffles (hash, id) pairs, never text; at 100 TB the eval side is
+    // benchmark-sized — broadcast it (or bloom-filter the train stream
+    // against it) and the train side stays a single scan projection.
+    // The two count-distincts expand per standard Spark; at scale the
+    // contaminated? bit (n_shared >= 1) is the cheap form.
+    Q(
+      "q67_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val t = docsSpread(s, dir)
+          .select($"doc_id", substring($"text", 1, 200).as("t200"))
+          .filter(length($"t200") >= 13)
+        val sh = t.select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(1, length(t200)-12), i -> " +
+            "CAST(conv(substr(md5(substring(t200, i, 13)), 1, 15), 16, 10) AS BIGINT)))")).as("gh"))
+        val eval = sh.filter($"doc_id" < 20).select($"gh", $"doc_id".as("eval_id"))
+        sh.filter($"doc_id" >= 20)
+          .join(broadcast(eval), "gh")
+          .groupBy($"doc_id")
+          .agg(
+            countDistinct($"gh").as("n_shared_grams"),
+            countDistinct($"eval_id").as("n_eval_docs"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents
+          WHERE length(substr(text, 1, 200)) >= 13),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            CAST(CAST(concat('0x', substr(md5(substr(t200, s.i, 13)), 1, 15)) AS UBIGINT) AS BIGINT) AS gh
+          FROM t CROSS JOIN generate_series(1, 188) s(i)
+          WHERE s.i <= length(t200) - 12)
+        SELECT tr.doc_id,
+          CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_shared_grams,
+          CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        FROM sh tr JOIN sh ev ON tr.gh = ev.gh
+        WHERE tr.doc_id >= 20 AND ev.doc_id < 20
+        GROUP BY tr.doc_id""")),
+
+    // ---------------------------------------------------------------- q68
+    // Within-document repetition quality signal: the duplicated-shingle
+    // ratio (1 - distinct/total 5-grams of the prefix) — a standard
+    // boilerplate/template detector alongside q27's length/punct
+    // ratios. Pure scan projection: no shuffle at any scale. The ratio
+    // is two IEEE double ops on identical integers in both engines.
+    Q(
+      "q68_repetition",
+      (s, dir) => {
+        import s.implicits._
+        docsSpread(s, dir)
+          .select($"doc_id", substring($"text", 1, 200).as("t200"))
+          .filter(length($"t200") >= 5)
+          .select($"doc_id",
+            (length($"t200") - 4).cast("long").as("n_grams"),
+            size(expr(
+              "array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))"))
+              .cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - $"n_distinct".cast("double") / $"n_grams")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents
+          WHERE length(substr(text, 1, 200)) >= 5),
+        sh AS (
+          SELECT doc_id, substr(t200, s.i, 5) AS g
+          FROM t CROSS JOIN generate_series(1, 196) s(i)
+          WHERE s.i <= length(t200) - 4)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+          1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
+        FROM sh GROUP BY doc_id"""))
   )
 }
