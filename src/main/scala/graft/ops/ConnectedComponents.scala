@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list — the cluster-formation step
@@ -98,11 +97,17 @@ object ConnectedComponents {
   }
 
   /** Large-star: every vertex connects its strictly-larger neighbors to
-    * the minimum of its closed neighborhood. One window shuffle on u.
+    * the minimum of its closed neighborhood. Neighborhood minima come
+    * from a partial-aggregable groupBy + an equi-join back on the
+    * vertex — NOT a window: a window partition holds a vertex's whole
+    * neighborhood and sorts it (a 10^8-degree hub breaks that task),
+    * while the hash-agg min is combined map-side and the join is
+    * AQE-skew-splittable.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val d = e.union(e.select(col("b"), col("a"))).toDF("u", "v")
-    d.withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
+    val mins = d.groupBy("u").agg(least(col("u"), min("v")).as("m"))
+    d.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
@@ -110,13 +115,15 @@ object ConnectedComponents {
   }
 
   /** Small-star: every vertex connects its smaller-or-equal neighbors
-    * (and itself) to the minimum among them.
+    * (and itself) to the minimum among them. Same groupBy+join shape as
+    * [[largeStar]] for the same skew reason.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val d = e.toDF("x", "y")
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v"))
-    val withM = d.withColumn("m", min("v").over(Window.partitionBy("u")))
+    val mins = d.groupBy("u").agg(min("v").as("m"))
+    val withM = d.join(mins, "u")
     withM.select(col("v").as("a"), col("m").as("b"))
       .union(withM.select(col("u").as("a"), col("m").as("b")))
       .filter(col("a") =!= col("b"))

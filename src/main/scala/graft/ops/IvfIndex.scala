@@ -110,6 +110,96 @@ object IvfIndex {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Quantizer with hot-cell refinement — the k-means analog of
+    * [[Lsh]]'s hot-bucket treatment: a cell whose population exceeds
+    * the cap gets its own deterministic sub-quantizer, so no inverted
+    * list grows unbounded when the corpus clusters unevenly. Sub-cell
+    * ids live in a disjoint range ((c+1)·100000 + j), so the index
+    * keeps one integer `cell` column and the probe join is unchanged.
+    */
+  final case class IvfModel(
+      centroids: Array[Array[Float]],
+      sub: Map[Int, Array[Array[Float]]]) extends Serializable {
+
+    def cellOf(emb: Array[Float]): Int = {
+      val c = nearestCell(emb, centroids)
+      sub.get(c) match {
+        case Some(scs) => refinedId(c, nearestCell(emb, scs))
+        case None => c
+      }
+    }
+
+    /** nprobe base cells; split cells expand to their subProbe nearest
+      * sub-cells. */
+    def probeCells(emb: Array[Float], nprobe: Int, subProbe: Int): Array[Int] =
+      nearestCells(emb, centroids, nprobe).flatMap { c =>
+        sub.get(c) match {
+          case Some(scs) => nearestCells(emb, scs, subProbe).map(refinedId(c, _))
+          case None => Array(c)
+        }
+      }
+  }
+
+  def refinedId(c: Int, j: Int): Int = (c + 1) * 100000 + j
+
+  /** Split every cell holding more than `maxCell` vectors with a
+    * deterministic per-cell sub-quantizer (same seeding rule as
+    * [[train]], restricted to the cell's members). The assignment scan
+    * and per-cell trainings are data-parallel jobs; the model stays
+    * centroid-sized (kilobytes, closure-broadcast). At 100 TB the same
+    * loop runs on per-cell samples.
+    */
+  def refine(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      maxCell: Long,
+      subK: Int,
+      iters: Int,
+      dim: Int): IvfModel = {
+    val assigned = index(corpus, centroids)
+    val hot = assigned.groupBy(col("cell")).count()
+      .filter(col("count") > maxCell)
+      .collect().map(_.getInt(0)).sorted
+    val sub = hot.map { c =>
+      val members = assigned.filter(col("cell") === c).select(col("vec_id"), col("embedding"))
+      c -> train(members, subK, iters, dim)
+    }.toMap
+    IvfModel(centroids, sub)
+  }
+
+  /** Index under a refined model: one integer cell id per vector, hot
+    * cells already split. */
+  def indexRefined(corpus: DataFrame, model: IvfModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) => (model.cellOf(emb), id, emb) }
+      .toDF("cell", "vec_id", "embedding")
+  }
+
+  /** Top-k under a refined model (hot cells split, probes expanded to
+    * sub-cells). */
+  def topKRefined(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      model: IvfModel,
+      k: Int = 10,
+      nprobe: Int = 4,
+      subProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qe) =>
+        model.probeCells(qe, nprobe, subProbe).map(c => (qid, qe, c))
+      }
+      .toDF("qid", "qe", "cell")
+    rerank(spark, indexRefined(corpus, model), probes, k)
+  }
+
   /** (cell, vec_id, embedding) index frame — scan-parallel assignment. */
   def index(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
