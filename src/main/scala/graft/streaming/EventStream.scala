@@ -73,6 +73,25 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup suppression: the minhash band signature of the
+    * text prefix is the dedup key, so near-identical documents (not
+    * just byte-identical ones) collapse as they arrive — the streaming
+    * operating point of the q21 family. ONE band of four minhashes:
+    * P(suppress | jaccard j) = j^4, the precision-leaning choice —
+    * multi-band OR semantics don't fit a per-key streaming dedup state,
+    * and the batch q21/q45 pipeline is the replayable backfill that
+    * catches the recall remainder. State is one row per surviving
+    * signature, evicted by the watermark.
+    */
+  def dedupNearDup(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashLongs.register(docs.sparkSession)
+    docs
+      .withColumn("bsig", expr(
+        "concat_ws(',', transform(minhash_longs(substring(text, 1, 200), 4), h -> CAST(h AS STRING)))"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("bsig")
+  }
+
   /** Stream-static enrichment join: the streaming fact joins a static
     * dimension (broadcast per micro-batch) — the streaming counterpart
     * of q03's star join.

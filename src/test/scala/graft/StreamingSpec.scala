@@ -59,6 +59,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamEnriched === batchEnriched)
   }
 
+  test("streaming near-dup suppression keeps one doc per band signature") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    // events props stand in for document text (near-identical payloads
+    // share JSON boilerplate → identical 200-char-prefix band sigs)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("text", col("props"))
+
+    val q = EventStream.dedupNearDup(src)
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    q.processAllAvailable()
+    q.stop()
+
+    graft.functions.MinHashLongs.register(spark)
+    val batch = graft.Sql.table(spark, sf, "events")
+      .withColumn("text", col("props"))
+      .select(expr(
+        "concat_ws(',', transform(minhash_longs(substring(text, 1, 200), 4), h -> CAST(h AS STRING)))").as("bsig"))
+    val distinctSigs = batch.distinct().count()
+    val total = batch.count()
+    val kept = spark.sql("SELECT count(*) FROM neardup").collect()(0).getLong(0)
+    val keptSigs = spark.sql("SELECT count(DISTINCT bsig) FROM neardup").collect()(0).getLong(0)
+    // exactly one survivor per distinct band signature, regardless of
+    // which representative won the processing-order race
+    assert(kept === distinctSigs, s"kept=$kept distinct=$distinctSigs")
+    assert(keptSigs === kept)
+    assert(kept < total, "fixture must actually contain near-dups")
+  }
+
   test("stream-stream interval join (purchase attribution) matches the batch join") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
