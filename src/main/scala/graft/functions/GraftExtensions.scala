@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashLongs].getName, "minhash_longs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashLongs.fromExprs(exprs)))
+    // whole-operator extension: plans the AsOfMergeJoin logical node
+    // (graft.plans.AsOfMerge also self-registers on live sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
   }
 }

@@ -122,6 +122,33 @@ object Stats {
       },
       Some(asofOracle)),
 
+    // The custom-SparkPlan strategy on the same data and oracle as
+    // q39/q65 (SURVEY.md §7.4 preference (c)): plans.AsOfMerge is a
+    // real sort-merge as-of operator — co-partitioned (key,time)-sorted
+    // children, one streaming merge pass, one buffered right row of
+    // state — no packed-history row-size cap, no range-join
+    // intermediate. Three physical strategies, one oracle.
+    Q(
+      "q69_asof_merge",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "events")
+        // project the right side manually: a custom logical node is
+        // opaque to column pruning, so narrow it before the join
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the custom node
+        // requires identical time types, so align it to events.ts's
+        // TIMESTAMP (identity under the UTC session)
+        val o = table(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+          $"o_orderdate".cast("timestamp").as("o_orderdate"))
+        graft.plans.AsOfMerge.join(
+            e, $"user_id" % 1500, $"ts",
+            o, $"o_custkey", $"o_orderdate", Seq($"o_orderkey"))
+          .filter($"o_orderkey".isNotNull)
+          .select($"event_id", $"user_id", $"o_orderkey",
+            tsStr($"o_orderdate").as("asof_orderdate"))
+      },
+      Some(asofOracle)),
+
     // Statistical moments — sample variance/stddev of quantity and the
     // quantity↔discount correlation per returnflag. NOT the builtin
     // stddev/corr (those accumulate doubles in partition order — not

@@ -1,0 +1,86 @@
+package graft
+
+import graft.plans.AsOfMerge
+import org.apache.spark.sql.functions._
+
+/** The custom sort-merge as-of operator (logical node + strategy +
+  * SparkPlan) must agree with both composed strategies on the tricky
+  * cases (empty history, time ties, unmatched keys), produce the exact
+  * q39 result on real data, and plan as a co-partitioned merge — no
+  * broadcast, no cartesian, the custom exec visible in the plan.
+  */
+class AsOfMergeSpec extends SparkSuite {
+
+  test("custom merge operator handles empty history, ties, and unmatched keys") {
+    import spark.implicits._
+    val left = Seq(
+      (10L, 1L, 5L), (11L, 1L, 25L), (12L, 1L, 99L), (13L, 2L, 50L)
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 20L, 100L), (1L, 20L, 101L), (1L, 30L, 102L)
+    ).toDF("rk", "rt", "seq")
+
+    val out = AsOfMerge.join(left, $"k", $"t", right, $"rk", $"rt", Seq($"seq"))
+      .select($"id", $"seq")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(
+      10L -> None, // before the key's first right row
+      11L -> Some(101L), // t=20 tie -> larger seq wins
+      12L -> Some(102L),
+      13L -> None)) // key with no right rows
+  }
+
+  test("q69 (custom operator) returns exactly q39's rows and plans as a merge") {
+    val sf = "/root/testdata/sf0.001"
+    val custom = SparkEntry.queries("q69_asof_merge")(spark, sf)
+    val rows = custom.collect().map(_.toSeq).toSet
+    val packed = SparkEntry.queries("q39_asof_join")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === packed)
+
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan) // SparkPlan trims the Exec suffix
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // both children arrive hash-partitioned and sorted (Catalyst
+    // inserted them from the declared requirements; under AQE the
+    // exchanges surface as shuffle query stages)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size +
+      "ShuffleQueryStage".r.findAllIn(plan).size
+    assert(shuffles >= 2, plan)
+    assert("Sort \\[".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("the extensions injection path plans the custom node without runtime registration") {
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-asof-ext")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val left = Seq((1L, 1L, 10L)).toDF("id", "k", "t")
+      val right = Seq((1L, 5L, 7L)).toDF("rk", "rt", "seq")
+      // build the node through the bridge WITHOUT AsOfMerge.join's
+      // addStrategy call: only the injected strategy can plan it
+      val node = graft.plans.AsOfMergeJoin(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        AsOfMerge.resolve(left, $"k"), AsOfMerge.resolve(left, $"t"),
+        AsOfMerge.resolve(right, $"rk"), AsOfMerge.resolve(right, $"rt"),
+        Seq(AsOfMerge.resolve(right, $"seq")))
+      val res = org.apache.spark.sql.GraftSqlBridge.ofRows(s2, node).collect()
+      assert(res.length === 1 && res(0).getLong(5) === 7L)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+}
