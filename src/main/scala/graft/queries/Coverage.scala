@@ -353,6 +353,61 @@ object Coverage {
           CAST((year(l_shipdate)*12 + month(l_shipdate)) -
                (year(o_orderdate)*12 + month(o_orderdate)) AS BIGINT) AS month_delta,
           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30 AS late_30d
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""")),
+
+    // ---------------------------------------------------------------- q70
+    // Explicit GROUPING SETS (the general form behind q13's ROLLUP and
+    // q47's CUBE): three disjoint grouping shapes in ONE Expand+agg
+    // pass — the engine reads the fact once, not three times. Group
+    // identity is encoded via coalesce('ALL') rather than
+    // grouping_id() (bit order is engine-specific; the data columns
+    // are null-free so the markers are unambiguous).
+    Q(
+      "q70_grouping_sets",
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
+    // ---------------------------------------------------------------- q71
+    // Correlated EXISTS / NOT EXISTS via the spark.sql path: Catalyst
+    // decorrelates both into left-semi and left-anti joins (no
+    // per-row subquery execution — the classic optimizer test). High
+    // spenders who never filed a low-priority order.
+    Q(
+      "q71_exists_correlated",
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment FROM customer_v c
+          WHERE EXISTS (
+              SELECT 1 FROM orders_v o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders_v o2
+              WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')""")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')"""))
   )
 }
