@@ -89,9 +89,15 @@ object AsOfJoin {
   }
 
   /** Threshold-selected strategy: packs history while the largest
-    * per-key history is at most `maxHistPerKey` rows, else falls back to
-    * the range join. The probe is one count-per-key aggregate reduced to
-    * a single row — O(|right|) scan, tiny shuffle.
+    * per-key history is at most `maxHistPerKey` rows, else switches to
+    * the custom sort-merge operator ([[graft.plans.AsOfMerge]] — one
+    * buffered row of state, no packed-row cap, and measured faster
+    * than the range-join+window form, which stays available as
+    * [[rangeWindow]] for engines without the extension). The probe is
+    * one count-per-key aggregate reduced to a single row — O(|right|)
+    * scan, tiny shuffle. NOTE: the merge tier compares times with an
+    * exact type match — cast left/right time columns to one type
+    * upstream.
     */
   def auto(
       left: DataFrame,
@@ -109,7 +115,13 @@ object AsOfJoin {
     val largest = if (maxHist.isNullAt(0)) 0L else maxHist.getLong(0)
     if (largest <= maxHistPerKey)
       packedHistory(left, leftKey, leftTime, right, rightKey, asofStruct, timeField, broadcastHist)
-    else
-      rangeWindow(left, leftKey, leftTime, leftId, right, rightKey, asofStruct, timeField)
+    else {
+      val r = right.select(rightKey.as("__k"), asofStruct.as("__a"))
+      graft.plans.AsOfMerge.join(
+          left, leftKey, leftTime,
+          r, col("__k"), col("__a").getField(timeField), Seq(col("__a")))
+        .withColumn("asof", col("__a"))
+        .drop("__k", "__a")
+    }
   }
 }
