@@ -68,7 +68,7 @@ object SpeculationDemo {
     require(up, s"port $port not up after ${timeoutMs}ms")
   }
 
-  def run(): (Int, Int, Long, Double) = {
+  def run(): (Int, Int, Long, Double, Long) = {
     val procs = scala.collection.mutable.ListBuffer.empty[Process]
     try {
       procs += fork("org.apache.spark.deploy.master.Master",
@@ -115,9 +115,20 @@ object SpeculationDemo {
         i.toLong
       }.sum().toLong
       val elapsed = (System.nanoTime() - t0) / 1e9
+      // failure-handling leg (reference F13, jobs.rs failure states):
+      // one task THROWS on its first attempt; the scheduler reschedules
+      // it (spark.task.maxFailures default 4) and the job still
+      // completes with the exact sum — retry semantics by run, not
+      // claim. Distinct from the race above: this attempt dies, it is
+      // not out-raced.
+      val retrySum = sc.parallelize(1 to 16, 16).map { i =>
+        if (i == 2 && TaskContext.get().attemptNumber() == 0)
+          throw new RuntimeException("injected first-attempt failure")
+        i.toLong
+      }.sum().toLong
       // let the async bus deliver the final kill/end events
       Thread.sleep(1000)
-      val result = (speculative.get(), killed.get(), sum, elapsed)
+      val result = (speculative.get(), killed.get(), sum, elapsed, retrySum)
       spark.stop()
       result
     } finally {
@@ -128,8 +139,8 @@ object SpeculationDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val (spec, kill, sum, elapsed) = run()
-    println(s"""{"speculative":$spec,"killed":$kill,"sum":$sum,"elapsed_sec":$elapsed}""")
-    if (spec < 1 || kill < 1 || sum != 136L) sys.exit(1)
+    val (spec, kill, sum, elapsed, retrySum) = run()
+    println(s"""{"speculative":$spec,"killed":$kill,"sum":$sum,"elapsed_sec":$elapsed,"retry_sum":$retrySum}""")
+    if (spec < 1 || kill < 1 || sum != 136L || retrySum != 136L) sys.exit(1)
   }
 }

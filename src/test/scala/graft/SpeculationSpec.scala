@@ -34,6 +34,8 @@ class SpeculationSpec extends AnyFunSuite {
     assert(fields("speculative") >= 1, s"no speculative task submitted: $json")
     assert(fields("killed") >= 1, s"losing attempt was not killed: $json")
     assert(fields("sum") === 136.0, s"race double-counted or dropped a partition: $json")
+    assert(fields("retry_sum") === 136.0,
+      s"task-retry leg (injected first-attempt failure) did not recover exactly: $json")
     // unraced, the straggler alone sleeps 120 s — the race must finish
     // in a small fraction of that
     assert(fields("elapsed_sec") < graft.core.SpeculationDemo.StragglerMillis / 1000.0 / 4,
