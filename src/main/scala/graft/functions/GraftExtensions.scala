@@ -31,7 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashLongs.fromExprs(exprs)))
     // whole-operator extension: plans the AsOfMergeJoin logical node
-    // (graft.plans.AsOfMerge also self-registers on live sessions)
+    // (graft.plans.AsOfMerge also self-registers on live sessions),
+    // plus the left-filter pushdown rule through the opaque node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfMergeStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfMergePushdown)
   }
 }

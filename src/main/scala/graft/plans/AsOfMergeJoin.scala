@@ -138,6 +138,33 @@ case class AsOfMergeJoinExec(
   }
 }
 
+/** Optimizer rule completing the §7.4 ladder: a custom logical node is
+  * opaque to Catalyst's PushDownPredicates, so a Filter sitting on top
+  * of AsOfMergeJoin would otherwise run AFTER the join. Predicates
+  * that reference only LEFT columns are sound to push (every output
+  * row corresponds to exactly one left row — left-outer shape), and
+  * once pushed they sit directly over the scan where FileSourceStrategy
+  * turns them into PushedFilters. Right-side predicates stay put: they
+  * filter the MATCH, not the right input (dropping unmatched-right
+  * rows early would change which row is "latest").
+  */
+object AsOfMergePushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfMergeJoin) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans the logical node; everything below it goes back to Catalyst. */
 object AsOfMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -174,6 +201,7 @@ object AsOfMerge {
       rightTies: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.addStrategy(spark, AsOfMergeStrategy)
+    GraftSqlBridge.addOptimization(spark, AsOfMergePushdown)
     GraftSqlBridge.ofRows(spark, AsOfMergeJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       resolve(left, leftKey), resolve(left, leftTime),

@@ -31,4 +31,16 @@ object GraftSqlBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Idempotently add an optimizer rule to a live session (same dual
+    * path as addStrategy; GraftExtensions injects for config-wired
+    * sessions). */
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

@@ -51,6 +51,33 @@ class AsOfMergeSpec extends SparkSuite {
     assert("Sort \\[".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("left-only filters push through the opaque custom node to the scan") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Sql.table(spark, sf, "events")
+    val o = graft.Sql.table(spark, sf, "orders").select($"o_orderkey", $"o_custkey",
+      $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val joined = AsOfMerge.join(
+        e, $"user_id" % 1500, $"ts",
+        o, $"o_custkey", $"o_orderdate", Seq($"o_orderkey"))
+      .filter($"user_id" < 50 && $"o_orderkey".isNotNull)
+
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the user_id predicate must sit BELOW the custom node...
+    val nodeIdx = optimized.indexOf("AsOfMergeJoin")
+    val predIdx = optimized.indexOf("user_id#", optimized.indexOf("Filter", nodeIdx))
+    assert(nodeIdx >= 0 && predIdx > nodeIdx,
+      s"left filter did not push below the custom node:\n$optimized")
+    // ...and reach the parquet scan as a pushed filter, while the
+    // right-side (match) predicate stays above the join
+    val physical = joined.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(user_id,50\\)".r.findFirstIn(physical).isDefined,
+      s"predicate did not reach the scan:\n$physical")
+    assert(joined.count() ===
+      SparkEntry.queries("q69_asof_merge")(spark, sf)
+        .filter($"user_id" < 50).count())
+  }
+
   test("the extensions injection path plans the custom node without runtime registration") {
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
