@@ -197,6 +197,25 @@ object Stats {
           (n*sxy - sx*sd) / sqrt((n*sxx - sx*sx) * (n*sdd - sd*sd)) AS corr_qty_disc
         FROM sums""")),
 
+    // Approximate percentiles via the KLL/GK-style sketch
+    // (approx_percentile): the 100 TB form of q35 — fixed-size
+    // mergeable state per group instead of a per-group sort. Rows-only
+    // like q37: sketch internals differ across engines by design;
+    // StatsSpec bounds the rank error against the exact q35 values.
+    Q(
+      "q72_approx_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+            expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+            expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"),
+            count(lit(1)).as("n"))
+      },
+      None),
+
     // HLL sketch aggregation (rows-only: HLL implementations differ
     // across engines by design; StatsSpec bounds the error vs the exact
     // count instead). The sketch is the 100 TB answer to COUNT(DISTINCT)

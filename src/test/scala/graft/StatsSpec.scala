@@ -19,6 +19,22 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile tracks exact percentiles within tight relative error") {
+    val sf = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q72_approx_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q35_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (m, p90, p25)) =>
+      val (am, ap90, ap25) = approx(k)
+      // interpolation differences only — at accuracy 10000 the sketch
+      // is near-exact on this cardinality
+      assert(math.abs(am - m) / m < 0.02, s"$k median: $am vs $m")
+      assert(math.abs(ap90 - p90) / p90 < 0.02, s"$k p90: $ap90 vs $p90")
+      assert(math.abs(ap25 - p25) / p25 < 0.02, s"$k p25: $ap25 vs $p25")
+    }
+  }
+
   private def asofFixture = {
     import spark.implicits._
     // key 1: event BEFORE its first order (must yield NULL asof, not an
