@@ -77,6 +77,41 @@ object TrainPrep {
         SELECT doc_id, lang, n_tokens, cum_tokens,
           (cum_tokens - n_tokens) // 8192 AS pack_id,
           (cum_tokens - n_tokens) % 8192 AS pack_offset
-        FROM c"""))
+        FROM c""")),
+
+    // ---------------------------------------------------------------- q73
+    // Data mixing: per-source sampling weights (the training-mixture
+    // op — upsample curated sources, downsample bulk ones) via
+    // content-addressed hash buckets, NOT rand(): membership is a pure
+    // function of (doc_id, salt), so the mixture is reproducible
+    // across runs, partitionings, and engines — and is therefore fully
+    // oracle-checkable, unlike sampleBy. Scan projection + broadcast
+    // weight map; no shuffle.
+    Q(
+      "q73_data_mixture",
+      (s, dir) => {
+        import s.implicits._
+        // explicit weights for curated/bulk sources; everything else
+        // keeps the 50% default (left join + coalesce)
+        val weights = Seq(("src0", 100L), ("src1", 100L), ("src2", 10L), ("src3", 25L), ("src4", 75L))
+          .toDF("source", "w")
+        table(s, dir, "documents")
+          .withColumn("bucket",
+            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|mix')), 1, 8), 16, 10) AS BIGINT) % 100"))
+          .join(broadcast(weights), Seq("source"), "left")
+          .withColumn("keep_pct", coalesce($"w", lit(50L)))
+          .filter($"bucket" < $"keep_pct")
+          .select($"doc_id", $"source", $"bucket", $"keep_pct")
+      },
+      Some("""
+        WITH w(source, wt) AS (
+          VALUES ('src0', 100), ('src1', 100), ('src2', 10), ('src3', 25), ('src4', 75)),
+        b AS (
+          SELECT doc_id, source,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|mix')), 1, 8)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT b.doc_id, b.source, b.bucket, CAST(coalesce(w.wt, 50) AS BIGINT) AS keep_pct
+        FROM b LEFT JOIN w ON b.source = w.source
+        WHERE b.bucket < coalesce(w.wt, 50)"""))
   )
 }
