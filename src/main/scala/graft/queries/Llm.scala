@@ -808,6 +808,66 @@ object Llm {
           CAST(count(*) AS BIGINT) AS n_grams,
           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
           1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
-        FROM sh GROUP BY doc_id"""))
+        FROM sh GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q74
+    // Incremental dedup: a NEW batch (doc_id % 10 >= 8 stands in for
+    // the fresh ingest) deduped against the EXISTING corpus — the pair
+    // stream restricted to cross-set pairs. At 100 TB the corpus's
+    // band table is precomputed and persisted bucketed (the
+    // AnnIndex.save pattern), so each increment hashes only its own
+    // docs and probes the corpus buckets it lands in; the corpus is
+    // never re-shingled.
+    Q(
+      "q74_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        minhashLshPairs(docsSpread(s, dir), lshMaxBucket)
+          .filter(($"d1" % 10 < 8) =!= ($"d2" % 10 < 8))
+          .select(
+            when($"d1" % 10 < 8, $"d2").otherwise($"d1").as("batch_doc"),
+            when($"d1" % 10 < 8, $"d1").otherwise($"d2").as("corpus_doc"),
+            $"jac")
+      },
+      Some(s"""
+        WITH pairs AS ($minhashPairsSql)
+        SELECT CASE WHEN d1 % 10 < 8 THEN d2 ELSE d1 END AS batch_doc,
+               CASE WHEN d1 % 10 < 8 THEN d1 ELSE d2 END AS corpus_doc,
+               jac
+        FROM pairs
+        WHERE (d1 % 10 < 8) <> (d2 % 10 < 8)""")),
+
+    // ---------------------------------------------------------------- q75
+    // Per-language top-k vocabulary: grouped top-k via rank window over
+    // a partial+final token count — corpus-level vocab statistics for
+    // tokenizer/mixture work. The heavy agg shuffles |lang × vocab|
+    // partials (map-side combined); the rank window then sees only the
+    // counted vocab, never the token stream. Deterministic tiebreak on
+    // the token itself.
+    Q(
+      "q75_vocab_topk",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docsSpread(s, dir)
+          .select($"lang", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter($"tok" =!= "")
+        val counts = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang").orderBy($"n".desc, $"tok".asc)).cast("long"))
+          .filter($"rk" <= 20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        c AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY lang, tok),
+        r AS (
+          SELECT lang, tok, n,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rk
+          FROM c)
+        SELECT lang, tok, n, rk FROM r WHERE rk <= 20"""))
   )
 }
