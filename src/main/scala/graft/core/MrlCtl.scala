@@ -90,21 +90,29 @@ object MrlCtl {
 
     def state(id: Int): String = states.getOrElse(id, "UNKNOWN")
 
-    /** Drain the queue in submit order. */
-    def runAll(): Unit = this.synchronized {
-      entries.filter(e => states(e.id) == "QUEUED").foreach { e =>
+    /** Drain the queue in submit order. The snapshot is taken under the
+      * lock but the (long) Spark jobs run outside it, so submit/report
+      * stay responsive while a drain is in flight.
+      */
+    def runAll(): Unit = {
+      val queued = this.synchronized {
+        entries.filter(e => states(e.id) == "QUEUED").toList
+      }
+      queued.foreach { e =>
         states(e.id) = "RUNNING"
+        val path = new org.apache.hadoop.fs.Path(e.output)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // cleanup scope: only what THIS job creates. If the output path
+        // pre-exists, failure cleanup must not touch it (the reference
+        // deletes a failed job's own objects, never the destination).
+        val existedBefore = fs.exists(path)
         try {
           MapReduce.runWorkload(spark, e.workload, e.input, e.output, e.aux, e.partitions)
           states(e.id) = "COMPLETED"
         } catch {
           case ex: Exception =>
             states(e.id) = "FAILED"
-            // failure cleanup: remove the job's partial output, like the
-            // reference deletes a failed job's objects
-            val path = new org.apache.hadoop.fs.Path(e.output)
-            val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(path)) fs.delete(path, true)
+            if (!existedBefore && fs.exists(path)) fs.delete(path, true)
             System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
         }
       }

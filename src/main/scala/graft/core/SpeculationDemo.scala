@@ -39,10 +39,16 @@ import org.apache.spark.sql.SparkSession
   */
 object SpeculationDemo {
 
-  private val MasterUrl = "spark://127.0.0.1:7077"
   /** Unraced, the straggler sleeps this long — success is finishing in
     * a small fraction of it. */
   val StragglerMillis = 120000L
+
+  /** A currently-free ephemeral port (hermetic against other listeners
+    * — a fixed 7077 would silently attach to a foreign master). */
+  private def freePort(): Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
 
   private def fork(cls: String, args: Seq[String], host: String): Process = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
@@ -71,16 +77,21 @@ object SpeculationDemo {
   def run(): (Int, Int, Long, Double, Long) = {
     val procs = scala.collection.mutable.ListBuffer.empty[Process]
     try {
-      procs += fork("org.apache.spark.deploy.master.Master",
-        Seq("--host", "127.0.0.1", "--port", "7077", "--webui-port", "0"), "127.0.0.1")
-      awaitPort(7077, 30000)
+      val port = freePort()
+      val masterUrl = s"spark://127.0.0.1:$port"
+      val master = fork("org.apache.spark.deploy.master.Master",
+        Seq("--host", "127.0.0.1", "--port", port.toString, "--webui-port", "0"), "127.0.0.1")
+      procs += master
+      awaitPort(port, 30000)
+      require(master.isAlive, "forked master died (see /tmp/specdemo-Master-*.log)")
+      val workRoot = java.nio.file.Files.createTempDirectory("specdemo-work").toString
       for (host <- Seq("127.0.0.2", "127.0.0.3"))
         procs += fork("org.apache.spark.deploy.worker.Worker",
-          Seq(MasterUrl, "--host", host, "--cores", "1", "--memory", "1g",
-            "--webui-port", "0", "--work-dir", s"/tmp/specdemo-work-$host"), host)
+          Seq(masterUrl, "--host", host, "--cores", "1", "--memory", "1g",
+            "--webui-port", "0", "--work-dir", s"$workRoot/$host"), host)
 
       val spark = SparkSession.builder()
-        .master(MasterUrl)
+        .master(masterUrl)
         .appName("graft-speculation-demo")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.speculation", "true")

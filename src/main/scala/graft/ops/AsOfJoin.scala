@@ -117,9 +117,17 @@ object AsOfJoin {
       packedHistory(left, leftKey, leftTime, right, rightKey, asofStruct, timeField, broadcastHist)
     else {
       val r = right.select(rightKey.as("__k"), asofStruct.as("__a"))
+      // align the right time's type to the left's: the merge operator
+      // requires exact type equality, and without this cast the packed
+      // tier would accept (via HOF implicit casts) what the merge tier
+      // rejects — a data-dependent planning cliff once a key's history
+      // crosses the threshold
       graft.plans.AsOfMerge.join(
           left, leftKey, leftTime,
-          r, col("__k"), col("__a").getField(timeField), Seq(col("__a")))
+          r, col("__k"),
+          col("__a").getField(timeField)
+            .cast(graft.plans.AsOfMerge.resolve(left, leftTime).dataType),
+          Seq(col("__a")))
         .withColumn("asof", col("__a"))
         .drop("__k", "__a")
     }

@@ -43,8 +43,13 @@ object ConnectedComponents {
     // shingle+minhash run) would execute twice — once for the count,
     // once for the iteration
     val e = symCanonical(pairs).localCheckpoint()
-    if (e.count() <= localThreshold) hashMinEdges(e.coalesce(1))
-    else largeStarSmallStar(e)._1
+    // both branches eagerly re-checkpoint their own working copy as
+    // their first step, so the probe frame can be released afterwards
+    val result =
+      if (e.count() <= localThreshold) hashMinEdges(e.coalesce(1))
+      else largeStarSmallStar(e)._1
+    e.unpersist()
+    result
   }
 
   /** (a, b) both directions, self-loops dropped, distinct. */
@@ -151,13 +156,20 @@ object ConnectedComponents {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val n1 = next.count()
       done = n1 == n && next.except(e).limit(1).count() == 0
+      // release the superseded round's checkpoint blocks — up to
+      // maxRounds edge-list copies would otherwise stay cached for the
+      // session's lifetime
+      e.unpersist()
       e = next
       n = n1
       rounds += 1
     }
+    // materialize the labels so the final edge frame can be released too
     val labels = e.select($"a".as("v"), $"b".as("lbl"))
       .union(e.select($"b".as("v"), $"b".as("lbl")))
       .groupBy($"v").agg(min($"lbl").as("cluster_id"))
+      .localCheckpoint()
+    e.unpersist()
     (labels, rounds)
   }
 }

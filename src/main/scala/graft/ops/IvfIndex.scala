@@ -156,7 +156,11 @@ object IvfIndex {
       subK: Int,
       iters: Int,
       dim: Int): IvfModel = {
-    val assigned = index(corpus, centroids)
+    // materialize the assignment once: the hot-count is one action and
+    // every hot cell's training loop re-reads it (seed collect + one
+    // pass per Lloyd iteration) — without this the full-corpus argmax
+    // scan would re-execute ~H*(iters+1) times
+    val assigned = index(corpus, centroids).localCheckpoint()
     val hot = assigned.groupBy(col("cell")).count()
       .filter(col("count") > maxCell)
       .collect().map(_.getInt(0)).sorted
@@ -164,6 +168,7 @@ object IvfIndex {
       val members = assigned.filter(col("cell") === c).select(col("vec_id"), col("embedding"))
       c -> train(members, subK, iters, dim)
     }.toMap
+    assigned.unpersist()
     IvfModel(centroids, sub)
   }
 

@@ -109,9 +109,13 @@ case class AsOfMergeJoinExec(
         } else {
           val lk = lv.get(0, lKey.dataType)
           val lt = lv.get(1, lTime.dataType)
-          // new left key -> the buffered match belongs to an older key
+          // new left key -> the buffered match belongs to an older key.
+          // curKey must be a COPY: buffer-backed values (UTF8String,
+          // Binary, large Decimal) returned by the reused projection
+          // are overwritten on the next left row, and a stale view
+          // would make the key-change check compare garbage.
           if (curKey == null || keyOrd.compare(curKey, lk) != 0) {
-            curKey = lk
+            curKey = InternalRow.copyValue(lk)
             curRight = null
           }
           // advance the right side up to (key, time): the last

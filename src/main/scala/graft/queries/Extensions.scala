@@ -140,12 +140,9 @@ object Extensions {
       "q66_minhash_udaf",
       (s, dir) => {
         import s.implicits._
-        val t = Llm.docsSpread(s, dir)
-          .select($"doc_id", substring($"text", 1, 200).as("t200"))
-          .filter(length($"t200") >= 5)
+        val t = Llm.docPrefix(Llm.docsSpread(s, dir), 5)
         val sh = t.select($"doc_id",
-          explode(expr(
-            "array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))")).as("g"))
+          explode(expr(s"array_distinct(${Llm.shingleGen(5)})")).as("g"))
         val mh = udaf(new graft.functions.MinHashAgg(8),
           org.apache.spark.sql.Encoders.STRING)
         sh.groupBy($"doc_id").agg(mh($"g").as("hs"))

@@ -127,6 +127,23 @@ object Llm {
     */
   private val lshMaxBucket = 64
 
+  /** (doc_id, t200) prefix frame — the shared front of every shingle
+    * pipeline (q21/q66/q67/q68): 200-char prefix, docs shorter than
+    * one shingle dropped.
+    */
+  private[queries] def docPrefix(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
+      .filter(length(col("t200")) >= minLen)
+
+  /** SQL expression producing the width-char shingle stream of `t200` —
+    * ONE generator for q21/q66/q67/q68 so prefix length and shingle
+    * arithmetic can never desynchronize between the minhash family's
+    * "interchangeable signatures" contract and its consumers. Wrap in
+    * array_distinct (set semantics) or a hashing transform as needed.
+    */
+  private[queries] def shingleGen(width: Int): String =
+    s"transform(sequence(1, length(t200)-${width - 1}), i -> substring(t200, i, $width))"
+
   /** The full q21 pipeline over any (doc_id, text) corpus: distinct
     * 5-char shingles of the 200-char prefix → 8 min-hashes (native
     * [[graft.functions.MinHashLongs]]) → 2 bands of 4 → capped
@@ -137,9 +154,7 @@ object Llm {
   private[graft] def minhashLshPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val t = docs
-      .select($"doc_id", substring($"text", 1, 200).as("t200"))
-      .filter(length($"t200") >= 5)
+    val t = docPrefix(docs, 5)
     // per-doc distinct shingle set computed map-side (array_distinct
     // in the projection) — no DISTINCT shuffle, and the same array
     // feeds the verification stage without a collect_set shuffle.
@@ -148,7 +163,7 @@ object Llm {
     // each consumer re-runs the shingling projection (~1s each at
     // sf0.1). |docs| rows × ~140-element arrays — megabytes.
     val docSets = t.select($"doc_id",
-      expr("array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))").as("gs"))
+      expr(s"array_distinct(${shingleGen(5)})").as("gs"))
       .localCheckpoint()
     val sh = docSets.select($"doc_id", explode($"gs").as("g"))
     // all 8 hashes in ONE native-expression call per shingle
@@ -745,12 +760,10 @@ object Llm {
       "q67_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val t = docsSpread(s, dir)
-          .select($"doc_id", substring($"text", 1, 200).as("t200"))
-          .filter(length($"t200") >= 13)
+        val t = docPrefix(docsSpread(s, dir), 13)
         val sh = t.select($"doc_id", explode(expr(
-          "array_distinct(transform(sequence(1, length(t200)-12), i -> " +
-            "CAST(conv(substr(md5(substring(t200, i, 13)), 1, 15), 16, 10) AS BIGINT)))")).as("gh"))
+          s"array_distinct(transform(${shingleGen(13)}, g -> " +
+            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))")).as("gh"))
         val eval = sh.filter($"doc_id" < 20).select($"gh", $"doc_id".as("eval_id"))
         sh.filter($"doc_id" >= 20)
           .join(broadcast(eval), "gh")
@@ -785,13 +798,10 @@ object Llm {
       "q68_repetition",
       (s, dir) => {
         import s.implicits._
-        docsSpread(s, dir)
-          .select($"doc_id", substring($"text", 1, 200).as("t200"))
-          .filter(length($"t200") >= 5)
+        docPrefix(docsSpread(s, dir), 5)
           .select($"doc_id",
             (length($"t200") - 4).cast("long").as("n_grams"),
-            size(expr(
-              "array_distinct(transform(sequence(1, length(t200)-4), i -> substring(t200, i, 5)))"))
+            size(expr(s"array_distinct(${shingleGen(5)})"))
               .cast("long").as("n_distinct"))
           .withColumn("rep_ratio",
             lit(1.0) - $"n_distinct".cast("double") / $"n_grams")

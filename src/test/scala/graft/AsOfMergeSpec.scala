@@ -30,6 +30,19 @@ class AsOfMergeSpec extends SparkSuite {
       13L -> None)) // key with no right rows
   }
 
+  test("string keys: a key with no matches does not inherit the previous key's buffered row") {
+    import spark.implicits._
+    // equal-length string keys back-to-back in sort order — the exact
+    // shape where a buffer-aliased curKey made the key-change check
+    // compare a stale view and leak "aa"'s match into "bb"
+    val left = Seq((1L, "aa", 10L), (2L, "bb", 10L), (3L, "cc", 10L)).toDF("id", "k", "t")
+    val right = Seq(("aa", 5L, 7L), ("cc", 6L, 9L)).toDF("rk", "rt", "seq")
+    val out = AsOfMerge.join(left, $"k", $"t", right, $"rk", $"rt", Seq($"seq"))
+      .select($"id", $"seq")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> Some(7L), 2L -> None, 3L -> Some(9L)))
+  }
+
   test("q69 (custom operator) returns exactly q39's rows and plans as a merge") {
     val sf = "/root/testdata/sf0.001"
     val custom = SparkEntry.queries("q69_asof_merge")(spark, sf)

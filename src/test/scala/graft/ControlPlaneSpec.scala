@@ -71,4 +71,19 @@ class ControlPlaneSpec extends SparkSuite {
     assert(report.linesIterator.toSeq(1).contains("COMPLETED"), report)
     assert(report.linesIterator.toSeq(2).contains("FAILED"), report)
   }
+
+  test("failure cleanup never deletes a pre-existing output directory") {
+    val outRoot = Files.createTempDirectory("ctlq-pre")
+    val pre = outRoot.resolve("existing")
+    Files.createDirectory(pre)
+    Files.writeString(pre.resolve("keep.txt"), "precious\n")
+
+    val q = new MrlCtl.JobQueue(spark)
+    val bad = q.submit("wc", "/nonexistent-ctlq-path2/*.txt", pre.toString)
+    q.runAll()
+
+    assert(q.state(bad) === "FAILED")
+    assert(Files.exists(pre.resolve("keep.txt")),
+      "cleanup deleted data the failed job never wrote")
+  }
 }

@@ -80,6 +80,20 @@ class StatsSpec extends SparkSuite {
       assert(runAsof(s) === expected, s"strategy $s")
   }
 
+  test("auto's merge tier aligns mismatched time types instead of failing past the threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // left time LONG, right time INT — the packed tier accepts this via
+    // HOF implicit casts; the merge tier must cast rather than throw
+    val left = Seq((1L, 1L, 25L)).toDF("id", "k", "t")
+    val right = Seq((1L, 20), (1L, 30)).toDF("k", "rt")
+    val out = graft.ops.AsOfJoin.auto(
+        left, $"k", $"t", $"id", right, $"k",
+        struct($"rt", $"rt".as("seq")), "rt", maxHistPerKey = 1L)
+      .select($"id", $"asof.rt".as("rt")).collect()
+    assert(out.length === 1 && out(0).getInt(1) === 20)
+  }
+
   test("as-of strategies agree on real testdata (q39 packed vs q65 fallback)") {
     val sf = "/root/testdata/sf0.001"
     val packed = SparkEntry.queries("q39_asof_join")(spark, sf)
