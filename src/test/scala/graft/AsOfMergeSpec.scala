@@ -64,6 +64,37 @@ class AsOfMergeSpec extends SparkSuite {
     assert("Sort \\[".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("all three strategies agree on a generated many-key corpus with ties and matchless keys") {
+    import spark.implicits._
+    // deterministic arithmetic corpus: 37 left keys, right rows only
+    // for keys 0..29 (keys 30..36 matchless), repeated (k, rt) pairs
+    // exercising the seq tiebreak, times interleaved across keys
+    val left = (0 until 2000).map(i => (i.toLong, (i % 37).toLong, ((i * 31) % 200).toLong))
+      .toDF("id", "k", "t")
+    val right = (0 until 1500).filter(j => j % 41 < 30)
+      .map(j => ((j % 41).toLong, ((j * 17) % 200).toLong, j.toLong))
+      .toDF("rk", "rt", "seq")
+
+    def toMapOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val packed = toMapOf(graft.ops.AsOfJoin.packedHistory(
+        left, $"k", $"t", right, $"rk", struct($"rt", $"seq"), "rt", broadcastHist = false)
+      .select($"id", $"asof.seq"))
+    val ranged = toMapOf(graft.ops.AsOfJoin.rangeWindow(
+        left, $"k", $"t", $"id", right, $"rk", struct($"rt", $"seq"), "rt")
+      .select($"id", $"asof.seq"))
+    val merged = toMapOf(AsOfMerge.join(
+        left, $"k", $"t", right, $"rk", $"rt", Seq($"seq"))
+      .select($"id", $"seq"))
+
+    assert(packed.size === 2000)
+    assert(packed.exists(_._2.isEmpty), "fixture must contain matchless keys")
+    assert(packed.exists(_._2.nonEmpty), "fixture must contain matches")
+    assert(ranged === packed)
+    assert(merged === packed)
+  }
+
   test("left-only filters push through the opaque custom node to the scan") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
