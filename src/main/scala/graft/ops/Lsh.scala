@@ -58,6 +58,42 @@ object Lsh {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
+  /** Persist a minhash band table bucketed on a combined single-column
+    * key (Spark bucket pruning needs a one-column spec) — the at-rest
+    * corpus side of incremental dedup: each new batch hashes only its
+    * own documents and probes the buckets it lands in; the corpus is
+    * never re-shingled.
+    */
+  def saveBands(bands: DataFrame, tableName: String, numBuckets: Int = 64): Unit =
+    bands
+      .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .saveAsTable(tableName)
+
+  /** Cross-set candidate pairs of a (small) batch band frame against a
+    * [[saveBands]]-persisted corpus: the batch's band keys become an
+    * IN-filter (bucket-pruned scan), the batch side is broadcast, and
+    * output pairs are (corpus_doc, batch_doc) distinct. The exact
+    * verify stage (Jaccard on shingle sets) stays the caller's job,
+    * same as the in-memory pipeline.
+    */
+  def incrementalCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batchBands: DataFrame): DataFrame = {
+    val probes = batchBands
+      .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
+      .select(col("bkey"), col("doc_id").as("batch_doc"))
+    val keys = probes.select("bkey").distinct().collect().map(_.getString(0))
+    spark.table(tableName)
+      .filter(col("bkey").isin(keys: _*))
+      .join(broadcast(probes), Seq("bkey"))
+      .filter(col("doc_id") =!= col("batch_doc"))
+      .select(col("doc_id").as("corpus_doc"), col("batch_doc"))
+      .distinct()
+  }
+
   /** Exact sub-banded candidate pairs for hamming-banded signatures.
     *
     * `bands`: (doc_id, simhash, b, band) — one row per document per

@@ -53,6 +53,34 @@ class LshSpec extends SparkSuite {
     assert(hot(0).getAs[Long]("n") === 20L)
   }
 
+  test("persisted corpus band table serves incremental probes with bucket pruning") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS corpus_bands")
+    // corpus: 80 docs, two shared-signature groups; batch: 5 docs, two
+    // of which collide with corpus signatures
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, 0L, if (i < 3) "SIG-A" else if (i < 6) "SIG-B" else s"uniq-$i")
+    }.toDF("doc_id", "band", "bsig")
+    val batch = Seq(
+      (100L, 0L, "SIG-A"), (101L, 0L, "SIG-B"), (102L, 0L, "fresh-1"),
+      (103L, 0L, "fresh-2"), (104L, 0L, "fresh-3")
+    ).toDF("doc_id", "band", "bsig")
+
+    graft.ops.Lsh.saveBands(corpus, "corpus_bands", numBuckets = 16)
+    val cand = graft.ops.Lsh.incrementalCandidates(spark, "corpus_bands", batch)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set(
+      (0L, 100L), (1L, 100L), (2L, 100L),
+      (3L, 101L), (4L, 101L), (5L, 101L)))
+
+    // the probe scan must read a strict subset of the corpus buckets —
+    // the batch never triggers a corpus re-scan, let alone re-shingling
+    val plan = cand.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt, sel.get.matched)
+  }
+
   test("simhash sub-banding is exact: capped candidates = brute-force hamming<=3") {
     import spark.implicits._
     // 400 sigs, all sharing band 0 (low byte = 0) → one hot bucket of
