@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSuite {
     assert(kept < total, "fixture must actually contain near-dups")
   }
 
+  test("file-sink stream resumes from its checkpoint exactly-once across a restart") {
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"$sf/events.parquet") // ts stays raw LONG
+    val total = all.count()
+    val srcDir = Files.createTempDirectory("stream-src").toString
+    val outDir = Files.createTempDirectory("stream-out").toString + "/data"
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(all.schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // first half, run, stop — then append the second half and RESTART
+    // from the same checkpoint: the sink's commit log must replay
+    // nothing and miss nothing
+    all.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0 && afterFirst < total)
+
+    all.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === total, "rows lost or duplicated across the restart")
+    assert(out.select("event_id").distinct().count() === total)
+  }
+
   test("stream-stream interval join (purchase attribution) matches the batch join") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
