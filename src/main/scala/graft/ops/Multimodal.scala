@@ -111,4 +111,42 @@ object Multimodal {
       (0 until n by stride).map(f =>
         (r.doc_id, f.toLong, math.min(256, r.media.length).toLong))
     }.toDF("doc_id", "frame_no", "frame_bytes")
+
+  final case class AudioStats(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_s: Double,
+      rms: Double)
+
+  implicit val audioEnc: Encoder[AudioStats] = Encoders.product[AudioStats]
+
+  /** Audio-path stub (same honest-fake contract as [[decodeBatch]]): a
+    * real implementation hands the blob to a PCM/opus decoder and
+    * computes waveform stats; this one derives sample rate / sample
+    * count / RMS deterministically from the blob's md5 + length, so the
+    * whole path is oracle-checkable while the partition shape (one
+    * digest object, one blob in flight, iterator-to-iterator) is the
+    * production contract. duration = n_samples / rate is one IEEE
+    * double division on identical integers in both engines.
+    */
+  def audioStats(df: DataFrame): Dataset[AudioStats] =
+    df.as[MediaRecord].mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { r =>
+        md.reset()
+        val hex = md.digest(r.media).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val rate = 8000L * (1L + h % 5L) // 8/16/24/32/40 kHz
+        val samples = r.media.length.toLong * 16L
+        AudioStats(
+          doc_id = r.doc_id,
+          n_bytes = r.media.length.toLong,
+          sample_rate = rate,
+          n_samples = samples,
+          duration_s = samples.toDouble / rate,
+          rms = ((h >> 20) % 1000L).toDouble / 1000.0)
+      }
+    }
 }

@@ -167,6 +167,33 @@ object Extensions {
         FROM sig GROUP BY doc_id"""
       }),
 
+    // The multimodal AUDIO path (stub decode, real plumbing — same
+    // pattern as q34's image features / q56's frames): waveform stats
+    // derived deterministically from the blob, replayed exactly by the
+    // oracle. Completes the image/audio/video trio.
+    Q(
+      "q76_audio_stats",
+      (s, dir) => {
+        import s.implicits._
+        val media = table(s, dir, "documents").select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("audio/fake").as("mime_hint"))
+        Multimodal.audioStats(media).toDF()
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id, n_bytes,
+          8000 * (1 + h % 5) AS sample_rate,
+          n_bytes * 16 AS n_samples,
+          CAST(n_bytes * 16 AS DOUBLE) / (8000 * (1 + h % 5)) AS duration_s,
+          CAST((h >> 20) % 1000 AS DOUBLE) / 1000.0 AS rms
+        FROM h""")),
+
     // IVF-Flat ANN (the trained-quantizer scale path, complementing
     // q33's training-free sign-LSH): deterministic k-means coarse
     // cells, nprobe-cell candidate generation, exact cosine re-rank.
