@@ -74,20 +74,39 @@ object Lsh {
   /** Cross-set candidate pairs of a (small) batch band frame against a
     * [[saveBands]]-persisted corpus: the batch's band keys become an
     * IN-filter (bucket-pruned scan), the batch side is broadcast, and
-    * output pairs are (corpus_doc, batch_doc) distinct. The exact
-    * verify stage (Jaccard on shingle sets) stays the caller's job,
-    * same as the in-memory pipeline.
+    * output pairs are (corpus_doc, batch_doc) distinct. The same
+    * hot-bucket cap as the batch pipeline applies — a probed corpus
+    * bucket above `maxBucket` is boilerplate and emits nothing, so the
+    * incremental path keeps [[expandPairsCapped]]'s operator contract
+    * (and its fan-out bound) instead of silently reintroducing the
+    * quadratic flood. The batch side is collected ONCE (it is
+    * dimension-sized by contract) and rebuilt as a local relation, so
+    * the upstream batch hashing pipeline executes a single time. The
+    * exact verify stage (Jaccard on shingle sets) stays the caller's
+    * job, same as the in-memory pipeline.
     */
   def incrementalCandidates(
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
-      batchBands: DataFrame): DataFrame = {
-    val probes = batchBands
+      batchBands: DataFrame,
+      maxBucket: Int = 64): DataFrame = {
+    val probeRows = batchBands
       .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
       .select(col("bkey"), col("doc_id").as("batch_doc"))
-    val keys = probes.select("bkey").distinct().collect().map(_.getString(0))
-    spark.table(tableName)
-      .filter(col("bkey").isin(keys: _*))
+      .collect()
+    val keys = probeRows.map(_.getString(0)).distinct
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch_doc", org.apache.spark.sql.types.LongType))))
+    val selected = spark.table(tableName).filter(col("bkey").isin(keys.toSeq: _*))
+    val coldKeys = selected.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("bkey"))
+    selected
+      .join(coldKeys, Seq("bkey"), "left_semi")
       .join(broadcast(probes), Seq("bkey"))
       .filter(col("doc_id") =!= col("batch_doc"))
       .select(col("doc_id").as("corpus_doc"), col("batch_doc"))

@@ -56,13 +56,21 @@ object Multimodal {
     * partition, one blob in flight, constant memory) is the real
     * contract.
     */
+  /** First 60 bits of the blob's md5 as a non-negative long — THE
+    * oracle-parity-critical derivation shared by every stub path (and
+    * replicated in the DuckDB SQL strings); single-sourced so the
+    * Scala copies can never drift apart.
+    */
+  private def hash60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    md.reset()
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   def decodeBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     batch.map { r =>
-      md.reset()
-      val digest = md.digest(r.media)
-      val hex = digest.map(b => f"$b%02x").mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
+      val h = hash60(md, r.media)
       def f(d: Int): Double = ((h ^ (97531L * (d + 1))) % 1000L).toDouble / 1000.0
       MediaFeatures(
         doc_id = r.doc_id,
@@ -135,9 +143,7 @@ object Multimodal {
     df.as[MediaRecord].mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { r =>
-        md.reset()
-        val hex = md.digest(r.media).map(b => f"$b%02x").mkString
-        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val h = hash60(md, r.media)
         val rate = 8000L * (1L + h % 5L) // 8/16/24/32/40 kHz
         val samples = r.media.length.toLong * 16L
         AudioStats(

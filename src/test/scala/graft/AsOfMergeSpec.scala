@@ -71,9 +71,13 @@ class AsOfMergeSpec extends SparkSuite {
     // exercising the seq tiebreak, times interleaved across keys
     val left = (0 until 2000).map(i => (i.toLong, (i % 37).toLong, ((i * 31) % 200).toLong))
       .toDF("id", "k", "t")
-    val right = (0 until 1500).filter(j => j % 41 < 30)
-      .map(j => ((j % 41).toLong, ((j * 17) % 200).toLong, j.toLong))
-      .toDF("rk", "rt", "seq")
+    // rt = (j*20) % 200 collides for j ≡ j' (mod lcm(41,10)=410), so
+    // real (rk, rt) tie groups with distinct seq exist below 1500
+    val rightRows = (0 until 1500).filter(j => j % 41 < 30)
+      .map(j => ((j % 41).toLong, ((j * 20) % 200).toLong, j.toLong))
+    val right = rightRows.toDF("rk", "rt", "seq")
+    assert(rightRows.map(r => (r._1, r._2)).distinct.size < rightRows.size,
+      "fixture must contain (key, time) ties for the seq tiebreak")
 
     def toMapOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
       df.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap

@@ -73,6 +73,13 @@ class LshSpec extends SparkSuite {
       (0L, 100L), (1L, 100L), (2L, 100L),
       (3L, 101L), (4L, 101L), (5L, 101L)))
 
+    // the batch-pipeline hot-bucket cap carries over: a probed corpus
+    // bucket above the cap is boilerplate and emits NO pairs
+    val cappedOut = graft.ops.Lsh
+      .incrementalCandidates(spark, "corpus_bands", batch, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedOut.isEmpty, s"hot buckets (size 3 > cap 2) must be dropped: $cappedOut")
+
     // the probe scan must read a strict subset of the corpus buckets —
     // the batch never triggers a corpus re-scan, let alone re-shingling
     val plan = cand.queryExecution.executedPlan.toString
