@@ -112,6 +112,32 @@ object TrainPrep {
           FROM documents)
         SELECT b.doc_id, b.source, b.bucket, CAST(coalesce(w.wt, 50) AS BIGINT) AS keep_pct
         FROM b LEFT JOIN w ON b.source = w.source
-        WHERE b.bucket < coalesce(w.wt, 50)"""))
+        WHERE b.bucket < coalesce(w.wt, 50)""")),
+
+    // ---------------------------------------------------------------- q77
+    // Overlapping chunking for embedding: 200-char windows at stride
+    // 150 (50-char overlap so no boundary context is lost) — the
+    // standard retrieval/embedding prep step between curation (q20-q45)
+    // and the ANN indexes (q25/q33/q52). Pure scan flatMap: chunk
+    // geometry is arithmetic on the text length, chunks carry an md5
+    // identity for downstream exact dedup, and nothing shuffles.
+    Q(
+      "q77_chunking",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", explode(expr(
+            """transform(sequence(0, CAST((length(text)-1) div 150 AS INT)),
+                 c -> struct(CAST(c AS BIGINT) AS chunk_no, substring(text, c*150+1, 200) AS chunk))""")).as("ch"))
+          .select($"doc_id", $"ch.chunk_no".as("chunk_no"),
+            length($"ch.chunk").cast("long").as("n_chunk_chars"),
+            md5($"ch.chunk").as("chunk_md5"))
+      },
+      Some("""
+        SELECT doc_id, CAST(s.c AS BIGINT) AS chunk_no,
+          CAST(length(substr(text, s.c*150+1, 200)) AS BIGINT) AS n_chunk_chars,
+          md5(substr(text, s.c*150+1, 200)) AS chunk_md5
+        FROM documents CROSS JOIN generate_series(0, 100) s(c)
+        WHERE s.c*150 < length(text)"""))
   )
 }
