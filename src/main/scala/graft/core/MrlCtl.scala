@@ -92,28 +92,33 @@ object MrlCtl {
 
     /** Drain the queue in submit order. The snapshot is taken under the
       * lock but the (long) Spark jobs run outside it, so submit/report
-      * stay responsive while a drain is in flight.
+      * stay responsive while a drain is in flight. Each entry is then
+      * CLAIMED atomically (QUEUED→RUNNING compare-and-set) before it
+      * runs, so two concurrent `runAll()` callers that both snapshot
+      * the same QUEUED job cannot execute it twice — the loser of the
+      * race skips the entry.
       */
     def runAll(): Unit = {
       val queued = this.synchronized {
         entries.filter(e => states(e.id) == "QUEUED").toList
       }
       queued.foreach { e =>
-        states(e.id) = "RUNNING"
-        val path = new org.apache.hadoop.fs.Path(e.output)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // cleanup scope: only what THIS job creates. If the output path
-        // pre-exists, failure cleanup must not touch it (the reference
-        // deletes a failed job's own objects, never the destination).
-        val existedBefore = fs.exists(path)
-        try {
-          MapReduce.runWorkload(spark, e.workload, e.input, e.output, e.aux, e.partitions)
-          states(e.id) = "COMPLETED"
-        } catch {
-          case ex: Exception =>
-            states(e.id) = "FAILED"
-            if (!existedBefore && fs.exists(path)) fs.delete(path, true)
-            System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
+        if (states.replace(e.id, "QUEUED", "RUNNING")) {
+          val path = new org.apache.hadoop.fs.Path(e.output)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // cleanup scope: only what THIS job creates. If the output path
+          // pre-exists, failure cleanup must not touch it (the reference
+          // deletes a failed job's own objects, never the destination).
+          val existedBefore = fs.exists(path)
+          try {
+            MapReduce.runWorkload(spark, e.workload, e.input, e.output, e.aux, e.partitions)
+            states(e.id) = "COMPLETED"
+          } catch {
+            case ex: Exception =>
+              states(e.id) = "FAILED"
+              if (!existedBefore && fs.exists(path)) fs.delete(path, true)
+              System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
+          }
         }
       }
     }

@@ -75,11 +75,14 @@ object Lsh {
     * [[saveBands]]-persisted corpus: the batch's band keys become an
     * IN-filter (bucket-pruned scan), the batch side is broadcast, and
     * output pairs are (corpus_doc, batch_doc) distinct. The same
-    * hot-bucket cap as the batch pipeline applies — a probed corpus
-    * bucket above `maxBucket` is boilerplate and emits nothing, so the
+    * hot-bucket cap as the batch pipeline applies, on the same
+    * measure — the COMBINED bucket population (corpus rows + probing
+    * batch rows per band key), exactly what [[expandPairsCapped]] would
+    * see if corpus and batch were banded together. A combined bucket
+    * above `maxBucket` is boilerplate and emits nothing, so the
     * incremental path keeps [[expandPairsCapped]]'s operator contract
-    * (and its fan-out bound) instead of silently reintroducing the
-    * quadratic flood. The batch side is collected ONCE (it is
+    * (and its corpus×batch fan-out bound) instead of silently
+    * reintroducing the quadratic flood. The batch side is collected ONCE (it is
     * dimension-sized by contract) and rebuilt as a local relation, so
     * the upstream batch hashing pipeline executes a single time. The
     * exact verify stage (Jaccard on shingle sets) stays the caller's
@@ -100,10 +103,22 @@ object Lsh {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("batch_doc", org.apache.spark.sql.types.LongType))))
+    // per-bkey batch population, counted driver-side from the already-
+    // collected probe rows (the batch is dimension-sized by contract)
+    val batchN = probeRows.groupBy(_.getString(0)).map { case (k, rs) => (k, rs.length.toLong) }
+    val bcounts = spark.createDataFrame(
+      java.util.Arrays.asList(batchN.toSeq.map { case (k, n) =>
+        org.apache.spark.sql.Row(k, n) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__bn", org.apache.spark.sql.types.LongType))))
     val selected = spark.table(tableName).filter(col("bkey").isin(keys.toSeq: _*))
+    // cap on corpus + batch rows per bucket — expandPairsCapped's
+    // total-bucket-size semantics, not corpus-only
     val coldKeys = selected.groupBy(col("bkey"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
+      .join(broadcast(bcounts), Seq("bkey"))
+      .filter(col("__n") + col("__bn") <= maxBucket)
       .select(col("bkey"))
     selected
       .join(coldKeys, Seq("bkey"), "left_semi")
@@ -136,6 +151,20 @@ object Lsh {
       subBands: Int,
       subBits: Int,
       maxBucket: Int): DataFrame = {
+    // Exactness precondition. The remaining-bits compaction below relies
+    // on Java/Spark shift semantics masking the shift count mod 64: for
+    // the TOP band ((b+1)*bandBits == 64 on a 64-bit signature),
+    // shiftright(simhash, 64) is a NO-OP, so the "high part" term
+    // duplicates low signature bits into the region at/above
+    // b*bandBits = 64 - bandBits. Those junk bits are harmless only as
+    // long as sub-band extraction never reads past the genuine
+    // remaining bits — i.e. subBands*subBits <= 64 - bandBits. A caller
+    // violating that would silently LOSE hamming<=subBands-1 pairs, so
+    // fail loudly instead.
+    require(subBands * subBits <= 64 - bandBits,
+      s"sub-banding must cover only the remaining bits: subBands*subBits " +
+        s"(${subBands * subBits}) must be <= 64 - bandBits (${64 - bandBits}); " +
+        "the top band's compaction leaves junk above that boundary")
     // One fused band stream instead of a cold/hot union of two
     // self-joins: cold-bucket rows carry a single sentinel sub-band key
     // (-1), hot-bucket rows expand to their subBands keys — one

@@ -125,7 +125,12 @@ object TrainPrep {
       "q77_chunking",
       (s, dir) => {
         import s.implicits._
+        // length >= 1 on BOTH engines: for an empty text Spark's
+        // sequence(0, (-1) div 150) = sequence(0, 0) would emit one
+        // chunk while the oracle's generate_series(0, -1) emits none —
+        // an empty document has no chunks by contract.
         table(s, dir, "documents")
+          .filter(length($"text") >= 1)
           .select($"doc_id", explode(expr(
             """transform(sequence(0, CAST((length(text)-1) div 150 AS INT)),
                  c -> struct(CAST(c AS BIGINT) AS chunk_no, substring(text, c*150+1, 200) AS chunk))""")).as("ch"))
@@ -133,11 +138,17 @@ object TrainPrep {
             length($"ch.chunk").cast("long").as("n_chunk_chars"),
             md5($"ch.chunk").as("chunk_md5"))
       },
+      // per-doc exact series bound (no silent cap for long docs):
+      // DuckDB's table-function generate_series can't correlate on
+      // text, but the scalar list form + unnest can
       Some("""
-        SELECT doc_id, CAST(s.c AS BIGINT) AS chunk_no,
-          CAST(length(substr(text, s.c*150+1, 200)) AS BIGINT) AS n_chunk_chars,
-          md5(substr(text, s.c*150+1, 200)) AS chunk_md5
-        FROM documents CROSS JOIN generate_series(0, 100) s(c)
-        WHERE s.c*150 < length(text)"""))
+        WITH e AS (
+          SELECT doc_id, text,
+            unnest(generate_series(0, CAST((length(text)-1) // 150 AS BIGINT))) AS c
+          FROM documents WHERE length(text) >= 1)
+        SELECT doc_id, CAST(c AS BIGINT) AS chunk_no,
+          CAST(length(substr(text, c*150+1, 200)) AS BIGINT) AS n_chunk_chars,
+          md5(substr(text, c*150+1, 200)) AS chunk_md5
+        FROM e"""))
   )
 }

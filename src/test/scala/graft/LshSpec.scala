@@ -80,6 +80,21 @@ class LshSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedOut.isEmpty, s"hot buckets (size 3 > cap 2) must be dropped: $cappedOut")
 
+    // the cap measures the COMBINED bucket (corpus + probing batch
+    // rows), same as expandPairsCapped's total-bucket-size contract: at
+    // maxBucket=3 the SIG-A/SIG-B buckets hold 3 corpus + 1 batch = 4
+    // rows and must be dropped even though the corpus side alone fits
+    val combinedCap = graft.ops.Lsh
+      .incrementalCandidates(spark, "corpus_bands", batch, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(combinedCap.isEmpty,
+      s"cap must count corpus+batch rows per bucket (3+1 > 3): $combinedCap")
+    // ...and at maxBucket=4 the combined bucket fits exactly
+    val atBoundary = graft.ops.Lsh
+      .incrementalCandidates(spark, "corpus_bands", batch, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atBoundary === pairs)
+
     // the probe scan must read a strict subset of the corpus buckets —
     // the batch never triggers a corpus re-scan, let alone re-shingling
     val plan = cand.queryExecution.executedPlan.toString
@@ -120,5 +135,17 @@ class LshSpec extends SparkSuite {
 
     assert(brute.nonEmpty, "fixture must contain hamming<=3 pairs")
     assert(capped === brute)
+  }
+
+  test("simhashCandidates rejects sub-banding wider than the remaining bits") {
+    import spark.implicits._
+    val bands = Seq((1L, 0L, 0L, 0L)).toDF("doc_id", "simhash", "b", "band")
+    // 8 x 8 = 64 sub-band bits > 64 - 8 remaining: the top band's
+    // compaction leaves junk in that region, so the op must fail loudly
+    // instead of silently losing pairs
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Lsh.simhashCandidates(bands, bandBits = 8, subBands = 8, subBits = 8, maxBucket = 64)
+    }
+    assert(ex.getMessage.contains("remaining bits"))
   }
 }
