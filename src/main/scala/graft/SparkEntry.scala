@@ -16,7 +16,9 @@ object SparkEntry {
     graft.queries.Tpch.all ++
     graft.queries.Subqueries.all ++
     graft.queries.Coverage.all ++
-    graft.queries.TrainPrep.all
+    graft.queries.TrainPrep.all ++
+    graft.queries.Curation.all ++
+    graft.queries.Embeddings.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

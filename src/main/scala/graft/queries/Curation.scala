@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: relevance scoring (TF-IDF), PII/term
+  * scrubbing, reproducible stratified sampling, n-gram language-model
+  * statistics, distributed total-order ranking, and the dedup APPLY
+  * step that turns q45's near-dup clusters into a surviving corpus.
+  *
+  * Cross-engine determinism (see [[graft.Sql]]): scores that mix
+  * counts are computed as single IEEE double ops on BIGINT-cast
+  * inputs (a/b, a*(b/c)) — identical bit patterns on both engines; no
+  * transcendental functions (engines differ in the last ulp of log),
+  * no double aggregation (counts aggregate as BIGINT, ratios divide
+  * at the end).
+  */
+object Curation {
+
+  // identical regex source strings feed BOTH engines (Java regex and
+  // DuckDB's RE2 agree on this common subset: classes, bounded
+  // repetition, \b \d). No capture groups — group 0 is the match.
+  private val EmailRe = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
+  private val TermRe = """\bcustomer\b"""
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q78
+    // TF-IDF relevance scoring, ratio-idf variant: score = tf * (N/df).
+    // (Ratio instead of log idf deliberately: ln() differs between
+    // engines in the last ulp, which the hash-compare oracle cannot
+    // tolerate; the ranking structure — two aggregations + vocab join +
+    // per-doc top-k — is identical.) At 100 TB: tf is one token-stream
+    // shuffle with map-side combine; df aggregates tf's OUTPUT (vocab-
+    // sized, not token-sized); N is a 1-row broadcast; the top-k window
+    // partitions by doc. Nothing touches the token stream twice.
+    Q(
+      "q78_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Llm.docsSpread(s, dir)
+          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter($"tok" =!= "")
+        val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = tf.agg(count_distinct($"doc_id").as("n"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            $"tf".cast("double") * ($"n".cast("double") / $"df".cast("double")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)).cast("long"))
+          .filter($"rk" <= 3)
+          .select($"doc_id", $"tok", $"tf", $"df", $"score", $"rk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY doc_id, tok),
+        df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        sc AS (
+          SELECT f.doc_id, f.tok, f.tf, d.df,
+            CAST(f.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+          FROM tf f JOIN df d USING (tok) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, tok, tf, df, score,
+            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS BIGINT) AS rk
+          FROM sc)
+        SELECT doc_id, tok, tf, df, score, rk FROM r WHERE rk <= 3""")),
+
+    // ---------------------------------------------------------------- q79
+    // PII / blocklist-term scrubbing — the pre-training redaction pass:
+    // emails, IPv4s, phone numbers (real patterns; this synthetic corpus
+    // contains none, so their counts oracle-check at zero) plus a
+    // blocklist term that DOES occur, proving the rewrite end-to-end
+    // (redacted-text md5 + length shift). PiiSpec drives the same
+    // patterns over a fixture with real PII. Pure scan projection: at
+    // 100 TB this is the cheapest kind of operator — no shuffle, and
+    // emitting md5 instead of the rewritten payload keeps the output
+    // narrow (the real pipeline would write the redacted text column
+    // straight back out, still shuffle-free).
+    Q(
+      "q79_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        Llm.docsSpread(s, dir)
+          .withColumn("red",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace($"text", EmailRe, "<EMAIL>"),
+                  Ipv4Re, "<IP>"),
+                PhoneRe, "<PHONE>"),
+              TermRe, "<TERM>"))
+          .select($"doc_id",
+            size(regexp_extract_all($"text", lit(EmailRe), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all($"text", lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+            size(regexp_extract_all($"text", lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+            size(regexp_extract_all($"text", lit(TermRe), lit(0))).cast("long").as("n_term"),
+            md5($"red").as("red_md5"),
+            length($"red").cast("long").as("red_len"))
+      },
+      Some(s"""
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ip,
+          CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(text, '$TermRe')) AS BIGINT) AS n_term,
+          md5(red) AS red_md5,
+          CAST(length(red) AS BIGINT) AS red_len
+        FROM (
+          SELECT doc_id, text,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                  '$Ipv4Re', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g'),
+              '$TermRe', '<TERM>', 'g') AS red
+          FROM documents) r""")),
+
+    // ---------------------------------------------------------------- q80
+    // Stratified sampling: exactly k=25 docs per language stratum,
+    // selected by content-addressed hash order (md5(doc_id||salt)) —
+    // reproducible across runs, engines, and partitionings, unlike
+    // rand()/TABLESAMPLE. One shuffle on the stratum key; each stratum
+    // ranks independently (at 100 TB add a shard suffix to the stratum
+    // key if a single language dominates — same treatment as q54's
+    // packing shards).
+    Q(
+      "q80_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            md5(concat($"doc_id".cast("string"), lit("|strat"))).as("hk"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang").orderBy($"hk".asc, $"doc_id".asc)).cast("long"))
+          .filter($"rk" <= 25)
+          .select($"doc_id", $"lang", $"rk")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, lang,
+            md5(concat(CAST(doc_id AS VARCHAR), '|strat')) AS hk
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS BIGINT) AS rk
+          FROM h)
+        SELECT doc_id, lang, rk FROM r WHERE rk <= 25""")),
+
+    // ---------------------------------------------------------------- q82
+    // Bigram language-model statistics: adjacency via a per-doc lead()
+    // window over the token stream, then P(w2|w1) = cnt/tot as a single
+    // BIGINT->DOUBLE division. docsSpread already hash-partitions on
+    // doc_id, so the window's partitionBy(doc_id) reuses that exchange;
+    // the only real shuffle is the |bigram-vocab| count (map-side
+    // combined). tot aggregates the counted vocab, never the stream.
+    Q(
+      "q82_bigram_lm",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Llm.docsSpread(s, dir)
+          .select($"doc_id",
+            posexplode(filter(split(lower($"text"), "[^a-z]+"), x => x =!= "")))
+          .toDF("doc_id", "idx", "tok")
+        val w = Window.partitionBy($"doc_id").orderBy($"idx".asc)
+        val cnts = toks
+          .withColumn("w2", lead($"tok", 1).over(w))
+          .filter($"w2".isNotNull)
+          .groupBy($"tok".as("w1"), $"w2")
+          .agg(count(lit(1)).as("cnt"))
+        val tots = cnts.groupBy($"w1").agg(sum($"cnt").cast("long").as("tot"))
+        cnts.join(tots, "w1")
+          .select($"w1", $"w2", $"cnt", $"tot",
+            ($"cnt".cast("double") / $"tot".cast("double")).as("p"))
+      },
+      Some("""
+        WITH lst AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS l
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+            CAST(generate_subscripts(l, 1) AS BIGINT) AS idx
+          FROM lst),
+        bg AS (
+          SELECT tok AS w1,
+            lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx ASC) AS w2
+          FROM toks),
+        cnts AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+          FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        tots AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY w1)
+        SELECT c.w1, c.w2, c.cnt, t.tot,
+          CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        FROM cnts c JOIN tots t USING (w1)""")),
+
+    // ---------------------------------------------------------------- q83
+    // Distributed total-order rank (ops.GlobalRank): documents ranked
+    // by (n_chars DESC, doc_id) — the scalable form of
+    // row_number() OVER (ORDER BY ...), which Spark would otherwise
+    // plan as an Exchange to ONE partition sorting the whole dataset on
+    // one core. Range-partition + per-partition offsets + narrow local
+    // numbering: no task ever sees more than one partition's rows.
+    // Necessarily eager (the offset prefix-sum is a numPartitions-row
+    // action), same caveat as q45's fixpoint. GlobalRankSpec pins
+    // agreement with the single-window form and the multi-partition
+    // physical shape.
+    Q(
+      "q83_global_rank",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.GlobalRank.withRank(
+          table(s, dir, "documents").select($"doc_id", $"n_chars"),
+          Seq($"n_chars".desc, $"doc_id".asc),
+          "g_rank",
+          s.sparkContext.defaultParallelism)
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+          CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS g_rank
+        FROM documents""")),
+
+    // ---------------------------------------------------------------- q85
+    // Dedup APPLY — the step q45 exists for: pick one canonical doc per
+    // near-dup cluster (the cluster id IS min doc_id, q45's labeling)
+    // and anti-join the drop-set against the corpus. The drop-set is
+    // |clustered docs| rows (tiny relative to the corpus), so at 100 TB
+    // it broadcasts — or bloom-filters the scan — and the survivors
+    // never shuffle. Eager for the same reason as q45 (the cluster
+    // fixpoint runs inside).
+    Q(
+      "q85_dedup_apply",
+      (s, dir) => {
+        import s.implicits._
+        val clusters = Llm.all.find(_.name == "q45_dedup_clusters").get.run(s, dir)
+        val drops = clusters
+          .filter($"v" =!= $"cluster_id")
+          .select($"v".as("doc_id"))
+        table(s, dir, "documents")
+          .join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"lang", $"source", $"n_chars")
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (${Llm.minhashPairsSql}),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+        drops AS (SELECT v FROM cc WHERE v <> cluster_id)
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT v FROM drops)"""))
+  )
+}

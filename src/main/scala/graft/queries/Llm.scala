@@ -210,8 +210,9 @@ object Llm {
       .select($"d1", $"d2", $"jac")
   }
 
-  /** q21's oracle SQL, shared with the q45 clustering query. */
-  private val minhashPairsSql: String = s"""
+  /** q21's oracle SQL, shared with the q45 clustering query and the
+    * q85 dedup-apply step (Curation.scala). */
+  private[queries] val minhashPairsSql: String = s"""
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
           FROM documents CROSS JOIN generate_series(1, 196) s(i)
