@@ -33,6 +33,26 @@ object GlobalRank {
   /** `df` plus a `rankCol` column holding the 1-based global rank in
     * `sortCols` order. Eager: phase 2's sizing action runs here.
     *
+    * Resource retention: the localCheckpoint'ed partition blocks and
+    * the offset broadcast live until Spark's ContextCleaner garbage-
+    * collects the returned frame's plan. That is fine for one-shot
+    * query execution (the engine's own use), but a long-lived session
+    * calling this repeatedly should use [[withRankManaged]] and invoke
+    * the cleanup hook once the result has been fully materialized.
+    */
+  def withRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String,
+      numPartitions: Int): DataFrame =
+    withRankManaged(df, sortCols, rankCol, numPartitions)._1
+
+  /** [[withRank]] plus an explicit cleanup hook that unpersists the
+    * internal localCheckpoint blocks and destroys the offset broadcast.
+    * Call the hook only AFTER the returned frame has been fully
+    * materialized (collected / written); the frame is not re-runnable
+    * afterwards.
+    *
     * The range-partition id is BAKED INTO the checkpointed rows as a
     * column, not read from `TaskContext` in the rank pass: a downstream
     * `coalesce(n)` (e.g. a single-file write) fuses many range
@@ -42,11 +62,11 @@ object GlobalRank {
     * per-iterator local index plus the per-ROW pid lookup stays correct
     * under any downstream coalescing.
     */
-  def withRank(
+  def withRankManaged(
       df: DataFrame,
       sortCols: Seq[Column],
       rankCol: String,
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val pidCol = "__graft_rank_pid"
     val ranged = df
@@ -70,7 +90,7 @@ object GlobalRank {
     val pidIdx = ranged.schema.fieldIndex(pidCol)
     val outSchema = StructType(
       ranged.schema.fields.patch(pidIdx, Nil, 1)).add(rankCol, LongType, nullable = false)
-    ranged.mapPartitions { it =>
+    val out = ranged.mapPartitions { it =>
       // one invocation per range partition (coalesce concatenates
       // parent iterators, it does not merge them), so the local index
       // restarts exactly at each range-partition boundary
@@ -81,5 +101,13 @@ object GlobalRank {
         Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ (off + i))
       }
     }(Encoders.row(outSchema))
+    val checkpointed = ranged.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val cleanup: () => Unit = () => {
+      checkpointed.foreach(_.unpersist(blocking = false))
+      bc.destroy()
+    }
+    (out, cleanup)
   }
 }

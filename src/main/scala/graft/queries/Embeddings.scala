@@ -58,17 +58,23 @@ object Embeddings {
 
     // ---------------------------------------------------------------- q84
     // Per-label centroids (the k-means/IVF training primitive) via a
-    // REPRODUCIBLE two-level sum tree: grouped double sums are
+    // REPRODUCIBLE fixed-depth sum tree: grouped double sums are
     // order-dependent, and shuffle arrival order is nondeterministic —
     // so level 1 folds each bounded 64-vector segment in vec_id order,
-    // and level 2 folds the segment sums in seg order. Both engines
-    // evaluate the identical fixed reduction tree → bit-identical
-    // centroids run-over-run AND engine-over-engine. At 100 TB the
-    // segment width bounds every collect_list at 64 structs (a few KB),
-    // partials combine map-side, and the tree deepens (seg of seg) if
-    // a label's population outgrows level 2 — the standard fixed-shape
-    // reproducible-reduction treatment, vs. a naive sum() whose result
-    // changes with partitioning.
+    // level 2 folds each bounded 64-segment block (`seg div 64`) in
+    // seg order, and level 3 folds the block sums in blk order. Both
+    // engines evaluate the identical fixed reduction tree →
+    // bit-identical centroids run-over-run AND engine-over-engine.
+    // Depth is a STATIC part of the operator's definition, not derived
+    // from the data: a data-dependent depth would change the
+    // association grouping and with it the rounded result. At depth 3,
+    // levels 1 and 2 are hard-bounded at 64 entries per collect_list
+    // and the top list holds ceil(pop / 64²) structs per (label, i) —
+    // one per 4096 vectors, so a label needs ≳4×10⁸ vectors (≈100 GB
+    // of raw fp32 at d=64) before the top list reaches 10⁵ structs
+    // (~2 MB, still comfortably inside one reducer). Past that,
+    // extend the SAME pattern by one more `div 64` level — a new
+    // operator version, not a runtime adaptation.
     Q(
       "q84_embedding_centroids",
       (s, dir) => {
@@ -83,12 +89,18 @@ object Embeddings {
             sort_array(collect_list(struct($"vec_id", $"x"))).as("xs"),
             count(lit(1)).as("n1"))
           .withColumn("ssum", expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.x)"))
-        seg1
-          .groupBy($"label", $"i")
+        val seg2 = seg1
+          .groupBy($"label", $"i", expr("seg div 64").as("blk"))
           .agg(
             sort_array(collect_list(struct($"seg", $"ssum"))).as("ss"),
-            sum($"n1").cast("long").as("n"))
-          .withColumn("vsum", expr("aggregate(ss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)"))
+            sum($"n1").cast("long").as("n2"))
+          .withColumn("bsum", expr("aggregate(ss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)"))
+        seg2
+          .groupBy($"label", $"i")
+          .agg(
+            sort_array(collect_list(struct($"blk", $"bsum"))).as("bs"),
+            sum($"n2").cast("long").as("n"))
+          .withColumn("vsum", expr("aggregate(bs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)"))
           .select($"label", $"i", $"n", ($"vsum" / $"n".cast("double")).as("centroid"))
       },
       Some("""
@@ -102,11 +114,16 @@ object Embeddings {
             sum(x ORDER BY vec_id) AS ssum,
             CAST(count(*) AS BIGINT) AS n1
           FROM el GROUP BY label, i, seg),
+        s2 AS (
+          SELECT label, i, seg // 64 AS blk,
+            sum(ssum ORDER BY seg) AS bsum,
+            CAST(sum(n1) AS BIGINT) AS n2
+          FROM s1 GROUP BY label, i, blk),
         c AS (
           SELECT label, i,
-            sum(ssum ORDER BY seg) AS vsum,
-            CAST(sum(n1) AS BIGINT) AS n
-          FROM s1 GROUP BY label, i)
+            sum(bsum ORDER BY blk) AS vsum,
+            CAST(sum(n2) AS BIGINT) AS n
+          FROM s2 GROUP BY label, i)
         SELECT label, i, n, vsum / CAST(n AS DOUBLE) AS centroid FROM c"""))
   )
 }

@@ -33,4 +33,44 @@ class GlobalRankSpec extends SparkSuite {
     val perPart = ranked.rdd.mapPartitions(it => Iterator(it.size)).collect()
     assert(perPart.count(_ > 0) >= 4, s"rows concentrated: ${perPart.toSeq}")
   }
+
+  test("q83 survives a coalesced single-file write round-trip") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rank_spec")
+    try {
+      val df = SparkEntry.queries("q83_global_rank")(spark, "/root/testdata/sf0.01")
+      // coalesce(1) fuses every range partition into ONE task — the
+      // exact shape the Verify writer produces — so the per-row pid
+      // lookup (not TaskContext.partitionId) must keep ranks correct
+      val out = tmp.resolve("rank.parquet").toString
+      df.coalesce(1).write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val expected = graft.Sql.table(spark, "/root/testdata/sf0.01", "documents")
+        .select($"doc_id", $"n_chars")
+        .withColumn("g_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"n_chars".desc, $"doc_id".asc)).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(back === expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("managed variant cleans up its checkpoint blocks and broadcast") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ((i * 67) % 1000, i % 13)).toDF("id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (ranked, cleanup) = graft.ops.GlobalRank.withRankManaged(
+      df, Seq($"v".asc, $"id".asc), "g_rank", numPartitions = 4)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint should register a persistent RDD")
+    // materialize fully, then release
+    assert(ranked.collect().length === 1000)
+    cleanup()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added & after).isEmpty,
+      s"checkpoint blocks still registered after cleanup: ${added & after}")
+  }
 }
