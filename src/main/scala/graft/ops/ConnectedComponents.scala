@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Pick the form by edge count: a pair graph at or below
-    * `localThreshold` edges runs the single-task hash-min loop; bigger
+    * `localThreshold` edges runs the driver-local union-find; bigger
     * graphs run keyed large-star/small-star.
     */
   def auto(pairs: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
@@ -43,13 +43,55 @@ object ConnectedComponents {
     // shingle+minhash run) would execute twice — once for the count,
     // once for the iteration
     val e = symCanonical(pairs).localCheckpoint()
-    // both branches eagerly re-checkpoint their own working copy as
+    // both branches eagerly materialize their own working copy as
     // their first step, so the probe frame can be released afterwards
     val result =
-      if (e.count() <= localThreshold) hashMinEdges(e.coalesce(1))
+      if (e.count() <= localThreshold) dsuLocal(e)
       else largeStarSmallStar(e)._1
     e.unpersist()
     result
+  }
+
+  /** Union-find over the COLLECTED edge list — the right physical form
+    * when the pair graph is driver-small: even a 100 TB corpus's
+    * near-dup pair graph is typically orders of magnitude smaller than
+    * the corpus, and one O(E α(V)) in-memory pass replaces a Spark job
+    * per propagation round (each round of the distributed forms costs
+    * scheduling + a checkpoint — more than the whole DSU on small
+    * graphs). This is deliberately NOT the distributed operator: it is
+    * the under-threshold branch of [[auto]], which switches to keyed
+    * [[largeStarSmallStar]] past `localThreshold` (1M edges ≈ 16 MB
+    * collected — trivially driver-safe). Union-by-min keeps the
+    * invariant root(x) = min(component(x)), so labels agree exactly
+    * with both distributed forms (CcSpec pins the three-way agreement).
+    * Vertex ids must be integral (cast to long).
+    */
+  def dsuLocal(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a") =!= col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN root (not by rank): the root stays the component
+      // minimum, which IS the cluster-id contract
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+    s.createDataFrame(labels).toDF("v", "cluster_id")
   }
 
   /** (a, b) both directions, self-loops dropped, distinct. */

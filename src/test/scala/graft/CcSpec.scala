@@ -26,6 +26,9 @@ class CcSpec extends SparkSuite {
     val hm = labelsOf(ConnectedComponents.hashMinLocal(df))
     val (lsss, _) = ConnectedComponents.largeStarSmallStar(df)
     assert(hm === labelsOf(lsss))
+    // the driver-local union-find (auto()'s under-threshold branch)
+    // must agree with both distributed forms
+    assert(hm === labelsOf(ConnectedComponents.dsuLocal(df)))
     // spot-check semantics: every vertex of the star labels to its min
     assert(hm(2009L) === 2000L)
     assert(hm(3003L) === 3000L)
@@ -59,5 +62,6 @@ class CcSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.hashMinLocal(empty).count() === 0)
     assert(ConnectedComponents.largeStarSmallStar(empty)._1.count() === 0)
+    assert(ConnectedComponents.dsuLocal(empty).count() === 0)
   }
 }
