@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Coverage.all ++
     graft.queries.TrainPrep.all ++
     graft.queries.Curation.all ++
-    graft.queries.Embeddings.all
+    graft.queries.Embeddings.all ++
+    graft.queries.Mining.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

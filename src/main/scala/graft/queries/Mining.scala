@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.Q
+import graft.Sql._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mining operators: exact-substring dedup coverage, rule-based
+  * quality filtering, corpus-LM document scoring, PQ-ANN, and
+  * temperature-based mixture weighting — the data-curation passes a
+  * pre-training pipeline runs between dedup (q20/q21/q45/q85) and
+  * packing (q53/q54/q73).
+  *
+  * Determinism ([[graft.Sql]] rules): every ratio is ONE exact-integer
+  * division (or a chain of single correctly-rounded IEEE ops — sqrt,
+  * one multiply); every double SUM is an ordered fold mirrored by
+  * DuckDB `sum(x ORDER BY k)`; counts cast to BIGINT on both engines.
+  */
+object Mining {
+
+  /** Gopher-style stopword list, restricted to plain English function
+    * words (Rae et al. 2021 use a similar must-contain list). */
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
+
+  val all: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q86
+    // Exact-substring duplication coverage (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better" —
+    // the ExactSubstr statistic, grams-across-documents form): per
+    // document, the fraction of its 20-char gram POSITIONS whose gram
+    // also occurs in at least one other document. Grams are hashed to
+    // 60-bit longs map-side (q67's pattern), so the shuffle carries
+    // (hash, doc_id) — never text; the distinct-doc count per gram is
+    // a partial+final agg and the join back is hash-equi on the same
+    // key. At 100 TB this is two |grams| shuffles of 16-byte rows —
+    // the suffix-array form trades them for a global sort; same
+    // output, and the hash form parallelizes trivially.
+    Q(
+      "q86_substring_dup_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val t = Llm.docPrefix(Llm.docsSpread(s, dir), 20)
+        val grams = t.select($"doc_id", explode(expr(
+          s"transform(${Llm.shingleGen(20)}, g -> " +
+            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
+        val nd = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
+        grams.join(nd, "gh")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_grams"),
+            sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+          .withColumn("dup_frac", $"n_dup".cast("double") / $"n_grams")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents
+          WHERE length(substr(text, 1, 200)) >= 20),
+        g AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(substr(t200, s.i, 20)), 1, 15)) AS UBIGINT) AS BIGINT) AS gh
+          FROM t CROSS JOIN generate_series(1, 181) s(i)
+          WHERE s.i <= length(t200) - 19),
+        c AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gh)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
+        FROM g JOIN c USING (gh) GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q87
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
+    // synthetic corpus): per-document word count, mean word length,
+    // stopword fraction, top-word fraction (the repetition signal),
+    // and the conjunctive pass bit. One word-explode + two hash aggs
+    // (per-(doc,word) then per-doc) — the per-doc group is bounded by
+    // document length, and everything reduces map-side. At 100 TB this
+    // runs at scan throughput; the pass bit then gates the corpus with
+    // a semi-join (the q85 shape).
+    Q(
+      "q87_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val words = Llm.docsSpread(s, dir).select($"doc_id",
+          explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+        val wc = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        wc.groupBy($"doc_id")
+          .agg(
+            sum($"c").cast("long").as("n_words"),
+            count(lit(1)).cast("long").as("n_distinct"),
+            max($"c").cast("long").as("top_c"),
+            coalesce(sum(when($"w".isin(stopwords: _*), $"c")), lit(0L))
+              .cast("long").as("n_stop"),
+            sum(length($"w") * $"c").cast("long").as("char_sum"))
+          .select($"doc_id", $"n_words", $"n_distinct",
+            ($"char_sum".cast("double") / $"n_words").as("mean_wlen"),
+            ($"n_stop".cast("double") / $"n_words").as("stop_frac"),
+            ($"top_c".cast("double") / $"n_words").as("top_frac"))
+          .withColumn("pass",
+            ($"n_words" >= 30 && $"n_words" <= 100000 &&
+              $"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0 &&
+              $"stop_frac" > 0.0 && $"top_frac" <= 0.15).cast("long"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        a AS (
+          SELECT doc_id,
+            CAST(sum(c) AS BIGINT) AS n_words,
+            CAST(count(*) AS BIGINT) AS n_distinct,
+            CAST(max(c) AS BIGINT) AS top_c,
+            CAST(coalesce(sum(c) FILTER (w IN (${stopwords.map("'" + _ + "'").mkString(",")})), 0) AS BIGINT) AS n_stop,
+            CAST(sum(length(w) * c) AS BIGINT) AS char_sum
+          FROM wc GROUP BY doc_id)
+        SELECT doc_id, n_words, n_distinct,
+          CAST(char_sum AS DOUBLE) / n_words AS mean_wlen,
+          CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
+          CAST(top_c AS DOUBLE) / n_words AS top_frac,
+          CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+            AND CAST(char_sum AS DOUBLE) / n_words >= 3.0
+            AND CAST(char_sum AS DOUBLE) / n_words <= 5.0
+            AND CAST(n_stop AS DOUBLE) / n_words > 0.0
+            AND CAST(top_c AS DOUBLE) / n_words <= 0.15
+            THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM a""")),
+
+    // ---------------------------------------------------------------- q88
+    // Corpus-LM document scoring — the CCNet/perplexity-filter shape
+    // with the corpus itself as the language model: train bigram
+    // relative frequencies p(w2|w1) = c(w1,w2)/c(w1·) over all
+    // documents, then score each document by its mean in-corpus bigram
+    // probability. (Mean probability, not log-perplexity: ln() is not
+    // cross-engine bit-stable; every p here is one exact BIGINT→DOUBLE
+    // division and the per-doc mean is an ordered position fold — the
+    // q84 discipline.) Bounded state: the per-doc fold collects ≤
+    // |doc words| structs. At 100 TB the LM table shuffles once on
+    // (w1,w2) — or broadcasts when the vocabulary is bounded — and
+    // scoring is a scan + one hash-equi join.
+    Q(
+      "q88_lm_doc_score",
+      (s, dir) => {
+        import s.implicits._
+        val ws = Llm.docsSpread(s, dir)
+          .select($"doc_id",
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ws"))
+          .filter(size($"ws") >= 2)
+        val bg = ws.select($"doc_id", posexplode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))")))
+          .select($"doc_id", ($"pos" + 1).as("pos"), $"col.w1".as("w1"), $"col.w2".as("w2"))
+        val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select($"doc_id", $"pos", ($"c12".cast("double") / $"c1").as("p"))
+          .groupBy($"doc_id")
+          .agg(
+            sort_array(collect_list(struct($"pos", $"p"))).as("ps"),
+            count(lit(1)).cast("long").as("n_bigrams"))
+          .select($"doc_id", $"n_bigrams",
+            (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p)") /
+              $"n_bigrams".cast("double")).as("avg_p"))
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, s.i AS pos, ws[s.i] AS w1, ws[s.i + 1] AS w2
+          FROM ws CROSS JOIN generate_series(1, 639) s(i)
+          WHERE len(ws) >= 2 AND s.i <= len(ws) - 1),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        p AS (
+          SELECT doc_id, pos, CAST(c12 AS DOUBLE) / c1 AS p
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_bigrams,
+          sum(p ORDER BY pos) / CAST(count(*) AS DOUBLE) AS avg_p
+        FROM p GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q89
+    // Product-quantization ANN (ops.PqIndex): 8×4-bit codes + ADC
+    // scoring — the third similarity-search scale path next to q33's
+    // sign-LSH and q52's IVF. Rows-only by design (the trained
+    // codebook is not SQL-expressible); PqSpec checks recall@10
+    // against the exact q25 baseline and the unit-vector
+    // L2-vs-cosine ranking identity.
+    Q(
+      "q89_ann_pq",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        graft.ops.PqIndex.topK(
+          s,
+          e.select($"vec_id", $"embedding"),
+          e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+          k = 10)
+      },
+      None),
+
+    // ---------------------------------------------------------------- q90
+    // Temperature-based mixture weighting (the multilingual/multi-
+    // source sampling scheme of mT5/XLM-R: w_s ∝ n_s^α, here α = 0.5):
+    // per-source corpus share, temperature-flattened weight, and the
+    // integer document quota for an epoch. sqrt is correctly-rounded
+    // IEEE on both engines; the weight normalizer is an ordered fold
+    // over the (tiny) per-source frame; quota = floor(w·N + 0.5) stays
+    // in exact double range. The per-source count is one partial+final
+    // agg; everything after runs on |sources| rows.
+    Q(
+      "q90_mixture_temperature",
+      (s, dir) => {
+        import s.implicits._
+        val counts = table(s, dir, "documents")
+          .groupBy($"source").agg(count(lit(1)).cast("long").as("n_docs"))
+        val raw = counts.withColumn("w_raw", sqrt($"n_docs".cast("double")))
+        val tot = raw.agg(
+          sort_array(collect_list(struct($"source", $"w_raw"))).as("xs"),
+          sum($"n_docs").cast("long").as("total_docs"))
+          .select(
+            expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.w_raw)").as("z"),
+            $"total_docs")
+        raw.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            ($"w_raw" / $"z").as("weight"),
+            floor(($"w_raw" / $"z") * $"total_docs".cast("double") + lit(0.5))
+              .cast("long").as("quota"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        r AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw FROM c),
+        t AS (
+          SELECT sum(w_raw ORDER BY source) AS z,
+            CAST(sum(n_docs) AS BIGINT) AS total_docs
+          FROM r)
+        SELECT source, n_docs,
+          w_raw / z AS weight,
+          CAST(floor(w_raw / z * CAST(total_docs AS DOUBLE) + 0.5) AS BIGINT) AS quota
+        FROM r CROSS JOIN t"""))
+  )
+}
