@@ -1,10 +1,23 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the sf dir given by
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Noise discipline (round-5 verdict: a contention-noisy driver run
+  * reported 3–4.6× phantom regressions on untouched queries):
+  *  - System.gc() + a short settle before every timed run, so one
+  *    query's garbage never bills the next query's wall clock;
+  *  - three passes, per-query MIN published as `queries_warm` — the
+  *    min of 3 is robust to a stray compaction/CPU spike in any single
+  *    pass, where a mean is not;
+  *  - the full JSON (every per-query number, all passes' mins) is also
+  *    written to BENCH_FULL.json, so the complete map survives even if
+  *    a log pipeline truncates the stdout line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,7 +38,9 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def settle(): Unit = { System.gc(); Thread.sleep(30) }
     def pass(): Seq[(String, Double)] = SparkEntry.allQueries.map { q =>
+      settle()
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -34,23 +49,31 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // Two passes. "value" is the SINGLE-PASS (cold) total — the same
+    // Three passes. "value" is the SINGLE-PASS (cold) total — the same
     // methodology round 1 used, so the driver's cross-round comparison
-    // stays apples-to-apples. The per-query MIN of the two passes is
+    // stays apples-to-apples. The per-query MIN of the three passes is
     // published separately (total_warm / queries_warm): the first
-    // execution of each of the ~60 distinct plans pays JIT + Janino
+    // execution of each of the ~90 distinct plans pays JIT + Janino
     // codegen compilation + file-index setup — single-JVM local-mode
     // warm-up, not the steady-state throughput that matters at 100 TB
     // (a real cluster amortizes it across hours of executor lifetime).
     val cold = pass()
-    val warm = pass()
-    val best = cold.zip(warm).map { case ((k, c), (_, w)) => (k, math.min(c, w)) }
+    val warm1 = pass()
+    val warm2 = pass()
+    val best = cold.indices.map { i =>
+      (cold(i)._1, math.min(cold(i)._2, math.min(warm1(i)._2, warm2(i)._2)))
+    }
     def obj(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalWarm = best.map(_._2).sum
     val totalCold = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(best)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(best)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // full artifact on disk — immune to stdout truncation
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), json + "\n")
     spark.stop()
   }
 }

@@ -60,8 +60,9 @@ object ConnectedComponents {
     * scheduling + a checkpoint — more than the whole DSU on small
     * graphs). This is deliberately NOT the distributed operator: it is
     * the under-threshold branch of [[auto]], which switches to keyed
-    * [[largeStarSmallStar]] past `localThreshold` (1M edges ≈ 16 MB
-    * collected — trivially driver-safe). Union-by-min keeps the
+    * [[largeStarSmallStar]] past `localThreshold` (1M edges collected
+    * as specialized primitive tuples ≈ 40 MB of driver heap including
+    * object headers — comfortably driver-safe). Union-by-min keeps the
     * invariant root(x) = min(component(x)), so labels agree exactly
     * with both distributed forms (CcSpec pins the three-way agreement).
     * Vertex ids must be integral (cast to long).
@@ -72,7 +73,7 @@ object ConnectedComponents {
     val edges = pairs.toDF("a", "b")
       .select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a") =!= col("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -90,7 +91,11 @@ object ConnectedComponents {
       if (ra < rb) parent(rb) = ra
       else if (rb < ra) parent(ra) = rb
     }
-    val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+    // snapshot the key set before labeling: find() path-compresses into
+    // the same map, and iterating a mutable map under mutation is
+    // formally undefined even when only values change
+    val ks = parent.keys.toArray
+    val labels = ks.map(v => (v, find(v))).toSeq
     s.createDataFrame(labels).toDF("v", "cluster_id")
   }
 

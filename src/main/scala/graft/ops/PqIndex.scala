@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,20 +26,28 @@ import org.apache.spark.sql.functions._
   * Determinism: same seeding/iteration discipline as [[IvfIndex]] — the
   * k lowest-vec_id vectors seed every subspace, Lloyd rounds are
   * fixed-count, empty cells keep their previous centroid, ties break
-  * toward the lowest cell id. Same inputs → same codebook, every run.
+  * toward the lowest cell id. Per-partition partial sums accumulate in
+  * row order and are folded on the driver in sorted (subspace, cell,
+  * partition) order, so no double addition ever depends on shuffle-
+  * fetch order — same inputs → bit-identical codebook, every run
+  * (PqSpec pins run-over-run equality).
   *
   * Scale design (100 TB of vectors):
   *  - training reads a sample (locally: the whole corpus; at scale
   *    ~256·k vectors suffice) and ALL `m` subspaces train in the same
-  *    pass — one aggregateByKey keyed by (subspace, cell) per Lloyd
-  *    round, not m separate jobs;
+  *    pass — one partial-sum scan keyed by (subspace, cell) per Lloyd
+  *    round, not m separate jobs; the collected partials are
+  *    numPartitions × m × k rows of subDim doubles — kilobytes;
   *  - the codebook is m·k·subDim floats (kilobytes) and each query's
   *    ADC table is m·k doubles — both broadcast, never shuffled;
-  *  - encoding is a scan-parallel map; the code frame is `m` ints per
-  *    vector and would be written bucketBy(vec_id) at rest;
-  *  - scoring streams the code frame once per query batch and reduces
-  *    to top-k per query (partial TakeOrdered per partition under the
-  *    rank filter), so the full distance stream never materializes.
+  *  - encoding is a scan-parallel map; [[save]] writes the code frame
+  *    bucketBy(vec_id) at rest (the layout [[topKFromSaved]] probes)
+  *    with the codebook alongside as a plain kilobyte-sized table;
+  *  - scoring streams the code frame once per query batch and keeps a
+  *    bounded per-query heap per partition, so only
+  *    numPartitions × |queries| × shortlist candidate rows ever reach
+  *    a shuffle — the full |corpus|×|queries| distance stream never
+  *    materializes.
   */
 object PqIndex {
 
@@ -106,7 +115,12 @@ object PqIndex {
     Array.tabulate(len)(i => if (off + i < v.length) v(off + i) else 0f)
 
   /** Train the m×k codebook with `iters` Lloyd rounds — all subspaces
-    * in one distributed pass per round. */
+    * in one distributed pass per round. Partial (sum, count) pairs are
+    * produced per partition in row order and combined on the driver in
+    * sorted (subspace, cell, partition) order: a fixed-shape reduction,
+    * never the shuffle-fetch-ordered double sum that made the old
+    * aggregateByKey form a latent determinism flake.
+    */
   def train(corpus: DataFrame, m: Int, k: Int, dim: Int, iters: Int): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -121,34 +135,134 @@ object PqIndex {
     while (it < iters) {
       val cs = cents
       val model = PqModel(cs, subDim)
-      val sums = vecs.rdd.flatMap { case (_, emb0) =>
-        val emb = normalize(emb0)
-        val code = model.encode(emb)
-        (0 until cs.length).iterator.map { mi =>
-          ((mi, code(mi)), slice(emb, mi * subDim, subDim))
+      val mLocal = cs.length
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Int, Int), (Array[Double], Array[Long])]
+        rows.foreach { case (_, emb0) =>
+          val emb = normalize(emb0)
+          val code = model.encode(emb)
+          var mi = 0
+          while (mi < mLocal) {
+            val slot = acc.getOrElseUpdate(
+              (mi, code(mi)), (new Array[Double](subDim), new Array[Long](1)))
+            val off = mi * subDim
+            var i = 0
+            while (i < subDim) {
+              slot._1(i) += (if (off + i < emb.length) emb(off + i) else 0f).toDouble
+              i += 1
+            }
+            slot._2(0) += 1L
+            mi += 1
+          }
         }
-      }.aggregateByKey((new Array[Double](subDim), 0L))(
-        seqOp = { case ((acc, n), sv) =>
-          var i = 0
-          while (i < subDim) { acc(i) += sv(i); i += 1 }
-          (acc, n + 1)
-        },
-        combOp = { case ((a, na), (b, nb)) =>
-          var i = 0
-          while (i < subDim) { a(i) += b(i); i += 1 }
-          (a, na + nb)
-        })
-        .collect()
+        acc.iterator.map { case ((mi, c), (sum, n)) => (mi, c, pid, sum, n(0)) }
+      }.collect()
       // empty cells keep their previous centroid (deterministic, and
       // the cell stays probeable instead of collapsing the codebook)
       val next = cents.map(_.map(_.clone()))
-      sums.foreach { case ((mi, c), (sum, n)) =>
-        next(mi)(c) = sum.map(v => (v / n).toFloat)
+      val sorted = partials.sortBy { case (mi, c, pid, _, _) => (mi, c, pid) }
+      var idx = 0
+      while (idx < sorted.length) {
+        val mi = sorted(idx)._1
+        val c = sorted(idx)._2
+        val sum = new Array[Double](subDim)
+        var n = 0L
+        while (idx < sorted.length && sorted(idx)._1 == mi && sorted(idx)._2 == c) {
+          val p = sorted(idx)
+          var i = 0
+          while (i < subDim) { sum(i) += p._4(i); i += 1 }
+          n += p._5
+          idx += 1
+        }
+        if (n > 0L) next(mi)(c) = sum.map(v => (v / n).toFloat)
       }
       cents = next
       it += 1
     }
     PqModel(cents, subDim)
+  }
+
+  /** ADC shortlist with a bounded per-query heap per partition: each
+    * input partition keeps only its `shortlist` best (adist, vec_id)
+    * per query, so the shuffle that feeds the global rank carries
+    * numPartitions × |queries| × shortlist rows instead of the full
+    * |corpus| × |queries| distance stream. Selection by the total
+    * order (adist asc, vec_id asc) commutes across partitions, so the
+    * surviving global top-`shortlist` is bit-identical to ranking the
+    * unreduced stream.
+    */
+  private def adcShortlist(
+      codes: Dataset[(Long, Array[Int])],
+      bc: Broadcast[Array[(Long, Array[Array[Double]])]],
+      shortlist: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val scored = codes.mapPartitions { it =>
+      val tabs = bc.value
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      // max-heaps: head = current worst kept candidate per query
+      val heaps = Array.fill(tabs.length)(
+        new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+      it.foreach { case (vid, code) =>
+        var qi = 0
+        while (qi < tabs.length) {
+          val qid = tabs(qi)._1
+          if (qid != vid) {
+            val tab = tabs(qi)._2
+            var d = 0.0
+            var mi = 0
+            while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+            val h = heaps(qi)
+            if (h.size < shortlist) h.enqueue((d, vid))
+            else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
+          }
+          qi += 1
+        }
+      }
+      tabs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        heaps(qi).iterator.map { case (d, vid) => (qid, vid, d) }
+      }
+    }.toDF("qid", "vec_id", "adist")
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id").asc)
+    scored
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Exact cosine re-rank of a (qid, vec_id) shortlist: the shortlist
+    * is dimension-sized (|queries| × shortlist rows) and broadcast, so
+    * the corpus side streams its scan — bucket-prunable when the
+    * vectors are at rest — with no exchange.
+    */
+  private def rerankExact(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cand: DataFrame,
+      qvecs: Array[(Long, Array[Float])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(qvecs.toMap)
+    val exact = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("qid"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .map { case (qid, vid, emb) =>
+        val q = bq.value(qid)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        val n = math.min(q.length, emb.length)
+        while (i < n) {
+          dot += q(i).toDouble * emb(i); na += q(i).toDouble * q(i); nb += emb(i).toDouble * emb(i)
+          i += 1
+        }
+        (qid, vid, dot / (math.sqrt(na) * math.sqrt(nb)))
+      }.toDF("qid", "vec_id", "sim")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
+    exact
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Top-k per query: ADC shortlist over the PQ codes, then EXACT
@@ -183,40 +297,73 @@ object PqIndex {
       .collect().sortBy(_._1)
     val tables = qvecs.map { case (qid, q) => (qid, model.distTable(normalize(q))) }
     val bc = spark.sparkContext.broadcast(tables)
-    val scored = codes.flatMap { case (vid, code) =>
-      bc.value.iterator.filter(_._1 != vid).map { case (qid, tab) =>
-        var d = 0.0
-        var mi = 0
-        while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
-        (qid, vid, d)
-      }
-    }.toDF("qid", "vec_id", "adist")
-    val wa = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id").asc)
-    val cand = scored
-      .withColumn("ark", row_number().over(wa))
-      .filter(col("ark") <= shortlist)
-      .select(col("qid"), col("vec_id"))
-    // exact re-rank: shortlist·|queries| rows join back their float
-    // vectors (hash-equi on vec_id; bucket-pruned when the corpus is
-    // written bucketBy(vec_id)), queries broadcast
-    val bq = spark.sparkContext.broadcast(qvecs.toMap)
-    val exact = cand
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .as[(Long, Long, Array[Float])]
-      .map { case (vid, qid, emb) =>
-        val q = bq.value(qid)
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        val n = math.min(q.length, emb.length)
-        while (i < n) {
-          dot += q(i).toDouble * emb(i); na += q(i).toDouble * q(i); nb += emb(i).toDouble * emb(i)
-          i += 1
-        }
-        (qid, vid, dot / (math.sqrt(na) * math.sqrt(nb)))
-      }.toDF("qid", "vec_id", "sim")
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)
-    exact
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    rerankExact(spark, corpus, adcShortlist(codes, bc, shortlist), qvecs, k)
+  }
+
+  /** Persist the trained index at rest: the code frame — `m` ints per
+    * vector, the 64×-compressed scan side — written
+    * `bucketBy(vec_id)`, and the codebook as a plain (mi, cell, vals)
+    * table (m·k rows, kilobytes). This is the layout the scaladoc
+    * header promises and [[topKFromSaved]] probes: ADC scoring scans
+    * the saved codes directly (no re-encode, no exchange below the
+    * per-partition reduction), and the bucketing keeps any id-equi
+    * join against the codes bucket-local.
+    */
+  def save(
+      corpus: DataFrame,
+      model: PqModel,
+      codesTable: String,
+      codebookTable: String,
+      numBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, model.encode(normalize(emb))) }
+      .toDF("vec_id", "code")
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(codesTable)
+    model.centroids.indices.flatMap { mi =>
+      model.centroids(mi).indices.map(c => (mi, c, model.centroids(mi)(c).toSeq))
+    }.toDF("mi", "cell", "vals")
+      .write.mode("overwrite").saveAsTable(codebookTable)
+  }
+
+  /** Rebuild the [[PqModel]] from a [[save]]d codebook table. */
+  def loadModel(spark: SparkSession, codebookTable: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.table(codebookTable)
+      .select(col("mi"), col("cell"), col("vals"))
+      .as[(Int, Int, Array[Float])].collect()
+    val cents = Array.tabulate(rows.map(_._1).max + 1) { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+    }
+    PqModel(cents, cents(0)(0).length)
+  }
+
+  /** Probe a [[save]]d index: ADC-score the persisted code frame
+    * (scanned as-is — encoding never re-runs), per-partition bounded
+    * top-`shortlist`, then exact re-rank against the float corpus with
+    * the shortlist broadcast. Same output contract as [[topK]], and
+    * bit-identical to it when the saved model came from the same
+    * corpus/params (training is deterministic).
+    */
+  def topKFromSaved(
+      spark: SparkSession,
+      codesTable: String,
+      codebookTable: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val model = loadModel(spark, codebookTable)
+    val codes = spark.table(codesTable)
+      .select(col("vec_id"), col("code")).as[(Long, Array[Int])]
+    val qvecs = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val tables = qvecs.map { case (qid, q) => (qid, model.distTable(normalize(q))) }
+    val bc = spark.sparkContext.broadcast(tables)
+    rerankExact(spark, corpus, adcShortlist(codes, bc, shortlist), qvecs, k)
   }
 }

@@ -41,9 +41,16 @@ object Mining {
       (s, dir) => {
         import s.implicits._
         val t = Llm.docPrefix(Llm.docsSpread(s, dir), 20)
+        // one explicit shuffle on the 16-byte (gh, doc_id) rows that BOTH
+        // consumers (the ndocs agg and the join back) read through
+        // ReuseExchange: the shingle+md5 Generate sits BELOW the shared
+        // exchange and runs exactly once (PlanSpec pins it), and the
+        // md5-keyed partitioning is uniform by construction — the ndocs
+        // agg and the hash join then need no further exchange
         val grams = t.select($"doc_id", explode(expr(
           s"transform(${Llm.shingleGen(20)}, g -> " +
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
+          .repartition($"gh")
         val nd = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
         grams.join(nd, "gh")
           .groupBy($"doc_id")
@@ -147,9 +154,20 @@ object Mining {
           .select($"doc_id",
             expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ws"))
           .filter(size($"ws") >= 2)
+        // localCheckpoint: the bigram stream is consumed THREE times
+        // (c12, c1, and the scoring join chain), and a shared exchange
+        // cannot serve all three — each consumer prunes a different
+        // column set below the shuffle, so the exchanges never
+        // canonicalize equal and ReuseExchange cannot fire (unlike
+        // q86, where both gram consumers read identical columns). The
+        // q21/q22/q38 treatment instead: materialize the posexplode
+        // output once to executor-local storage and let the three
+        // aggregation passes re-read it map-side (PlanSpec pins that
+        // the explode never re-executes).
         val bg = ws.select($"doc_id", posexplode(expr(
           "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))")))
           .select($"doc_id", ($"pos" + 1).as("pos"), $"col.w1".as("w1"), $"col.w2".as("w2"))
+          .localCheckpoint()
         val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
         val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
         bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -167,10 +185,14 @@ object Mining {
           SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws
           FROM documents),
+        bgp AS (
+          -- list-form generate_series takes the per-row bound directly
+          -- (the table-function form cannot), so the bigram enumeration
+          -- is structural — no hardcoded max-words assumption
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS pos
+          FROM ws WHERE len(ws) >= 2),
         bg AS (
-          SELECT doc_id, s.i AS pos, ws[s.i] AS w1, ws[s.i + 1] AS w2
-          FROM ws CROSS JOIN generate_series(1, 639) s(i)
-          WHERE len(ws) >= 2 AND s.i <= len(ws) - 1),
+          SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2 FROM bgp),
         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
         p AS (

@@ -1,0 +1,78 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRecord
+
+/** The REAL decode route in ops.Multimodal: a genuine PNG/BMP goes
+  * through the pure-JDK javax.imageio codec and comes back with its
+  * true dimensions and per-band luminance features; anything else —
+  * including bytes that fake the "BM" magic — falls back to the
+  * md5 stub, so the oracle-checked q30/q34/q59 path is untouched by
+  * the codec upgrade.
+  */
+class MultimodalDecodeSpec extends SparkSuite {
+
+  /** A w×h image: left half black, right half white — band luminance
+    * is a step function we can assert exactly. */
+  private def fixture(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"JDK lacks $format writer")
+    bos.toByteArray
+  }
+
+  private def features(recs: Seq[MediaRecord]) = {
+    import spark.implicits._
+    Multimodal.extractFeatures(recs.toDF("doc_id", "media", "mime_hint"))
+      .collect().map(f => f.doc_id -> f).toMap
+  }
+
+  test("a real PNG decodes with true dimensions and band luminance") {
+    val png = fixture(64, 48, "png")
+    val f = features(Seq(MediaRecord(1L, png, "application/octet-stream")))(1L)
+    assert(f.mime === "image/png") // detected, not the hint
+    assert(f.width === 64L && f.height === 48L && f.n_frames === 1L)
+    assert(f.n_bytes === png.length.toLong)
+    // left 4 bands black, right 4 bands white — exact step function
+    assert(f.feature.take(4).forall(_ == 0.0), s"left bands not black: ${f.feature}")
+    assert(f.feature.drop(4).forall(_ == 1.0), s"right bands not white: ${f.feature}")
+  }
+
+  test("a real BMP decodes through the same route") {
+    val bmp = fixture(32, 16, "bmp")
+    val f = features(Seq(MediaRecord(2L, bmp, "x")))(2L)
+    assert(f.mime === "image/bmp")
+    assert(f.width === 32L && f.height === 16L)
+  }
+
+  test("garbage bytes — even with a faked BM magic — take the stub path") {
+    val junk = Array[Byte]('B', 'M', 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val f = features(Seq(MediaRecord(3L, junk, "video/mp4")))(3L)
+    // stub keeps the caller's mime hint and derives dims from the md5
+    assert(f.mime === "video/mp4")
+    assert(f.width >= 16L && f.width < 1040L)
+  }
+
+  test("decoded dims flow into the q59 resize plan") {
+    import spark.implicits._
+    val png = fixture(64, 48, "png")
+    val feats = Multimodal.extractFeatures(
+      Seq(MediaRecord(4L, png, "x")).toDF("doc_id", "media", "mime_hint")).toDF()
+    val plan = Multimodal.resizePlan(feats, maxDim = 32).collect().head
+    assert(plan.getAs[Long]("out_w") === 32L)
+    assert(plan.getAs[Long]("out_h") === 24L)
+    assert(plan.getAs[Boolean]("downscaled"))
+  }
+}

@@ -2,15 +2,18 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{AnnIndex, IvfIndex}
+import graft.ops.{AnnIndex, IvfIndex, PqIndex}
 import org.apache.spark.sql.functions._
 
-/** The at-rest index layouts promised by the AnnIndex/IvfIndex
+/** The at-rest index layouts promised by the AnnIndex/IvfIndex/PqIndex
   * scaladocs: saving the sign-LSH index `bucketBy(bkey)` makes a probe
   * prune buckets (`SelectedBucketsCount` in the scan) with no shuffle on
   * the index side; saving the IVF index `partitionBy(cell)` makes a
-  * probe prune partitions (`PartitionFilters`). Both persisted probes
-  * must return exactly what the in-memory probe returns.
+  * probe prune partitions (`PartitionFilters`); saving the PQ codes
+  * `bucketBy(vec_id)` gives the ADC probe a direct scan of the
+  * compressed frame with the per-partition shortlist reduction sitting
+  * straight on it. All persisted probes must return exactly what the
+  * in-memory probe returns.
   */
 class PersistedIndexSpec extends SparkSuite {
 
@@ -82,6 +85,39 @@ class PersistedIndexSpec extends SparkSuite {
     // persisted probe equals in-memory probe (same centroids, same data)
     assert(result === rows(IvfIndex.topK(spark, vectors, queries,
       k = 10, numCells = 16, nprobe = 4, iters = 3, dim = 64)))
+    assert(result.nonEmpty)
+  }
+
+  test("bucketBy-persisted PQ codes probe with no exchange below the partial top-k") {
+    spark.sql("DROP TABLE IF EXISTS pq_codes")
+    spark.sql("DROP TABLE IF EXISTS pq_codebook")
+    val model = PqIndex.train(vectors, m = 8, k = 16, dim = 64, iters = 4)
+    PqIndex.save(vectors, model, "pq_codes", "pq_codebook")
+
+    val probed = PqIndex.topKFromSaved(
+      spark, "pq_codes", "pq_codebook", vectors, queries, k = 10)
+    val result = rows(probed)
+    val plan = probed.queryExecution.executedPlan.toString
+
+    // the probe ADC-scans the persisted code frame — encoding never re-runs
+    val scanIdx = plan.indexOf("FileScan parquet spark_catalog.default.pq_codes")
+    assert(scanIdx >= 0, s"probe does not read the persisted codes:\n$plan")
+
+    // the bounded per-query shortlist heap sits DIRECTLY on that scan:
+    // no exchange between the codes scan and the MapPartitions reduce,
+    // so the full |corpus|x|queries| distance stream never shuffles
+    val mpIdx = plan.lastIndexOf("MapPartitions", scanIdx)
+    assert(mpIdx >= 0, s"no per-partition shortlist reduction over the codes scan:\n$plan")
+    assert(!plan.substring(mpIdx, scanIdx).contains("Exchange"),
+      s"codes side shuffles below the shortlist reduction:\n$plan")
+
+    // exact re-rank streams the float corpus with the shortlist broadcast
+    assert(!scanToJoin(plan).contains("Exchange"),
+      s"corpus side shuffles on probe:\n$plan")
+
+    // persisted probe equals in-memory probe (training is deterministic,
+    // so the saved codebook IS the codebook topK would retrain)
+    assert(result === rows(PqIndex.topK(spark, vectors, queries, k = 10)))
     assert(result.nonEmpty)
   }
 }

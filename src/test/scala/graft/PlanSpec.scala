@@ -61,6 +61,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q86 gram stream shares one exchange — the md5 explode runs once") {
+    val df = SparkEntry.queries("q86_substring_dup_coverage")(spark, sf)
+    df.collect() // finalize AQE — reuse stubs appear in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"no exchange reuse in q86:\n$fin")
+    assert(fin.sliding("Generate".length).count(_ == "Generate") == 1,
+      s"gram explode executes more than once in q86:\n$fin")
+  }
+
+  test("q88 bigram stream is checkpointed — the posexplode never re-executes") {
+    val df = SparkEntry.queries("q88_lm_doc_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    // the explode ran once, in the checkpoint job; the query plan's
+    // three consumers all scan the materialized RDD
+    assert(!fin.contains("Generate"),
+      s"bigram explode re-executes inside q88's plan:\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"q88 does not read the checkpointed bigram stream:\n$fin")
+  }
+
   test("whole-stage codegen covers the scan-side of the hot queries") {
     Seq("q01_pricing_summary", "q15_wordcount", "q26_token_stats").foreach { n =>
       // AQE prints codegen stages only in the finalized plan → execute first
