@@ -263,6 +263,128 @@ object Mining {
         SELECT source, n_docs,
           w_raw / z AS weight,
           CAST(floor(w_raw / z * CAST(total_docs AS DOUBLE) + 0.5) AS BIGINT) AS quota
-        FROM r CROSS JOIN t"""))
+        FROM r CROSS JOIN t""")),
+
+    // ---------------------------------------------------------------- q91
+    // Suffix-array exact-substring dedup (Lee et al. 2022's actual
+    // ExactSubstr layout, complementing q86's hashed-gram form): sort
+    // all suffixes of the 200-char prefix domain, take LCPs between
+    // sort-adjacent suffixes, and read off, per gram position, the
+    // longest substring (>= the 20-char minimum match, their "min
+    // match length") shared with ANOTHER document. n_dup here equals
+    // q86's n_dup exactly (a 20-gram at position p is duplicated iff
+    // the suffix at p shares a >= 20-char prefix with another doc's
+    // suffix — MiningAgreementSpec pins it), and max_dup is the
+    // statistic the hash form cannot express at any single gram width:
+    // the LONGEST duplicated substring per document.
+    //
+    // Scale shape: suffixes sharing < 20 chars can never reach the
+    // minimum match, so the "global" suffix sort decomposes into
+    // independent per-bucket sorts keyed by the 20-char gram prefix —
+    // a hash shuffle + within-partition sort, NO global ordering. All
+    // window passes (adjacent LCP, same-doc block ids, running mins to
+    // the nearest other-doc neighbour) partition by that bucket; a
+    // boilerplate prefix shared by many docs makes a BIG bucket but
+    // the in-bucket work stays O(n log n) sort + linear scans — the
+    // reason suffix sorting beats pairwise expansion on hot prefixes.
+    // The suffix payload is capped by the 200-char statistic domain
+    // (40 KB/doc); full-document variants shuffle fingerprints instead.
+    // LCP of sort-adjacent suffixes: count of equal-prefix lengths —
+    // 16-char chunks first, then chars within the first unequal chunk
+    // (monotone prefix equality makes both counts exact) — identical
+    // single-pass arithmetic in DuckDB, so the whole query is
+    // hash-oracle-checked.
+    Q(
+      "q91_suffix_dup_stats",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val t = Llm.docPrefix(Llm.docsSpread(s, dir), 20)
+        // one suffix per gram position (pos 1..len-19): length >= 20 by
+        // construction — shorter suffixes cannot reach the minimum match
+        val sfx = t.select($"doc_id", posexplode(expr(
+            "transform(sequence(1, length(t200) - 19), p -> substr(t200, p))")))
+          .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("sfx"))
+          .withColumn("g20", substring($"sfx", 1, 20))
+        val wOrd = Window.partitionBy($"g20").orderBy($"sfx", $"doc_id", $"pos")
+        val a = sfx
+          .withColumn("prev", lag($"sfx", 1).over(wOrd))
+          .withColumn("pdoc", lag($"doc_id", 1).over(wOrd))
+          .withColumn("c16", expr(
+            "size(filter(sequence(0, 11), k -> substr(prev, 1, 16*(k+1)) = substr(sfx, 1, 16*(k+1))))"))
+          .withColumn("alcp", expr(
+            """CASE WHEN prev IS NULL THEN 0 ELSE least(
+               16*c16 + size(filter(sequence(1, 16), i -> substr(prev, 1, 16*c16 + i) = substr(sfx, 1, 16*c16 + i))),
+               length(prev), length(sfx)) END"""))
+          .withColumn("chg", when($"pdoc".isNull || $"pdoc" =!= $"doc_id", 1L).otherwise(0L))
+          .withColumn("blk",
+            sum($"chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("maxblk", max($"blk").over(Window.partitionBy($"g20")))
+          .withColumn("lead_alcp", lead($"alcp", 1).over(wOrd))
+        // LCP to the nearest OTHER-doc suffix above/below = running min
+        // of adjacent LCPs across the same-doc block boundary
+        val wBlk = Window.partitionBy($"g20", $"blk")
+          .orderBy($"sfx", $"doc_id", $"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wBlkD = Window.partitionBy($"g20", $"blk")
+          .orderBy($"sfx".desc, $"doc_id".desc, $"pos".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        a.withColumn("dup", greatest(
+            when($"blk" === 1L, 0).otherwise(min($"alcp").over(wBlk)),
+            when($"blk" === $"maxblk", 0).otherwise(min($"lead_alcp").over(wBlkD))))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_grams"),
+            sum(when($"dup" >= 20, 1L).otherwise(0L)).cast("long").as("n_dup"),
+            max($"dup").cast("long").as("max_dup"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents
+          WHERE length(substr(text, 1, 200)) >= 20),
+        sx AS (
+          SELECT doc_id, unnest(generate_series(1, length(t200) - 19)) AS pos, t200
+          FROM t),
+        s AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(t200, pos) AS sfx,
+            substr(t200, pos, 20) AS g20
+          FROM sx),
+        a AS (
+          SELECT doc_id, pos, sfx, g20,
+            lag(sfx) OVER w AS prev,
+            lag(doc_id) OVER w AS pdoc
+          FROM s WINDOW w AS (PARTITION BY g20 ORDER BY sfx, doc_id, pos)),
+        b AS (
+          SELECT *, len(list_filter(generate_series(0, 11),
+            k -> substr(prev, 1, 16*(k+1)) = substr(sfx, 1, 16*(k+1)))) AS c16
+          FROM a),
+        c AS (
+          SELECT doc_id, pos, sfx, g20,
+            CASE WHEN prev IS NULL THEN 0 ELSE least(
+              16*c16 + len(list_filter(generate_series(1, 16),
+                i -> substr(prev, 1, 16*c16 + i) = substr(sfx, 1, 16*c16 + i))),
+              length(prev), length(sfx)) END AS alcp,
+            CASE WHEN pdoc IS NULL OR pdoc <> doc_id THEN 1 ELSE 0 END AS chg
+          FROM b),
+        d AS (
+          SELECT *, sum(chg) OVER (PARTITION BY g20 ORDER BY sfx, doc_id, pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk,
+            lead(alcp) OVER (PARTITION BY g20 ORDER BY sfx, doc_id, pos) AS lead_alcp
+          FROM c),
+        e AS (
+          SELECT *, max(blk) OVER (PARTITION BY g20) AS maxblk FROM d),
+        f AS (
+          SELECT doc_id, greatest(
+            CASE WHEN blk = 1 THEN 0 ELSE min(alcp) OVER (PARTITION BY g20, blk
+              ORDER BY sfx, doc_id, pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END,
+            CASE WHEN blk = maxblk THEN 0 ELSE min(lead_alcp) OVER (PARTITION BY g20, blk
+              ORDER BY sfx DESC, doc_id DESC, pos DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+          ) AS dup
+          FROM e)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(coalesce(sum(CASE WHEN dup >= 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
+          CAST(max(dup) AS BIGINT) AS max_dup
+        FROM f GROUP BY doc_id"""))
   )
 }
