@@ -75,29 +75,50 @@ object Multimodal {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** PNG's 8-byte signature or BMP's "BM" — the only formats the JDK
-    * codecs are asked to try. A magic match alone is NOT trusted
-    * (random bytes hit "BM" at 2^-16): the codec must also accept the
-    * stream, or the record falls back to the stub.
+  /** PNG's 8-byte signature, GIF's "GIF87a"/"GIF89a", or BMP's "BM" —
+    * the formats the pure-JDK codecs are asked to try. A magic match
+    * alone is NOT trusted (random bytes hit "BM" at 2^-16): the codec
+    * must also accept the stream, or the record falls back to the stub.
     */
   private def sniffImage(b: Array[Byte]): Option[String] =
     if (b.length >= 8 &&
       b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) Some("image/png")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') Some("image/gif")
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
     else None
 
+  /** Open a positioned JDK ImageReader over the blob, run `use`, and
+    * dispose reader + stream whatever happens. Returns None when no
+    * installed codec claims the stream. */
+  private def withReader[A](media: Array[Byte])(
+      use: javax.imageio.ImageReader => A): Option[A] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some(use(r)) } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** REAL image decode via the pure-JDK codecs. Returns None when the
-    * blob is not a decodable PNG/BMP, routing it to the stub. Features
-    * are the mean luminance (0..1) of 8 equal vertical bands, summed
-    * row-major — deterministic for a given blob.
+    * blob is not a decodable PNG/GIF/BMP, routing it to the stub.
+    * Features are the mean luminance (0..1) of 8 equal vertical bands
+    * of the FIRST frame, summed row-major; n_frames is the true image
+    * count (animated GIFs report their frame total) — deterministic
+    * for a given blob.
     */
   private def decodeImage(r: MediaRecord): Option[MediaFeatures] =
     sniffImage(r.media).flatMap { mime =>
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-        if (img == null) None
-        else {
+        withReader(r.media) { rd =>
+          val nImages = rd.getNumImages(true)
+          val img = rd.read(0)
           val w = img.getWidth
           val h = img.getHeight
           val sums = new Array[Double](8)
@@ -114,15 +135,15 @@ object Multimodal {
           }
           val bandPx = Array.tabulate(8)(i => ((i + 1) * w / 8 - i * w / 8).toDouble * h)
           def f(i: Int): Double = if (bandPx(i) == 0) 0.0 else sums(i) / (255.0 * bandPx(i))
-          Some(MediaFeatures(
+          MediaFeatures(
             doc_id = r.doc_id,
             n_bytes = r.media.length.toLong,
             mime = mime,
             width = w.toLong,
             height = h.toLong,
-            n_frames = 1L,
+            n_frames = math.max(nImages, 1).toLong,
             f0 = f(0), f1 = f(1), f2 = f(2), f3 = f(3),
-            f4 = f(4), f5 = f(5), f6 = f(6), f7 = f(7)))
+            f4 = f(4), f5 = f(5), f6 = f(6), f7 = f(7))
         }
       } catch { case _: Exception => None }
     }
@@ -181,15 +202,38 @@ object Multimodal {
       .withColumn("downscaled", (least(col("out_w"), col("out_h")) < least(col("width"), col("height"))).cast("boolean"))
   }
 
-  /** Frame sampling stub: every `stride`-th chunk of the blob stands in
-    * for a video frame; real impl would seek keyframes.
+  /** Frame sampling: REAL for animated GIF — every `stride`-th frame is
+    * decoded by the JDK reader and reported with its ARGB raster size
+    * (w·h·4), the number downstream GPU batching actually sizes on.
+    * Other formats use the stub (every `stride`-th 256-byte chunk
+    * stands in for a frame; a real video impl would seek keyframes
+    * behind the same row shape).
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.as[MediaRecord].flatMap { r =>
-      val n = math.max(r.media.length / 256, 1)
-      (0 until n by stride).map(f =>
-        (r.doc_id, f.toLong, math.min(256, r.media.length).toLong))
+      gifFrames(r, stride).getOrElse {
+        val n = math.max(r.media.length / 256, 1)
+        (0 until n by stride).map(f =>
+          (r.doc_id, f.toLong, math.min(256, r.media.length).toLong))
+      }
     }.toDF("doc_id", "frame_no", "frame_bytes")
+
+  /** Decode every `stride`-th frame of a (sniffed AND codec-accepted)
+    * GIF; None routes to the stub. */
+  private def gifFrames(r: MediaRecord, stride: Int): Option[Seq[(Long, Long, Long)]] =
+    sniffImage(r.media) match {
+      case Some("image/gif") =>
+        try {
+          withReader(r.media) { rd =>
+            val n = math.max(rd.getNumImages(true), 1)
+            (0 until n by stride).map { f =>
+              val img = rd.read(f)
+              (r.doc_id, f.toLong, img.getWidth.toLong * img.getHeight.toLong * 4L)
+            }
+          }
+        } catch { case _: Exception => None }
+      case _ => None
+    }
 
   final case class AudioStats(
       doc_id: Long,

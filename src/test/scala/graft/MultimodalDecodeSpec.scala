@@ -57,6 +57,53 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(f.width === 32L && f.height === 16L)
   }
 
+  /** A w×h animated GIF with `n` solid gray frames. */
+  private def gifFixture(w: Int, h: Int, n: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { i =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(i * 40, i * 40, i * 40))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("an animated GIF reports its true frame count through decode") {
+    val gif = gifFixture(20, 10, 5)
+    val f = features(Seq(MediaRecord(5L, gif, "x")))(5L)
+    assert(f.mime === "image/gif")
+    assert(f.width === 20L && f.height === 10L)
+    assert(f.n_frames === 5L)
+  }
+
+  test("q56 frame sampling really decodes every stride-th GIF frame") {
+    import spark.implicits._
+    val gif = gifFixture(20, 10, 5)
+    val junk = Array.tabulate[Byte](600)(i => (i * 7).toByte)
+    val df = Seq(
+      (6L, gif, "image/gif"), (7L, junk, "video/mp4"))
+      .toDF("doc_id", "media", "mime_hint")
+    val out = Multimodal.sampleFrames(df, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // GIF: frames 0, 2, 4 with the decoded ARGB raster size 20*10*4
+    assert(out.keySet.filter(_._1 == 6L) === Set((6L, 0L), (6L, 2L), (6L, 4L)))
+    assert(out((6L, 0L)) === 800L && out((6L, 4L)) === 800L)
+    // non-GIF blob keeps the stub chunking (600/256 = 2 chunks, stride 2 -> frame 0)
+    assert(out.keySet.filter(_._1 == 7L) === Set((7L, 0L)))
+    assert(out((7L, 0L)) === 256L)
+  }
+
   test("garbage bytes — even with a faked BM magic — take the stub path") {
     val junk = Array[Byte]('B', 'M', 1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
     val f = features(Seq(MediaRecord(3L, junk, "video/mp4")))(3L)
