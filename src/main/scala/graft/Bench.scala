@@ -71,9 +71,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(best)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    // full artifact on disk — immune to stdout truncation
-    Files.writeString(Paths.get(
+    // full artifact on disk — immune to stdout truncation; best-effort
+    // (an unwritable cwd must not fail a bench that already succeeded)
+    try Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+    }
     spark.stop()
   }
 }

@@ -56,14 +56,6 @@ object Multimodal {
   implicit val frameEnc: Encoder[(Long, Long, Long)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
 
-  /** STUB decoder: a real implementation would hand `media` to an image/
-    * audio codec here. This fake derives deterministic "dimensions" and
-    * an 8-dim "feature vector" from a 60-bit integer taken off the md5
-    * of the bytes (non-negative, so % semantics agree across engines);
-    * the iterator-in/iterator-out shape (one digest object per
-    * partition, one blob in flight, constant memory) is the real
-    * contract.
-    */
   /** First 60 bits of the blob's md5 as a non-negative long — THE
     * oracle-parity-critical derivation shared by every stub path (and
     * replicated in the DuckDB SQL strings); single-sourced so the
@@ -88,6 +80,10 @@ object Multimodal {
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') Some("image/gif")
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
     else None
+
+  /** Raster-size cap for the real decoders (64 MPx ≈ 256 MB ARGB):
+    * anything larger is treated as undecodable and stubs out. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
 
   /** Open a positioned JDK ImageReader over the blob, run `use`, and
     * dispose reader + stream whatever happens. Returns None when no
@@ -117,24 +113,34 @@ object Multimodal {
     sniffImage(r.media).flatMap { mime =>
       try {
         withReader(r.media) { rd =>
+          // header-only size gate BEFORE rd.read allocates the raster: a
+          // noise blob that passes the 2-byte BM magic can declare
+          // multi-GB dimensions, and the resulting OutOfMemoryError is
+          // an Error the fallback catch would not stop
+          if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
+            throw new java.io.IOException("declared raster too large")
           val nImages = rd.getNumImages(true)
           val img = rd.read(0)
           val w = img.getWidth
           val h = img.getHeight
           val sums = new Array[Double](8)
+          val counts = new Array[Long](8)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w) // bulk row fetch, not per-pixel
             var x = 0
             while (x < w) {
-              val px = img.getRGB(x, y)
+              val px = row(x)
               val lum = (((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)) / 3.0
-              sums(math.min(x * 8 / w, 7)) += lum
+              val b = math.min(x * 8 / w, 7)
+              sums(b) += lum
+              counts(b) += 1L // denominator = actual band membership
               x += 1
             }
             y += 1
           }
-          val bandPx = Array.tabulate(8)(i => ((i + 1) * w / 8 - i * w / 8).toDouble * h)
-          def f(i: Int): Double = if (bandPx(i) == 0) 0.0 else sums(i) / (255.0 * bandPx(i))
+          def f(i: Int): Double = if (counts(i) == 0) 0.0 else sums(i) / (255.0 * counts(i))
           MediaFeatures(
             doc_id = r.doc_id,
             n_bytes = r.media.length.toLong,
@@ -155,26 +161,25 @@ object Multimodal {
     }
   }
 
-  private def stubDecode(md: java.security.MessageDigest, r: MediaRecord): MediaFeatures = {
-    {
-      val h = hash60(md, r.media)
-      def f(d: Int): Double = ((h ^ (97531L * (d + 1))) % 1000L).toDouble / 1000.0
-      MediaFeatures(
-        doc_id = r.doc_id,
-        n_bytes = r.media.length.toLong,
-        mime = r.mime_hint,
-        width = 16L + h % 1024L,
-        height = 16L + (h >> 10) % 1024L,
-        n_frames = 1L + r.media.length / 256,
-        f0 = f(0), f1 = f(1), f2 = f(2), f3 = f(3),
-        f4 = f(4), f5 = f(5), f6 = f(6), f7 = f(7))
-    }
-  }
-
-  /** STUB note: [[stubDecode]] is the honest fake the scaladoc header
-    * documents — everything derives from the md5 of the bytes so the
-    * non-image path stays DuckDB-oracle-checkable end-to-end.
+  /** STUB decoder for non-image blobs: the honest fake the scaladoc
+    * header documents — deterministic "dimensions" and an 8-dim
+    * "feature vector" all derive from the md5 of the bytes (60-bit
+    * non-negative, so % semantics agree across engines), keeping the
+    * non-image path DuckDB-oracle-checkable end-to-end.
     */
+  private def stubDecode(md: java.security.MessageDigest, r: MediaRecord): MediaFeatures = {
+    val h = hash60(md, r.media)
+    def f(d: Int): Double = ((h ^ (97531L * (d + 1))) % 1000L).toDouble / 1000.0
+    MediaFeatures(
+      doc_id = r.doc_id,
+      n_bytes = r.media.length.toLong,
+      mime = r.mime_hint,
+      width = 16L + h % 1024L,
+      height = 16L + (h >> 10) % 1024L,
+      n_frames = 1L + r.media.length / 256,
+      f0 = f(0), f1 = f(1), f2 = f(2), f3 = f(3),
+      f4 = f(4), f5 = f(5), f6 = f(6), f7 = f(7))
+  }
 
   /** Feature extraction over a (doc_id, media, mime_hint) frame. */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] =
@@ -225,6 +230,10 @@ object Multimodal {
       case Some("image/gif") =>
         try {
           withReader(r.media) { rd =>
+            // same header-only size gate as decodeImage: never let a
+            // forged header drive the raster allocation
+            if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
+              throw new java.io.IOException("declared raster too large")
             val n = math.max(rd.getNumImages(true), 1)
             (0 until n by stride).map { f =>
               val img = rd.read(f)

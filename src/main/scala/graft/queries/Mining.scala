@@ -46,11 +46,14 @@ object Mining {
         // ReuseExchange: the shingle+md5 Generate sits BELOW the shared
         // exchange and runs exactly once (PlanSpec pins it), and the
         // md5-keyed partitioning is uniform by construction — the ndocs
-        // agg and the hash join then need no further exchange
+        // agg and the hash join then need no further exchange. EXPLICIT
+        // partition count: a bare repartition($"gh") is advisory under
+        // AQE, which would coalesce the small shuffle to one partition
+        // and serialize everything downstream (the docsSpread trap)
         val grams = t.select($"doc_id", explode(expr(
           s"transform(${Llm.shingleGen(20)}, g -> " +
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
-          .repartition($"gh")
+          .repartition(s.sparkContext.defaultParallelism, $"gh")
         val nd = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
         grams.join(nd, "gh")
           .groupBy($"doc_id")

@@ -50,6 +50,17 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(f.feature.drop(4).forall(_ == 1.0), s"right bands not white: ${f.feature}")
   }
 
+  test("band features stay exact when width is not a multiple of 8") {
+    // w=10: band membership floor(8x/10) puts x=0..4 (black) in bands
+    // 0-3 and x=5..9 (white) in bands 4-7 — denominators must count
+    // actual membership, not floor-boundary arithmetic
+    val png = fixture(10, 4, "png")
+    val f = features(Seq(MediaRecord(9L, png, "x")))(9L)
+    assert(f.width === 10L && f.height === 4L)
+    assert(f.feature.take(4).forall(_ == 0.0), s"black bands: ${f.feature}")
+    assert(f.feature.drop(4).forall(_ == 1.0), s"white bands: ${f.feature}")
+  }
+
   test("a real BMP decodes through the same route") {
     val bmp = fixture(32, 16, "bmp")
     val f = features(Seq(MediaRecord(2L, bmp, "x")))(2L)
