@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * every run (ties broken by cell id).
   *
   * Scale design (100 TB of vectors):
-  *  - training runs on a SAMPLE (here: the whole local corpus; at
-  *    scale `df.sample` of ~256×k vectors — k-means quality needs only
-  *    that), and the model is k×dim floats — kilobytes, closure-
-  *    broadcast to every executor like [[AnnIndex]]'s plane matrix;
+  *  - training runs on a SAMPLE (`train(trainSample = …)` — the
+  *    deterministic content-addressed [[TrainSample]]; k-means quality
+  *    needs only ~256×k vectors), and the model is k×dim floats —
+  *    kilobytes, closure-broadcast to every executor like
+  *    [[AnnIndex]]'s plane matrix;
   *  - assignment is a scan-parallel map (argmax cosine over k
   *    centroids per vector — k·dim fused multiply-adds);
   *  - the index is a plain (cell, vec_id, embedding) frame, written
@@ -39,11 +40,21 @@ object IvfIndex {
     * centroid matrix (cell id = row index). Cosine geometry: vectors
     * and means are used unnormalized, assignment is argmax cosine —
     * adequate for a coarse quantizer (and deterministic).
+    *
+    * `trainSample > 0` trains on that many [[TrainSample]]-selected
+    * vectors instead of the whole corpus — the 100 TB path.
     */
-  def train(corpus: DataFrame, k: Int, iters: Int, dim: Int): Array[Array[Float]] = {
+  def train(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      trainSample: Int = 0): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val vecs = TrainSample.sample(
+      corpus.select(col("vec_id"), col("embedding")), trainSample)
+      .as[(Long, Array[Float])]
     // deterministic seed cells: the k lowest-id vectors (TakeOrdered —
     // no assumption that ids are dense from 0)
     var centroids: Array[Array[Float]] =

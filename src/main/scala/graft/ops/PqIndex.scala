@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   * (PqSpec pins run-over-run equality).
   *
   * Scale design (100 TB of vectors):
-  *  - training reads a sample (locally: the whole corpus; at scale
-  *    ~256·k vectors suffice) and ALL `m` subspaces train in the same
-  *    pass — one partial-sum scan keyed by (subspace, cell) per Lloyd
-  *    round, not m separate jobs; the collected partials are
+  *  - training reads a sample (`train(trainSample = …)` — the
+  *    deterministic content-addressed [[TrainSample]]; ~256·k vectors
+  *    suffice for k-means quality) and ALL `m` subspaces train in the
+  *    same pass — one partial-sum scan keyed by (subspace, cell) per
+  *    Lloyd round, not m separate jobs; the collected partials are
   *    numPartitions × m × k rows of subDim doubles — kilobytes;
   *  - the codebook is m·k·subDim floats (kilobytes) and each query's
   *    ADC table is m·k doubles — both broadcast, never shuffled;
@@ -120,12 +121,25 @@ object PqIndex {
     * sorted (subspace, cell, partition) order: a fixed-shape reduction,
     * never the shuffle-fetch-ordered double sum that made the old
     * aggregateByKey form a latent determinism flake.
+    *
+    * `trainSample > 0` trains on that many [[TrainSample]]-selected
+    * vectors instead of the whole corpus — the 100 TB path (k-means
+    * quality needs ~256·k vectors; the Lloyd scans then touch a
+    * dimension-sized frame, not the corpus).
     */
-  def train(corpus: DataFrame, m: Int, k: Int, dim: Int, iters: Int): PqModel = {
+  def train(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      dim: Int,
+      iters: Int,
+      trainSample: Int = 0): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val vecs = TrainSample.sample(
+      corpus.select(col("vec_id"), col("embedding")), trainSample)
+      .as[(Long, Array[Float])]
     // deterministic seeds: the k lowest-id vectors, sliced per subspace
     val seeds = vecs.orderBy(col("vec_id")).limit(k).collect()
       .sortBy(_._1).map(v => normalize(v._2))
