@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.TrainPrep.all ++
     graft.queries.Curation.all ++
     graft.queries.Embeddings.all ++
-    graft.queries.Mining.all
+    graft.queries.Mining.all ++
+    graft.queries.Selection.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
