@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+  * al. 2023): compare embeddings only WITHIN a cluster and greedily
+  * drop every vector whose cosine to a lower-id cluster-mate reaches
+  * the threshold, keeping the lowest id of each similar group as the
+  * deterministic representative.
+  *
+  * The prune tail is cluster-source-agnostic: q92 feeds it the
+  * SQL-expressible sign-bucket cells (so the whole verdict is
+  * oracle-checked), and [[pruneIvf]] is the production path — the
+  * [[IvfIndex]] k-means coarse quantizer with its hot-cell
+  * sub-quantizer split ([[IvfIndex.refine]]), so no cell's pairwise
+  * expansion grows quadratic when the corpus clusters unevenly.
+  * SemDedupSpec pins both paths against a local greedy replica.
+  *
+  * Scale shape (100 TB of vectors): candidate pairs come from ONE
+  * hash-equi self-join on the cell id — never all-pairs; the verdict
+  * is a max-agg plus a vec_id-keyed left join, so embeddings cross the
+  * wire only inside the per-cell pairing, and the kept-set apply is
+  * the q85 broadcast anti-join downstream.
+  */
+object SemDedup {
+
+  /** Greedy within-cell prune. Input: (cell, vec_id, embedding);
+    * output: (vec_id, cell, max_lower_sim, keep) with
+    * max_lower_sim = −1.0 when no lower-id cluster-mate exists and
+    * keep = 1 iff max_lower_sim < tau. Cosines come from the codegen'd
+    * native [[graft.functions.CosineSim]].
+    */
+  def prune(assigned: DataFrame, tau: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.functions.CosineSim.register(spark)
+    val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
+    val pairs = a.as("a")
+      .join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("v"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
+    val worst = pairs.groupBy(col("v")).agg(max(col("sim")).as("msim"))
+    a.join(worst, a("vec_id") === worst("v"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("msim"), lit(-1.0)).as("max_lower_sim"),
+        (coalesce(col("msim"), lit(-1.0)) < tau).cast("long").as("keep"))
+  }
+
+  /** Production path: deterministic (sampled) k-means cells with the
+    * hot-cell sub-quantizer split, then [[prune]]. `maxCell` bounds
+    * every inverted list — and with it the per-cell pairwise expansion
+    * — exactly as in the IVF probe path.
+    */
+  def pruneIvf(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      tau: Double,
+      maxCell: Long = 10000L,
+      subK: Int = 4,
+      trainSample: Int = 0): DataFrame = {
+    val cents = IvfIndex.train(corpus, k, iters, dim, trainSample)
+    val model = IvfIndex.refine(corpus, cents, maxCell, subK, iters, dim)
+    prune(IvfIndex.indexRefined(corpus, model), tau)
+  }
+}

@@ -49,35 +49,28 @@ object Selection {
     // within-cluster cosine distribution of the synthetic corpus
     // (which has no true near-dups — real corpora use ~0.95+).
     //
-    // Scale shape: the q24/LSH family — pairs are generated by a
-    // hash-equi self-join on the cluster id, never all-pairs; a hot
-    // cluster sub-quantizes by adding sign bits (the SimHash recursive
-    // pigeonhole in ops.Lsh), and the per-vector verdict is one
-    // max-agg + broadcast-able left join back. Cosines come from the
-    // codegen'd native [[graft.functions.CosineSim]].
+    // Scale shape: the q24/LSH family — [[graft.ops.SemDedup.prune]]
+    // generates pairs by a hash-equi self-join on the cluster id,
+    // never all-pairs, and the per-vector verdict is one max-agg +
+    // vec_id-keyed left join back (native codegen'd CosineSim). The
+    // production path is `SemDedup.pruneIvf` — the same tail under
+    // IvfIndex k-means cells with the hot-cell sub-quantizer split
+    // (SemDedupSpec pins both against a local greedy replica).
     Q(
       "q92_semdedup",
       (s, dir) => {
         import s.implicits._
-        graft.functions.CosineSim.register(s)
-        val e = table(s, dir, "embeddings")
+        val assigned = table(s, dir, "embeddings")
           .repartition(s.sparkContext.defaultParallelism, $"vec_id")
-          .withColumn("cid", expr(
+          .withColumn("cell", expr(
             """CAST(element_at(embedding, 1) > 0 AS INT)
                + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
                + 4 * CAST(element_at(embedding, 3) > 0 AS INT)
                + 8 * CAST(element_at(embedding, 4) > 0 AS INT)""").cast("long"))
-          .select($"vec_id", $"cid", $"embedding")
-        val pairs = e.as("a")
-          .join(e.as("b"),
-            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("b.vec_id").as("v"),
-            expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
-        val worst = pairs.groupBy($"v").agg(max($"sim").as("msim"))
-        e.join(worst, e("vec_id") === worst("v"), "left")
-          .select($"vec_id", $"cid",
-            coalesce($"msim", lit(-1.0)).as("max_lower_sim"),
-            (coalesce($"msim", lit(-1.0)) < 0.3).cast("long").as("keep"))
+          .select($"cell", $"vec_id", $"embedding")
+        graft.ops.SemDedup.prune(assigned, tau = 0.3)
+          .withColumnRenamed("cell", "cid")
+          .select($"vec_id", $"cid", $"max_lower_sim", $"keep")
       },
       Some("""
         WITH e AS (
@@ -337,12 +330,12 @@ object Selection {
     //
     // Scale shape: the heavy, corpus-sized work is the ONE bigram-
     // count aggregation (map-side combined, text never shuffles after
-    // tokenization); the rank iteration then runs on the vocab-sized
-    // node/edge frames — each round is one hash join + one ordered-
-    // fold agg + a 1-row dangling aggregate, with localCheckpoint
-    // keeping the 5-round lineage linear instead of exponential (the
-    // rank frame feeds both the contribution join and the dangling
-    // sum every round — the q45 eager-fixpoint precedent).
+    // tokenization); the rank rounds then run on the vocab-sized edge
+    // frame through [[graft.ops.PageRank]]'s two-tier `auto` — driver
+    // arrays under the edge threshold (this corpus: 31 nodes), the
+    // distributed join+ordered-fold loop above it — with BOTH tiers
+    // evaluating the identical IEEE op sequence (PageRankSpec pins
+    // bit-equality, and the oracle hash-checks whichever tier ran).
     Q(
       "q96_textrank",
       (s, dir) => {
@@ -356,40 +349,7 @@ object Selection {
               "struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))")).as("e"))
           .select($"e.w1".as("w1"), $"e.w2".as("w2"))
         val edges = bg.groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("c"))
-          .localCheckpoint()
-        val wout = edges.groupBy($"w1").agg(sum($"c").cast("long").as("wout"))
-        val trans = edges.join(wout, "w1")
-          .select($"w1", $"w2", ($"c".cast("double") / $"wout".cast("double")).as("p"))
-          .localCheckpoint()
-        val nodes = edges.select($"w1".as("w"))
-          .union(edges.select($"w2".as("w"))).distinct()
-          .localCheckpoint()
-        val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
-        val outW = trans.select($"w1".as("w")).distinct().localCheckpoint()
-        var pr = nodes.crossJoin(broadcast(nn))
-          .select($"w", (lit(1.0) / $"n".cast("double")).as("pr"))
-          .localCheckpoint()
-        var it = 0
-        while (it < 5) {
-          val dang = pr.join(outW, Seq("w"), "left_anti")
-            .agg(sort_array(collect_list(struct($"w", $"pr"))).as("xs"))
-            .select(expr(
-              "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("dsum"))
-          val insum = trans.join(pr, trans("w1") === pr("w"))
-            .select($"w2", $"w1", ($"pr" * $"p").as("ct"))
-            .groupBy($"w2")
-            .agg(sort_array(collect_list(struct($"w1", $"ct"))).as("xs"))
-            .select($"w2".as("w"), expr(
-              "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("insum"))
-          pr = nodes.join(insum, Seq("w"), "left")
-            .crossJoin(broadcast(dang)).crossJoin(broadcast(nn))
-            .select($"w",
-              (lit(0.15) / $"n".cast("double") + lit(0.85) *
-                (coalesce($"insum", lit(0.0)) + $"dsum" / $"n".cast("double"))).as("pr"))
-            .localCheckpoint()
-          it += 1
-        }
-        pr
+        graft.ops.PageRank.run(edges, rounds = 5)
       },
       Some {
         val rounds = (1 to 5).map { k =>
@@ -425,6 +385,31 @@ object Selection {
         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         r0 AS (SELECT w, 1.0 / CAST(nn.n AS DOUBLE) AS pr FROM nodes CROSS JOIN nn),$rounds
         SELECT w, pr FROM r5"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- q97
+    // BPE merge training (Sennrich et al. 2016; graft.ops.BpeTrain) —
+    // 8 merge rounds over the corpus word-frequency dictionary.
+    // Rows-only by design (each round's argmax feeds the next round's
+    // rewrite — not expressible as one SQL statement); BpeSpec pins a
+    // local greedy replica, run-over-run determinism, and that the
+    // trained merges actually compress the training words. The
+    // corpus-sized work is the one word-count agg; every round then
+    // runs on the |vocab| frame (the q96 posture), through the same
+    // two-tier `auto` as PageRank — driver arrays under the dictionary
+    // threshold, the distributed agg+TakeOrdered+rewrite loop above
+    // (BpeSpec pins tier equality).
+    Q(
+      "q97_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val wf = Llm.docsSpread(s, dir)
+          .select(explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).cast("long").as("f"))
+          .as[(String, Long)]
+        graft.ops.BpeTrain.train(wf, rounds = 8)
+      },
+      None)
   )
 }

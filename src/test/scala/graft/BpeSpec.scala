@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.BpeTrain
+
+/** BPE merge training (q97, ops.BpeTrain): correctness against a local
+  * greedy replica of the published algorithm, determinism, and the
+  * compression property that makes a merge table useful.
+  */
+class BpeSpec extends SparkSuite {
+
+  /** Reference implementation: single-threaded Sennrich-2016 greedy
+    * BPE over a word-frequency map.
+    */
+  private def replica(wf: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var vocab = wf.toSeq.map { case (w, f) => (w.map(_.toString).toArray :+ BpeTrain.EndOfWord, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      out += ((a, b, c))
+      vocab = vocab.map { case (syms, f) => (BpeTrain.applyMerge(syms, a, b), f) }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  private def corpusWf: Map[String, Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("q97 merge table equals the local greedy replica") {
+    val got = SparkEntry.queries("q97_bpe_merges")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    val want = replica(corpusWf, 8)
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
+    assert(got.length == 8)
+  }
+
+  test("local and distributed tiers produce the identical merge table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wf = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).cast("long").as("f"))
+      .as[(String, Long)]
+    val local = BpeTrain.train(wf, rounds = 6, strategy = "local").collect().map(_.toSeq).toSeq
+    val dist = BpeTrain.train(wf, rounds = 6, strategy = "distributed").collect().map(_.toSeq).toSeq
+    assert(local == dist)
+  }
+
+  test("training is deterministic run-over-run") {
+    val a = SparkEntry.queries("q97_bpe_merges")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q97_bpe_merges")(spark, "/root/testdata/sf0.01")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("applyMerge is the published left-to-right greedy ('aaa' case)") {
+    assert(BpeTrain.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(BpeTrain.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
+    assert(BpeTrain.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
+  }
+
+  test("trained merges compress the training words") {
+    val wf = corpusWf
+    val merges = replica(wf, 8).map { case (a, b, _) => (a, b) }
+    val before = wf.map { case (w, f) => (w.length + 1).toLong * f }.sum
+    val after = wf.map { case (w, f) => BpeTrain.segment(w, merges).length.toLong * f }.sum
+    assert(after < before, s"after=$after before=$before")
+    // 8 merges on a 31-word vocab must bite hard on total symbol count
+    assert(after.toDouble / before < 0.9, s"ratio=${after.toDouble / before}")
+  }
+}
