@@ -15,20 +15,31 @@ import org.apache.spark.sql.functions._
   * on the |vocab| frame: pair counting is an explode + one hash agg,
   * the winning pair is a 1-row TakeOrdered collect (k-bounded driver
   * contract), and the rewrite is a scan-parallel map. localCheckpoint
-  * per round keeps the lineage linear across rounds (the q45/q96
-  * eager-iteration precedent).
+  * per round keeps the lineage linear across rounds, with every
+  * superseded checkpoint unpersisted (the q45/q96 eager-iteration
+  * discipline — thousands of real merge rounds must not accumulate
+  * thousands of cached vocab copies).
   *
   * Determinism: pair counts are exact integer sums; the winner is
-  * argmax by (count desc, left asc, right asc) — a total order, no
-  * RNG; rewrites apply the merge left-to-right (so "aaa" under merge
-  * (a,a) becomes ["aa","a"], the published greedy semantics). Same
-  * corpus → bit-identical merge table, every run (BpeSpec pins
-  * run-over-run equality and a local-replica agreement).
+  * argmax by (count desc, left asc, right asc) with strings compared
+  * as UTF-8 bytes in BOTH tiers (Spark's binary collation — Java's
+  * UTF-16 compareTo disagrees on supplementary-plane code points); no
+  * RNG anywhere. Rewrites apply the merge left-to-right (so "aaa"
+  * under merge (a,a) becomes ["aa","a"], the published greedy
+  * semantics), and words split into CODE-POINT symbols — a
+  * surrogate-pair character is one symbol, never two lone surrogates.
+  * Same corpus → bit-identical merge table, every run and every tier
+  * (BpeSpec pins run-over-run and tier equality plus a local-replica
+  * agreement).
   */
 object BpeTrain {
 
   /** End-of-word marker (kept distinct from every real character). */
   val EndOfWord = "</w>"
+
+  /** Code-point symbol split (surrogate-pair safe) + end marker. */
+  def symbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp))) :+ EndOfWord
 
   /** Apply one merge rule left-to-right to a symbol sequence. */
   def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
@@ -49,7 +60,7 @@ object BpeTrain {
     * Two execution tiers (the [[PageRank]]/[[ConnectedComponents]]
     * `auto` pattern), bit-identical by construction — pair counts are
     * exact integer sums (order-free) and the argmax is the same total
-    * order (count desc, left asc, right asc) in both:
+    * order in both:
     *  - `local`: dictionary ≤ threshold rows → collect once, run the
     *    rounds on driver arrays (one job instead of 2·rounds);
     *  - `distributed`: per round one explode+agg, a 1-row TakeOrdered
@@ -62,10 +73,18 @@ object BpeTrain {
       strategy: String = "auto",
       localThreshold: Long = 1000000L): DataFrame = strategy match {
     case "local" => trainLocal(wordFreq, rounds)
-    case "distributed" => trainDistributed(wordFreq, rounds)
+    case "distributed" => trainDistributed(wordFreq.localCheckpoint(), rounds)
     case "auto" =>
-      if (wordFreq.count() <= localThreshold) trainLocal(wordFreq, rounds)
-      else trainDistributed(wordFreq, rounds)
+      // materialize the dictionary ONCE: the threshold probe is an
+      // action, and without this the upstream corpus-sized word-count
+      // aggregation would execute twice (the ConnectedComponents.auto
+      // rationale)
+      val wf = wordFreq.localCheckpoint()
+      if (wf.count() <= localThreshold) {
+        val r = trainLocal(wf, rounds)
+        wf.unpersist()
+        r
+      } else trainDistributed(wf, rounds) // releases wf when done
     case other => throw new IllegalArgumentException(s"unknown strategy $other")
   }
 
@@ -75,9 +94,9 @@ object BpeTrain {
   def trainLocal(wordFreq: Dataset[(String, Long)], rounds: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    var vocab = wordFreq.collect()
-      .map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }
+    var vocab = wordFreq.collect().map { case (w, f) => (symbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val ord = PageRank.utf8Order
     var r = 0
     var dry = false
     while (r < rounds && !dry) {
@@ -92,7 +111,23 @@ object BpeTrain {
       }
       if (counts.isEmpty) dry = true
       else {
-        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        // argmax by (count desc, left asc, right asc) under UTF-8
+        // byte order — the order the distributed tier's orderBy uses
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null) best = kv
+          else {
+            val c = java.lang.Long.compare(kv._2, best._2)
+            val byKey =
+              if (c != 0) -c
+              else {
+                val l = ord.compare(kv._1._1, best._1._1)
+                if (l != 0) l else ord.compare(kv._1._2, best._1._2)
+              }
+            if (byKey < 0) best = kv
+          }
+        }
+        val ((a, b), c) = best
         merges += ((r + 1, a, b, a + b, c))
         vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
         r += 1
@@ -102,14 +137,17 @@ object BpeTrain {
   }
 
   /** Distributed tier: vocab frame stays on executors; one agg + 1-row
-    * TakeOrdered + rewrite per round.
+    * TakeOrdered + rewrite per round. `wordFreq` must already be
+    * materialized (every public entry localCheckpoints it); it is
+    * released before the rounds start.
     */
-  def trainDistributed(wordFreq: Dataset[(String, Long)], rounds: Int): DataFrame = {
+  private def trainDistributed(wordFreq: Dataset[(String, Long)], rounds: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Array[String], Long)] = wordFreq
-      .map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }
+      .map { case (w, f) => (symbols(w), f) }
       .localCheckpoint()
+    wordFreq.unpersist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 0
     var dry = false
@@ -128,12 +166,16 @@ object BpeTrain {
       else {
         val (a, b, c) = winner(0)
         merges += ((r + 1, a, b, a + b, c))
-        vocab = vocab
+        val next = vocab
           .map { case (syms, f) => (applyMerge(syms, a, b), f) }
           .localCheckpoint()
+        // release the superseded round's vocab blocks
+        vocab.unpersist()
+        vocab = next
         r += 1
       }
     }
+    vocab.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
@@ -142,7 +184,7 @@ object BpeTrain {
     * merges actually compress the training corpus.
     */
   def segment(word: String, merges: Seq[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray :+ EndOfWord
+    var syms = symbols(word)
     merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
     syms
   }

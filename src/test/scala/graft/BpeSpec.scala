@@ -79,6 +79,29 @@ class BpeSpec extends SparkSuite {
     assert(BpeTrain.applyMerge(Array("x"), "a", "b").toSeq == Seq("x"))
   }
 
+  test("symbols splits by code point: a surrogate pair is ONE symbol") {
+    val w = "a\uD83D\uDE00b" // a, U+1F600 (emoji, surrogate pair), b
+    assert(BpeTrain.symbols(w).toSeq ==
+      Seq("a", "\uD83D\uDE00", "b", BpeTrain.EndOfWord))
+  }
+
+  test("tiers agree on a non-BMP dictionary (UTF-8 argmax tie-break)") {
+    import spark.implicits._
+    // U+1F600 (4-byte UTF-8) vs U+FFFD (3-byte): Java UTF-16 order and
+    // UTF-8 byte order DISAGREE on this pair; counts tie so the merge
+    // winner is decided purely by the string tie-break
+    val wf = Seq(("\uD83D\uDE00x", 3L), ("\uFFFDx", 3L)).toDS()
+    val local = BpeTrain.train(wf, rounds = 2, strategy = "local")
+      .collect().map(_.toSeq).toSeq
+    val dist = BpeTrain.train(wf, rounds = 2, strategy = "distributed")
+      .collect().map(_.toSeq).toSeq
+    assert(local == dist)
+    // round 1 merges (x, </w>) count 6; round 2 ties (emoji,x</w>) vs
+    // (U+FFFD,x</w>) at 3 — UTF-8 byte order puts U+FFFD (EF BF BD)
+    // before U+1F600 (F0 9F 98 80), so it must win the tie-break
+    assert(local(1)(1) == "\uFFFD", s"round-2 merge left=${local(1)(1)}")
+  }
+
   test("trained merges compress the training words") {
     val wf = corpusWf
     val merges = replica(wf, 8).map { case (a, b, _) => (a, b) }
