@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * documents (and embeddings) a training run keeps, ordered roughly as
   * a curation pipeline would run them: semantic dedup pruning (q92),
   * target-distribution importance weighting (q93), n-gram novelty
-  * scoring (q94), retrieval scoring (q95), and graph-based keyword
-  * ranking (q96).
+  * scoring (q94), retrieval scoring (q95), graph-based keyword
+  * ranking (q96), tokenizer training (q97), and the table-profiling
+  * pass that sanity-checks a new data drop (q98).
   *
   * Determinism ([[graft.Sql]] rules, same discipline as [[Mining]]):
   * no `ln()` anywhere (not cross-engine bit-stable — the q88
@@ -410,6 +411,57 @@ object Selection {
           .as[(String, Long)]
         graft.ops.BpeTrain.train(wf, rounds = 8)
       },
-      None)
+      None),
+
+    // ---------------------------------------------------------------- q98
+    // Table profiling — the ANALYZE-style data-quality pass a pipeline
+    // runs before trusting a new drop: per numeric column, row count,
+    // null count, exact distinct count, min/max, and the exact-decimal
+    // sum. ONE scan, ONE narrow shuffle: stack() unpivots (col, value)
+    // pairs map-side (2-column rows — NOT the multi-countDistinct
+    // Expand, whose per-expanded-row evaluation of every wide agg
+    // buffer measured 4× slower), the (col, value) grouping combines
+    // map-side to per-partition distinct values, and the per-column
+    // rollup reads counts off that frame: n = Σcnt, distinct = group
+    // count, sum = Σ value·cnt in exact decimal (a (18,4)×BIGINT
+    // product is exact; the graft.Sql rule). Value grouping on raw
+    // doubles: this corpus has no -0.0/NaN, the one double class
+    // where engines' group-equality could differ.
+    Q(
+      "q98_table_profile",
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+        val g = table(s, dir, "lineitem")
+          .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, v)"))
+          .groupBy($"col_name", $"v").agg(count(lit(1)).cast("long").as("cnt"))
+        g.groupBy($"col_name")
+          .agg(
+            sum($"cnt").cast("long").as("n"),
+            coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).cast("long").as("n_null"),
+            count(when($"v".isNotNull, lit(1))).cast("long").as("n_distinct"),
+            out(min($"v")).as("min_v"),
+            out(max($"v")).as("max_v"),
+            out(sum(dec($"v") * $"cnt")).as("sum_v"))
+      },
+      Some {
+        val branches = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(c => s"SELECT '$c' AS col_name, $c AS v FROM lineitem")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH x AS ($branches),
+        g AS (
+          SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM x GROUP BY col_name, v)
+        SELECT col_name,
+          CAST(sum(cnt) AS BIGINT) AS n,
+          CAST(coalesce(sum(cnt) FILTER (v IS NULL), 0) AS BIGINT) AS n_null,
+          CAST(count(*) FILTER (v IS NOT NULL) AS BIGINT) AS n_distinct,
+          CAST(min(v) AS DOUBLE) AS min_v,
+          CAST(max(v) AS DOUBLE) AS max_v,
+          CAST(sum(CAST(v AS DECIMAL(18,4)) * cnt) AS DOUBLE) AS sum_v
+        FROM g GROUP BY col_name"""
+      })
   )
 }

@@ -84,6 +84,51 @@ class PlanSpec extends SparkSuite {
       s"q88 does not read the checkpointed bigram stream:\n$fin")
   }
 
+  test("q93 token stream is checkpointed and both LM frames broadcast") {
+    val df = SparkEntry.queries("q93_dsir_weight")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    // the posexplode ran once, in the checkpoint job; the three
+    // consumers (target LM, source LM, scoring join) scan the RDD
+    assert(!fin.contains("Generate"),
+      s"token explode re-executes inside q93's plan:\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"q93 does not read the checkpointed token stream:\n$fin")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"q93's bucket-LM join is not broadcast:\n$fin")
+  }
+
+  test("q94 gram stream is checkpointed — the explode+md5 runs once") {
+    val df = SparkEntry.queries("q94_ngram_novelty")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Generate"),
+      s"bigram explode re-executes inside q94's plan:\n$fin")
+    assert(fin.contains("Scan ExistingRDD"),
+      s"q94 does not read the checkpointed gram frame:\n$fin")
+  }
+
+  test("q95 scoring side joins broadcast (terms-row idf + 2-scalar stats)") {
+    val df = SparkEntry.queries("q95_bm25")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"q95's idf join is not broadcast:\n$fin")
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastHashJoin"),
+      s"q95's corpus-stats join is not broadcast:\n$fin")
+  }
+
+  test("q98 profiles all columns in ONE scan (narrow unpivot, no rescans)") {
+    val p = plan("q98_table_profile")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"q98 scans the table more than once:\n$p")
+    assert(!p.contains("Expand"),
+      s"q98 regressed to the wide multi-distinct Expand plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-side of the hot queries") {
     Seq("q01_pricing_summary", "q15_wordcount", "q26_token_stats").foreach { n =>
       // AQE prints codegen stages only in the finalized plan → execute first
