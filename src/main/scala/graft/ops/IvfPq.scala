@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the production billion-scale ANN layout (Jégou et al.
+  * 2011's IVFADC, the FAISS `IVFx,PQy` index): an IVF coarse quantizer
+  * partitions the corpus into cells, and each vector stores only the
+  * PQ code of its RESIDUAL from its cell centroid. A query probes its
+  * `nprobe` nearest cells and ADC-scores the probed cells' codes with
+  * a per-(query, cell) lookup table built from the query's residual —
+  * so the scan touches `nprobe/k` of the corpus AND reads 4-byte codes
+  * instead of `dim` floats: the two scale levers ([[IvfIndex]]'s
+  * pruning, [[PqIndex]]'s compression) composed.
+  *
+  * Cosine geometry: vectors are L2-normalized ONCE up front; residuals
+  * and ADC then run in plain L2, where squared distance on unit
+  * vectors ranks exactly like descending cosine. Residuals are NOT
+  * re-normalized ([[PqIndex.train]]'s `normalizeInput = false` path).
+  *
+  * Determinism: both trainings are the deterministic fixed-round Lloyd
+  * loops of the component indexes (lowest-id seeds, fixed-order
+  * partial-sum folds); assignment and ADC ties break toward the lower
+  * cell id / vec_id. Same corpus → same index, every run.
+  *
+  * Scale shape (100 TB of vectors):
+  *  - both models are kilobytes (kCells·dim + m·kSub·subDim floats),
+  *    closure-broadcast;
+  *  - the code frame is (cell, vec_id, code) — written
+  *    partitionBy(cell) at rest, probes prune partitions exactly as
+  *    [[IvfIndex]] (PersistedIndexSpec's layout); here the probe-cell
+  *    filter is an `isin` pushed to the scan;
+  *  - scoring keeps a bounded per-query heap per partition
+  *    ([[PqIndex]]'s shortlist discipline), so only
+  *    partitions × queries × shortlist rows reach the rank shuffle;
+  *  - the exact re-rank reads `shortlist` full vectors per query via
+  *    a broadcast join — the float corpus never scans.
+  */
+object IvfPq {
+
+  final case class IvfPqModel(
+      cells: Array[Array[Float]],
+      pq: PqIndex.PqModel) extends Serializable
+
+  /** Residual of a NORMALIZED vector from a cell centroid. */
+  private def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = v(i) - (if (i < c.length) c(i) else 0f)
+      i += 1
+    }
+    out
+  }
+
+  /** Train the coarse quantizer on the normalized corpus, then the PQ
+    * codebook on the residuals (both optionally on a deterministic
+    * [[TrainSample]]).
+    */
+  def train(
+      corpus: DataFrame,
+      kCells: Int,
+      m: Int,
+      kSub: Int,
+      dim: Int,
+      iters: Int,
+      trainSample: Int = 0): IvfPqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val normed = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) => (id, PqIndex.normalize(e)) }
+      .toDF("vec_id", "embedding")
+    val cells = IvfIndex.train(normed, kCells, iters, dim, trainSample)
+    val residuals = normed.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, residual(v, cells(IvfIndex.nearestCell(v, cells))))
+      }
+      .toDF("vec_id", "embedding")
+    val pq = PqIndex.train(residuals, m, kSub, dim, iters, trainSample,
+      normalizeInput = false)
+    IvfPqModel(cells, pq)
+  }
+
+  /** (cell, vec_id, code) index frame — scan-parallel assignment +
+    * residual encoding.
+    */
+  def index(corpus: DataFrame, model: IvfPqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val v = PqIndex.normalize(e)
+        val c = IvfIndex.nearestCell(v, model.cells)
+        (c, id, model.pq.encode(residual(v, model.cells(c))))
+      }
+      .toDF("cell", "vec_id", "code")
+  }
+
+  /** Top-k per query: probe `nprobe` cells, ADC-score their codes with
+    * per-(query, cell) residual tables and bounded per-partition
+    * heaps, exact-rerank the global shortlist. Output (qid, vec_id,
+    * sim, rk) — exact cosine, rk 1-based, self-matches excluded (the
+    * q25/q89 contract).
+    */
+  def topK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      kCells: Int = 8,
+      nprobe: Int = 3,
+      m: Int = 8,
+      kSub: Int = 16,
+      dim: Int = 64,
+      iters: Int = 4,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val model = train(corpus, kCells, m, kSub, dim, iters)
+    val codes = index(corpus, model)
+    // query side is batch-small (the q25 contract): nprobe tables of
+    // m·kSub doubles per query, broadcast with the probed-cell set
+    val qvecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val tables: Array[(Long, Map[Int, Array[Array[Double]]])] =
+      qvecs.map { case (qid, q) =>
+        val qn = PqIndex.normalize(q)
+        val probed = IvfIndex.nearestCells(qn, model.cells, nprobe)
+        qid -> probed.map(c =>
+          c -> model.pq.distTable(residual(qn, model.cells(c)))).toMap
+      }
+    val probedCells = tables.flatMap(_._2.keys).distinct.sorted
+    val bc = spark.sparkContext.broadcast(tables)
+    val keep = shortlist
+    // the isin filter is what partition-prunes a partitionBy(cell)
+    // at-rest layout; in-memory it prunes before the heap scan
+    val scored = codes.filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .as[(Int, Long, Array[Int])]
+      .mapPartitions { it =>
+        val tabs = bc.value
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        val heaps = Array.fill(tabs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (cell, vid, code) =>
+          var qi = 0
+          while (qi < tabs.length) {
+            val (qid, byCell) = tabs(qi)
+            if (qid != vid) {
+              byCell.get(cell) match {
+                case Some(tab) =>
+                  var d = 0.0
+                  var mi = 0
+                  while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+                  val h = heaps(qi)
+                  if (h.size < keep) h.enqueue((d, vid))
+                  else if (ord.lt((d, vid), h.head)) { h.dequeue(); h.enqueue((d, vid)) }
+                case None =>
+              }
+            }
+            qi += 1
+          }
+        }
+        tabs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+          heaps(qi).iterator.map { case (d, vid) => (qid, vid, d) }
+        }
+      }.toDF("qid", "vec_id", "adist")
+    val wa = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = scored
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+    PqIndex.rerankExact(spark, corpus, cand, qvecs, k)
+  }
+}

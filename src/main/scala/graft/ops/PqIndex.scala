@@ -126,6 +126,10 @@ object PqIndex {
     * vectors instead of the whole corpus — the 100 TB path (k-means
     * quality needs ~256·k vectors; the Lloyd scans then touch a
     * dimension-sized frame, not the corpus).
+    *
+    * `normalizeInput = false` trains on the vectors AS GIVEN — the
+    * residual-PQ path ([[IvfPq]]), where inputs are already residuals
+    * of unit vectors and re-normalizing would distort the geometry.
     */
   def train(
       corpus: DataFrame,
@@ -133,16 +137,19 @@ object PqIndex {
       k: Int,
       dim: Int,
       iters: Int,
-      trainSample: Int = 0): PqModel = {
+      trainSample: Int = 0,
+      normalizeInput: Boolean = true): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
+    val prep: Array[Float] => Array[Float] =
+      if (normalizeInput) normalize else identity
     val vecs = TrainSample.sample(
       corpus.select(col("vec_id"), col("embedding")), trainSample)
       .as[(Long, Array[Float])]
     // deterministic seeds: the k lowest-id vectors, sliced per subspace
     val seeds = vecs.orderBy(col("vec_id")).limit(k).collect()
-      .sortBy(_._1).map(v => normalize(v._2))
+      .sortBy(_._1).map(v => prep(v._2))
     var cents: Array[Array[Array[Float]]] =
       Array.tabulate(m)(mi => seeds.map(v => slice(v, mi * subDim, subDim)))
     var it = 0
@@ -154,7 +161,7 @@ object PqIndex {
         val acc = scala.collection.mutable.HashMap
           .empty[(Int, Int), (Array[Double], Array[Long])]
         rows.foreach { case (_, emb0) =>
-          val emb = normalize(emb0)
+          val emb = prep(emb0)
           val code = model.encode(emb)
           var mi = 0
           while (mi < mLocal) {
@@ -250,7 +257,7 @@ object PqIndex {
     * the corpus side streams its scan — bucket-prunable when the
     * vectors are at rest — with no exchange.
     */
-  private def rerankExact(
+  private[ops] def rerankExact(
       spark: SparkSession,
       corpus: DataFrame,
       cand: DataFrame,

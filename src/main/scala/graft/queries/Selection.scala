@@ -462,6 +462,28 @@ object Selection {
           CAST(max(v) AS DOUBLE) AS max_v,
           CAST(sum(CAST(v AS DECIMAL(18,4)) * cnt) AS DOUBLE) AS sum_v
         FROM g GROUP BY col_name"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- q99
+    // IVF-PQ ANN (ops.IvfPq): the production billion-scale layout —
+    // IVF cell pruning composed with PQ residual compression (Jégou
+    // et al. 2011's IVFADC, the FAISS IVFx,PQy index). Completes the
+    // similarity-search ladder: q25 exact → q33 sign-LSH → q52 IVF →
+    // q89 PQ → q99 both levers at once. Rows-only by design (two
+    // trained quantizers); IvfPqSpec checks recall@10 against the
+    // exact q25 baseline and that the probed-cell filter reaches the
+    // scan.
+    Q(
+      "q99_ann_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+        graft.ops.IvfPq.topK(
+          s,
+          e.select($"vec_id", $"embedding"),
+          e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+          k = 10)
+      },
+      None)
   )
 }
