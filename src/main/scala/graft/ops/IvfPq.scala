@@ -100,6 +100,75 @@ object IvfPq {
       .toDF("cell", "vec_id", "code")
   }
 
+  /** Persist the index at rest: the code frame partitionBy(cell) —
+    * probes then prune cell directories exactly like [[IvfIndex]]'s
+    * layout — plus the coarse centroids and the PQ codebook as plain
+    * kilobyte-sized tables. [[topKFromSaved]] probes this layout with
+    * no re-encode and no re-train.
+    */
+  def save(
+      corpus: DataFrame,
+      model: IvfPqModel,
+      codesPath: String,
+      cellsTable: String,
+      codebookTable: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    index(corpus, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+    model.cells.indices.map(c => (c, model.cells(c).toSeq))
+      .toDF("cell", "vals")
+      .write.mode("overwrite").saveAsTable(cellsTable)
+    model.pq.centroids.indices.flatMap { mi =>
+      model.pq.centroids(mi).indices.map(c => (mi, c, model.pq.centroids(mi)(c).toSeq))
+    }.toDF("mi", "cell", "vals")
+      .write.mode("overwrite").saveAsTable(codebookTable)
+  }
+
+  /** Rebuild the [[IvfPqModel]] from [[save]]d model tables. */
+  def loadModel(
+      spark: SparkSession,
+      cellsTable: String,
+      codebookTable: String): IvfPqModel = {
+    import spark.implicits._
+    val cells = spark.table(cellsTable)
+      .select(col("cell"), col("vals")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    val rows = spark.table(codebookTable)
+      .select(col("mi"), col("cell"), col("vals"))
+      .as[(Int, Int, Array[Float])].collect()
+    val cents = Array.tabulate(rows.map(_._1).max + 1) { mi =>
+      rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
+    }
+    IvfPqModel(cells, PqIndex.PqModel(cents, cents(0)(0).length))
+  }
+
+  /** Probe a [[save]]d index: the probed-cell isin filter becomes a
+    * PartitionFilter on the cell directories (pruned file listing),
+    * the saved codes ADC-score as-is (no re-encode), and the exact
+    * re-rank reads the float corpus with the shortlist broadcast.
+    * Bit-identical to [[topK]] for the same corpus/params (both
+    * trainings are deterministic).
+    */
+  def topKFromSaved(
+      spark: SparkSession,
+      codesPath: String,
+      cellsTable: String,
+      codebookTable: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 3,
+      shortlist: Int = 100): DataFrame = {
+    import spark.implicits._
+    val model = loadModel(spark, cellsTable, codebookTable)
+    val qvecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val codes = spark.read.parquet(codesPath)
+      .select(col("cell").cast("int"), col("vec_id"), col("code"))
+    score(spark, codes, corpus, qvecs, model, nprobe, shortlist, k)
+  }
+
   /** Top-k per query: probe `nprobe` cells, ADC-score their codes with
     * per-(query, cell) residual tables and bounded per-partition
     * heaps, exact-rerank the global shortlist. Output (qid, vec_id,
@@ -121,10 +190,24 @@ object IvfPq {
     import spark.implicits._
     val model = train(corpus, kCells, m, kSub, dim, iters)
     val codes = index(corpus, model)
-    // query side is batch-small (the q25 contract): nprobe tables of
-    // m·kSub doubles per query, broadcast with the probed-cell set
     val qvecs = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    score(spark, codes, corpus, qvecs, model, nprobe, shortlist, k)
+  }
+
+  /** The shared scoring tail of [[topK]] and [[topKFromSaved]]. */
+  private def score(
+      spark: SparkSession,
+      codes: DataFrame,
+      corpus: DataFrame,
+      qvecs: Array[(Long, Array[Float])],
+      model: IvfPqModel,
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    // query side is batch-small (the q25 contract): nprobe tables of
+    // m·kSub doubles per query, broadcast with the probed-cell set
     val tables: Array[(Long, Map[Int, Array[Array[Double]]])] =
       qvecs.map { case (qid, q) =>
         val qn = PqIndex.normalize(q)

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{AnnIndex, IvfIndex, PqIndex}
+import graft.ops.{AnnIndex, IvfIndex, IvfPq, PqIndex}
 import org.apache.spark.sql.functions._
 
 /** The at-rest index layouts promised by the AnnIndex/IvfIndex/PqIndex
@@ -118,6 +118,37 @@ class PersistedIndexSpec extends SparkSuite {
     // persisted probe equals in-memory probe (training is deterministic,
     // so the saved codebook IS the codebook topK would retrain)
     assert(result === rows(PqIndex.topK(spark, vectors, queries, k = 10)))
+    assert(result.nonEmpty)
+  }
+
+  test("partitionBy-persisted IVF-PQ codes probe with partition pruning and no re-encode") {
+    spark.sql("DROP TABLE IF EXISTS ivfpq_cells")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_codebook")
+    val path = Files.createTempDirectory("ivfpq-idx").toString
+    val model = IvfPq.train(vectors, kCells = 8, m = 8, kSub = 16, dim = 64, iters = 4)
+    IvfPq.save(vectors, model, path, "ivfpq_cells", "ivfpq_codebook")
+
+    val probed = IvfPq.topKFromSaved(
+      spark, path, "ivfpq_cells", "ivfpq_codebook", vectors, queries, k = 10)
+    val result = rows(probed)
+    val plan = probed.queryExecution.executedPlan.toString
+
+    // the probed-cell IN-filter must reach the codes scan as a
+    // partition filter (only those cell= directories are listed/read)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n$plan")
+    // the shortlist heap sits directly on the pruned codes scan: the
+    // tree prints top-down, so the codes FileScan is the next scan
+    // BELOW the MapPartitions reduce, with no Exchange in between
+    val mpIdx = plan.indexOf("MapPartitions")
+    val scanIdx = plan.indexOf("FileScan parquet", mpIdx)
+    assert(mpIdx >= 0 && scanIdx > mpIdx &&
+      !plan.substring(mpIdx, scanIdx).contains("Exchange"),
+      s"codes side shuffles below the shortlist reduction:\n$plan")
+
+    // persisted probe equals in-memory probe (both trainings are
+    // deterministic, so the saved models ARE what topK would retrain)
+    assert(result === rows(IvfPq.topK(spark, vectors, queries, k = 10)))
     assert(result.nonEmpty)
   }
 }
