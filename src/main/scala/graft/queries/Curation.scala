@@ -264,6 +264,48 @@ object Curation {
         drops AS (SELECT v FROM cc WHERE v <> cluster_id)
         SELECT doc_id, lang, source, n_chars
         FROM documents
-        WHERE doc_id NOT IN (SELECT v FROM drops)"""))
+        WHERE doc_id NOT IN (SELECT v FROM drops)""")),
+
+    // --------------------------------------------------------------- q100
+    // The END-TO-END curation pipeline (ops.CurationPipeline) as ONE
+    // oracle-checked declarative plan: quality gate -> exact dedup
+    // (normalized-text md5 fingerprint, keep lowest doc_id) -> near-dup
+    // removal (q21's capped MinHash-LSH pairs, drop the higher id of
+    // every pair) -> curated projection. The point is COMPOSITION:
+    // Catalyst fuses all four stages into one DAG — the gate predicate
+    // prunes before any dedup work, the dedup joins shuffle
+    // fingerprints and band signatures only (never text), and the
+    // near-dup drop-set broadcasts (the q85 shape). The oracle chains
+    // the same stages as CTEs over q21's shared pair SQL, so the whole
+    // pipeline — not just its pieces — hash-matches DuckDB.
+    Q(
+      "q100_curation_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val pairs = Llm.minhashLshPairs(docs, Llm.lshMaxBucket)
+          .select($"d1", $"d2")
+        graft.ops.CurationPipeline.curate(s, docs, pairs)
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        gated AS (
+          SELECT * FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        fp AS (
+          SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM gated),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        exact AS (
+          SELECT f.* FROM fp f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        near AS (
+          SELECT e.* FROM exact e
+          WHERE e.doc_id NOT IN (SELECT d2 FROM pairs))
+        SELECT doc_id, lang, source,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          text
+        FROM near"""))
   )
 }

@@ -125,7 +125,7 @@ object Llm {
     * cap never fires on the oracle corpora — LshSpec's skew fixture is
     * where it engages.
     */
-  private val lshMaxBucket = 64
+  private[queries] val lshMaxBucket = 64
 
   /** (doc_id, t200) prefix frame — the shared front of every shingle
     * pipeline (q21/q66/q67/q68): 200-char prefix, docs shorter than
