@@ -82,7 +82,7 @@ object BpeTrain {
       val wf = wordFreq.localCheckpoint()
       if (wf.count() <= localThreshold) {
         val r = trainLocal(wf, rounds)
-        wf.unpersist()
+        Checkpoints.release(wf)
         r
       } else trainDistributed(wf, rounds) // releases wf when done
     case other => throw new IllegalArgumentException(s"unknown strategy $other")
@@ -147,7 +147,7 @@ object BpeTrain {
     var vocab: Dataset[(Array[String], Long)] = wordFreq
       .map { case (w, f) => (symbols(w), f) }
       .localCheckpoint()
-    wordFreq.unpersist()
+    Checkpoints.release(wordFreq)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 0
     var dry = false
@@ -170,12 +170,12 @@ object BpeTrain {
           .map { case (syms, f) => (applyMerge(syms, a, b), f) }
           .localCheckpoint()
         // release the superseded round's vocab blocks
-        vocab.unpersist()
+        Checkpoints.release(vocab)
         vocab = next
         r += 1
       }
     }
-    vocab.unpersist()
+    Checkpoints.release(vocab)
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 

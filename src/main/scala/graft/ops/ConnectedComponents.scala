@@ -48,7 +48,7 @@ object ConnectedComponents {
     val result =
       if (e.count() <= localThreshold) dsuLocal(e)
       else largeStarSmallStar(e)._1
-    e.unpersist()
+    Checkpoints.release(e)
     result
   }
 
@@ -137,14 +137,14 @@ object ConnectedComponents {
       val next = labels.union(prop)
         .groupBy($"v").agg(min($"lbl").as("lbl")).localCheckpoint()
       val sum1 = next.agg(coalesce(sum($"lbl"), lit(0L))).first().getLong(0)
-      labels.unpersist()
+      Checkpoints.release(labels)
       labels = next
       done = sum1 == sum0
       sum0 = sum1
     }
     val result = labels.select($"v", $"lbl".as("cluster_id")).localCheckpoint()
-    labels.unpersist()
-    edges.unpersist()
+    Checkpoints.release(labels)
+    Checkpoints.release(edges)
     result
   }
 
@@ -206,7 +206,7 @@ object ConnectedComponents {
       // release the superseded round's checkpoint blocks — up to
       // maxRounds edge-list copies would otherwise stay cached for the
       // session's lifetime
-      e.unpersist()
+      Checkpoints.release(e)
       e = next
       n = n1
       rounds += 1
@@ -216,7 +216,7 @@ object ConnectedComponents {
       .union(e.select($"b".as("v"), $"b".as("lbl")))
       .groupBy($"v").agg(min($"lbl").as("cluster_id"))
       .localCheckpoint()
-    e.unpersist()
+    Checkpoints.release(e)
     (labels, rounds)
   }
 }

@@ -105,6 +105,8 @@ object GlobalRank {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
     val cleanup: () => Unit = () => {
+      // raw RDDs (not checkpointed Datasets): RDD.unpersist IS the
+      // real release here — no Checkpoints.release indirection needed
       checkpointed.foreach(_.unpersist(blocking = false))
       bc.destroy()
     }

@@ -179,7 +179,7 @@ object IvfIndex {
       val members = assigned.filter(col("cell") === c).select(col("vec_id"), col("embedding"))
       c -> train(members, subK, iters, dim)
     }.toMap
-    assigned.unpersist()
+    Checkpoints.release(assigned)
     IvfModel(centroids, sub)
   }
 

@@ -68,18 +68,27 @@ object IvfPq {
       trainSample: Int = 0): IvfPqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // materialize both training inputs ONCE: each Lloyd loop runs
+    // iters+1 actions over its input (seed collect + one aggregate
+    // per round), so an unmaterialized normalize / residual pipeline
+    // would re-execute the corpus scan ~2·(iters+1) times per train()
+    // (the auto-probe rationale of PageRank/BpeTrain)
     val normed = corpus.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, PqIndex.normalize(e)) }
       .toDF("vec_id", "embedding")
+      .localCheckpoint()
     val cells = IvfIndex.train(normed, kCells, iters, dim, trainSample)
     val residuals = normed.as[(Long, Array[Float])]
       .map { case (id, v) =>
         (id, residual(v, cells(IvfIndex.nearestCell(v, cells))))
       }
       .toDF("vec_id", "embedding")
+      .localCheckpoint()
+    Checkpoints.release(normed)
     val pq = PqIndex.train(residuals, m, kSub, dim, iters, trainSample,
       normalizeInput = false)
+    Checkpoints.release(residuals)
     IvfPqModel(cells, pq)
   }
 
@@ -125,7 +134,10 @@ object IvfPq {
       .write.mode("overwrite").saveAsTable(codebookTable)
   }
 
-  /** Rebuild the [[IvfPqModel]] from [[save]]d model tables. */
+  /** Rebuild the [[IvfPqModel]] from [[save]]d model tables (the
+    * codebook table has [[PqIndex.save]]'s exact schema, so its loader
+    * is shared).
+    */
   def loadModel(
       spark: SparkSession,
       cellsTable: String,
@@ -134,13 +146,7 @@ object IvfPq {
     val cells = spark.table(cellsTable)
       .select(col("cell"), col("vals")).as[(Int, Array[Float])]
       .collect().sortBy(_._1).map(_._2)
-    val rows = spark.table(codebookTable)
-      .select(col("mi"), col("cell"), col("vals"))
-      .as[(Int, Int, Array[Float])].collect()
-    val cents = Array.tabulate(rows.map(_._1).max + 1) { mi =>
-      rows.filter(_._1 == mi).sortBy(_._2).map(_._3)
-    }
-    IvfPqModel(cells, PqIndex.PqModel(cents, cents(0)(0).length))
+    IvfPqModel(cells, PqIndex.loadModel(spark, codebookTable))
   }
 
   /** Probe a [[save]]d index: the probed-cell isin filter becomes a

@@ -66,7 +66,7 @@ object PageRank {
       val e = edges.localCheckpoint()
       if (e.count() <= localThreshold) {
         val r = iterateLocal(e, rounds)
-        e.unpersist()
+        Checkpoints.release(e)
         r
       } else iterateDistributed(e, rounds) // releases e when done
     case other => throw new IllegalArgumentException(s"unknown strategy $other")
@@ -153,13 +153,13 @@ object PageRank {
         .localCheckpoint()
       // release the superseded round's blocks — R rank-frame copies
       // would otherwise stay cached for the session's lifetime
-      pr.unpersist()
+      Checkpoints.release(pr)
       pr = next
       it += 1
     }
     // intermediates are no longer read once the final rank frame is
     // materialized; only `pr` (returned) stays cached
-    e0.unpersist(); trans.unpersist(); nodes.unpersist(); outW.unpersist()
+    Seq(e0, trans, nodes, outW).foreach(Checkpoints.release)
     pr
   }
 }
