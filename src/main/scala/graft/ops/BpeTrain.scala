@@ -12,25 +12,40 @@ import org.apache.spark.sql.functions._
   * corpus frequency. That makes the scale shape the q96 posture — the
   * corpus-sized work is ONE tokenize+count aggregation (map-side
   * combined, text never shuffles past it); every merge round then runs
-  * on the |vocab| frame: pair counting is an explode + one hash agg,
-  * the winning pair is a 1-row TakeOrdered collect (k-bounded driver
-  * contract), and the rewrite is a scan-parallel map. localCheckpoint
-  * per round keeps the lineage linear across rounds, with every
-  * superseded checkpoint unpersisted (the q45/q96 eager-iteration
-  * discipline — thousands of real merge rounds must not accumulate
-  * thousands of cached vocab copies).
+  * on the |vocab| frame. localCheckpoint per rewrite keeps the lineage
+  * linear across rounds, with every superseded checkpoint unpersisted
+  * (the q45/q96 eager-iteration discipline — thousands of real merge
+  * rounds must not accumulate thousands of cached vocab copies).
   *
-  * Determinism: pair counts are exact integer sums; the winner is
-  * argmax by (count desc, left asc, right asc) with strings compared
+  * '''Batched rounds''' (the driver-round-trip amortization a real
+  * 30k-merge tokenizer needs): strict greedy BPE costs one candidate
+  * collect + one rewrite per merge — 2 driver round-trips × rounds.
+  * [[trainBatched]] instead takes, per JOB round, the longest prefix
+  * of the (count desc, left asc, right asc)-sorted candidate list
+  * whose pairs are pairwise SYMBOL-DISJOINT (capped at `batchK`), and
+  * applies the whole prefix in ONE rewrite — O(rounds/batchK) jobs
+  * when the candidate stream stays disjoint (BpeSpec's 256-merge demo
+  * pins the job count via a listener). Disjointness makes the batch
+  * WELL-DEFINED (no element changes another's count, so the recorded
+  * pair_counts are the pre-batch counts greedy would have seen), but
+  * batch ≡ strict greedy only when no merge in the batch creates a
+  * NEW pair that outranks a later batch element — a merged pair (x,
+  * a+b) inherits count ≤ count(a,b), so well-separated count tiers
+  * are safe (BpeSpec pins bit-equality with the greedy replica on
+  * such a fixture) while adversarial ties can reorder. [[train]]
+  * (q97's path) is `batchK = 1`, which IS strict greedy.
+  *
+  * Determinism: pair counts are exact integer sums; the candidate
+  * order is (count desc, left asc, right asc) with strings compared
   * as UTF-8 bytes in BOTH tiers (Spark's binary collation — Java's
   * UTF-16 compareTo disagrees on supplementary-plane code points); no
-  * RNG anywhere. Rewrites apply the merge left-to-right (so "aaa"
+  * RNG anywhere. Rewrites apply each merge left-to-right (so "aaa"
   * under merge (a,a) becomes ["aa","a"], the published greedy
-  * semantics), and words split into CODE-POINT symbols — a
-  * surrogate-pair character is one symbol, never two lone surrogates.
-  * Same corpus → bit-identical merge table, every run and every tier
-  * (BpeSpec pins run-over-run and tier equality plus a local-replica
-  * agreement).
+  * semantics) and batch merges in candidate order; words split into
+  * CODE-POINT symbols — a surrogate-pair character is one symbol,
+  * never two lone surrogates. Same corpus → bit-identical merge
+  * table, every run and every tier (BpeSpec pins run-over-run and
+  * tier equality plus a local-replica agreement).
   */
 object BpeTrain {
 
@@ -53,9 +68,32 @@ object BpeTrain {
     out.toArray
   }
 
-  /** Train `rounds` merges over a (word, freq) dictionary. Returns the
-    * merge table (rank, left, right, merged, pair_count) in merge
-    * order — rank 1 is the first (highest-count) merge.
+  /** Longest prefix of the sorted candidate list whose pairs are
+    * pairwise symbol-disjoint, capped at `batchK` — the batch
+    * selection rule, shared verbatim by both tiers. Stops at the
+    * FIRST conflicting candidate (a conflicting pair's count would
+    * change under an earlier batch element, so taking it — or
+    * anything after it out of order — would not be greedy).
+    */
+  private[ops] def disjointPrefix(
+      sorted: Seq[(String, String, Long)],
+      batchK: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = sorted.iterator
+    var stop = false
+    while (!stop && out.length < batchK && it.hasNext) {
+      val c @ (a, b, _) = it.next()
+      if (used.contains(a) || used.contains(b)) stop = true
+      else { out += c; used += a; used += b }
+    }
+    out.toSeq
+  }
+
+  /** Train `rounds` merges over a (word, freq) dictionary — strict
+    * greedy (one merge per job round; `batchK = 1`). Returns the merge
+    * table (rank, left, right, merged, pair_count) in merge order —
+    * rank 1 is the first (highest-count) merge.
     *
     * Two execution tiers (the [[PageRank]]/[[ConnectedComponents]]
     * `auto` pattern), bit-identical by construction — pair counts are
@@ -65,41 +103,60 @@ object BpeTrain {
     *    rounds on driver arrays (one job instead of 2·rounds);
     *  - `distributed`: per round one explode+agg, a 1-row TakeOrdered
     *    collect, and a scan-parallel rewrite — the path for web-scale
-    *    vocabularies.
+    *    vocabularies (use [[trainBatched]] for web-scale MERGE COUNTS).
     */
   def train(
       wordFreq: Dataset[(String, Long)],
       rounds: Int,
       strategy: String = "auto",
-      localThreshold: Long = 1000000L): DataFrame = strategy match {
-    case "local" => trainLocal(wordFreq, rounds)
-    case "distributed" => trainDistributed(wordFreq.localCheckpoint(), rounds)
-    case "auto" =>
-      // materialize the dictionary ONCE: the threshold probe is an
-      // action, and without this the upstream corpus-sized word-count
-      // aggregation would execute twice (the ConnectedComponents.auto
-      // rationale)
-      val wf = wordFreq.localCheckpoint()
-      if (wf.count() <= localThreshold) {
-        val r = trainLocal(wf, rounds)
-        Checkpoints.release(wf)
-        r
-      } else trainDistributed(wf, rounds) // releases wf when done
-    case other => throw new IllegalArgumentException(s"unknown strategy $other")
+      localThreshold: Long = 1000000L): DataFrame =
+    trainBatched(wordFreq, rounds, 1, strategy, localThreshold)
+
+  /** [[train]] with up to `batchK` disjoint merges per job round — the
+    * O(rounds/batchK)-jobs path for real (30k-merge) tokenizers. See
+    * the object doc for the exact selection rule and the greedy-
+    * equivalence condition.
+    */
+  def trainBatched(
+      wordFreq: Dataset[(String, Long)],
+      rounds: Int,
+      batchK: Int,
+      strategy: String = "auto",
+      localThreshold: Long = 1000000L): DataFrame = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    strategy match {
+      case "local" => trainLocal(wordFreq, rounds, batchK)
+      case "distributed" =>
+        trainDistributed(wordFreq.localCheckpoint(), rounds, batchK)
+      case "auto" =>
+        // materialize the dictionary ONCE: the threshold probe is an
+        // action, and without this the upstream corpus-sized word-count
+        // aggregation would execute twice (the ConnectedComponents.auto
+        // rationale)
+        val wf = wordFreq.localCheckpoint()
+        if (wf.count() <= localThreshold) {
+          val r = trainLocal(wf, rounds, batchK)
+          Checkpoints.release(wf)
+          r
+        } else trainDistributed(wf, rounds, batchK) // releases wf when done
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
   }
 
-  /** Driver tier: the greedy loop over a collected dictionary
+  /** Driver tier: the greedy/batched loop over a collected dictionary
     * (vocab-bounded by the caller's threshold).
     */
-  def trainLocal(wordFreq: Dataset[(String, Long)], rounds: Int): DataFrame = {
+  def trainLocal(
+      wordFreq: Dataset[(String, Long)],
+      rounds: Int,
+      batchK: Int = 1): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var vocab = wordFreq.collect().map { case (w, f) => (symbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     val ord = PageRank.utf8Order
-    var r = 0
     var dry = false
-    while (r < rounds && !dry) {
+    while (merges.length < rounds && !dry) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       vocab.foreach { case (syms, f) =>
         var i = 0
@@ -111,37 +168,41 @@ object BpeTrain {
       }
       if (counts.isEmpty) dry = true
       else {
-        // argmax by (count desc, left asc, right asc) under UTF-8
-        // byte order — the order the distributed tier's orderBy uses
-        var best: ((String, String), Long) = null
-        counts.foreach { kv =>
-          if (best == null) best = kv
-          else {
-            val c = java.lang.Long.compare(kv._2, best._2)
-            val byKey =
-              if (c != 0) -c
-              else {
-                val l = ord.compare(kv._1._1, best._1._1)
-                if (l != 0) l else ord.compare(kv._1._2, best._1._2)
-              }
-            if (byKey < 0) best = kv
+        // candidate order: (count desc, left asc, right asc) under
+        // UTF-8 byte order — the order the distributed tier's orderBy
+        // uses. Only the top batchK survive the prefix rule, so sort
+        // the (small) distinct-pair set and cut.
+        val sorted = counts.toSeq
+          .map { case ((a, b), c) => (a, b, c) }
+          .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val l = ord.compare(a1, a2)
+              if (l != 0) l < 0 else ord.compare(b1, b2) < 0
+            }
           }
+        val batch = disjointPrefix(
+          sorted, math.min(batchK, rounds - merges.length))
+        batch.foreach { case (a, b, c) =>
+          merges += ((merges.length + 1, a, b, a + b, c))
         }
-        val ((a, b), c) = best
-        merges += ((r + 1, a, b, a + b, c))
-        vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
-        r += 1
+        vocab = vocab.map { case (syms, f) =>
+          (batch.foldLeft(syms) { case (s, (a, b, _)) => applyMerge(s, a, b) }, f)
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Distributed tier: vocab frame stays on executors; one agg + 1-row
-    * TakeOrdered + rewrite per round. `wordFreq` must already be
-    * materialized (every public entry localCheckpoints it); it is
-    * released before the rounds start.
+  /** Distributed tier: vocab frame stays on executors; one agg + a
+    * k-row TakeOrdered + ONE rewrite per batch round. `wordFreq` must
+    * already be materialized (every public entry localCheckpoints it);
+    * it is released before the rounds start.
     */
-  private def trainDistributed(wordFreq: Dataset[(String, Long)], rounds: Int): DataFrame = {
+  private def trainDistributed(
+      wordFreq: Dataset[(String, Long)],
+      rounds: Int,
+      batchK: Int): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Array[String], Long)] = wordFreq
@@ -149,10 +210,10 @@ object BpeTrain {
       .localCheckpoint()
     Checkpoints.release(wordFreq)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var r = 0
     var dry = false
-    while (r < rounds && !dry) {
-      val winner = vocab.flatMap { case (syms, f) =>
+    while (merges.length < rounds && !dry) {
+      val k = math.min(batchK, rounds - merges.length)
+      val top = vocab.flatMap { case (syms, f) =>
         (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), f))
       }
         .groupByKey(_._1)
@@ -160,19 +221,23 @@ object BpeTrain {
         .reduceGroups(_ + _)
         .map { case ((a, b), c) => (a, b, c) }
         .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
-        .limit(1)
+        .limit(k)
         .collect()
-      if (winner.isEmpty) dry = true
+      val batch = disjointPrefix(top.toSeq, k)
+      if (batch.isEmpty) dry = true
       else {
-        val (a, b, c) = winner(0)
-        merges += ((r + 1, a, b, a + b, c))
+        batch.foreach { case (a, b, c) =>
+          merges += ((merges.length + 1, a, b, a + b, c))
+        }
+        val bc = spark.sparkContext.broadcast(batch)
         val next = vocab
-          .map { case (syms, f) => (applyMerge(syms, a, b), f) }
+          .map { case (syms, f) =>
+            (bc.value.foldLeft(syms) { case (s, (a, b, _)) => applyMerge(s, a, b) }, f)
+          }
           .localCheckpoint()
         // release the superseded round's vocab blocks
         Checkpoints.release(vocab)
         vocab = next
-        r += 1
       }
     }
     Checkpoints.release(vocab)

@@ -19,11 +19,19 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Checkpoints {
 
   /** Free the storage behind a `localCheckpoint()`ed Dataset. Safe on
-    * any Dataset — frames that are not checkpoint-backed are left
-    * untouched.
+    * any Dataset — frames with no checkpoint in their plan are left
+    * untouched. Walks the WHOLE plan and unpersists every
+    * [[LogicalRDD]] leaf, so it also releases frames DERIVED from a
+    * checkpoint (`checkpointed.select(...)`), not just the Dataset
+    * `localCheckpoint()` returned — a root-only match would silently
+    * no-op on those, reverting to the GC-dependent leak this helper
+    * exists to fix. Corollary: a frame reading MULTIPLE checkpoints
+    * releases all of them; don't pass a join of checkpoints you only
+    * half-own.
     */
-  def release(ds: Dataset[_]): Unit = ds.queryExecution.logical match {
-    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-    case _ => ()
-  }
+  def release(ds: Dataset[_]): Unit =
+    ds.queryExecution.logical.collectLeaves().foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

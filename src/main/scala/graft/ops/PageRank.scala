@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weighted PageRank (Brin & Page 1998) with uniform dangling-mass
@@ -12,26 +12,55 @@ import org.apache.spark.sql.functions._
   *    caller's threshold) and the rounds run on driver arrays — one
   *    tiny job instead of one-plus jobs per round. Right whenever the
   *    graph is dimension-sized (a vocabulary, a label set).
-  *  - `distributed`: each round is one hash join + one ordered-fold
-  *    aggregation + a 1-row dangling aggregate, with localCheckpoint
-  *    keeping the lineage linear and every superseded checkpoint
-  *    unpersisted (the q45 eager-iteration discipline). The
+  *  - `distributed`: each round is one hash join + a fixed-depth
+  *    tree-fold aggregation + a tree-folded dangling aggregate, with
+  *    localCheckpoint keeping the lineage linear and every superseded
+  *    checkpoint unpersisted (the q45 eager-iteration discipline). The
   *    100 TB-vocabulary path.
   *
   * Both tiers evaluate the SAME IEEE operation sequence — transition
-  * weights are single exact-integer divisions; per-node in-sums fold
-  * in ascending source order; the dangling sum folds in ascending node
-  * order; the update is `(1−d)/n + d·(insum + dsum/n)` with that exact
-  * op tree — and the local tier orders strings by UTF-8 bytes, the
-  * binary collation Spark's `sort_array` (and DuckDB ORDER BY) uses,
-  * NOT Java's UTF-16 `compareTo` (they disagree on supplementary-plane
-  * code points). So `auto` never changes results, only plans
-  * (PageRankSpec pins tier equality bit-for-bit).
+  * weights are single exact-integer divisions; per-node in-sums and
+  * the dangling sum fold through the SAME fixed depth-3 reduction tree
+  * (below); the update is `(1−d)/n + d·(insum + dsum/n)` with that
+  * exact op tree — and the local tier orders strings by UTF-8 bytes,
+  * the binary collation Spark's `sort_array` (and DuckDB ORDER BY)
+  * uses, NOT Java's UTF-16 `compareTo` (they disagree on
+  * supplementary-plane code points). So `auto` never changes results,
+  * only plans (PageRankSpec pins tier equality bit-for-bit).
+  *
+  * '''The reduction tree''' (the q84 fixed-depth discipline): a
+  * single whole-group ordered fold (`sort_array(collect_list)`) would
+  * buffer a hub node's ENTIRE in-neighborhood — and the whole dangling
+  * set — in one array row, the exact shape
+  * [[ConnectedComponents]]'s large-star rationale forbids (a 10⁸
+  * in-degree hub or a 10⁸-node dangling set hits the 2 GB single-row
+  * limit). Instead every fold runs as a static depth-3 tree keyed by
+  * `seg = md5₆₀(source) mod 4096`:
+  *
+  *  1. level 1 folds each (node, seg) bucket in ascending source
+  *     order — expected bucket size in-degree/4096, and the bucketed
+  *     groupBy spreads a hub's reduction across 4096 shuffle keys
+  *     instead of one;
+  *  2. level 2 folds each 64-segment block (`seg div 64`) in seg
+  *     order — hard-bounded at 64 partials per list;
+  *  3. level 3 folds the ≤64 block partials in blk order.
+  *
+  * Depth is a STATIC part of the operator's definition, not derived
+  * from the data (a data-dependent depth would change the association
+  * grouping and with it the rounded result — the q84 rule). The md5
+  * segment key is engine-portable: DuckDB computes the identical
+  * `conv(substr(md5(w),1,15),16,10) % 4096`, so q96's oracle unrolls
+  * the same tree.
   *
   * Input `edges`: (w1, w2, c) — directed, integer-weighted, already
   * aggregated (one row per edge). Output: (w, pr).
   */
 object PageRank {
+
+  /** Number of level-1 segments; level-2 blocks are `seg div 64`
+    * (≤64 of them), so level-2/3 lists are hard-bounded at 64.
+    */
+  private[ops] val Segments = 4096
 
   /** UTF-8 binary string order — the canonical fold order both engines
     * and both tiers share.
@@ -50,6 +79,26 @@ object PageRank {
       x.length - y.length
     }
   }
+
+  /** First 60 bits of md5 as a non-negative long — the driver-side
+    * twin of SQL `conv(substr(md5(s),1,15),16,10)` (15 hex chars =
+    * 60 bits: bytes 0–6 then the high nibble of byte 7).
+    */
+  private[ops] def md5hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Segment id of a source word — level-1 key of the reduction tree. */
+  private[ops] def seg(s: String): Long = md5hash60(s) % Segments
+
+  /** SQL form of [[seg]] on a string column (Spark side). */
+  private[ops] def segCol(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % Segments
 
   def run(
       edges: DataFrame,
@@ -78,11 +127,20 @@ object PageRank {
   def runLocal(edges: DataFrame, rounds: Int): DataFrame =
     iterateLocal(edges, rounds)
 
-  /** Distributed tier: vocab-sized frames, one join + ordered-fold agg
-    * + dangling scalar per round.
+  /** Distributed tier: vocab-sized frames, one join + tree-fold agg
+    * + tree-folded dangling scalar per round.
     */
   def runDistributed(edges: DataFrame, rounds: Int): DataFrame =
     iterateDistributed(edges.localCheckpoint(), rounds)
+
+  /** Group `items` into the fixed tree shape: blocks (blk asc) of
+    * segments (seg asc) of in-order leaves — the driver-side mirror of
+    * the distributed tiers' three groupBys.
+    */
+  private def tree[T: scala.reflect.ClassTag](items: Array[(Long, T)]): Array[Array[Array[T]]] =
+    items.groupBy(_._1).toArray.sortBy(_._1)
+      .groupBy(_._1 / 64).toArray.sortBy(_._1)
+      .map { case (_, segs) => segs.map(_._2.map(_._2)) }
 
   private def iterateLocal(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
@@ -94,19 +152,40 @@ object PageRank {
     val trans = es.map { case (w1, w2, c) => (w1, w2, c.toDouble / wout(w1).toDouble) }
     val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted(utf8Order)
     val n = nodes.length.toDouble
-    val incoming = trans.groupBy(_._2).map { case (w2, g) =>
-      w2 -> g.sortBy(_._1)(utf8Order) // ascending source order — the fold order
-    }
-    val dangling = nodes.filterNot(wout.contains) // sorted (nodes is)
+    // per-target reduction tree: blocks of segments of (source, p)
+    // leaves, leaves sorted by source — the exact distributed shape
+    val incoming: Map[String, Array[Array[Array[(String, Double)]]]] =
+      trans.groupBy(_._2).map { case (w2, g) =>
+        w2 -> tree(g.sortBy(_._1)(utf8Order).map { case (w1, _, p) => (seg(w1), (w1, p)) })
+      }
+    // dangling-node tree: same shape over (w) leaves
+    val dangTree: Array[Array[Array[String]]] =
+      tree(nodes.filterNot(wout.contains).map(w => (seg(w), w)))
     var pr = nodes.map(w => w -> (1.0 / n)).toMap
     var it = 0
     while (it < rounds) {
       var dsum = 0.0
-      dangling.foreach { w => dsum += pr(w) }
+      dangTree.foreach { blk =>
+        var bsum = 0.0
+        blk.foreach { sg =>
+          var ssum = 0.0
+          sg.foreach { w => ssum += pr(w) }
+          bsum += ssum
+        }
+        dsum += bsum
+      }
       pr = nodes.map { w =>
         var insum = 0.0
-        incoming.getOrElse(w, Array.empty[(String, String, Double)])
-          .foreach { case (w1, _, p) => insum += pr(w1) * p }
+        incoming.getOrElse(w, Array.empty[Array[Array[(String, Double)]]])
+          .foreach { blk =>
+            var bsum = 0.0
+            blk.foreach { sg =>
+              var ssum = 0.0
+              sg.foreach { case (w1, p) => ssum += pr(w1) * p }
+              bsum += ssum
+            }
+            insum += bsum
+          }
         w -> (0.15 / n + 0.85 * (insum + dsum / n))
       }.toMap
       it += 1
@@ -122,32 +201,62 @@ object PageRank {
     import spark.implicits._
     val e = e0.select(col("w1"), col("w2"), col("c").cast("long").as("c"))
     val wout = e.groupBy($"w1").agg(sum($"c").cast("long").as("wout"))
+    // seg is a function of the SOURCE word: computed once here, reused
+    // every round by both the in-sum tree and (via nodes) the dangling
+    // tree
     val trans = e.join(wout, "w1")
-      .select($"w1", $"w2", ($"c".cast("double") / $"wout".cast("double")).as("p"))
+      .select($"w1", $"w2", ($"c".cast("double") / $"wout".cast("double")).as("p"),
+        segCol($"w1").as("seg"))
       .localCheckpoint()
     val nodes = e.select($"w1".as("w")).union(e.select($"w2".as("w"))).distinct()
+      .withColumn("seg", segCol($"w"))
       .coalesce(1)
       .localCheckpoint()
     // |V| as a driver scalar (1-row collect): constant-folds into the
     // round update as the same single divisions the oracle performs
     val n = nodes.count().toDouble
     val outW = trans.select($"w1".as("w")).distinct().localCheckpoint()
-    var pr = nodes.select($"w", (lit(1.0) / lit(n)).as("pr")).localCheckpoint()
+    var pr = nodes.select($"w", $"seg", (lit(1.0) / lit(n)).as("pr")).localCheckpoint()
     var it = 0
     while (it < rounds) {
+      // dangling mass: depth-3 tree — (seg) buckets fold in w order,
+      // 64-segment blocks fold in seg order, the ≤64 block partials
+      // fold in blk order. No single row ever holds more than
+      // max(|dangling|/4096, 64) entries.
       val dang = pr.join(outW, Seq("w"), "left_anti")
+        .groupBy($"seg")
         .agg(sort_array(collect_list(struct($"w", $"pr"))).as("xs"))
+        .select($"seg", expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("ssum"))
+        .groupBy(expr("seg div 64").as("blk"))
+        .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
+        .select($"blk", expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
+        .agg(sort_array(collect_list(struct($"blk", $"bsum"))).as("xs"))
         .select(expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("dsum"))
-      val insum = trans.join(pr, trans("w1") === pr("w"))
-        .select($"w2", $"w1", ($"pr" * $"p").as("ct"))
-        .groupBy($"w2")
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("dsum"))
+      // in-sums: the same tree per target node. Level 1 groups on
+      // (w2, seg) — a hub's in-neighborhood spreads across 4096
+      // shuffle keys and its level-1 lists hold ~in-degree/4096
+      // entries; levels 2 and 3 are hard-bounded at 64.
+      val prr = pr.select($"w", $"pr")
+      val insum = trans.join(prr, trans("w1") === prr("w"))
+        .select($"w2", $"w1", trans("seg"), ($"pr" * $"p").as("ct"))
+        .groupBy($"w2", $"seg")
         .agg(sort_array(collect_list(struct($"w1", $"ct"))).as("xs"))
+        .select($"w2", $"seg", expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("ssum"))
+        .groupBy($"w2", expr("seg div 64").as("blk"))
+        .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
+        .select($"w2", $"blk", expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
+        .groupBy($"w2")
+        .agg(sort_array(collect_list(struct($"blk", $"bsum"))).as("xs"))
         .select($"w2".as("w"), expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("insum"))
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("insum"))
       val next = nodes.join(insum, Seq("w"), "left")
         .crossJoin(broadcast(dang))
-        .select($"w",
+        .select($"w", $"seg",
           (lit(0.15) / lit(n) + lit(0.85) *
             (coalesce($"insum", lit(0.0)) + $"dsum" / lit(n))).as("pr"))
         .localCheckpoint()
@@ -159,7 +268,8 @@ object PageRank {
     }
     // intermediates are no longer read once the final rank frame is
     // materialized; only `pr` (returned) stays cached
+    val out = pr.select($"w", $"pr")
     Seq(e0, trans, nodes, outW).foreach(Checkpoints.release)
-    pr
+    out
   }
 }

@@ -8,11 +8,24 @@ import graft.ops.BpeTrain
   */
 class BpeSpec extends SparkSuite {
 
+  /** UTF-8 byte order — the replica must break count ties with the
+    * binary collation production uses (Java's UTF-16 compareTo
+    * disagrees on supplementary-plane code points, so a default-String
+    * minBy would make THE REPLICA the wrong side on a non-ASCII
+    * fixture).
+    */
+  private val utf8: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Reference implementation: single-threaded Sennrich-2016 greedy
-    * BPE over a word-frequency map.
+    * BPE over a word-frequency map — code-point symbols, UTF-8 argmax
+    * tie-break, same as production.
     */
   private def replica(wf: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
-    var vocab = wf.toSeq.map { case (w, f) => (w.map(_.toString).toArray :+ BpeTrain.EndOfWord, f) }
+    var vocab = wf.toSeq.map { case (w, f) => (BpeTrain.symbols(w), f) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var r = 0
     while (r < rounds) {
@@ -24,7 +37,8 @@ class BpeSpec extends SparkSuite {
         }
       }
       if (counts.isEmpty) return out.toSeq
-      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }(
+        Ordering.Tuple3(Ordering.Long, utf8, utf8))
       out += ((a, b, c))
       vocab = vocab.map { case (syms, f) => (BpeTrain.applyMerge(syms, a, b), f) }
       r += 1
@@ -100,6 +114,49 @@ class BpeSpec extends SparkSuite {
     // (U+FFFD,x</w>) at 3 — UTF-8 byte order puts U+FFFD (EF BF BD)
     // before U+1F600 (F0 9F 98 80), so it must win the tie-break
     assert(local(1)(1) == "\uFFFD", s"round-2 merge left=${local(1)(1)}")
+  }
+
+  /** 256 words over 512 distinct code points, each word x y x y x y:
+    * the top count tier is the 256 pairwise-DISJOINT (x_i, y_i) pairs
+    * at 3f, every pair a merge creates stays at ≤ 2f — so batching is
+    * provably greedy-safe for the first 256 merges (no new pair can
+    * outrank the tier) and every batch fills to batchK.
+    */
+  private def batchSafeWf = {
+    import spark.implicits._
+    (0 until 256).map { i =>
+      val x = new String(Character.toChars(0x4E00 + 2 * i))
+      val y = new String(Character.toChars(0x4E00 + 2 * i + 1))
+      (x + y + x + y + x + y, 5L)
+    }.toDS()
+  }
+
+  test("batched path equals the greedy replica on a batch-safe fixture") {
+    val wf = batchSafeWf
+    val want = replica(wf.collect().toMap, 256)
+    Seq("local", "distributed").foreach { tier =>
+      val got = BpeTrain.trainBatched(wf, rounds = 256, batchK = 32, strategy = tier)
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      assert(got.length == 256, s"$tier: ${got.length} merges")
+      assert(got.toSeq == want, s"$tier diverged from greedy replica")
+    }
+  }
+
+  test("256 merges at batchK=32 run in O(rounds/k) jobs, not O(rounds)") {
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-batch-demo", "bpe batched training demo")
+    try BpeTrain.trainBatched(batchSafeWf, rounds = 256, batchK = 32,
+      strategy = "distributed").collect()
+    finally sc.clearJobGroup()
+    Thread.sleep(500) // status store updates via the async listener bus
+    val jobs = sc.statusTracker.getJobIdsForGroup("bpe-batch-demo").length
+    // 8 batch rounds × (candidate TakeOrdered + rewrite checkpoint, a
+    // few AQE stage jobs each) + setup. Strict greedy needs ≥2 jobs ×
+    // 256 merges = 512+; the batched path must stay an order below.
+    assert(jobs > 0, "job-group tracking returned nothing")
+    assert(jobs <= 100, s"batched BPE ran $jobs jobs — batching is not amortizing")
   }
 
   test("trained merges compress the training words") {

@@ -41,6 +41,20 @@ class CheckpointsSpec extends SparkSuite {
     assert((ids -- before).isEmpty)
   }
 
+  test("release frees checkpoints under DERIVED frames, not just roots") {
+    import spark.implicits._
+    val before = ids
+    val root = spark.range(500).toDF("x").localCheckpoint()
+    val derived = root.select(($"x" * 2).as("y")).filter($"y" > 10)
+    assert((ids -- before).size == 1)
+    // a root-only match would silently no-op here — the ADVICE trap:
+    // callers handing release a select() over the checkpoint got the
+    // nondeterministic GC-dependent leak back
+    Checkpoints.release(derived)
+    assert((ids -- before).isEmpty,
+      "release did not walk the plan to the LogicalRDD leaf")
+  }
+
   test("the distributed PageRank loop leaves only its result frame cached") {
     import spark.implicits._
     val before = ids

@@ -49,6 +49,32 @@ class PageRankSpec extends SparkSuite {
     }
   }
 
+  test("hub-heavy graph: tiers agree and no whole-neighborhood buffer") {
+    import spark.implicits._
+    // one node with 1e5 in-edges — the shape that blows up a
+    // whole-group sort_array(collect_list) in-sum (and, dangling-side,
+    // a single-row dangling fold: every srcN is dangling-free but hub
+    // has no out-edge, and the 1e5 sources each dangle after round 1's
+    // perspective... they have out-edges; the DANGLING set here is just
+    // {hub}). The depth-3 tree keeps every level-1 list at
+    // ~in-degree/4096 ≈ 25 entries and levels 2/3 at ≤64.
+    val n = 100000
+    val edges = spark.range(n)
+      .select(concat(lit("src"), format_string("%06d", $"id")).as("w1"),
+        lit("hub").as("w2"), lit(1L).as("c"))
+    val local = PageRank.run(edges, rounds = 2, strategy = "local")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = PageRank.run(edges, rounds = 2, strategy = "distributed")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(local.size == n + 1 && dist.size == n + 1)
+    local.foreach { case (w, p) =>
+      assert(java.lang.Double.doubleToLongBits(p) ==
+        java.lang.Double.doubleToLongBits(dist(w)), s"hub tier mismatch at $w")
+    }
+    // mass conservation under dangling redistribution
+    assert(math.abs(local.values.sum - 1.0) < 1e-6)
+  }
+
   test("auto picks the local tier under the threshold, distributed above") {
     // behavioural check: both settings return the same ranks on the
     // corpus graph regardless of which tier the threshold selects
