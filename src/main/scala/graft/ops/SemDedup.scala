@@ -65,4 +65,26 @@ object SemDedup {
     val model = IvfIndex.refine(corpus, cents, maxCell, subK, iters, dim)
     prune(IvfIndex.indexRefined(corpus, model), tau)
   }
+
+  /** Persist the refined cell assignment as the at-rest
+    * `partitionBy(cell)` layout — the same index-at-rest posture as
+    * [[IvfIndex]]/[[IvfPq]] saved probes: every inverted list is one
+    * partition directory bounded by the refine `maxCell` contract, and
+    * a per-cell read (the prune self-join's build side, or an
+    * incremental re-prune of ONE cell after an append) prunes to that
+    * directory instead of scanning the corpus.
+    */
+  def saveAssigned(corpus: DataFrame, model: IvfIndex.IvfModel, path: String): Unit =
+    IvfIndex.indexRefined(corpus, model)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** [[prune]] over a [[saveAssigned]] layout. Assignment (the k-means
+    * work) runs once at index-build; re-running the prune — after a
+    * tau change, say — costs only the within-cell pairing.
+    */
+  def pruneSaved(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      tau: Double): DataFrame =
+    prune(spark.read.parquet(path), tau)
 }

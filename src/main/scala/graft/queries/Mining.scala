@@ -49,7 +49,19 @@ object Mining {
         // agg and the hash join then need no further exchange. EXPLICIT
         // partition count: a bare repartition($"gh") is advisory under
         // AQE, which would coalesce the small shuffle to one partition
-        // and serialize everything downstream (the docsSpread trap)
+        // and serialize everything downstream (the docsSpread trap).
+        //
+        // MEASURED TRADE, not a free win (round-6 review): at sf0.1 in
+        // a clean JVM this shape is ~1.5–1.6 s vs ~1.3 s for the
+        // repartition-free round-5 shape — locally AQE broadcasts the
+        // ndocs side anyway, so the forced exchange buys nothing and
+        // costs one pass over the gram stream. It is kept because the
+        // trade inverts at scale: when ndocs is NOT broadcastable the
+        // r5 shape re-runs the shingle+md5 explode for the second
+        // consumer and shuffles the gram stream TWICE; this shape
+        // explodes once and shuffles once. The round-6 in-suite 7.28 s
+        // was driver-box contention (min-of-3 in THIS suite on an idle
+        // box: ~2.1 s; isolated: ~1.6 s — BENCH_ISOLATED.json).
         val grams = t.select($"doc_id", explode(expr(
           s"transform(${Llm.shingleGen(20)}, g -> " +
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
@@ -388,6 +400,87 @@ object Mining {
           CAST(count(*) AS BIGINT) AS n_grams,
           CAST(coalesce(sum(CASE WHEN dup >= 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
           CAST(max(dup) AS BIGINT) AS max_dup
-        FROM f GROUP BY doc_id"""))
+        FROM f GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q102
+    // FULL-DOCUMENT ExactSubstr coverage (Lee et al. 2022's actual
+    // target — q86/q91 cap the statistic at the 200-char prefix): the
+    // winnowed form of q86, over the whole text. [[winnowDupCoverage]]
+    // selects each document's local-minimum fingerprints (q62's
+    // machinery: a ROWS-frame window min over the 60-bit gram hashes)
+    // and scores cross-document duplication on the SELECTED
+    // fingerprints only — Schleimer et al.'s guarantee keeps ≥1
+    // fingerprint per w-gram run, so any duplicated substring of
+    // ≥ 20 + w − 1 chars still collides across documents, while the
+    // cross-doc match stream shrinks to ~1/w of the gram stream.
+    // WinnowDupSpec pins the w = 1 degenerate case ≡ q86 bit-for-bit
+    // on the prefix domain, and recovery of a duplicate PLANTED PAST
+    // the prefix that the q86/q91 domain provably cannot see.
+    //
+    // Scale shape: the gram stream shuffles ONCE on doc_id for the
+    // window pass (per-doc state bounded by doc length, spillable
+    // sort), then only the winnowed ~1/w survivors shuffle on gh for
+    // the ndocs agg + join back — vs q86's full-stream gh shuffle.
+    // Text never moves past the explode.
+    Q(
+      "q102_fulldoc_dup_coverage",
+      (s, dir) => {
+        import s.implicits._
+        winnowDupCoverage(
+          Llm.docsSpread(s, dir).select($"doc_id", $"text".as("t")), w = 8)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text AS t FROM documents WHERE length(text) >= 20),
+        g AS (
+          SELECT doc_id, t, unnest(generate_series(1, length(t) - 19)) AS pos
+          FROM t),
+        gh AS (
+          SELECT doc_id, pos,
+            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, 15)) AS UBIGINT) AS BIGINT) AS gh
+          FROM g),
+        sel AS (
+          SELECT doc_id, pos, gh FROM (
+            SELECT doc_id, pos, gh,
+              min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS wmin
+            FROM gh) x
+          WHERE gh = wmin),
+        c AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM sel GROUP BY gh)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_fp,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
+        FROM sel JOIN c USING (gh) GROUP BY doc_id"""))
   )
+
+  /** Winnowed duplicate-coverage engine behind q102 (and, at w = 1,
+    * exactly q86's statistic — WinnowDupSpec pins the equivalence).
+    * Input: (doc_id, t). A gram position is SELECTED iff its 60-bit
+    * md5 hash is the minimum of the (2w−1)-gram window centred on it
+    * (ties select every minimum — deterministic, no RNG); per document
+    * the output counts selected positions (`n_fp`) and selected
+    * positions whose gram occurs in ≥ 2 distinct documents (`n_dup`).
+    */
+  private[graft] def winnowDupCoverage(docs: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs.filter(length($"t") >= 20)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(t) - 19), i -> struct(i AS pos, " +
+          "CAST(conv(substr(md5(substring(t, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), $"g.gh".as("gh"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos".asc)
+      .rowsBetween(-(w - 1), w - 1)
+    val sel = grams.withColumn("wmin", min($"gh").over(win))
+      .filter($"gh" === $"wmin")
+      .select($"doc_id", $"gh")
+    val nd = sel.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
+    sel.join(nd, "gh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_fp"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_fp")
+  }
 }

@@ -35,6 +35,52 @@ object Selection {
   private def h60Sql(col: String): String =
     s"CAST(CAST(concat('0x', substr(md5($col), 1, 15)) AS UBIGINT) AS BIGINT)"
 
+  // ------------------------------------------------------------- q101
+  // Frozen literal PQ model: m = 4 subspaces × 16 dims, kSub = 4
+  // centroids per subspace, each centroid CONSTANT across its 16 dims
+  // (value annMu(s)(c)) — so a subvector's distance to centroid c
+  // reduces to 16·μ² − 2·μ·Σx + Σx², and the Σx² term cancels in the
+  // argmin. The query vector is constant ν(s) per subspace. Every
+  // constant below is computed ONCE in Scala and spliced into BOTH
+  // engines' texts as decimal literals (Double.toString round-trips
+  // exactly), so both evaluate the identical IEEE op tree.
+  private val annMu: Array[Array[Double]] = Array(
+    Array(-0.06, -0.02, 0.02, 0.06),
+    Array(-0.05, -0.015, 0.015, 0.05),
+    Array(-0.04, -0.01, 0.02, 0.05),
+    Array(-0.06, -0.015, 0.01, 0.04))
+  private val annNu: Array[Double] = Array(0.1, -0.08, 0.05, -0.03)
+
+  /** A Scala double as an engine-portable DOUBLE literal. Bare decimal
+    * literals parse as DECIMAL in BOTH engines and exact-decimal
+    * arithmetic rounds differently from the double-by-double IEEE
+    * chain — a 1-ulp mismatch that fails the hash compare.
+    */
+  private def dlit(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  /** Distance of subspace s's sum-column to centroid c, minus the
+    * code-independent Σx² term: `16μ² − 2μ·s{s}` — identical text for
+    * both engines.
+    */
+  private def annD(s: Int, c: Int): String =
+    s"((${dlit(16.0 * annMu(s)(c) * annMu(s)(c))}) - ((${dlit(2.0 * annMu(s)(c))}) * s$s))"
+
+  /** Lowest-index argmin over the 4 centroid distances of subspace s. */
+  private def annCode(s: Int): String = {
+    val d = (0 to 3).map(annD(s, _))
+    s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+             WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+             WHEN ${d(2)} <= ${d(3)} THEN 2
+             ELSE 3 END AS code$s"""
+  }
+
+  /** ADC lookup: dt[s][c] = 16·(ν_s − μ_{s,c})², spliced as literals. */
+  private def annAdc: String = (0 to 3).map { s =>
+    val dt = (0 to 3).map(c =>
+      dlit(16.0 * (annNu(s) - annMu(s)(c)) * (annNu(s) - annMu(s)(c))))
+    s"(CASE code$s WHEN 0 THEN ${dt(0)} WHEN 1 THEN ${dt(1)} WHEN 2 THEN ${dt(2)} ELSE ${dt(3)} END)"
+  }.mkString(" + ")
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q92
     // SemDeDup — semantic dedup by cluster-then-prune (Abbas et al.
@@ -108,8 +154,13 @@ object Selection {
     // target/source probability ratio. Divergence from the paper,
     // documented: the per-doc statistic is the MEAN ratio, not the sum
     // of log-ratios — `ln` is not cross-engine bit-stable (the q88
-    // rule), and each ratio here is one division of two exact BIGINT
-    // products (≤ ~6·10^8 « 2^53), so the whole score is bit-exact.
+    // rule). Each smoothing factor is cast to DOUBLE BEFORE the
+    // multiply (BIGINT→DOUBLE is correctly rounded, then ONE rounded
+    // multiply, then ONE division — the identical IEEE tree on both
+    // engines at ANY corpus size). An exact-BIGINT product would be
+    // bit-cheaper but silently wraps past 2^63 (Spark non-ANSI) while
+    // DuckDB raises — a 10^13-token corpus crosses it; the double form
+    // has no size contract.
     // Selection is the ratio-threshold form (avg_r > 1 ⇔ more
     // target-like than pool-average); a fixed-quota top-N composes
     // with q83's GlobalRank at scale.
@@ -141,8 +192,10 @@ object Selection {
         val lm = src.join(tgt, Seq("bh"), "left")
           .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
           .select($"bh",
-            (((coalesce($"ct", lit(0L)) + lit(1L)) * ($"n_s" + lit(64L))).cast("double") /
-              (($"cs" + lit(1L)) * ($"n_t" + lit(64L))).cast("double")).as("r"))
+            (((coalesce($"ct", lit(0L)) + lit(1L)).cast("double") *
+              ($"n_s" + lit(64L)).cast("double")) /
+              (($"cs" + lit(1L)).cast("double") *
+                ($"n_t" + lit(64L)).cast("double"))).as("r"))
         toks.join(broadcast(lm), "bh")
           .groupBy($"doc_id")
           .agg(
@@ -171,8 +224,8 @@ object Selection {
         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_s FROM toks),
         lm AS (
           SELECT bh,
-            CAST((coalesce(ct, 0) + 1) * (n_s + 64) AS DOUBLE) /
-              CAST((cs + 1) * (n_t + 64) AS DOUBLE) AS r
+            (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(n_s + 64 AS DOUBLE)) /
+              (CAST(cs + 1 AS DOUBLE) * CAST(n_t + 64 AS DOUBLE)) AS r
           FROM src LEFT JOIN tgt USING (bh) CROSS JOIN nt CROSS JOIN ns),
         sc AS (SELECT doc_id, pos, r FROM toks JOIN lm USING (bh))
         SELECT doc_id,
@@ -510,6 +563,96 @@ object Selection {
           e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
           k = 10)
       },
-      None)
+      None),
+
+    // --------------------------------------------------------------- q101
+    // ANN probe algebra, ORACLE-CHECKED (closes the verdict's "probe
+    // stages are SQL-expressible given a frozen model" item): the
+    // exact pipeline q33/q52/q89/q99's saved-index probes execute —
+    // encode (per-subspace argmin against a codebook), cell pruning
+    // (the literal probed-cell IN-list a coarse quantizer emits),
+    // ADC distance-table scoring over the codes, deterministic
+    // (adc, vec_id) top-50 shortlist, exact-distance re-rank — but
+    // against a FROZEN LITERAL model (constants above), so DuckDB
+    // computes the identical doubles and the whole probe hash-matches.
+    // The trained-model queries stay rows-only BY DESIGN (k-means/PQ
+    // training is iterative argmin); this pins the untrained tail.
+    //
+    // Scale shape: at 100 TB the codes and cells come precomputed from
+    // the PERSISTED index layout (partitionBy(cell) pruning — q99's
+    // PersistedIndexSpec posture); here encode runs in the same scan
+    // because the model is the query's own text. Per-vector work is
+    // four 16-element ordered folds (scan-local, codegen'd
+    // HigherOrderFunctions); the only ordering is the k-bounded
+    // TakeOrdered top-50 and a 50-row re-rank window — nothing global.
+    Q(
+      "q101_ann_adc_probe",
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "embeddings").selectExpr(
+          Seq(
+            "vec_id",
+            """CAST(CAST(element_at(embedding, 1) > 0 AS INT)
+               + 2 * CAST(element_at(embedding, 2) > 0 AS INT) AS BIGINT) AS cell""") ++
+          (0 to 3).flatMap { sub =>
+            val off = 16 * sub + 1
+            Seq(
+              s"aggregate(slice(embedding, $off, 16), CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) AS s$sub",
+              s"aggregate(slice(embedding, $off, 16), CAST(0.0 AS DOUBLE), (a, x) -> a + (CAST(x AS DOUBLE) - (${dlit(annNu(sub))})) * (CAST(x AS DOUBLE) - (${dlit(annNu(sub))}))) AS e$sub")
+          }: _*)
+        val coded = base.selectExpr(
+          Seq("vec_id", "cell", "e0", "e1", "e2", "e3") ++
+            (0 to 3).map(annCode): _*)
+        val probe = coded
+          // nprobe = 2: the query's own cell (ν₁ > 0, ν₂ > 0 → 3) plus
+          // its dim-2 sign-flip neighbor — the literal IN-list a coarse
+          // quantizer hands the scan
+          .filter($"cell".isin(1L, 3L))
+          .selectExpr("vec_id", "cell", "code0", "code1", "code2", "code3",
+            s"($annAdc) AS adc",
+            "(((e0 + e1) + e2) + e3) AS exact")
+          .orderBy($"adc", $"vec_id")
+          .limit(50)
+        probe.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"exact", $"vec_id")).cast("long"))
+      },
+      Some {
+        val nuCase = "CASE CAST((i - 1) // 16 AS INT) " +
+          (0 to 3).map(s => s"WHEN $s THEN (${dlit(annNu(s))})").mkString(" ") + " END"
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+            CAST(CAST(embedding[1] > 0 AS INT)
+              + 2 * CAST(embedding[2] > 0 AS INT) AS BIGINT) AS cell
+          FROM embeddings),
+        el AS (
+          SELECT vec_id, cell, unnest(embedding) AS x,
+            generate_subscripts(embedding, 1) AS i
+          FROM e),
+        sl AS (
+          SELECT vec_id, cell, CAST((i - 1) // 16 AS INT) AS sub,
+            sum(CAST(x AS DOUBLE) ORDER BY i) AS ssum,
+            sum((CAST(x AS DOUBLE) - ($nuCase)) * (CAST(x AS DOUBLE) - ($nuCase)) ORDER BY i) AS esum
+          FROM el GROUP BY 1, 2, 3),
+        pv AS (
+          SELECT vec_id, cell,
+            ${(0 to 3).map(s => s"max(CASE WHEN sub = $s THEN ssum END) AS s$s").mkString(", ")},
+            ${(0 to 3).map(s => s"max(CASE WHEN sub = $s THEN esum END) AS e$s").mkString(", ")}
+          FROM sl GROUP BY 1, 2),
+        coded AS (
+          SELECT vec_id, cell, e0, e1, e2, e3,
+            ${(0 to 3).map(annCode).mkString(", ")}
+          FROM pv),
+        probe AS (
+          SELECT vec_id, cell, code0, code1, code2, code3,
+            ($annAdc) AS adc,
+            (((e0 + e1) + e2) + e3) AS exact
+          FROM coded WHERE cell IN (1, 3)
+          ORDER BY adc, vec_id LIMIT 50)
+        SELECT vec_id, cell, code0, code1, code2, code3, adc, exact,
+          CAST(row_number() OVER (ORDER BY exact, vec_id) AS BIGINT) AS rank
+        FROM probe"""
+      })
   )
 }
