@@ -31,5 +31,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128 GiB): the 102-query bench suite on 8g
+  // spent its tail in GC — q86 in-suite sat at ~1.5× its fresh-JVM
+  // time from heap pressure alone (isolated 1.15 s → 1.69 s at 8g →
+  // 1.37 s at 24g on an idle box, codegen cache already fixed; see
+  // Bench.scala for the other half of the round-6 "in-suite
+  // inflation" root cause)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // room for the 4096-entry codegen class cache's JIT'd code
+  // (default 240 MB code cache holds ~100 queries' worth compiled
+  // once; the bench compiles 102 × ~10 units and re-runs them)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -43,6 +43,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the whole-stage-codegen class cache holds 100 entries by
+      // default (STATIC conf); ~20 suite queries compile past it, so
+      // every later pass re-Janino-compiles each query's generated
+      // code inside the timed window — q86 (the largest generated
+      // code) drifted from 1.1 s fresh-JVM to ~2.2 s after 20
+      // PRECEDING QUERIES ON AN IDLE BOX, the round-6 "in-suite
+      // inflation". 102 queries × ~10 codegen units fit in 4096.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

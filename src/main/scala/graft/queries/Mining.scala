@@ -51,17 +51,21 @@ object Mining {
         // AQE, which would coalesce the small shuffle to one partition
         // and serialize everything downstream (the docsSpread trap).
         //
-        // MEASURED TRADE, not a free win (round-6 review): at sf0.1 in
-        // a clean JVM this shape is ~1.5–1.6 s vs ~1.3 s for the
-        // repartition-free round-5 shape — locally AQE broadcasts the
-        // ndocs side anyway, so the forced exchange buys nothing and
-        // costs one pass over the gram stream. It is kept because the
+        // MEASURED TRADE, not a free win: the round-6 review timed
+        // this shape at 1.56 s vs 1.33 s for the repartition-free
+        // round-5 shape (clean JVM, its box) — locally AQE broadcasts
+        // the ndocs side anyway, so the forced exchange buys little
+        // here. It is kept because the
         // trade inverts at scale: when ndocs is NOT broadcastable the
         // r5 shape re-runs the shingle+md5 explode for the second
         // consumer and shuffles the gram stream TWICE; this shape
         // explodes once and shuffles once. The round-6 in-suite 7.28 s
-        // was driver-box contention (min-of-3 in THIS suite on an idle
-        // box: ~2.1 s; isolated: ~1.6 s — BENCH_ISOLATED.json).
+        // was NOT this plan: box contention plus two measurable
+        // JVM-state effects (100-entry codegen-cache churn re-Janino-
+        // compiling this query's big generated kernel every pass, and
+        // 8g-heap GC pressure), both root-caused and fixed round 7 —
+        // in-suite 1.52 s vs isolated 1.15 s now (BENCH_IDLE_r07.json
+        // / BENCH_ISOLATED.json, SCALING.md "Bench posture").
         val grams = t.select($"doc_id", explode(expr(
           s"transform(${Llm.shingleGen(20)}, g -> " +
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
