@@ -149,6 +149,62 @@ object TrainPrep {
         SELECT doc_id, CAST(c AS BIGINT) AS chunk_no,
           CAST(length(substr(text, c*150+1, 200)) AS BIGINT) AS n_chunk_chars,
           md5(substr(text, c*150+1, 200)) AS chunk_md5
-        FROM e"""))
+        FROM e""")),
+
+    // ---------------------------------------------------------------- q103
+    // Z-ORDER layout (Morton curve — the OPTIMIZE ZORDER primitive of
+    // Delta/Iceberg table maintenance): interleave the bits of two
+    // clustering keys so that RANGE-partitioning the z-value and
+    // writing one file per range makes every file's min/max statistics
+    // tight on BOTH columns at once — a predicate on either key then
+    // prunes files, where a single-column sort prunes only its own
+    // column. The z-value is pure integer arithmetic (bit i of each
+    // key extracted by (k div 2^i) % 2 — portable verbatim to DuckDB's
+    // `//`), so the whole layout decision is oracle-checked.
+    //
+    // The query materializes the pruning EVIDENCE at bucket = z div
+    // 2^18 granularity (a bucket stands for one file): per bucket, the
+    // row count and both keys' min/max. Fixing z's bits ≥ 18 fixes
+    // each key's bits ≥ 9, so max_x − min_x < 512 in EVERY bucket by
+    // construction regardless of data (ZOrderSpec pins it, and pins
+    // that a suppkey-sorted layout of equal bucket sizes leaves
+    // partkey ranges ~global — the cross-dimension win). At 100 TB:
+    // ONE repartitionByRange($"z") + sortWithinPartitions at write
+    // time, no extra pass — the same exchange a plain sort needs.
+    Q(
+      "q103_zorder_layout",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .select($"l_partkey".as("x"), $"l_suppkey".as("y"))
+          .withColumn("z", expr(zInterleave("x", "y", "div")))
+          .withColumn("bucket", expr(s"z div ${1L << 18}"))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+      },
+      Some(s"""
+        WITH z AS (
+          SELECT l_partkey AS x, l_suppkey AS y,
+            ${zInterleave("l_partkey", "l_suppkey", "//")} AS z
+          FROM lineitem)
+        SELECT z // ${1L << 18} AS bucket,
+          CAST(count(*) AS BIGINT) AS n,
+          min(x) AS min_x, max(x) AS max_x,
+          min(y) AS min_y, max(y) AS max_y
+        FROM z GROUP BY 1"""))
   )
+
+  /** 32-bit Morton interleave of two 16-bit keys as portable integer
+    * arithmetic: x's bit i lands at position 2i, y's at 2i+1. `div` is
+    * the engine's integer-division operator (`div` Spark, `//` DuckDB);
+    * everything else is shared text.
+    */
+  private[graft] def zInterleave(xCol: String, yCol: String, div: String): String = {
+    val xs = (0 to 15).map(i => s"((($xCol) $div ${1L << i}) % 2) * ${1L << (2 * i)}")
+    val ys = (0 to 15).map(i => s"((($yCol) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    (xs ++ ys).mkString(" + ")
+  }
 }
