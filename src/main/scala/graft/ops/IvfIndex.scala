@@ -252,6 +252,21 @@ object IvfIndex {
     index(corpus, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append a new drop to a [[save]]d layout WITHOUT retraining: the
+    * batch is assigned under the same frozen centroids and appended
+    * into the per-cell directories — index maintenance for the daily
+    * ingest at 100 TB, cost O(|batch|) with no corpus rescan.
+    * Contract (IndexAppendSpec): probing the appended layout is
+    * row-identical to probing a from-scratch [[save]] of old ∪ new
+    * under the same centroids, and the probe's partition pruning is
+    * unchanged. Re-train + re-save only when drift moves the
+    * centroids; the assignment is pure argmin, so until then append
+    * and rebuild commute.
+    */
+  def appendSaved(batch: DataFrame, centroids: Array[Array[Float]], path: String): Unit =
+    index(batch, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe a [[save]]d index. The distinct probe cells (≤ nprobe ×
     * |queries|, dimension-sized by contract) become an IN-filter on the
     * partition column — PartitionFilters in the scan, pruned file

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** IvfIndex.appendSaved — incremental index maintenance: appending a
+  * new drop under the frozen quantizer must be probe-identical to
+  * rebuilding the whole layout, and must not break the partition
+  * pruning the at-rest layout exists for.
+  */
+class IndexAppendSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("append = rebuild under the same frozen centroids") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = all.filter($"vec_id" < 400)
+    val drop = all.filter($"vec_id" >= 400)
+    val cents = IvfIndex.train(all, k = 8, iters = 3, dim = 64)
+
+    val incDir = java.nio.file.Files.createTempDirectory("ivf-incremental").toString
+    IvfIndex.save(base, cents, incDir)
+    IvfIndex.appendSaved(drop, cents, incDir)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    IvfIndex.save(all, cents, rebuildDir)
+
+    // the appended layout holds exactly the union, cell for cell
+    val incCells = spark.read.parquet(incDir).groupBy($"cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rebCells = spark.read.parquet(rebuildDir).groupBy($"cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(incCells == rebCells, s"cell populations diverged: $incCells vs $rebCells")
+
+    // probe equivalence, row for row (same sims, same ranks)
+    val queries = all.filter($"vec_id" < 5)
+    def probe(path: String) =
+      IvfIndex.topKFromSaved(spark, path, cents, queries, k = 10, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(probe(incDir) == probe(rebuildDir))
+
+    // pruning survives the append: the probe's cell IN-filter still
+    // reaches the scan as a partition filter on the merged directories
+    val someCell = incCells.keys.min
+    val plan = spark.read.parquet(incDir).filter($"cell" === someCell)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning after append:\n$plan")
+  }
+}
