@@ -60,6 +60,17 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     val bench = SparkEntry.allQueries.filter(q => only.forall(_.contains(q.name)))
+    // a typo'd filter name must fail loudly, not print a valid JSON
+    // with the query silently missing (the isolated-bench audit would
+    // believe it was measured)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.allQueries.map(_.name).toSet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def settle(): Unit = {
       // evict anything a prior query left behind: persisted RDD blocks
@@ -67,8 +78,11 @@ object Bench {
       // CacheManager entries — accumulated storage from 90+ earlier
       // queries is exactly the cross-query JVM state that inflates
       // in-suite numbers over isolated ones
+      // blocking=true: async eviction would still be running when the
+      // next query's clock starts — the cross-query billing settle()
+      // exists to prevent
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       Thread.sleep(30)

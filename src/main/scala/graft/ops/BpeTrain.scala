@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * whose pairs are pairwise SYMBOL-DISJOINT (capped at `batchK`), and
   * applies the whole prefix in ONE rewrite — O(rounds/batchK) jobs
   * when the candidate stream stays disjoint (BpeSpec's 256-merge demo
-  * pins the job count via a listener). Disjointness makes the batch
-  * WELL-DEFINED (no element changes another's count, so the recorded
-  * pair_counts are the pre-batch counts greedy would have seen), but
+  * pins the job count via a listener). Disjointness PLUS the
+  * merged-string aliasing guard (see [[disjointPrefix]]) make the
+  * batch WELL-DEFINED (no element changes another's count, so the
+  * recorded pair_counts are the pre-batch counts greedy would have
+  * seen), but
   * batch ≡ strict greedy only when no merge in the batch creates a
   * NEW pair that outranks a later batch element — a merged pair (x,
   * a+b) inherits count ≤ count(a,b), so well-separated count tiers
@@ -69,25 +71,67 @@ object BpeTrain {
   }
 
   /** Longest prefix of the sorted candidate list whose pairs are
-    * pairwise symbol-disjoint, capped at `batchK` — the batch
-    * selection rule, shared verbatim by both tiers. Stops at the
-    * FIRST conflicting candidate (a conflicting pair's count would
-    * change under an earlier batch element, so taking it — or
-    * anything after it out of order — would not be greedy).
+    * pairwise symbol-disjoint AND free of merged-symbol aliasing,
+    * capped at `batchK` — the batch selection rule, shared verbatim by
+    * both tiers. Stops at the FIRST conflicting candidate (a
+    * conflicting pair's count would change under an earlier batch
+    * element, so taking it — or anything after it out of order — would
+    * not be greedy).
+    *
+    * The aliasing guard: applying (a, b) creates symbols whose STRING
+    * is a+b; if a later candidate names a symbol with that exact
+    * string (possible when an identical symbol already exists in the
+    * vocab — e.g. batch ("a","bc") with an existing "abc" symbol and
+    * candidate ("abc", x)), the earlier merge changes the later
+    * candidate's true count even though the symbol OBJECTS are
+    * disjoint. Rejecting candidates that mention any earlier batch
+    * element's merged string restores the invariant the batch relies
+    * on: every recorded pair_count is exactly the count sequential
+    * greedy would have seen.
     */
-  private[ops] def disjointPrefix(
+  private[graft] def disjointPrefix(
       sorted: Seq[(String, String, Long)],
       batchK: Int): Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.HashSet.empty[String]
+    val merged = scala.collection.mutable.HashSet.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val it = sorted.iterator
     var stop = false
     while (!stop && out.length < batchK && it.hasNext) {
       val c @ (a, b, _) = it.next()
-      if (used.contains(a) || used.contains(b)) stop = true
-      else { out += c; used += a; used += b }
+      if (used.contains(a) || used.contains(b) ||
+        merged.contains(a) || merged.contains(b)) stop = true
+      else { out += c; used += a; used += b; merged += (a + b) }
     }
     out.toSeq
+  }
+
+  /** Top-`k` candidates under the (count desc, left asc, right asc)
+    * UTF-8 total order via a bounded heap — one linear pass, no full
+    * sort of the distinct-pair set (at batchK = 1 this is the plain
+    * argmax the strict-greedy path needs).
+    */
+  private def topCandidates(
+      counts: scala.collection.Map[(String, String), Long],
+      k: Int): Seq[(String, String, Long)] = {
+    val ord = PageRank.utf8Order
+    // "better" = earlier in the candidate order
+    def better(x: (String, String, Long), y: (String, String, Long)): Boolean = {
+      if (x._3 != y._3) x._3 > y._3
+      else {
+        val l = ord.compare(x._1, y._1)
+        if (l != 0) l < 0 else ord.compare(x._2, y._2) < 0
+      }
+    }
+    // max-heap on "worse": head = worst of the kept k
+    val heap = scala.collection.mutable.PriorityQueue.empty[(String, String, Long)](
+      Ordering.fromLessThan[(String, String, Long)]((x, y) => better(x, y)))
+    counts.foreach { case ((a, b), c) =>
+      val cand = (a, b, c)
+      if (heap.size < k) heap.enqueue(cand)
+      else if (better(cand, heap.head)) { heap.dequeue(); heap.enqueue(cand) }
+    }
+    heap.toSeq.sortWith(better)
   }
 
   /** Train `rounds` merges over a (word, freq) dictionary — strict
@@ -154,7 +198,6 @@ object BpeTrain {
     import spark.implicits._
     var vocab = wordFreq.collect().map { case (w, f) => (symbols(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    val ord = PageRank.utf8Order
     var dry = false
     while (merges.length < rounds && !dry) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -170,19 +213,10 @@ object BpeTrain {
       else {
         // candidate order: (count desc, left asc, right asc) under
         // UTF-8 byte order — the order the distributed tier's orderBy
-        // uses. Only the top batchK survive the prefix rule, so sort
-        // the (small) distinct-pair set and cut.
-        val sorted = counts.toSeq
-          .map { case ((a, b), c) => (a, b, c) }
-          .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
-            if (c1 != c2) c1 > c2
-            else {
-              val l = ord.compare(a1, a2)
-              if (l != 0) l < 0 else ord.compare(b1, b2) < 0
-            }
-          }
-        val batch = disjointPrefix(
-          sorted, math.min(batchK, rounds - merges.length))
+        // uses. Only the top batchK can survive the prefix rule, so a
+        // bounded-heap top-k (linear in |pairs|) replaces a full sort.
+        val k = math.min(batchK, rounds - merges.length)
+        val batch = disjointPrefix(topCandidates(counts, k), k)
         batch.foreach { case (a, b, c) =>
           merges += ((merges.length + 1, a, b, a + b, c))
         }
@@ -229,10 +263,14 @@ object BpeTrain {
         batch.foreach { case (a, b, c) =>
           merges += ((merges.length + 1, a, b, a + b, c))
         }
-        val bc = spark.sparkContext.broadcast(batch)
+        // ≤ batchK (left, right) strings travel in the closure — a
+        // broadcast here would accumulate one TorrentBroadcast per
+        // round with only GC-dependent cleanup, the exact lifecycle
+        // the checkpoint discipline above exists to avoid
+        val rules = batch.map { case (a, b, _) => (a, b) }
         val next = vocab
           .map { case (syms, f) =>
-            (bc.value.foldLeft(syms) { case (s, (a, b, _)) => applyMerge(s, a, b) }, f)
+            (rules.foldLeft(syms) { case (s, (a, b)) => applyMerge(s, a, b) }, f)
           }
           .localCheckpoint()
         // release the superseded round's vocab blocks

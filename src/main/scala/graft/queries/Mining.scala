@@ -410,22 +410,27 @@ object Mining {
     // FULL-DOCUMENT ExactSubstr coverage (Lee et al. 2022's actual
     // target — q86/q91 cap the statistic at the 200-char prefix): the
     // winnowed form of q86, over the whole text. [[winnowDupCoverage]]
-    // selects each document's local-minimum fingerprints (q62's
-    // machinery: a ROWS-frame window min over the 60-bit gram hashes)
-    // and scores cross-document duplication on the SELECTED
-    // fingerprints only — Schleimer et al.'s guarantee keeps ≥1
-    // fingerprint per w-gram run, so any duplicated substring of
-    // ≥ 20 + w − 1 chars still collides across documents, while the
-    // cross-doc match stream shrinks to ~1/w of the gram stream.
+    // implements TRUE Schleimer winnowing — the fingerprint set is the
+    // DISTINCT minima of every full w-gram window, computed as one
+    // ROWS-frame window min over (hash, pos) packed into a BIGINT —
+    // and scores cross-document duplication on the selected
+    // fingerprints only. Because each window's minimum depends ONLY on
+    // the window's own grams, any duplicated substring of ≥ 20 + w − 1
+    // chars contains a full window inside the shared region and
+    // selects the SAME gram hash in both documents — the guarantee a
+    // local-minimum-only rule (min of the centred (2w−1) window) does
+    // NOT give: there, out-of-block neighbours can veto every in-block
+    // gram and a short planted duplicate goes invisible. The selected
+    // stream is ~2/(w+1) of the gram stream (Schleimer's density).
     // WinnowDupSpec pins the w = 1 degenerate case ≡ q86 bit-for-bit
     // on the prefix domain, and recovery of a duplicate PLANTED PAST
     // the prefix that the q86/q91 domain provably cannot see.
     //
     // Scale shape: the gram stream shuffles ONCE on doc_id for the
     // window pass (per-doc state bounded by doc length, spillable
-    // sort), then only the winnowed ~1/w survivors shuffle on gh for
-    // the ndocs agg + join back — vs q86's full-stream gh shuffle.
-    // Text never moves past the explode.
+    // sort), then only the ~2/(w+1) winnowed survivors shuffle on the
+    // fingerprint for the ndocs agg + join back — vs q86's full-stream
+    // gh shuffle. Text never moves past the explode.
     Q(
       "q102_fulldoc_dup_coverage",
       (s, dir) => {
@@ -437,50 +442,61 @@ object Mining {
         WITH t AS (
           SELECT doc_id, text AS t FROM documents WHERE length(text) >= 20),
         g AS (
-          SELECT doc_id, t, unnest(generate_series(1, length(t) - 19)) AS pos
+          SELECT doc_id, t, length(t) - 19 AS n_grams,
+            unnest(generate_series(1, length(t) - 19)) AS pos
           FROM t),
         gh AS (
-          SELECT doc_id, pos,
-            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, 15)) AS UBIGINT) AS BIGINT) AS gh
+          SELECT doc_id, pos, n_grams,
+            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, 11)) AS UBIGINT) AS BIGINT) * 65536 + pos AS m
           FROM g),
+        w AS (
+          SELECT doc_id, pos, n_grams,
+            min(m) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+          FROM gh),
         sel AS (
-          SELECT doc_id, pos, gh FROM (
-            SELECT doc_id, pos, gh,
-              min(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS wmin
-            FROM gh) x
-          WHERE gh = wmin),
-        c AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM sel GROUP BY gh)
+          SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n_grams - 7),
+        f AS (SELECT doc_id, wmin // 65536 AS fp FROM sel),
+        c AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY fp)
         SELECT doc_id,
           CAST(count(*) AS BIGINT) AS n_fp,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
-        FROM sel JOIN c USING (gh) GROUP BY doc_id"""))
+        FROM f JOIN c USING (fp) GROUP BY doc_id"""))
   )
 
   /** Winnowed duplicate-coverage engine behind q102 (and, at w = 1,
     * exactly q86's statistic — WinnowDupSpec pins the equivalence).
-    * Input: (doc_id, t). A gram position is SELECTED iff its 60-bit
-    * md5 hash is the minimum of the (2w−1)-gram window centred on it
-    * (ties select every minimum — deterministic, no RNG); per document
-    * the output counts selected positions (`n_fp`) and selected
-    * positions whose gram occurs in ≥ 2 distinct documents (`n_dup`).
+    * Input: (doc_id, t). TRUE Schleimer winnowing: the fingerprint set
+    * is the DISTINCT minima of every full w-gram window, where the
+    * minimum is taken over `m = hash₄₄·2¹⁶ + pos` — a 44-bit md5 gram
+    * hash packed with the position, so one BIGINT window-min
+    * implements (hash asc, pos asc) leftmost-tie argmin portably in
+    * both engines. A window's minimum depends only on its own grams,
+    * so every duplicated run of ≥ w grams selects a common hash across
+    * documents. INPUT CONTRACT: documents of ≤ 65535 grams (~64 KB
+    * text) — a longer corpus widens the pos field and narrows the
+    * hash. Per document the output counts selected (hash, pos)
+    * fingerprints (`n_fp`) and those whose HASH occurs in ≥ 2 distinct
+    * documents (`n_dup`).
     */
   private[graft] def winnowDupCoverage(docs: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val grams = docs.filter(length($"t") >= 20)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(t) - 19), i -> struct(i AS pos, " +
-          "CAST(conv(substr(md5(substring(t, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
-      .select($"doc_id", $"g.pos".as("pos"), $"g.gh".as("gh"))
+      .select($"doc_id", (length($"t") - 19).cast("long").as("n_grams"),
+        explode(expr(
+          "transform(sequence(1, length(t) - 19), i -> struct(CAST(i AS BIGINT) AS pos, " +
+            "CAST(conv(substr(md5(substring(t, i, 20)), 1, 11), 16, 10) AS BIGINT) * 65536 + i AS m))")).as("g"))
+      .select($"doc_id", $"n_grams", $"g.pos".as("pos"), $"g.m".as("m"))
     val win = Window.partitionBy($"doc_id").orderBy($"pos".asc)
-      .rowsBetween(-(w - 1), w - 1)
-    val sel = grams.withColumn("wmin", min($"gh").over(win))
-      .filter($"gh" === $"wmin")
-      .select($"doc_id", $"gh")
-    val nd = sel.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
-    sel.join(nd, "gh")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams.withColumn("wmin", min($"m").over(win))
+      .filter($"pos" <= $"n_grams" - (w - 1))
+      .select($"doc_id", $"wmin").distinct()
+      .select($"doc_id", expr("wmin div 65536").as("fp"))
+    val nd = sel.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
+    sel.join(nd, "fp")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_fp"),

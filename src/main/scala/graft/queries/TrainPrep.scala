@@ -175,8 +175,14 @@ object TrainPrep {
       "q103_zorder_layout",
       (s, dir) => {
         import s.implicits._
+        // explicit % 2^16 enforces zInterleave's input contract (the
+        // interleave reads bits 0..15 ONLY — an unwrapped wider key
+        // would silently alias distant values into one bucket and
+        // void the min/max bound); at the test SFs both keys already
+        // fit 16 bits, so the wrap is an identity there, and a wider
+        // key domain sizes `bits` up instead (≤31)
         table(s, dir, "lineitem")
-          .select($"l_partkey".as("x"), $"l_suppkey".as("y"))
+          .select(($"l_partkey" % 65536).as("x"), ($"l_suppkey" % 65536).as("y"))
           .withColumn("z", expr(zInterleave("x", "y", "div")))
           .withColumn("bucket", expr(s"z div ${1L << 18}"))
           .groupBy($"bucket")
@@ -186,10 +192,12 @@ object TrainPrep {
             min($"y").as("min_y"), max($"y").as("max_y"))
       },
       Some(s"""
-        WITH z AS (
-          SELECT l_partkey AS x, l_suppkey AS y,
-            ${zInterleave("l_partkey", "l_suppkey", "//")} AS z
-          FROM lineitem)
+        WITH k AS (
+          SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+          FROM lineitem),
+        z AS (
+          SELECT x, y, ${zInterleave("x", "y", "//")} AS z
+          FROM k)
         SELECT z // ${1L << 18} AS bucket,
           CAST(count(*) AS BIGINT) AS n,
           min(x) AS min_x, max(x) AS max_x,
@@ -197,14 +205,21 @@ object TrainPrep {
         FROM z GROUP BY 1"""))
   )
 
-  /** 32-bit Morton interleave of two 16-bit keys as portable integer
+  /** Morton interleave of two `bits`-bit keys as portable integer
     * arithmetic: x's bit i lands at position 2i, y's at 2i+1. `div` is
-    * the engine's integer-division operator (`div` Spark, `//` DuckDB);
-    * everything else is shared text.
+    * the engine's integer-division operator (`div` Spark, `//`
+    * DuckDB); everything else is shared text. INPUT CONTRACT: both
+    * keys must already lie in [0, 2^bits) — the bit extraction reads
+    * only bits 0..bits−1, so a wider key would silently alias distant
+    * values into one bucket and void the per-bucket min/max bound
+    * (q103 enforces the contract with an explicit `% 2^bits`; size
+    * `bits` to the key domain — ≤31 fits the BIGINT z-value).
     */
-  private[graft] def zInterleave(xCol: String, yCol: String, div: String): String = {
-    val xs = (0 to 15).map(i => s"((($xCol) $div ${1L << i}) % 2) * ${1L << (2 * i)}")
-    val ys = (0 to 15).map(i => s"((($yCol) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+  private[graft] def zInterleave(
+      xCol: String, yCol: String, div: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xs = (0 until bits).map(i => s"((($xCol) $div ${1L << i}) % 2) * ${1L << (2 * i)}")
+    val ys = (0 until bits).map(i => s"((($yCol) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
     (xs ++ ys).mkString(" + ")
   }
 }

@@ -144,6 +144,18 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("disjointPrefix stops at merged-string aliasing, not just shared symbols") {
+    // applying ("a","bc") creates symbols whose STRING is "abc"; if an
+    // "abc" symbol already exists, a same-batch candidate naming it
+    // would see a changed count — the batch must stop there even
+    // though the symbol sets {a,bc} and {abc,x} are disjoint
+    val cands = Seq(("a", "bc", 10L), ("abc", "x", 9L), ("d", "e", 8L))
+    assert(BpeTrain.disjointPrefix(cands, 3) == Seq(("a", "bc", 10L)))
+    // without aliasing the same shape batches fully
+    val clean = Seq(("a", "bc", 10L), ("ab_", "x", 9L), ("d", "e", 8L))
+    assert(BpeTrain.disjointPrefix(clean, 3) == clean)
+  }
+
   test("256 merges at batchK=32 run in O(rounds/k) jobs, not O(rounds)") {
     val sc = spark.sparkContext
     sc.setJobGroup("bpe-batch-demo", "bpe batched training demo")
