@@ -134,6 +134,18 @@ object IvfPq {
       .write.mode("overwrite").saveAsTable(codebookTable)
   }
 
+  /** Append a new drop to a [[save]]d layout WITHOUT retraining:
+    * assign + residual-encode under the same frozen model and append
+    * into the per-cell code directories — the [[IvfIndex.appendSaved]]
+    * maintenance contract extended to the compressed production
+    * layout (IndexAppendSpec: probe of the appended layout ≡ probe of
+    * a from-scratch save of old ∪ new under the same model). The
+    * model tables are untouched; re-train + re-save only on drift.
+    */
+  def appendSaved(batch: DataFrame, model: IvfPqModel, codesPath: String): Unit =
+    index(batch, model)
+      .write.mode("append").partitionBy("cell").parquet(codesPath)
+
   /** Rebuild the [[IvfPqModel]] from [[save]]d model tables (the
     * codebook table has [[PqIndex.save]]'s exact schema, so its loader
     * is shared).

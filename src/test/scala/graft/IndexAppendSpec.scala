@@ -48,4 +48,26 @@ class IndexAppendSpec extends SparkSuite {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"no partition pruning after append:\n$plan")
   }
+
+  test("IvfPq.appendSaved: compressed-layout append = rebuild, probe for probe") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = all.filter($"vec_id" < 400)
+    val drop = all.filter($"vec_id" >= 400)
+    val model = graft.ops.IvfPq.train(all, kCells = 4, m = 8, kSub = 8, dim = 64, iters = 2)
+
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq-incremental").toString
+    graft.ops.IvfPq.save(base, model, incDir, "iapp_cells", "iapp_codebook")
+    graft.ops.IvfPq.appendSaved(drop, model, incDir)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ivfpq-rebuild").toString
+    graft.ops.IvfPq.save(all, model, rebuildDir, "iapp_cells2", "iapp_codebook2")
+
+    val queries = all.filter($"vec_id" < 5)
+    def probe(path: String, ct: String, cb: String) =
+      graft.ops.IvfPq.topKFromSaved(spark, path, ct, cb, all, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(probe(incDir, "iapp_cells", "iapp_codebook") ==
+      probe(rebuildDir, "iapp_cells2", "iapp_codebook2"))
+  }
 }
