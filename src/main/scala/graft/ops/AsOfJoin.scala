@@ -110,13 +110,19 @@ object AsOfJoin {
       timeField: String,
       maxHistPerKey: Long = 100000L,
       broadcastHist: Boolean = true): DataFrame = {
-    val maxHist = right.groupBy(rightKey).count()
+    // materialize the right side ONCE: the threshold probe is an
+    // action, and without this the whole upstream right-side pipeline
+    // would execute twice — once for the count, once for the join
+    // (the PageRank/BpeTrain/ConnectedComponents auto-probe rationale,
+    // previously missing from exactly this operator)
+    val rightM = right.localCheckpoint()
+    val maxHist = rightM.groupBy(rightKey).count()
       .agg(max("count")).collect()(0)
     val largest = if (maxHist.isNullAt(0)) 0L else maxHist.getLong(0)
     if (largest <= maxHistPerKey)
-      packedHistory(left, leftKey, leftTime, right, rightKey, asofStruct, timeField, broadcastHist)
+      packedHistory(left, leftKey, leftTime, rightM, rightKey, asofStruct, timeField, broadcastHist)
     else {
-      val r = right.select(rightKey.as("__k"), asofStruct.as("__a"))
+      val r = rightM.select(rightKey.as("__k"), asofStruct.as("__a"))
       // align the right time's type to the left's: the merge operator
       // requires exact type equality, and without this cast the packed
       // tier would accept (via HOF implicit casts) what the merge tier

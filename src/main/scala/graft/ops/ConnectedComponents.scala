@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Pick the form by edge count: a pair graph at or below
-    * `localThreshold` edges runs the driver-local union-find; bigger
-    * graphs run keyed large-star/small-star.
+  /** Pick the form by edge count. The threshold applies to the
+    * SYMMETRIZED, deduplicated edge list (≈ 2× the input pair count —
+    * that is what [[dsuLocal]] collects, so the driver-memory sizing
+    * reasons about exactly this number); a graph at or below
+    * `localThreshold` such edges runs the driver-local union-find,
+    * bigger graphs run keyed large-star/small-star.
     */
   def auto(pairs: DataFrame, localThreshold: Long = 1000000L): DataFrame = {
     // materialize the edge set ONCE: the threshold probe is an action,

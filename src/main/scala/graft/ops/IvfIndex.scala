@@ -62,23 +62,36 @@ object IvfIndex {
     var it = 0
     while (it < iters) {
       val cs = centroids
-      // assign → per-cell mean, one partial+final agg over (cell, sum[dim], n)
-      val assigned = vecs.map { case (_, emb) => (nearestCell(emb, cs), emb) }
-      centroids = assigned.rdd
-        .aggregateByKey((new Array[Double](dim), 0L))(
-          seqOp = { case ((acc, n), emb) =>
-            var i = 0
-            while (i < dim && i < emb.length) { acc(i) += emb(i); i += 1 }
-            (acc, n + 1)
-          },
-          combOp = { case ((a, na), (b, nb)) =>
-            var i = 0
-            while (i < dim) { a(i) += b(i); i += 1 }
-            (a, na + nb)
-          })
-        .collect()
-        .sortBy(_._1)
-        .map { case (_, (sum, n)) => sum.map(v => (v / n).toFloat) }
+      // assign → per-PARTITION partial (cell, sum[dim], n), collected
+      // and folded driver-side in (cell, pid) order — the PqIndex.train
+      // pattern. An aggregateByKey here merged Double partials in
+      // shuffle-FETCH order: nondeterministic association, an ULP of
+      // centroid drift, and a flipped argmax assignment — the latent
+      // run-over-run flake the determinism contract above forbids.
+      // Partial count is ≤ |cells|×|partitions| rows of dim doubles —
+      // dimension-sized under the trainSample contract.
+      val partials = vecs.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Long])]
+        rows.foreach { case (_, emb) =>
+          val slot = acc.getOrElseUpdate(
+            nearestCell(emb, cs), (new Array[Double](dim), new Array[Long](1)))
+          var i = 0
+          while (i < dim && i < emb.length) { slot._1(i) += emb(i); i += 1 }
+          slot._2(0) += 1L
+        }
+        acc.iterator.map { case (c, (sum, n)) => (c, pid, sum, n(0)) }
+      }.collect()
+      val byCell = partials.groupBy(_._1).toArray.sortBy(_._1)
+      centroids = byCell.map { case (_, ps) =>
+        val sum = new Array[Double](dim)
+        var n = 0L
+        ps.sortBy(_._2).foreach { case (_, _, s, pn) =>
+          var i = 0
+          while (i < dim) { sum(i) += s(i); i += 1 }
+          n += pn
+        }
+        sum.map(v => (v / n).toFloat)
+      }
       // a cell that attracted no vectors simply drops out (the model
       // shrinks to the surviving centroids — standard empty-cluster
       // collapse, deterministic since assignment is)
@@ -151,14 +164,31 @@ object IvfIndex {
       }
   }
 
-  def refinedId(c: Int, j: Int): Int = (c + 1) * 100000 + j
+  /** Sub-cell id in a range disjoint from base ids. ID-SPACE CONTRACT
+    * (enforced by [[refine]]): base cell count < 100000 and
+    * (c+1)·100000 + j must fit an Int — k ≤ 21473 with subK < 100000.
+    * A wider quantizer (FAISS-style k = 262144) needs the cell column
+    * widened to Long — a deliberate schema change, not a silent wrap:
+    * unchecked, (c+1)·100000 overflows Int at c ≥ 21474 and collides
+    * with BASE ids once k > 100000, silently merging unrelated
+    * inverted lists.
+    */
+  def refinedId(c: Int, j: Int): Int = {
+    val rid = (c.toLong + 1L) * 100000L + j
+    require(rid <= Int.MaxValue && c < 99999,
+      s"refined cell id overflows the Int id space (c=$c, j=$j): widen the cell column to Long")
+    rid.toInt
+  }
 
   /** Split every cell holding more than `maxCell` vectors with a
     * deterministic per-cell sub-quantizer (same seeding rule as
     * [[train]], restricted to the cell's members). The assignment scan
     * and per-cell trainings are data-parallel jobs; the model stays
-    * centroid-sized (kilobytes, closure-broadcast). At 100 TB the same
-    * loop runs on per-cell samples.
+    * centroid-sized (kilobytes, closure-broadcast). `trainSample > 0`
+    * forwards to every hot cell's sub-training — the 100 TB path: a
+    * 10⁸-member hot cell trains its sub-quantizer on a
+    * [[TrainSample]]-selected sample instead of iters full passes over
+    * the whole cell (the same contract as the base [[train]]).
     */
   def refine(
       corpus: DataFrame,
@@ -166,7 +196,10 @@ object IvfIndex {
       maxCell: Long,
       subK: Int,
       iters: Int,
-      dim: Int): IvfModel = {
+      dim: Int,
+      trainSample: Int = 0): IvfModel = {
+    require(centroids.length < 99999,
+      s"base cell count ${centroids.length} exceeds the refined-id space (see refinedId)")
     // materialize the assignment once: the hot-count is one action and
     // every hot cell's training loop re-reads it (seed collect + one
     // pass per Lloyd iteration) — without this the full-corpus argmax
@@ -177,7 +210,7 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted
     val sub = hot.map { c =>
       val members = assigned.filter(col("cell") === c).select(col("vec_id"), col("embedding"))
-      c -> train(members, subK, iters, dim)
+      c -> train(members, subK, iters, dim, trainSample)
     }.toMap
     Checkpoints.release(assigned)
     IvfModel(centroids, sub)

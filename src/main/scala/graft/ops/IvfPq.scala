@@ -68,12 +68,22 @@ object IvfPq {
       trainSample: Int = 0): IvfPqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // SAMPLE FIRST (TrainSample keys on md5(vec_id), so sample-then-
+    // normalize selects the identical rows as normalize-then-sample):
+    // with trainSample set, the checkpointed training frames below are
+    // dimension-sized — checkpointing the FULL normalized corpus and
+    // the FULL residual corpus to train on a ~256·k sample would
+    // materialize two corpus-sized copies for nothing. The component
+    // trainers' inner TrainSample.sample over the pre-sampled frame is
+    // the identity (same top-n by the same key).
+    val trainInput = TrainSample.sample(
+      corpus.select(col("vec_id"), col("embedding")), trainSample)
     // materialize both training inputs ONCE: each Lloyd loop runs
     // iters+1 actions over its input (seed collect + one aggregate
     // per round), so an unmaterialized normalize / residual pipeline
-    // would re-execute the corpus scan ~2·(iters+1) times per train()
-    // (the auto-probe rationale of PageRank/BpeTrain)
-    val normed = corpus.select(col("vec_id"), col("embedding"))
+    // would re-execute the upstream scan ~2·(iters+1) times per
+    // train() (the auto-probe rationale of PageRank/BpeTrain)
+    val normed = trainInput
       .as[(Long, Array[Float])]
       .map { case (id, e) => (id, PqIndex.normalize(e)) }
       .toDF("vec_id", "embedding")

@@ -40,23 +40,43 @@ object Lsh {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
 
-  /** In-bucket pair expansion via groupBy-collect (consumes the band
-    * stream exactly once — no self-join re-execution), with hot buckets
-    * (size > maxBucket) dropped as boilerplate. Returns distinct
+  /** In-bucket pair expansion with hot buckets (size > maxBucket)
+    * dropped as boilerplate BEFORE any per-bucket array forms: a
+    * partial-aggregable count gates the buckets, and only the
+    * survivors (≤ maxBucket members each) flow into the
+    * groupBy-collect pair expansion. The old collect-then-filter order
+    * materialized every hot bucket's FULL id list first — a
+    * boilerplate bucket holding 10⁸ ids is a multi-GB single array
+    * row, the exact shape the cap exists to prevent (and that
+    * ConnectedComponents' large-star rationale forbids). Both
+    * consumers (the count and the expansion) read ONE explicit
+    * bucket-keyed exchange through AQE ReuseExchange — the q86
+    * pattern — so the upstream banding pipeline still executes
+    * exactly once (no self-join re-execution). Returns distinct
     * (d1, d2), d1 < d2.
     */
   def expandPairsCapped(
       bands: DataFrame,
       bucketCols: Seq[String],
       idCol: String,
-      maxBucket: Int): DataFrame =
-    bands.groupBy(bucketCols.map(col): _*)
+      maxBucket: Int): DataFrame = {
+    val spark = bands.sparkSession
+    // EXPLICIT partition count: a bare repartition is advisory under
+    // AQE (the docsSpread trap)
+    val b = bands.repartition(
+      spark.sparkContext.defaultParallelism, bucketCols.map(col): _*)
+    val ok = b.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select(bucketCols.map(col): _*)
+    b.join(ok, bucketCols)
+      .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(ids, x -> filter(transform(ids, y -> struct(x AS d1, y AS d2)), p -> p.d1 < p.d2)))")).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
+  }
 
   /** Persist a minhash band table bucketed on a combined single-column
     * key (Spark bucket pruning needs a one-column spec) — the at-rest
@@ -175,8 +195,24 @@ object Lsh {
     // bandBits-wide slice b out of the signature — high part shifted
     // down into the hole, low part kept (b is a column, so the shifts
     // are per-row expressions).
-    val keyed = bands
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("b"), col("band"))))
+    // bucket sizes via a partial-aggregable groupBy + equi-join back —
+    // NOT count(*) OVER (PARTITION BY b, band): at corpus scale every
+    // 8-bit bucket is hot by design (~1/1024 of the corpus each), and
+    // the window form concentrates each bucket into ONE task and
+    // external-sorts it just to count — the whole-group shape the CC
+    // large-star rationale forbids. The hash-agg count shuffles
+    // |buckets| partials; the join adds no exchange beyond the one the
+    // self-join needs anyway.
+    // both consumers (the count and the join probe) read ONE explicit
+    // bucket-keyed exchange through AQE ReuseExchange, so the upstream
+    // signature pipeline executes once (the q86/expandPairsCapped
+    // pattern; explicit count — bare repartition is advisory under AQE)
+    val b0 = bands.repartition(
+      bands.sparkSession.sparkContext.defaultParallelism, col("b"), col("band"))
+    val sizes = b0.groupBy(col("b"), col("band"))
+      .agg(count(lit(1)).as("__n"))
+    val keyed = b0
+      .join(sizes, Seq("b", "band"))
       .withColumn("__r", expr(
         s"""shiftleft(shiftright(simhash, CAST((b + 1) * $bandBits AS INT)), CAST(b * $bandBits AS INT))
             | (simhash & (shiftleft(CAST(1 AS BIGINT), CAST(b * $bandBits AS INT)) - 1))"""))

@@ -58,13 +58,13 @@ object Multimodal {
 
   /** First 60 bits of the blob's md5 as a non-negative long — THE
     * oracle-parity-critical derivation shared by every stub path (and
-    * replicated in the DuckDB SQL strings); single-sourced so the
-    * Scala copies can never drift apart.
+    * replicated in the DuckDB SQL strings); the extraction itself is
+    * single-sourced in [[Md5Hash60]] (shared with [[PageRank]]'s
+    * segment keys) so the Scala copies can never drift apart.
     */
   private def hash60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
     md.reset()
-    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    Md5Hash60.ofDigest(md.digest(bytes))
   }
 
   /** PNG's 8-byte signature, GIF's "GIF87a"/"GIF89a", or BMP's "BM" —

@@ -80,18 +80,11 @@ object PageRank {
     }
   }
 
-  /** First 60 bits of md5 as a non-negative long — the driver-side
-    * twin of SQL `conv(substr(md5(s),1,15),16,10)` (15 hex chars =
-    * 60 bits: bytes 0–6 then the high nibble of byte 7).
+  /** First 60 bits of md5 as a non-negative long — delegates to the
+    * single-sourced [[Md5Hash60]] (the SQL twin of
+    * `conv(substr(md5(s),1,15),16,10)`).
     */
-  private[ops] def md5hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >>> 4)
-  }
+  private[ops] def md5hash60(s: String): Long = Md5Hash60.ofString(s)
 
   /** Segment id of a source word — level-1 key of the reduction tree. */
   private[ops] def seg(s: String): Long = md5hash60(s) % Segments

@@ -62,7 +62,7 @@ object SemDedup {
       subK: Int = 4,
       trainSample: Int = 0): DataFrame = {
     val cents = IvfIndex.train(corpus, k, iters, dim, trainSample)
-    val model = IvfIndex.refine(corpus, cents, maxCell, subK, iters, dim)
+    val model = IvfIndex.refine(corpus, cents, maxCell, subK, iters, dim, trainSample)
     prune(IvfIndex.indexRefined(corpus, model), tau)
   }
 
