@@ -6,10 +6,21 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter, for local
-    // single-query iteration (the driver passes exactly two args)
+    // single-query iteration (the driver passes exactly two args).
+    // Unknown names exit 2 — Bench's loud-failure rule: a typo'd name
+    // must not silently write nothing and let a compare pass vacuously.
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args(2).split(",").filter(_.nonEmpty).toSet
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+          sys.exit(2)
+        }
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -68,11 +68,16 @@ object IvfIndex {
       // shuffle-FETCH order: nondeterministic association, an ULP of
       // centroid drift, and a flipped argmax assignment — the latent
       // run-over-run flake the determinism contract above forbids.
-      // Partial count is ≤ |cells|×|partitions| rows of dim doubles —
-      // dimension-sized under the trainSample contract.
+      // Within each partition the rows are buffered and folded in
+      // vec_id order for the same reason: shuffle-fed inputs (e.g.
+      // refine()'s assigned frame) arrive in fetch order, which varies
+      // run-over-run even when partition MEMBERSHIP (hash of vec_id)
+      // is fixed. Buffering is bounded: partitions are dimension-sized
+      // under the trainSample contract. Partial count is ≤
+      // |cells|×|partitions| rows of dim doubles.
       val partials = vecs.rdd.mapPartitionsWithIndex { (pid, rows) =>
         val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Long])]
-        rows.foreach { case (_, emb) =>
+        rows.toArray.sortBy(_._1).foreach { case (_, emb) =>
           val slot = acc.getOrElseUpdate(
             nearestCell(emb, cs), (new Array[Double](dim), new Array[Long](1)))
           var i = 0

@@ -117,10 +117,11 @@ object PqIndex {
 
   /** Train the m×k codebook with `iters` Lloyd rounds — all subspaces
     * in one distributed pass per round. Partial (sum, count) pairs are
-    * produced per partition in row order and combined on the driver in
-    * sorted (subspace, cell, partition) order: a fixed-shape reduction,
-    * never the shuffle-fetch-ordered double sum that made the old
-    * aggregateByKey form a latent determinism flake.
+    * produced per partition in vec_id order (buffered — arrival order
+    * is shuffle-fetch order and must not matter) and combined on the
+    * driver in sorted (subspace, cell, partition) order: a fixed-shape
+    * reduction, never the shuffle-fetch-ordered double sum that made
+    * the old aggregateByKey form a latent determinism flake.
     *
     * `trainSample > 0` trains on that many [[TrainSample]]-selected
     * vectors instead of the whole corpus — the 100 TB path (k-means
@@ -157,10 +158,16 @@ object PqIndex {
       val cs = cents
       val model = PqModel(cs, subDim)
       val mLocal = cs.length
+      // fold each partition in vec_id order, not arrival order:
+      // shuffle-fed inputs (IvfPq residuals pass through a repartition)
+      // arrive in fetch order, which varies run-over-run even when
+      // partition membership is fixed — an unbuffered fold would drift
+      // centroids by an ULP and flip encode() assignments. Buffering is
+      // bounded: partitions are dimension-sized under trainSample.
       val partials = vecs.rdd.mapPartitionsWithIndex { (pid, rows) =>
         val acc = scala.collection.mutable.HashMap
           .empty[(Int, Int), (Array[Double], Array[Long])]
-        rows.foreach { case (_, emb0) =>
+        rows.toArray.sortBy(_._1).foreach { case (_, emb0) =>
           val emb = prep(emb0)
           val code = model.encode(emb)
           var mi = 0

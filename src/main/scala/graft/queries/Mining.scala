@@ -64,8 +64,9 @@ object Mining {
         // JVM-state effects (100-entry codegen-cache churn re-Janino-
         // compiling this query's big generated kernel every pass, and
         // 8g-heap GC pressure), both root-caused and fixed round 7 —
-        // in-suite 1.52 s vs isolated 1.15 s now (BENCH_IDLE_r07.json
-        // / BENCH_ISOLATED.json, SCALING.md "Bench posture").
+        // committed same-window numbers: 1.45 s in-suite idle vs
+        // 1.91 s fresh-JVM isolated (BENCH_IDLE_r07.json /
+        // BENCH_ISOLATED.json, SCALING.md "Bench posture").
         val grams = t.select($"doc_id", explode(expr(
           s"transform(${Llm.shingleGen(20)}, g -> " +
             "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
@@ -441,14 +442,22 @@ object Mining {
       Some("""
         WITH t AS (
           SELECT doc_id, text AS t FROM documents WHERE length(text) >= 20),
-        g AS (
+        g AS MATERIALIZED (
           SELECT doc_id, t, length(t) - 19 AS n_grams,
             unnest(generate_series(1, length(t) - 19)) AS pos
           FROM t),
+        pb AS MATERIALIZED (
+          SELECT CASE WHEN max(n_grams) <= 65535 THEN 11
+                      WHEN max(n_grams) <= 16777215 THEN 9
+                      ELSE 7 END AS hh,
+                 CASE WHEN max(n_grams) <= 65535 THEN CAST(65536 AS BIGINT)
+                      WHEN max(n_grams) <= 16777215 THEN CAST(16777216 AS BIGINT)
+                      ELSE CAST(4294967296 AS BIGINT) END AS posmod
+          FROM g),
         gh AS (
           SELECT doc_id, pos, n_grams,
-            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, 11)) AS UBIGINT) AS BIGINT) * 65536 + pos AS m
-          FROM g),
+            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, hh)) AS UBIGINT) AS BIGINT) * posmod + pos AS m
+          FROM g, pb),
         w AS (
           SELECT doc_id, pos, n_grams,
             min(m) OVER (PARTITION BY doc_id ORDER BY pos
@@ -456,7 +465,7 @@ object Mining {
           FROM gh),
         sel AS (
           SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n_grams - 7),
-        f AS (SELECT doc_id, wmin // 65536 AS fp FROM sel),
+        f AS (SELECT doc_id, wmin // posmod AS fp FROM sel, pb),
         c AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY fp)
         SELECT doc_id,
           CAST(count(*) AS BIGINT) AS n_fp,
@@ -474,27 +483,41 @@ object Mining {
     * implements (hash asc, pos asc) leftmost-tie argmin portably in
     * both engines. A window's minimum depends only on its own grams,
     * so every duplicated run of ≥ w grams selects a common hash across
-    * documents. INPUT CONTRACT: documents of ≤ 65535 grams (~64 KB
-    * text) — a longer corpus widens the pos field and narrows the
-    * hash. Per document the output counts selected (hash, pos)
-    * fingerprints (`n_fp`) and those whose HASH occurs in ≥ 2 distinct
-    * documents (`n_dup`).
+    * documents. The pos field is sized DYNAMICALLY from the corpus
+    * (one cheap max-of-lengths scan): 16 bits while every document has
+    * ≤ 65,535 grams (~64 KB text), widening to 24 then 32 bits for
+    * longer corpora with the hash narrowed in step (44 → 36 → 28 md5
+    * bits; hash+pos stays 60 bits, always inside a signed BIGINT) —
+    * so a books/HTML corpus of multi-MB documents computes the right
+    * statistic instead of silently overflowing pos into the hash, and
+    * a pathological > 2³²−1-gram document (4 GB of text) fails loudly.
+    * Per document the output counts selected (hash, pos) fingerprints
+    * (`n_fp`) and those whose HASH occurs in ≥ 2 distinct documents
+    * (`n_dup`).
     */
   private[graft] def winnowDupCoverage(docs: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = docs.filter(length($"t") >= 20)
+    val filtered = docs.filter(length($"t") >= 20)
+    val maxGrams = {
+      val r = filtered.agg(max(length($"t") - 19)).head()
+      if (r.isNullAt(0)) 0L else r.getInt(0).toLong
+    }
+    require(maxGrams <= 4294967295L,
+      s"document of $maxGrams grams exceeds the 32-bit pos ladder (4 GB of text in ONE document)")
+    val (hashHex, posMod) = posLadder(maxGrams)
+    val grams = filtered
       .select($"doc_id", (length($"t") - 19).cast("long").as("n_grams"),
         explode(expr(
-          "transform(sequence(1, length(t) - 19), i -> struct(CAST(i AS BIGINT) AS pos, " +
-            "CAST(conv(substr(md5(substring(t, i, 20)), 1, 11), 16, 10) AS BIGINT) * 65536 + i AS m))")).as("g"))
+          s"transform(sequence(1, length(t) - 19), i -> struct(CAST(i AS BIGINT) AS pos, " +
+            s"CAST(conv(substr(md5(substring(t, i, 20)), 1, $hashHex), 16, 10) AS BIGINT) * ${posMod}L + i AS m))")).as("g"))
       .select($"doc_id", $"n_grams", $"g.pos".as("pos"), $"g.m".as("m"))
     val win = Window.partitionBy($"doc_id").orderBy($"pos".asc)
       .rowsBetween(Window.currentRow, w - 1)
     val sel = grams.withColumn("wmin", min($"m").over(win))
       .filter($"pos" <= $"n_grams" - (w - 1))
       .select($"doc_id", $"wmin").distinct()
-      .select($"doc_id", expr("wmin div 65536").as("fp"))
+      .select($"doc_id", expr(s"wmin div ${posMod}L").as("fp"))
     val nd = sel.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
     sel.join(nd, "fp")
       .groupBy($"doc_id")
@@ -503,4 +526,13 @@ object Mining {
         sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
       .withColumn("dup_frac", $"n_dup".cast("double") / $"n_fp")
   }
+
+  /** (md5 hex chars, pos modulus) for the packed window-min BIGINT,
+    * stepped so hash+pos bits stay at 60: 44+16 → 36+24 → 28+32.
+    * Shared by [[winnowDupCoverage]] and WinnowDupSpec.
+    */
+  private[graft] def posLadder(maxGrams: Long): (Int, Long) =
+    if (maxGrams <= 65535L) (11, 65536L)
+    else if (maxGrams <= 16777215L) (9, 16777216L)
+    else (7, 4294967296L)
 }

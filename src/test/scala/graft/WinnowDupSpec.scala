@@ -56,4 +56,24 @@ class WinnowDupSpec extends SparkSuite {
     assert(prefixOnly(1L) == 0 && prefixOnly(2L) == 0,
       s"prefix domain should be blind to the planted block: $prefixOnly")
   }
+
+  test("pos field auto-widens past 65,535 grams: duplicate planted past 64 KB recovered") {
+    import spark.implicits._
+    assert(Mining.posLadder(65535L) == ((11, 65536L)))
+    assert(Mining.posLadder(65536L) == ((9, 16777216L)))
+    assert(Mining.posLadder(16777216L) == ((7, 4294967296L)))
+    // the shared 160-char block sits at gram positions whose `div 65536`
+    // differs between the two docs (1 vs 2) — under the old fixed 16-bit
+    // packing pos overflowed into the hash, the two copies got DIFFERENT
+    // fingerprints, and the duplicate was silently lost; the 24-bit
+    // ladder rung recovers it
+    val block = "shared-winnow-block!" * 8
+    val docs = Seq(
+      (1L, "a" * 70000 + block + "c" * 80000),
+      (2L, "b" * 140000 + block + "d" * 10000)).toDF("doc_id", "t")
+    val got = Mining.winnowDupCoverage(docs, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) > 0 && got(2L) > 0,
+      s"duplicate past the 16-bit pos horizon not recovered: $got")
+  }
 }
