@@ -72,6 +72,23 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query JVM-state counters, so a contended run is
+    // self-diagnosing from the artifact alone: a query whose wall
+    // clock spikes while its gc_ms/jit_ms/codegen_n sit at their usual
+    // values was slowed by the BOX (CPU contention), not by the plan;
+    // a spike that arrives with a gc or codegen spike names its cause.
+    // (Round 7's q86 7.88 s in-suite vs 1.45 s same-window idle needed
+    // prose to adjudicate; these counters make it mechanical.)
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+    def jitMs(): Long = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    def codegenN(): Long =
+      try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      catch { case _: Throwable => 0L }
+    final case class Timing(sec: Double, gcMs: Long, jitMs: Long, codegenN: Long)
     def settle(): Unit = {
       // evict anything a prior query left behind: persisted RDD blocks
       // (localCheckpoints whose release raced the query's own end) and
@@ -87,37 +104,58 @@ object Bench {
       System.gc()
       Thread.sleep(30)
     }
-    def pass(): Seq[(String, Double)] = bench.map { q =>
+    def pass(): Seq[(String, Timing)] = bench.map { q =>
       settle()
+      val (gc0, jit0, cg0) = (gcMs(), jitMs(), codegenN())
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch {
         case e: Throwable =>
           if (!failed.contains(q.name)) failed += q.name
           System.err.println(s"[bench] ${q.name} FAILED: $e")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> Timing((System.nanoTime() - t0) / 1e9,
+        gcMs() - gc0, jitMs() - jit0, codegenN() - cg0)
     }
-    // Three passes. "value" is the SINGLE-PASS (cold) total — the same
-    // methodology round 1 used, so the driver's cross-round comparison
-    // stays apples-to-apples. The per-query MIN of the three passes is
-    // published separately (total_warm / queries_warm): the first
-    // execution of each of the ~100 distinct plans pays JIT + Janino
-    // codegen compilation + file-index setup — single-JVM local-mode
-    // warm-up, not the steady-state throughput that matters at 100 TB
-    // (a real cluster amortizes it across hours of executor lifetime).
+    // Three passes. "value" is the SINGLE-PASS (cold) total — the
+    // driver's cross-round trend metric. NOTE a round-7 environment
+    // discontinuity: the driver heap (8g→24g) and the codegen-cache
+    // size (100→4096) changed in round 7, so cold totals are directly
+    // comparable only from round 7 onward; rounds 1–6 cold totals were
+    // measured under the old, GC- and recompile-heavier environment.
+    // The per-query MIN of the three passes is published separately
+    // (total_warm / queries_warm): the first execution of each of the
+    // ~100 distinct plans pays JIT + Janino codegen compilation +
+    // file-index setup — single-JVM local-mode warm-up, not the
+    // steady-state throughput that matters at 100 TB (a real cluster
+    // amortizes it across hours of executor lifetime).
     val cold = pass()
     val warm1 = pass()
     val warm2 = pass()
-    val best = cold.indices.map { i =>
-      (cold(i)._1, math.min(cold(i)._2, math.min(warm1(i)._2, warm2(i)._2)))
+    val passesByQuery = cold.indices.map { i =>
+      (cold(i)._1, Seq(cold(i)._2, warm1(i)._2, warm2(i)._2))
     }
+    // the warm diagnostics travel with the pass that produced the
+    // published min, so each published number carries its own counters
+    val best = passesByQuery.map { case (n, ps) => (n, ps.minBy(_.sec)) }
     def obj(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def objL(m: Seq[(String, Long)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalWarm = best.map(_._2).sum
-    val totalCold = cold.map(_._2).sum
+    val totalWarm = best.map(_._2.sec).sum
+    val totalCold = cold.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(best)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalCold,"unit":"sec"""" +
+        s""","queries":${obj(cold.map(t => (t._1, t._2.sec)))}""" +
+        s""","queries_warm":${obj(best.map(t => (t._1, t._2.sec)))}""" +
+        s""","total_warm":$totalWarm""" +
+        s""","gc_ms":${objL(cold.map(t => (t._1, t._2.gcMs)))}""" +
+        s""","jit_ms":${objL(cold.map(t => (t._1, t._2.jitMs)))}""" +
+        s""","codegen_n":${objL(cold.map(t => (t._1, t._2.codegenN)))}""" +
+        s""","gc_ms_warm":${objL(best.map(t => (t._1, t._2.gcMs)))}""" +
+        s""","jit_ms_warm":${objL(best.map(t => (t._1, t._2.jitMs)))}""" +
+        s""","codegen_n_warm":${objL(best.map(t => (t._1, t._2.codegenN)))}""" +
+        s""","failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // full artifact on disk — immune to stdout truncation; best-effort
     // (an unwritable cwd must not fail a bench that already succeeded)

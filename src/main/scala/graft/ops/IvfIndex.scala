@@ -305,6 +305,15 @@ object IvfIndex {
     index(batch, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Rewrite an append-accumulated layout to one data file per cell
+    * directory ([[Layouts.compactPartitioned]]) — run after every N
+    * appends so the daily-drop story doesn't pay the small-file
+    * listing/open tax on the pruned-read path. Probe results are
+    * row-identical before and after (IndexAppendSpec).
+    */
+  def compactSaved(spark: SparkSession, path: String): Unit =
+    Layouts.compactPartitioned(spark, path, "cell")
+
   /** Probe a [[save]]d index. The distinct probe cells (≤ nprobe ×
     * |queries|, dimension-sized by contract) become an IN-filter on the
     * partition column — PartitionFilters in the scan, pruned file

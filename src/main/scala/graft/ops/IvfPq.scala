@@ -156,6 +156,13 @@ object IvfPq {
     index(batch, model)
       .write.mode("append").partitionBy("cell").parquet(codesPath)
 
+  /** Rewrite an append-accumulated code layout to one data file per
+    * cell directory — [[IvfIndex.compactSaved]]'s contract on the
+    * compressed layout. Model tables are untouched.
+    */
+  def compactSaved(spark: SparkSession, codesPath: String): Unit =
+    Layouts.compactPartitioned(spark, codesPath, "cell")
+
   /** Rebuild the [[IvfPqModel]] from [[save]]d model tables (the
     * codebook table has [[PqIndex.save]]'s exact schema, so its loader
     * is shared).

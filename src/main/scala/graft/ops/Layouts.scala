@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance for partitionBy-at-rest parquet layouts (the
+  * [[IvfIndex.save]] / [[IvfPq.save]] form). `appendSaved` writes one
+  * parquet file set per append into each partition directory — a daily
+  * drop × 365 leaves hundreds of small files per cell, and the
+  * listing/open tax lands exactly on the pruned-read path the layout
+  * exists for. [[compactPartitioned]] rewrites the layout so each
+  * partition directory holds ONE data file again, leaving probe
+  * results row-identical (probes are order-insensitive rank queries;
+  * only the file count changes).
+  */
+object Layouts {
+
+  /** Rewrite a partitionBy(`partCol`) parquet layout in place, one
+    * data file per partition directory (rows hash-route by `partCol`,
+    * so each partition's rows land in exactly one write task). The
+    * rewrite stages into a sibling `…__compact_tmp` directory and
+    * publishes by directory rename — atomic on HDFS/local filesystems.
+    * On an object store (S3A) rename is copy+delete, NOT atomic: a
+    * production deployment publishes the compacted layout under a NEW
+    * path and flips a manifest/metastore pointer instead; the staging
+    * discipline here is the same, only the pointer flip differs.
+    * Readers opened mid-compact on a non-atomic store should retry —
+    * same caveat as any non-transactional parquet layout.
+    */
+  def compactPartitioned(spark: SparkSession, path: String, partCol: String): Unit = {
+    val tmp = path + "__compact_tmp"
+    val bak = path + "__compact_bak"
+    spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (p, t, b) = (new Path(path), new Path(tmp), new Path(bak))
+    if (fs.exists(b)) fs.delete(b, true)
+    require(fs.rename(p, b), s"compact: cannot stage $path aside")
+    require(fs.rename(t, p),
+      s"compact: cannot publish $tmp over $path (original preserved at $bak)")
+    fs.delete(b, true)
+  }
+
+  /** Data-file count per partition directory — the bound
+    * IndexAppendSpec asserts after a compact.
+    */
+  def dataFilesPerPartition(spark: SparkSession, path: String, partCol: String): Map[String, Int] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+}

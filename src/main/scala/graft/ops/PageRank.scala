@@ -201,9 +201,13 @@ object PageRank {
       .select($"w1", $"w2", ($"c".cast("double") / $"wout".cast("double")).as("p"),
         segCol($"w1").as("seg"))
       .localCheckpoint()
+    // nodes keeps its natural (distinct-shuffle) partitioning: a
+    // 10⁸–10⁹-node graph must not funnel the node frame through one
+    // task per round, and every per-round reduction already folds
+    // through the order-fixed segment tree, so partition count never
+    // touches the bits of the result
     val nodes = e.select($"w1".as("w")).union(e.select($"w2".as("w"))).distinct()
       .withColumn("seg", segCol($"w"))
-      .coalesce(1)
       .localCheckpoint()
     // |V| as a driver scalar (1-row collect): constant-folds into the
     // round update as the same single divisions the oracle performs
