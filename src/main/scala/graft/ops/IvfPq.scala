@@ -102,21 +102,43 @@ object IvfPq {
     IvfPqModel(cells, pq)
   }
 
-  /** (cell, vec_id, code) index frame — scan-parallel assignment +
-    * residual encoding.
+  /** (cell, vec_id, code[, metaCols…]) index frame — scan-parallel
+    * assignment + residual encoding. `metaCols` names corpus columns
+    * carried INTO the code layout (language, date, source…): the
+    * standard production ANN query is "nearest among vectors matching
+    * P", and a predicate can only prune BEFORE ADC scoring if the
+    * attributes live next to the codes — joining the corpus to
+    * evaluate P would re-read the very floats the compressed layout
+    * exists to avoid.
     */
-  def index(corpus: DataFrame, model: IvfPqModel): DataFrame = {
+  def index(corpus: DataFrame, model: IvfPqModel, metaCols: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, e) =>
-        val v = PqIndex.normalize(e)
+    if (metaCols.isEmpty) {
+      corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, e) =>
+          val v = PqIndex.normalize(e)
+          val c = IvfIndex.nearestCell(v, model.cells)
+          (c, id, model.pq.encode(residual(v, model.cells(c))))
+        }
+        .toDF("cell", "vec_id", "code")
+    } else {
+      // row-shaped variant so arbitrary metadata columns ride along;
+      // one udf evaluation computes cell + code together (normalize /
+      // residual run once per vector, same as the typed path)
+      val enc = udf { (e: Seq[Float]) =>
+        val v = PqIndex.normalize(e.toArray)
         val c = IvfIndex.nearestCell(v, model.cells)
-        (c, id, model.pq.encode(residual(v, model.cells(c))))
+        (c, model.pq.encode(residual(v, model.cells(c))))
       }
-      .toDF("cell", "vec_id", "code")
+      corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .withColumn("__cc", enc(col("embedding")))
+        .select(Seq(col("__cc._1").as("cell"), col("vec_id"),
+          col("__cc._2").as("code")) ++ metaCols.map(col): _*)
+    }
   }
 
   /** Persist the index at rest: the code frame partitionBy(cell) —
@@ -130,10 +152,11 @@ object IvfPq {
       model: IvfPqModel,
       codesPath: String,
       cellsTable: String,
-      codebookTable: String): Unit = {
+      codebookTable: String,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    index(corpus, model)
+    index(corpus, model, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
     model.cells.indices.map(c => (c, model.cells(c).toSeq))
       .toDF("cell", "vals")
@@ -152,8 +175,12 @@ object IvfPq {
     * a from-scratch save of old ∪ new under the same model). The
     * model tables are untouched; re-train + re-save only on drift.
     */
-  def appendSaved(batch: DataFrame, model: IvfPqModel, codesPath: String): Unit =
-    index(batch, model)
+  def appendSaved(
+      batch: DataFrame,
+      model: IvfPqModel,
+      codesPath: String,
+      metaCols: Seq[String] = Nil): Unit =
+    index(batch, model, metaCols)
       .write.mode("append").partitionBy("cell").parquet(codesPath)
 
   /** Rewrite an append-accumulated code layout to one data file per
@@ -184,6 +211,14 @@ object IvfPq {
     * re-rank reads the float corpus with the shortlist broadcast.
     * Bit-identical to [[topK]] for the same corpus/params (both
     * trainings are deterministic).
+    *
+    * `predicate` (over the layout's metaCols) implements FILTERED ANN
+    * — "top-k among vectors matching P" — by pruning candidates
+    * BEFORE the ADC heaps: the filter lands in the same pruned scan
+    * as PushedFilters next to the cell PartitionFilters
+    * (FilteredAnnSpec), so the shortlist fills with k MATCHING
+    * candidates instead of post-filtering a generic top-k and
+    * silently under-filling k.
     */
   def topKFromSaved(
       spark: SparkSession,
@@ -194,14 +229,28 @@ object IvfPq {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 3,
-      shortlist: Int = 100): DataFrame = {
+      shortlist: Int = 100,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val model = loadModel(spark, cellsTable, codebookTable)
     val qvecs = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val codes = spark.read.parquet(codesPath)
+    score(spark, savedCodes(spark, codesPath, predicate), corpus, qvecs,
+      model, nprobe, shortlist, k)
+  }
+
+  /** The codes-side scan [[topKFromSaved]] feeds to [[score]] —
+    * factored out so FilteredAnnSpec can assert the exact plan the
+    * probe executes (metadata predicate in PushedFilters, probed
+    * cells in PartitionFilters).
+    */
+  private[graft] def savedCodes(
+      spark: SparkSession,
+      codesPath: String,
+      predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val raw = spark.read.parquet(codesPath)
+    predicate.fold(raw)(raw.filter)
       .select(col("cell").cast("int"), col("vec_id"), col("code"))
-    score(spark, codes, corpus, qvecs, model, nprobe, shortlist, k)
   }
 
   /** Top-k per query: probe `nprobe` cells, ADC-score their codes with

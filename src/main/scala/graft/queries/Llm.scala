@@ -448,6 +448,44 @@ object Llm {
         "")}) sims)
         SELECT v1 AS qid, v2 AS vec_id, sim, rk FROM ranked WHERE rk <= 10""")),
 
+    // --------------------------------------------------------------- q104
+    // FILTERED ANN, exact tier: top-k cosine among corpus vectors
+    // matching a metadata predicate (here: even label) — the standard
+    // production shape "nearest neighbors among documents matching P".
+    // The filter prunes the corpus BEFORE any distance work, so k fills
+    // with matching candidates (post-filtering a generic top-k would
+    // under-fill). This is the oracle-checked exact baseline;
+    // IvfPq.topKFromSaved(predicate = …) is the same semantics on the
+    // compressed layout, recall-pinned against this in FilteredAnnSpec
+    // with the predicate in the pruned scan's PushedFilters.
+    Q(
+      "q104_ann_filtered",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings").filter($"label" % 2 === 0)
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+        val qs = table(s, dir, "embeddings").filter($"vec_id" < 5)
+          .select($"vec_id".as("v1"), $"embedding".as("ea"))
+        val pairs = e.crossJoin(broadcast(qs))
+          .filter($"vec_id" =!= $"v1")
+          .select($"v1", $"vec_id".as("v2"), $"ea", $"embedding".as("eb"))
+        val w = Window.partitionBy($"v1").orderBy($"sim".desc, $"v2".asc)
+        cosine(pairs)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 10)
+          .select($"v1".as("qid"), $"v2".as("vec_id"), $"sim", $"rk")
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT v1, v2, sim,
+            row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+          FROM (${cosineSql(
+        """SELECT q.vec_id v1, e.vec_id v2, q.embedding ea, e.embedding eb
+           FROM embeddings q JOIN embeddings e
+             ON q.vec_id < 5 AND e.vec_id <> q.vec_id AND e.label % 2 = 0""",
+        "")}) sims)
+        SELECT v1 AS qid, v2 AS vec_id, sim, rk FROM ranked WHERE rk <= 10""")),
+
     // ---------------------------------------------------------------- q26
     // Token statistics: whitespace tokens, BPE-ish regex tokens, unique
     // word count — all per-row scan work, no shuffle at all.

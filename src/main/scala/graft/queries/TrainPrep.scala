@@ -171,6 +171,10 @@ object TrainPrep {
     // partkey ranges ~global — the cross-dimension win). At 100 TB:
     // ONE repartitionByRange($"z") + sortWithinPartitions at write
     // time, no extra pass — the same exchange a plain sort needs.
+    // ops.ZOrder.write is the operator that PRODUCES this layout on
+    // disk (with min–max key scaling so unequal-width keys share the
+    // z bits); ZOrderSpec measures actual per-file footer pruning on
+    // both keys against a single-column-sorted control.
     Q(
       "q103_zorder_layout",
       (s, dir) => {

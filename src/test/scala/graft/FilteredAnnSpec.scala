@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.IvfPq
+import org.apache.spark.sql.functions._
+
+/** Filtered ANN on the compressed at-rest layout: metadata columns
+  * ride in the code frame, the probe predicate prunes candidates
+  * BEFORE the ADC heaps (PushedFilters next to the cell
+  * PartitionFilters in the SAME scan), every result matches the
+  * predicate, k fills, and recall holds against the exact filtered
+  * top-k (q104's semantics).
+  */
+class FilteredAnnSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("predicate prunes in-scan, k fills with matching candidates, recall >= 0.6") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val model = IvfPq.train(all, kCells = 4, m = 8, kSub = 8, dim = 64, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-filtered").toString
+    IvfPq.save(all, model, dir, "fann_cells", "fann_codebook", metaCols = Seq("label"))
+
+    val queries = all.filter($"vec_id" < 5)
+    val pred = col("label") <= 4
+    val k = 10
+    val got = IvfPq.topKFromSaved(spark, dir, "fann_cells", "fann_codebook",
+      all, queries, k = k, nprobe = 3, predicate = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // every result matches the predicate, and k fills per query
+    val okIds = all.filter(pred).select($"vec_id").as[Long].collect().toSet
+    assert(got.forall { case (_, v) => okIds.contains(v) },
+      s"result outside the predicate: ${got.filterNot(t => okIds.contains(t._2))}")
+    val perQ = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == k),
+      s"k did not fill per query: $perQ")
+
+    // recall vs the exact filtered top-k (q104 semantics, same fixture)
+    graft.functions.CosineSim.register(spark)
+    val qs = queries.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val exact = all.filter(pred).crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", expr("cosine_sim(embedding, qe)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)))
+      .filter($"rk" <= k)
+      .select($"qid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"filtered recall@$k = $recall")
+
+    // the predicate reaches the SAME pruned scan the probe executes:
+    // label in PushedFilters, the probed-cell isin as PartitionFilters
+    val probedCells = Seq(0, 1)
+    val plan = IvfPq.savedCodes(spark, dir, Some(pred))
+      .filter($"cell".isin(probedCells.map(Int.box): _*))
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"metadata predicate not pushed to the codes scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell pruning lost on the filtered scan:\n$plan")
+  }
+}

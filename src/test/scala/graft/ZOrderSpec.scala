@@ -46,4 +46,62 @@ class ZOrderSpec extends SparkSuite {
     assert(zAvg * 2 < sAvg,
       s"z-order should bound the non-sorted dimension: z=$zAvg sorted=$sAvg")
   }
+
+  test("ZOrder.write: written files prune under single-column predicates on BOTH keys") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("x"), $"l_suppkey".as("y"), $"l_quantity")
+    val n = 16
+    val zDir = java.nio.file.Files.createTempDirectory("zorder-write").toString + "/t"
+    ZOrder.write(li, "x", "y", zDir, numFiles = n)
+    // comparison layout: same file count, single-column sort on y
+    val sDir = java.nio.file.Files.createTempDirectory("ysorted-write").toString + "/t"
+    li.repartitionByRange(n, $"y").sortWithinPartitions($"y")
+      .write.mode("overwrite").parquet(sDir)
+
+    def dataFiles(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles.toSeq
+        .map(_.getPath).filter(_.endsWith(".parquet"))
+    val zFiles = dataFiles(zDir)
+    assert(zFiles.size == n, s"expected $n z-ordered files, got ${zFiles.size}")
+
+    // the min/max a scan prunes on: each FILE's footer statistics
+    // (read back per file — identical to the parquet column stats)
+    def stats(file: String, c: String): (Long, Long) = {
+      val r = spark.read.parquet(file)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def hits(files: Seq[String], c: String, lo: Long, hi: Long): Int =
+      files.count { f => val (mn, mx) = stats(f, c); mx >= lo && mn <= hi }
+
+    // a selective window on each key (1/16 of its global range —
+    // 16 files split each key's domain into quarters, so a narrower
+    // window stays clear of quartile-boundary raggedness)
+    val (minX, maxX, minY, maxY) = {
+      val r = li.agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def win(lo: Long, hi: Long): (Long, Long) = {
+      val w = math.max(1L, (hi - lo) / 16)
+      (lo + 5 * w, lo + 6 * w)
+    }
+    val (xl, xh) = win(minX, maxX)
+    val (yl, yh) = win(minY, maxY)
+
+    val (zx, zy) = (hits(zFiles, "x", xl, xh), hits(zFiles, "y", yl, yh))
+    val sFiles = dataFiles(sDir)
+    val sx = hits(sFiles, "x", xl, xh)
+    info(s"files hit of $n: z-order x=$zx y=$zy; y-sorted x=$sx")
+    // z-order: BOTH keys prune (each window touches at most half the
+    // files); the y-sorted layout cannot prune x (its x stats are
+    // ~global per file)
+    assert(zx <= n / 2, s"x predicate should prune z-ordered files: $zx of $n hit")
+    assert(zy <= n / 2, s"y predicate should prune z-ordered files: $zy of $n hit")
+    assert(zx < sx, s"z-order should beat y-sorted on x pruning: $zx vs $sx")
+
+    // layout is lossless: same rows back
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
 }
