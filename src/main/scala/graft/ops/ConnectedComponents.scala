@@ -102,6 +102,70 @@ object ConnectedComponents {
     s.createDataFrame(labels).toDF("v", "cluster_id")
   }
 
+  /** Incremental label maintenance — the dedup family's batch-vs-corpus
+    * posture ([[Lsh.incrementalCandidates]]' counterpart for cluster
+    * formation): fold a NEW batch of pair edges into PERSISTED labels
+    * without rescanning the old edge set.
+    *
+    * Correctness rests on labels being a CONTRACTION of the old graph:
+    * two old vertices are connected iff they share a cluster_id, so
+    * CC(E_old ∪ E_batch) on old vertices is decided by
+    * CC(star(labels) ∪ E_batch) — and after translating every labeled
+    * batch endpoint to its representative (the cluster_id, which is
+    * itself the component-minimum member id), the whole computation
+    * collapses to CC over a BATCH-SIZED graph of representatives and
+    * never-seen vertices. Merged components keep the min-id contract:
+    * each representative IS its old component's minimum, so the min
+    * over merged representatives/new ids is the true global minimum.
+    *
+    * Scale shape: the endpoint translation and the final relabel are
+    * the only touches of corpus-sized frames — both are equi-joins
+    * against BATCH-SIZED broadcastable sides (the relabel delta holds
+    * only clusters the batch actually merged); the CC iteration runs
+    * on the translated batch graph. O(|batch|) per drop, like
+    * [[IvfIndex.appendSaved]].
+    *
+    * Returns (v, cluster_id) for every previously-labeled vertex plus
+    * every batch vertex — row-identical to a from-scratch [[auto]]
+    * over the merged edge set (CcIncrementalSpec).
+    */
+  def updateLabels(
+      labels: DataFrame,
+      batch: DataFrame,
+      localThreshold: Long = 1000000L): DataFrame = {
+    val l = labels.toDF("v", "cluster_id").localCheckpoint()
+    val e = symCanonical(batch).localCheckpoint()
+    // translate each endpoint to its representative where one exists
+    // (broadcast side is the batch's endpoints joined against labels —
+    // the join keys are batch-sized; the labels side streams)
+    val ra = l.select(col("v").as("a"), col("cluster_id").as("rep_a"))
+    val rb = l.select(col("v").as("b"), col("cluster_id").as("rep_b"))
+    val translated = e
+      .join(ra, Seq("a"), "left")
+      .join(rb, Seq("b"), "left")
+      .select(
+        coalesce(col("rep_a"), col("a")).as("a"),
+        coalesce(col("rep_b"), col("b")).as("b"))
+    // CC over the contracted batch graph: vertices are old
+    // representatives and never-labeled ids (the id spaces cannot
+    // collide — every cluster_id is itself a labeled vertex)
+    val cc = auto(translated, localThreshold).localCheckpoint()
+    val repSet = l.select(col("cluster_id").as("rep")).distinct()
+    // old clusters the batch re-rooted → a batch-sized relabel delta
+    val delta = cc.join(repSet, cc("v") === repSet("rep"))
+      .filter(cc("v") =!= cc("cluster_id"))
+      .select(cc("v").as("old_root"), cc("cluster_id").as("new_root"))
+    val updatedOld = l
+      .join(broadcast(delta), l("cluster_id") === delta("old_root"), "left")
+      .select(l("v"), coalesce(col("new_root"), l("cluster_id")).as("cluster_id"))
+    // never-labeled batch vertices take their CC label directly
+    val fresh = cc.join(l.select(col("v")), Seq("v"), "left_anti")
+      .select(col("v"), col("cluster_id"))
+    val result = updatedOld.union(fresh).localCheckpoint()
+    Seq(l, e, cc).foreach(Checkpoints.release)
+    result
+  }
+
   /** (a, b) both directions, self-loops dropped, distinct. */
   private def symCanonical(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("a", "b")

@@ -112,6 +112,19 @@ object Lsh {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       batchBands: DataFrame,
+      maxBucket: Int = 64): DataFrame =
+    incrementalCandidatesFrom(spark, spark.table(tableName), batchBands, maxBucket)
+
+  /** [[incrementalCandidates]] against any (bkey, doc_id) corpus band
+    * frame instead of a saved table — the entry the streaming curation
+    * path probes its accumulating parquet band state through (same
+    * contract: bucket-pruned corpus scan, broadcast batch side,
+    * combined-population cap).
+    */
+  def incrementalCandidatesFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusBands: DataFrame,
+      batchBands: DataFrame,
       maxBucket: Int = 64): DataFrame = {
     val probeRows = batchBands
       .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
@@ -132,7 +145,7 @@ object Lsh {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__bn", org.apache.spark.sql.types.LongType))))
-    val selected = spark.table(tableName).filter(col("bkey").isin(keys.toSeq: _*))
+    val selected = corpusBands.filter(col("bkey").isin(keys.toSeq: _*))
     // cap on corpus + batch rows per bucket — expandPairsCapped's
     // total-bucket-size semantics, not corpus-only
     val coldKeys = selected.groupBy(col("bkey"))

@@ -125,7 +125,7 @@ object Llm {
     * cap never fires on the oracle corpora — LshSpec's skew fixture is
     * where it engages.
     */
-  private[queries] val lshMaxBucket = 64
+  private[graft] val lshMaxBucket = 64
 
   /** (doc_id, t200) prefix frame — the shared front of every shingle
     * pipeline (q21/q66/q67/q68): 200-char prefix, docs shorter than
@@ -144,6 +144,58 @@ object Llm {
   private[queries] def shingleGen(width: Int): String =
     s"transform(sequence(1, length(t200)-${width - 1}), i -> substring(t200, i, $width))"
 
+  /** Per-doc distinct shingle sets of the 200-char prefix — the q21
+    * family's verification domain, shared with the streaming curation
+    * path (StreamCuration keeps these at rest as its verify state).
+    * Computed map-side (array_distinct in the projection): no DISTINCT
+    * shuffle, and the same array feeds candidate verification without
+    * a collect_set shuffle.
+    */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docPrefix(docs, 5).select($"doc_id",
+      expr(s"array_distinct(${shingleGen(5)})").as("gs"))
+  }
+
+  /** q21's exact banding geometry from a [[shingleSets]] frame:
+    * (doc_id, band, bsig), 2 bands × 4 minhashes. One shared
+    * implementation so the batch pair pipeline and the streaming
+    * near-dup state build IDENTICAL signatures (StreamCurationSpec's
+    * equality with q100 rests on it).
+    *
+    * All 8 hashes in ONE native-expression call per shingle
+    * (graft.functions.MinHashLongs: reused digest, no per-hash
+    * concat, zero string allocation), min-aggregated per hash in a
+    * single partial+final agg — one |docs|-sized shuffle instead
+    * of exploding 8× and grouping 7.8M (doc, j) rows. LONG hash
+    * values keep the min-agg in HashAggregateExec (min(STRING)
+    * falls back to SortAggregate, a full sort of the shingle
+    * stream — visible in the round-1 plan).
+    *
+    * 2 bands × 4 rows: collision prob = jaccard^4 per band — high
+    * precision for the near-identical pairs the 0.35 threshold
+    * targets, and bounded candidate counts even on low-entropy
+    * corpora (wider 4×2 banding floods candidates with word-soup
+    * text).
+    */
+  private[graft] def bandsOf(docSets: DataFrame): DataFrame = {
+    val s = docSets.sparkSession
+    import s.implicits._
+    graft.functions.MinHashLongs.register(s)
+    val sh = docSets.select($"doc_id", explode($"gs").as("g"))
+    val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
+    val sig = hashed
+      .groupBy($"doc_id")
+      .agg(min($"hs".getItem(0)).as("mh1"),
+        (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
+    sig.select($"doc_id",
+      explode(expr(
+        """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
+                 struct(1L AS band, concat_ws(',', CAST(mh5 AS STRING), CAST(mh6 AS STRING), CAST(mh7 AS STRING), CAST(mh8 AS STRING)) AS bsig))""")).as("tb"))
+      .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
+  }
+
   /** The full q21 pipeline over any (doc_id, text) corpus: distinct
     * 5-char shingles of the 200-char prefix → 8 min-hashes (native
     * [[graft.functions.MinHashLongs]]) → 2 bands of 4 → capped
@@ -154,36 +206,11 @@ object Llm {
   private[graft] def minhashLshPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val t = docPrefix(docs, 5)
-    // per-doc distinct shingle set computed map-side (array_distinct
-    // in the projection) — no DISTINCT shuffle, and the same array
-    // feeds the verification stage without a collect_set shuffle.
     // localCheckpoint: the set frame is consumed three times (hash
     // stream + both sides of the candidate-verify join); without it
     // each consumer re-runs the shingling projection (~1s each at
     // sf0.1). |docs| rows × ~140-element arrays — megabytes.
-    val docSets = t.select($"doc_id",
-      expr(s"array_distinct(${shingleGen(5)})").as("gs"))
-      .localCheckpoint()
-    val sh = docSets.select($"doc_id", explode($"gs").as("g"))
-    // all 8 hashes in ONE native-expression call per shingle
-    // (graft.functions.MinHashLongs: reused digest, no per-hash
-    // concat, zero string allocation), min-aggregated per hash in a
-    // single partial+final agg — one |docs|-sized shuffle instead
-    // of exploding 8× and grouping 7.8M (doc, j) rows. LONG hash
-    // values keep the min-agg in HashAggregateExec (min(STRING)
-    // falls back to SortAggregate, a full sort of the shingle
-    // stream — visible in the round-1 plan).
-    graft.functions.MinHashLongs.register(s)
-    val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
-    val sig = hashed
-      .groupBy($"doc_id")
-      .agg(min($"hs".getItem(0)).as("mh1"),
-        (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
-    // 2 bands × 4 rows: collision prob = jaccard^4 per band — high
-    // precision for the near-identical pairs this threshold targets,
-    // and bounded candidate counts even on low-entropy corpora
-    // (wider 4×2 banding floods candidates with word-soup text).
+    val docSets = shingleSets(docs).localCheckpoint()
     // Candidates come from a groupBy on (band, bsig) + in-bucket
     // pair expansion, NOT a bands-self-join: the self-join's two
     // identical inputs each re-execute the whole shingle+md5
@@ -192,13 +219,8 @@ object Llm {
     // Hot-bucket cap (ops.Lsh.expandPairsCapped): a band bucket
     // above maxBucket is boilerplate — dropped, never expanded
     // O(|bucket|²); the oracle SQL encodes the same cap.
-    val bands = sig.select($"doc_id",
-      explode(expr(
-        """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
-                 struct(1L AS band, concat_ws(',', CAST(mh5 AS STRING), CAST(mh6 AS STRING), CAST(mh7 AS STRING), CAST(mh8 AS STRING)) AS bsig))""")).as("tb"))
-      .select($"doc_id", $"tb.band".as("band"), $"tb.bsig".as("bsig"))
     val cand = graft.ops.Lsh.expandPairsCapped(
-      bands, Seq("band", "bsig"), "doc_id", maxBucket)
+      bandsOf(docSets), Seq("band", "bsig"), "doc_id", maxBucket)
     cand
       .join(docSets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
       .join(docSets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
@@ -772,6 +794,44 @@ object Llm {
         val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
           .run(s, dir).select($"d1", $"d2")
         graft.ops.ConnectedComponents.auto(pairs)
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashPairsSql),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+        SELECT v, min(r) AS cluster_id FROM reach GROUP BY v""")),
+
+    // ---------------------------------------------------------------- q105
+    // INCREMENTAL cluster maintenance — the daily-drop form of q45:
+    // labels computed over an "old" subset of the pair graph, then a
+    // new batch of pair edges folded in via ConnectedComponents
+    // .updateLabels (endpoints translated to persisted representatives,
+    // CC over the batch-sized contracted graph, relabel delta applied
+    // as a broadcast map join — the old edge set is never rescanned).
+    // The oracle is full reachability over the WHOLE pair graph — i.e.
+    // the query asserts update ≡ from-scratch rebuild end-to-end on
+    // real pairs, hash-checked. The 2/3-vs-1/3 split is arbitrary by
+    // design: any split must produce identical labels.
+    Q(
+      "q105_incremental_clusters",
+      (s, dir) => {
+        import s.implicits._
+        // one checkpoint, two filter consumers: the shingle+minhash
+        // pair pipeline must not execute once per split
+        val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
+          .run(s, dir).select($"d1", $"d2").localCheckpoint()
+        val oldE = pairs.filter(($"d1" + $"d2") % 3 =!= 0)
+        val batch = pairs.filter(($"d1" + $"d2") % 3 === 0)
+        val labels = graft.ops.ConnectedComponents.auto(oldE)
+        val out = graft.ops.ConnectedComponents.updateLabels(labels, batch)
+        graft.ops.Checkpoints.release(pairs)
+        out
       },
       Some(s"""
         WITH RECURSIVE pairs AS ($minhashPairsSql),

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.StreamCuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming curation must agree with q100's batch pipeline on the
+  * shared corpus: the whole corpus fed as doc_id-ordered micro-batches
+  * (the daily-drop shape) and as one batch through the real
+  * readStream → foreachBatch plumbing both reproduce the batch
+  * survivors row for row.
+  */
+class StreamCurationSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Set[(Long, String, String, Long, Long, String)] =
+    df.select("doc_id", "lang", "source", "n_chars", "n_tokens", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+      .toSet
+
+  test("ordered micro-batches reproduce q100 exactly (4 daily drops)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val stateDir = java.nio.file.Files.createTempDirectory("scur-state").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scur-out").toString + "/data"
+    val slices = Seq(
+      docs.filter($"doc_id" <= cuts(0)),
+      docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1)),
+      docs.filter($"doc_id" > cuts(1) && $"doc_id" <= cuts(2)),
+      docs.filter($"doc_id" > cuts(2)))
+    slices.foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
+
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
+    assert(streamed == batch,
+      s"streamed != q100: only-streamed=${(streamed -- batch).map(_._1)} only-batch=${(batch -- streamed).map(_._1)}")
+    // the drops must span batches: at least one near-dup/exact-dup pair
+    // is split across slices, so cross-batch state did real work
+    assert(streamed.nonEmpty && streamed.size < docs.count())
+  }
+
+  test("readStream → foreachBatch plumbing yields q100 on a single trigger") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val srcDir = java.nio.file.Files.createTempDirectory("scur-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+    val stateDir = java.nio.file.Files.createTempDirectory("scur-state2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scur-out2").toString + "/data"
+
+    val src = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = StreamCuration.start(src, stateDir, outDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = rows(spark.read.parquet(outDir))
+    val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
+    assert(streamed == batch,
+      s"single-trigger stream != q100: diff=${(streamed -- batch).map(_._1)} / ${(batch -- streamed).map(_._1)}")
+  }
+}
