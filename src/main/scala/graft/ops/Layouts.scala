@@ -55,4 +55,30 @@ object Layouts {
           fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
       }.toMap
   }
+
+  /** Compact a FLAT (unpartitioned) parquet directory that accumulates
+    * one file set per append — the streaming-curation state dirs'
+    * shape — down to `numFiles` files, same staged-rename publish (and
+    * the same object-store caveat) as [[compactPartitioned]].
+    */
+  def compactFlat(spark: SparkSession, path: String, numFiles: Int = 0): Unit = {
+    val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
+    val tmp = path + "__compact_tmp"
+    val bak = path + "__compact_bak"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (p, t, b) = (new Path(path), new Path(tmp), new Path(bak))
+    if (fs.exists(b)) fs.delete(b, true)
+    require(fs.rename(p, b), s"compact: cannot stage $path aside")
+    require(fs.rename(t, p),
+      s"compact: cannot publish $tmp over $path (original preserved at $bak)")
+    fs.delete(b, true)
+  }
+
+  /** Data-file count of a flat parquet directory. */
+  def dataFiles(spark: SparkSession, path: String): Int = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -139,6 +139,18 @@ object StreamCuration {
     Seq(docs, sets, bands, fp).foreach(graft.ops.Checkpoints.release)
   }
 
+  /** Compact the three accumulating state dirs (one file set lands per
+    * batch) — run on the same schedule as the index layouts'
+    * [[graft.ops.Layouts.compactPartitioned]]; decisions are
+    * state-CONTENT functions, so compaction never changes them
+    * (StreamCurationSpec).
+    */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    Seq("bands", "sets", "fps").foreach { d =>
+      val p = s"$stateDir/$d"
+      if (new java.io.File(p).exists()) graft.ops.Layouts.compactFlat(spark, p)
+    }
+
   /** Accumulated parquet state, or a typed empty frame on first batch. */
   private def readState(spark: SparkSession, path: String, ddl: String): DataFrame =
     if (new java.io.File(path).exists()) spark.read.parquet(path)

@@ -34,7 +34,16 @@ class StreamCurationSpec extends SparkSuite {
       docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1)),
       docs.filter($"doc_id" > cuts(1) && $"doc_id" <= cuts(2)),
       docs.filter($"doc_id" > cuts(2)))
-    slices.foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
+    slices.take(2).foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
+    // state compaction mid-stream: decisions are state-content
+    // functions, so the remaining drops see identical state — and the
+    // per-batch file accumulation is squashed
+    assert(graft.ops.Layouts.dataFiles(spark, s"$stateDir/fps") >= 2)
+    StreamCuration.compactState(spark, stateDir)
+    val filesAfter = graft.ops.Layouts.dataFiles(spark, s"$stateDir/fps")
+    assert(filesAfter <= spark.sparkContext.defaultParallelism,
+      s"fps state not compacted: $filesAfter files")
+    slices.drop(2).foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
 
     val streamed = rows(spark.read.parquet(outDir))
     val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
