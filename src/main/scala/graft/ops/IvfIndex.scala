@@ -254,15 +254,26 @@ object IvfIndex {
     rerank(spark, indexRefined(corpus, model), probes, k)
   }
 
-  /** (cell, vec_id, embedding) index frame — scan-parallel assignment. */
-  def index(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+  /** (cell, vec_id, embedding[, metaCols…]) index frame — scan-parallel
+    * assignment. `metaCols` carries corpus attributes into the layout
+    * for filtered probes (same rationale as [[IvfPq.index]]).
+    */
+  def index(corpus: DataFrame, centroids: Array[Array[Float]], metaCols: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, emb) => (nearestCell(emb, centroids), id, emb) }
-      .toDF("cell", "vec_id", "embedding")
+    if (metaCols.isEmpty) {
+      corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, emb) => (nearestCell(emb, centroids), id, emb) }
+        .toDF("cell", "vec_id", "embedding")
+    } else {
+      val cellOf = udf((e: Seq[Float]) => nearestCell(e.toArray, centroids))
+      corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(Seq(cellOf(col("embedding")).as("cell"), col("vec_id"),
+          col("embedding")) ++ metaCols.map(col): _*)
+    }
   }
 
   /** Top-k per query via nprobe-cell candidate generation + exact
@@ -286,8 +297,12 @@ object IvfIndex {
     * probe's cell filter becomes partition pruning at the scan (only
     * the nprobe directories are listed/read).
     */
-  def save(corpus: DataFrame, centroids: Array[Array[Float]], path: String): Unit =
-    index(corpus, centroids)
+  def save(
+      corpus: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String,
+      metaCols: Seq[String] = Nil): Unit =
+    index(corpus, centroids, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Append a new drop to a [[save]]d layout WITHOUT retraining: the
@@ -301,8 +316,12 @@ object IvfIndex {
     * centroids; the assignment is pure argmin, so until then append
     * and rebuild commute.
     */
-  def appendSaved(batch: DataFrame, centroids: Array[Array[Float]], path: String): Unit =
-    index(batch, centroids)
+  def appendSaved(
+      batch: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String,
+      metaCols: Seq[String] = Nil): Unit =
+    index(batch, centroids, metaCols)
       .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Rewrite an append-accumulated layout to one data file per cell
@@ -318,7 +337,9 @@ object IvfIndex {
     * |queries|, dimension-sized by contract) become an IN-filter on the
     * partition column — PartitionFilters in the scan, pruned file
     * listing — then the same broadcast-probe re-rank as the in-memory
-    * path.
+    * path. `predicate` (over the layout's metaCols) filters candidates
+    * BEFORE the re-rank in the same pruned scan — filtered ANN on the
+    * float layout, [[IvfPq.topKFromSaved]]'s contract.
     */
   def topKFromSaved(
       spark: SparkSession,
@@ -326,10 +347,14 @@ object IvfIndex {
       centroids: Array[Array[Float]],
       queries: DataFrame,  // (vec_id, embedding)
       k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probes = probeFrame(spark, queries, centroids, nprobe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(path).filter(col("cell").isin(cells.map(Int.box): _*))
+    val raw = spark.read.parquet(path)
+    val idx = predicate.fold(raw)(raw.filter)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("cell"), col("vec_id"), col("embedding"))
     rerank(spark, idx, probes, k)
   }
 

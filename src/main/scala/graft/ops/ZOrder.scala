@@ -42,23 +42,43 @@ object ZOrder {
       yCol: String,
       path: String,
       numFiles: Int,
-      bits: Int = 16): Unit = {
+      bits: Int = 16): Unit =
+    write(df, Seq(xCol, yCol), path, numFiles, bits)
+
+  /** N-column form (Delta's OPTIMIZE ZORDER takes any column list):
+    * each key min–max scales to [0, 2^bits) and interleaves via
+    * [[graft.queries.TrainPrep.zInterleaveN]] — column j's bit i at z
+    * position n·i + j, so every key gets equal say in every file
+    * boundary. `bits = 0` auto-sizes to min(16, 63/n). More columns
+    * dilute per-key pruning (each file bounds each key to ~2^(bits −
+    * log₂(files)/n) of its domain) — the standard 2-to-4-column
+    * guidance applies.
+    */
+  def write(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      numFiles: Int,
+      bits: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val r = df.agg(
-      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    val (xLo, xHi, yLo, yHi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val top = (1L << bits) - 1
+    val b = if (bits > 0) bits else math.min(16, 63 / cols.size)
+    val aggCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val top = (1L << b) - 1
     def scaled(c: String, lo: Long, hi: Long): String =
       if (hi == lo) "0" else s"(($c - ${lo}L) * ${top}L) div ${hi - lo}L"
-    df.withColumn("__xs", expr(scaled(xCol, xLo, xHi)))
-      .withColumn("__ys", expr(scaled(yCol, yLo, yHi)))
+    val withScaled = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      d.withColumn(s"__zs$j",
+        expr(scaled(c, stats.getLong(2 * j), stats.getLong(2 * j + 1))))
+    }
+    val scaledNames = cols.indices.map(j => s"__zs$j")
+    withScaled
       .withColumn("__z",
-        expr(graft.queries.TrainPrep.zInterleave("__xs", "__ys", "div", bits)))
+        expr(graft.queries.TrainPrep.zInterleaveN(scaledNames, "div", b)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__xs", "__ys", "__z")
+      .drop(scaledNames :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -220,10 +220,24 @@ object TrainPrep {
     * `bits` to the key domain — ≤31 fits the BIGINT z-value).
     */
   private[graft] def zInterleave(
-      xCol: String, yCol: String, div: String, bits: Int = 16): String = {
+      xCol: String, yCol: String, div: String, bits: Int = 16): String =
+    zInterleaveN(Seq(xCol, yCol), div, bits)
+
+  /** N-column Morton interleave: column j's bit i lands at z position
+    * n·i + j (n = column count) — the 2-column form above is the n = 2
+    * instance, emitted as IDENTICAL expression text (q103's oracle SQL
+    * depends on that). Same input contract per column: values in
+    * [0, 2^bits); n·bits must fit the 63 positive BIGINT bits.
+    */
+  private[graft] def zInterleaveN(
+      cols: Seq[String], div: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = (0 until bits).map(i => s"((($xCol) $div ${1L << i}) % 2) * ${1L << (2 * i)}")
-    val ys = (0 until bits).map(i => s"((($yCol) $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
-    (xs ++ ys).mkString(" + ")
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits overflow the BIGINT z-value")
+    val n = cols.size
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map(i => s"((($c) $div ${1L << i}) % 2) * ${1L << (n * i + j)}")
+    }.mkString(" + ")
   }
 }

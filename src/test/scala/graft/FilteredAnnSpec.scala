@@ -63,4 +63,34 @@ class FilteredAnnSpec extends SparkSuite {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell pruning lost on the filtered scan:\n$plan")
   }
+
+  test("same contract on the float IVF layout (IvfIndex)") {
+    import graft.ops.IvfIndex
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    val cents = IvfIndex.train(all, k = 8, iters = 3, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-filtered").toString
+    IvfIndex.save(all, cents, dir, metaCols = Seq("label"))
+
+    val queries = all.filter($"vec_id" < 5)
+    val pred = col("label") <= 4
+    val k = 10
+    val got = IvfIndex.topKFromSaved(spark, dir, cents, queries,
+      k = k, nprobe = 3, predicate = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val okIds = all.filter(pred).select($"vec_id").as[Long].collect().toSet
+    assert(got.forall { case (_, v) => okIds.contains(v) })
+    val perQ = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == k), s"k did not fill: $perQ")
+    // predicate + cell pruning land on one scan
+    val plan = {
+      val raw = spark.read.parquet(dir)
+      raw.filter(pred).filter($"cell".isin(0, 1))
+        .select($"cell", $"vec_id", $"embedding")
+        .queryExecution.executedPlan.toString
+    }
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined, plan)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+  }
 }

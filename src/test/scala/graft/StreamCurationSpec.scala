@@ -73,4 +73,37 @@ class StreamCurationSpec extends SparkSuite {
     assert(streamed == batch,
       s"single-trigger stream != q100: diff=${(streamed -- batch).map(_._1)} / ${(batch -- streamed).map(_._1)}")
   }
+
+  test("restart from the sink checkpoint: a later drop resumes against persisted state") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val mid = {
+      val ids = docs.select($"doc_id").as[Long].collect().sorted
+      ids(ids.length / 2)
+    }
+    val srcDir = java.nio.file.Files.createTempDirectory("scur-src3").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("scur-state3").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scur-out3").toString + "/data"
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(docs.schema).parquet(srcDir)
+      val q = StreamCuration.start(src, stateDir, outDir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    // first drop, run, STOP the query entirely — then the second drop
+    // lands and a NEW query resumes from the same checkpoint + state
+    docs.filter($"doc_id" <= mid).write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterFirst = rows(spark.read.parquet(outDir)).size
+    docs.filter($"doc_id" > mid).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val streamed = rows(spark.read.parquet(outDir))
+    assert(streamed.size > afterFirst, "second drop produced no survivors")
+    val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
+    assert(streamed == batch,
+      s"restarted stream != q100: diff=${(streamed -- batch).map(_._1)} / ${(batch -- streamed).map(_._1)}")
+  }
 }

@@ -104,4 +104,45 @@ class ZOrderSpec extends SparkSuite {
     // layout is lossless: same rows back
     assert(spark.read.parquet(zDir).count() == li.count())
   }
+
+  test("3-column ZOrder.write: every key's window prunes the written files") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("x"),
+        $"l_suppkey".as("y"), $"l_quantity")
+    val n = 64
+    val dir = java.nio.file.Files.createTempDirectory("zorder3-write").toString + "/t"
+    ZOrder.write(li, Seq("x", "y", "o"), dir, numFiles = n, bits = 0)
+    val files = new java.io.File(dir).listFiles.toSeq
+      .map(_.getPath).filter(_.endsWith(".parquet"))
+    assert(files.size == n, s"expected $n files, got ${files.size}")
+
+    def stats(file: String, c: String): (Long, Long) = {
+      val r = spark.read.parquet(file)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def hits(c: String, lo: Long, hi: Long): Int =
+      files.count { f => val (mn, mx) = stats(f, c); mx >= lo && mn <= hi }
+    def domain(c: String): (Long, Long) = {
+      val r = li.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val hit = Seq("x", "y", "o").map { c =>
+      val (lo, hi) = domain(c)
+      val w = math.max(1L, (hi - lo) / 16)
+      c -> hits(c, lo + 5 * w, lo + 6 * w)
+    }.toMap
+    info(s"files hit of $n per single-key window: $hit")
+    // 64 files over 3 interleaved keys = 2 z-prefix bits per key: each
+    // file bounds each key to ~1/4 of its domain, so a 1/16 window
+    // prunes a substantial fraction of files on EVERY key (measured
+    // 32/23/19 of 64; a single-column sort prunes only its own key —
+    // bound kept at 5/8 to absorb range-partition sampling variance)
+    hit.foreach { case (c, h) =>
+      assert(h <= 5 * n / 8, s"key $c: window hit $h of $n files")
+    }
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
 }
