@@ -61,19 +61,36 @@ object Sql {
   /** timestamp → ISO string, matching DuckDB strftime '%Y-%m-%d %H:%M:%S' */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Normalize an events frame's `ts` to session TimestampType, whatever
+    * physical encoding the parquet file carried. Real corpora arrive in
+    * several layouts, so dispatch on the LOADED schema instead of
+    * hardcoding one:
+    *  - TIMESTAMP(NANOS) read as raw LONG nanos (under the session's
+    *    `nanosAsLong` conf, set in [[table]]) → rebuild via
+    *    `timestamp_micros(ts div 1000)`;
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false read natively as
+    *    TIMESTAMP_NTZ → cast (exact under the UTC session timezone);
+    *  - already TIMESTAMP → pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(_: org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and rebuild the timestamp.
-      // The conf DELIBERATELY stays set for the whole session: it is
-      // consulted at plan-execution time (not here), so a save/restore
-      // would break this very scan when it finally runs. Session-wide
-      // effect: any later nanos-timestamp parquet also reads as LONG —
-      // acceptable because events is the only nanos table in this engine
-      // and the returned frame already rebuilds its `ts`.
+      // A TIMESTAMP(NANOS) column would make Spark's parquet schema
+      // converter throw before we can even look at the schema, so the
+      // conf must be set BEFORE the read; it is a no-op for the other
+      // encodings. It DELIBERATELY stays set for the whole session: it
+      // is consulted at plan-execution time (not here), so a
+      // save/restore would break this very scan when it finally runs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

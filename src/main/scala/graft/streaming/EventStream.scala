@@ -125,21 +125,30 @@ object EventStream {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** File-stream source over the events parquet with `ts` normalized to
+    * TimestampType — the streaming twin of `graft.Sql.table`. The source
+    * schema is whatever the file physically carries (raw LONG nanos under
+    * the legacy layout, TIMESTAMP_NTZ under the current micros layout);
+    * [[graft.Sql.normalizeTs]] dispatches on it identically to batch.
+    */
+  def eventsSource(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream source needs a directory: stream the sf dir with a
+    // glob filter selecting just the events table file
+    graft.Sql.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
+
   /** Drive both streaming queries from the parquet events table through
     * a file-stream source into memory sinks; returns (hourly rows,
     * closed-session rows). Used by StreamingSpec and runnable standalone.
     */
   def runOnce(spark: SparkSession, sfDir: String): (Long, Long) = {
     import spark.implicits._
-    // raw parquet schema (ts as raw nanos long, see graft.Sql.table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // file-stream source needs a directory: stream the sf dir with a
-    // glob filter selecting just the events table file
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = eventsSource(spark, sfDir)
 
     // complete mode: the memory sink holds the full current aggregate,
     // directly comparable to the batch q14 result (append mode would

@@ -31,11 +31,7 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming dedup and stream-static join match batch equivalents") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = EventStream.eventsSource(spark, sf)
 
     val qd = EventStream.dedupEvents(src)
       .writeStream.outputMode("append").format("memory").queryName("deduped").start()
@@ -61,13 +57,9 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming near-dup suppression keeps one doc per band signature") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     // events props stand in for document text (near-identical payloads
     // share JSON boilerplate → identical 200-char-prefix band sigs)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = EventStream.eventsSource(spark, sf)
       .withColumn("text", col("props"))
 
     val q = EventStream.dedupNearDup(src)
@@ -94,7 +86,9 @@ class StreamingSpec extends SparkSuite {
   test("file-sink stream resumes from its checkpoint exactly-once across a restart") {
     import java.nio.file.Files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val all = spark.read.parquet(s"$sf/events.parquet") // ts stays raw LONG
+    // ts stays in its physical encoding (raw LONG nanos or TIMESTAMP_NTZ)
+    // end-to-end: this test checks the sink commit log, not timestamps
+    val all = spark.read.parquet(s"$sf/events.parquet")
     val total = all.count()
     val srcDir = Files.createTempDirectory("stream-src").toString
     val outDir = Files.createTempDirectory("stream-out").toString + "/data"
@@ -129,11 +123,7 @@ class StreamingSpec extends SparkSuite {
 
   test("stream-stream interval join (purchase attribution) matches the batch join") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = EventStream.eventsSource(spark, sf)
 
     val q = EventStream.purchaseAttribution(src)
       .writeStream.outputMode("append").format("memory").queryName("attrib").start()
