@@ -118,12 +118,17 @@ object ConnectedComponents {
     * each representative IS its old component's minimum, so the min
     * over merged representatives/new ids is the true global minimum.
     *
-    * Scale shape: the endpoint translation and the final relabel are
-    * the only touches of corpus-sized frames — both are equi-joins
-    * against BATCH-SIZED broadcastable sides (the relabel delta holds
-    * only clusters the batch actually merged); the CC iteration runs
-    * on the translated batch graph. O(|batch|) per drop, like
-    * [[IvfIndex.appendSaved]].
+    * Scale shape: the corpus-sized labels frame is only ever SCANNED,
+    * never shuffled — every join against it puts a batch-sized frame on
+    * a broadcast side: the endpoint restriction is a broadcast
+    * left-semi (labels filtered scan-side to the batch's endpoints),
+    * the translate joins broadcast the resulting batch-sized rep map,
+    * the re-rooted-cluster delta and the fresh-vertex anti-join work
+    * entirely off that same rep map, and the final relabel broadcasts
+    * the delta into a scan of labels. The CC iteration runs on the
+    * translated batch graph. O(|batch|) shuffled bytes per drop, like
+    * [[IvfIndex.appendSaved]] (CcIncrementalSpec pins the plan: no
+    * shuffle or sort-merge join touches the labels frame).
     *
     * Returns (v, cluster_id) for every previously-labeled vertex plus
     * every batch vertex — row-identical to a from-scratch [[auto]]
@@ -135,36 +140,64 @@ object ConnectedComponents {
       localThreshold: Long = 1000000L): DataFrame = {
     val l = labels.toDF("v", "cluster_id").localCheckpoint()
     val e = symCanonical(batch).localCheckpoint()
-    // translate each endpoint to its representative where one exists
-    // (broadcast side is the batch's endpoints joined against labels —
-    // the join keys are batch-sized; the labels side streams)
-    val ra = l.select(col("v").as("a"), col("cluster_id").as("rep_a"))
-    val rb = l.select(col("v").as("b"), col("cluster_id").as("rep_b"))
-    val translated = e
-      .join(ra, Seq("a"), "left")
-      .join(rb, Seq("b"), "left")
-      .select(
-        coalesce(col("rep_a"), col("a")).as("a"),
-        coalesce(col("rep_b"), col("b")).as("b"))
+    // materialize the batch-sized rep map ONCE (it feeds both translate
+    // joins plus the rep probe below); labels streams through its scan
+    val repMap = batchRepMap(l, e).localCheckpoint()
+    val translated = translateWith(repMap, e)
     // CC over the contracted batch graph: vertices are old
     // representatives and never-labeled ids (the id spaces cannot
     // collide — every cluster_id is itself a labeled vertex)
     val cc = auto(translated, localThreshold).localCheckpoint()
-    val repSet = l.select(col("cluster_id").as("rep")).distinct()
+    // the only representatives that can appear in cc are those of the
+    // batch's labeled endpoints — i.e. repMap's cluster_ids — so the
+    // rep probe is batch-sized (a distinct over repMap, NOT over the
+    // corpus labels)
+    val repSet = repMap.select(col("cluster_id").as("rep")).distinct()
     // old clusters the batch re-rooted → a batch-sized relabel delta
-    val delta = cc.join(repSet, cc("v") === repSet("rep"))
+    val delta = cc.join(broadcast(repSet), cc("v") === repSet("rep"))
       .filter(cc("v") =!= cc("cluster_id"))
       .select(cc("v").as("old_root"), cc("cluster_id").as("new_root"))
     val updatedOld = l
       .join(broadcast(delta), l("cluster_id") === delta("old_root"), "left")
       .select(l("v"), coalesce(col("new_root"), l("cluster_id")).as("cluster_id"))
-    // never-labeled batch vertices take their CC label directly
-    val fresh = cc.join(l.select(col("v")), Seq("v"), "left_anti")
+    // never-labeled batch vertices take their CC label directly: a cc
+    // vertex is labeled iff it is one of repMap's representatives
+    // (cluster_ids are themselves labeled vertices, so an id absent
+    // from labels cannot equal any cluster_id)
+    val fresh = cc
+      .join(broadcast(repSet.select(col("rep").as("v"))), Seq("v"), "left_anti")
       .select(col("v"), col("cluster_id"))
     val result = updatedOld.union(fresh).localCheckpoint()
-    Seq(l, e, cc).foreach(Checkpoints.release)
+    Seq(l, e, cc, repMap).foreach(Checkpoints.release)
     result
   }
+
+  /** Labels restricted to the batch's endpoint set via a broadcast
+    * LEFT-SEMI: the corpus-sized labels frame streams through its scan
+    * (the only shuffle in this plan is the batch-sized endpoint
+    * distinct, and it sits UNDER the broadcast exchange). Output is
+    * batch-sized. Package-private so CcIncrementalSpec can assert the
+    * physical plan.
+    */
+  private[graft] def batchRepMap(l: DataFrame, e: DataFrame): DataFrame = {
+    val endpoints = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v"))).distinct()
+    l.join(broadcast(endpoints), Seq("v"), "left_semi")
+  }
+
+  /** Map each edge endpoint to its representative by broadcasting the
+    * batch-sized rep map twice (once per endpoint). With a materialized
+    * rep map and edge list this plan is shuffle-free. Package-private
+    * for CcIncrementalSpec's plan assertion.
+    */
+  private[graft] def translateWith(repMap: DataFrame, e: DataFrame): DataFrame =
+    e.join(broadcast(repMap.select(col("v").as("a"), col("cluster_id").as("rep_a"))),
+        Seq("a"), "left")
+      .join(broadcast(repMap.select(col("v").as("b"), col("cluster_id").as("rep_b"))),
+        Seq("b"), "left")
+      .select(
+        coalesce(col("rep_a"), col("a")).as("a"),
+        coalesce(col("rep_b"), col("b")).as("b"))
 
   /** (a, b) both directions, self-loops dropped, distinct. */
   private def symCanonical(pairs: DataFrame): DataFrame = {

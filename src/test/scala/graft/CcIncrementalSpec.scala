@@ -57,6 +57,49 @@ class CcIncrementalSpec extends SparkSuite {
     assert(labelSet(ConnectedComponents.updateLabels(labelsDist, batch, localThreshold = 0L)) == rebuilt)
   }
 
+  test("labels frame is never shuffled on the translate path (plan assertion)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.SparkPlan
+
+    // shuffles are only legitimate BELOW a broadcast exchange (the
+    // batch-sized endpoint distinct); anywhere else they would be
+    // shuffling the corpus-sized labels frame
+    def shufflesOutsideBroadcast(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeLike => Nil
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shufflesOutsideBroadcast)
+      case other => other.children.flatMap(shufflesOutsideBroadcast)
+    }
+    def assertBroadcastOnly(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.sparkPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$what: SortMergeJoin would shuffle the labels frame:\n$plan")
+      assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"$what: ShuffledHashJoin would shuffle the labels frame:\n$plan")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$what: expected a broadcast join:\n$plan")
+      assert(shufflesOutsideBroadcast(plan).isEmpty,
+        s"$what: shuffle outside a broadcast subtree:\n$plan")
+    }
+
+    // mirror updateLabels' physical inputs: checkpointed labels + edges
+    val l = (0L until 2000L).map(v => (v, v % 97)).toDF("v", "cluster_id")
+      .localCheckpoint()
+    val e = Seq((1L, 5000L), (97L, 5001L), (5000L, 5002L)).toDF("a", "b")
+      .localCheckpoint()
+    assertBroadcastOnly(ConnectedComponents.batchRepMap(l, e), "batchRepMap")
+    val repMap = ConnectedComponents.batchRepMap(l, e).localCheckpoint()
+    val translated = ConnectedComponents.translateWith(repMap, e)
+    assertBroadcastOnly(translated, "translateWith")
+    assert(translated.queryExecution.sparkPlan
+      .collect { case s: ShuffleExchangeLike => s }.isEmpty,
+      "translate of materialized inputs must be entirely shuffle-free")
+    // and the values still translate correctly through the asserted plan
+    val t = translated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t == Set((1L, 5000L), (0L, 5001L), (5000L, 5002L)))
+  }
+
   test("empty batch is the identity; batch onto empty labels is plain CC") {
     import spark.implicits._
     val oldE = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
