@@ -137,15 +137,27 @@ object Bench {
     // the warm diagnostics travel with the pass that produced the
     // published min, so each published number carries its own counters
     val best = passesByQuery.map { case (n, ps) => (n, ps.minBy(_.sec)) }
+    // a query that failed in ANY pass is excluded from every total and
+    // recorded as null in the per-query maps: its timing is a fail-fast
+    // artifact, and summing it in would let a broken query masquerade
+    // as a fast one (round-8 advice — 7 failing queries deflated the
+    // totals by summing their ~65 ms analysis-error times)
+    val failedSet = failed.toSet
+    def num(n: String, v: Double): String =
+      if (failedSet(n)) "null" else f"$v%.4f"
+    def numL(n: String, v: Long): String = if (failedSet(n)) "null" else v.toString
     def obj(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(k, v) }.mkString("{", ",", "}")
     def objL(m: Seq[(String, Long)]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + numL(k, v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totalWarm = best.map(_._2.sec).sum
-    val totalCold = cold.map(_._2.sec).sum
-    val json =
+    val okBest = best.filterNot(t => failedSet(t._1))
+    val okCold = cold.filterNot(t => failedSet(t._1))
+    val totalWarm = okBest.map(_._2.sec).sum
+    val totalCold = okCold.map(_._2.sec).sum
+    val full =
       s"""{"metric":"total","value":$totalCold,"unit":"sec"""" +
+        s""","n_queries":${bench.size},"n_ok":${okCold.size}""" +
         s""","queries":${obj(cold.map(t => (t._1, t._2.sec)))}""" +
         s""","queries_warm":${obj(best.map(t => (t._1, t._2.sec)))}""" +
         s""","total_warm":$totalWarm""" +
@@ -156,14 +168,30 @@ object Bench {
         s""","jit_ms_warm":${objL(best.map(t => (t._1, t._2.jitMs)))}""" +
         s""","codegen_n_warm":${objL(best.map(t => (t._1, t._2.codegenN)))}""" +
         s""","failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
-    // full artifact on disk — immune to stdout truncation; best-effort
+    // full artifact on disk — the complete per-query maps; best-effort
     // (an unwritable cwd must not fail a bench that already succeeded)
-    try Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), json + "\n")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try Files.writeString(Paths.get(fullPath), full + "\n")
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: $e")
+      System.err.println(s"[bench] could not write $fullPath: $e")
     }
+    // The stdout line of record is captured by the driver as a
+    // 2000-char TAIL, and a 105-query map is ~3 KB alone — a full map
+    // on stdout guarantees the artifact of record truncates mid-JSON
+    // (round-8: BENCH_r08.json parsed:null). So stdout carries a
+    // compact, self-contained line: real totals, the failure list, and
+    // the slowest warm queries; the complete maps live in the on-disk
+    // artifact it names.
+    val slowest = okBest.sortBy(-_._2.sec).take(20)
+    val compact =
+      s"""{"metric":"total","value":${f"$totalCold%.3f"},"unit":"sec"""" +
+        s""","total_warm":${f"$totalWarm%.3f"}""" +
+        s""","n_queries":${bench.size},"n_ok":${okCold.size}""" +
+        s""","queries":${obj(slowest.map(t => (t._1, t._2.sec)))}""" +
+        s""","queries_note":"slowest ${slowest.size} of ${okCold.size} ok queries by warm sec; full per-query maps in $fullPath"""" +
+        s""","failed":$failedJson,"sf":"$sfDir"}"""
+    if (compact.length <= 1900) println(compact)
+    else println(compact.replaceAll(""","queries":\{[^}]*\}""", ""))
     spark.stop()
   }
 }

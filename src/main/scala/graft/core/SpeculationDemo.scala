@@ -82,7 +82,7 @@ object SpeculationDemo {
       val master = fork("org.apache.spark.deploy.master.Master",
         Seq("--host", "127.0.0.1", "--port", port.toString, "--webui-port", "0"), "127.0.0.1")
       procs += master
-      awaitPort(port, 30000)
+      awaitPort(port, 120000)
       require(master.isAlive, "forked master died (see /tmp/specdemo-Master-*.log)")
       val workRoot = java.nio.file.Files.createTempDirectory("specdemo-work").toString
       for (host <- Seq("127.0.0.2", "127.0.0.3"))
@@ -114,6 +114,14 @@ object SpeculationDemo {
           if (e.reason.toString.startsWith("TaskKilled")) killed.incrementAndGet()
       })
       val stragglerMs = StragglerMillis
+      // wait until both workers' executors register: elapsed must time
+      // the RACE, not cluster spin-up (under box load the executor JVMs
+      // can take tens of seconds to come up, which previously billed
+      // the race timer and flaked the elapsed bound)
+      val execDeadline = System.nanoTime() + 120L * 1000000000L
+      while (sc.statusTracker.getExecutorInfos.length < 3 && // driver + 2
+             System.nanoTime() < execDeadline)
+        Thread.sleep(200)
       val t0 = System.nanoTime()
       val sum = sc.parallelize(1 to 16, 16).map { i =>
         // attempt 0 of partition 0 is the straggler; sleep in slices so
@@ -137,8 +145,13 @@ object SpeculationDemo {
           throw new RuntimeException("injected first-attempt failure")
         i.toLong
       }.sum().toLong
-      // let the async bus deliver the final kill/end events
-      Thread.sleep(1000)
+      // let the async bus deliver the final kill/end events — under
+      // box contention delivery can lag well past any fixed sleep, so
+      // poll the counters instead of sleeping a fixed second
+      val evDeadline = System.nanoTime() + 30L * 1000000000L
+      while ((speculative.get() < 1 || killed.get() < 1) &&
+             System.nanoTime() < evDeadline)
+        Thread.sleep(200)
       val result = (speculative.get(), killed.get(), sum, elapsed, retrySum)
       spark.stop()
       result

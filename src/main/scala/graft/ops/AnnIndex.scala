@@ -75,23 +75,38 @@ object AnnIndex {
     Array.tabulate(NumTables * NumBits, dim)((p, d) => planeSign(p, d))
 
   /** One (tbl, bucket) row per table per vector — the index relation.
-    * Input frame: (id, embedding); output adds (tbl, bucket).
+    * Input frame: (id, embedding[, …]); output adds (tbl, bucket).
+    * `metaCols` names input columns to carry into the index rows —
+    * filtered ANN needs the metadata IN the at-rest layout so a
+    * predicate can prune candidates in the probe's own scan (the same
+    * contract as [[IvfPq.index]]).
     */
-  def index(vectors: DataFrame, dim: Int): DataFrame = {
+  def index(vectors: DataFrame, dim: Int, metaCols: Seq[String] = Nil): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val idCol = vectors.columns(0)
     val embCol = vectors.columns(1)
     val planes = planeMatrix(dim)
-    // L·B·dim multiply-adds per vector: spread a single-row-group local
-    // scan across cores before the flatMap (explicit count so AQE can't
-    // coalesce the tiny shuffle back to one partition)
-    vectors.repartition(spark.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol), col(embCol)).as[(Long, Array[Float])]
-      .flatMap { case (id, emb) =>
-        buckets(emb, planes).zipWithIndex.map { case (bk, t) => (id, emb, t.toLong, bk) }
-      }
-      .toDF(idCol, embCol, "tbl", "bucket")
+    if (metaCols.isEmpty) {
+      // L·B·dim multiply-adds per vector: spread a single-row-group local
+      // scan across cores before the flatMap (explicit count so AQE can't
+      // coalesce the tiny shuffle back to one partition)
+      vectors.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+        .select(col(idCol), col(embCol)).as[(Long, Array[Float])]
+        .flatMap { case (id, emb) =>
+          buckets(emb, planes).zipWithIndex.map { case (bk, t) => (id, emb, t.toLong, bk) }
+        }
+        .toDF(idCol, embCol, "tbl", "bucket")
+    } else {
+      // metadata rides along untyped, so the bucket array comes from a
+      // closure-capturing udf + posexplode instead of the typed flatMap
+      // (same plane math, same output values)
+      val bks = udf((emb: Array[Float]) => buckets(emb, planes))
+      vectors.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+        .select(col(idCol) +: col(embCol) +: metaCols.map(col): _*)
+        .select(col("*"), posexplode(bks(col(embCol))).as(Seq("tbl", "bucket")))
+        .withColumn("tbl", col("tbl").cast("long"))
+    }
   }
 
   /** Top-k per query vector: union of per-table bucket probes, then
@@ -123,8 +138,11 @@ object AnnIndex {
       corpus: DataFrame,
       dim: Int,
       tableName: String,
-      numBuckets: Int = 64): Unit =
-    withBucketKey(index(corpus.select(col("vec_id"), col("embedding")), dim))
+      numBuckets: Int = 64,
+      metaCols: Seq[String] = Nil): Unit =
+    withBucketKey(index(
+        corpus.select(col("vec_id") +: col("embedding") +: metaCols.map(col): _*),
+        dim, metaCols))
       .write.mode("overwrite")
       .bucketBy(numBuckets, "bkey").sortBy("bkey")
       .saveAsTable(tableName)
@@ -135,17 +153,37 @@ object AnnIndex {
     * `SelectedBucketsCount: n/numBuckets` file pruning at the scan. A
     * corpus-sized probe batch would instead co-bucket both sides and
     * skip the filter.
+    *
+    * `predicate` (over the layout's metaCols) implements FILTERED ANN
+    * on this layout: it lands in the SAME bucket-pruned scan as
+    * PushedFilters (FilteredAnnSpec), so candidates are pruned before
+    * the cosine re-rank and k fills with MATCHING vectors instead of
+    * post-filtering a generic top-k into under-filled results.
     */
   def topKFromTable(
       spark: SparkSession,
       tableName: String,
       queries: DataFrame,  // (vec_id, embedding)
       k: Int = 10,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val probes = withBucketKey(probeFrame(queries, dim))
     val keys = probes.select("bkey").distinct().collect().map(_.getLong(0))
+    rerank(spark, savedScan(spark, tableName, keys, predicate), probes, k)
+  }
+
+  /** The index-side scan [[topKFromTable]] feeds to [[rerank]] —
+    * factored out so FilteredAnnSpec can assert the exact plan the
+    * probe executes (metadata predicate in PushedFilters beside the
+    * bucket pruning of one scan).
+    */
+  private[graft] def savedScan(
+      spark: SparkSession,
+      tableName: String,
+      keys: Array[Long],
+      predicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     val pruned = spark.table(tableName).filter(col("bkey").isin(keys: _*))
-    rerank(spark, pruned, probes, k)
+    predicate.fold(pruned)(pruned.filter)
   }
 
   /** (qid, qe, tbl, bucket) — the query batch hashed by the same plane

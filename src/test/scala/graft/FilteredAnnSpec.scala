@@ -64,6 +64,58 @@ class FilteredAnnSpec extends SparkSuite {
       s"cell pruning lost on the filtered scan:\n$plan")
   }
 
+  test("same contract on the bucketed sign-LSH layout (AnnIndex)") {
+    import graft.ops.AnnIndex
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding", $"label")
+    AnnIndex.save(all, dim = 64, tableName = "fann_lsh", metaCols = Seq("label"))
+
+    val queries = all.filter($"vec_id" < 5)
+    val pred = col("label") <= 4
+    val k = 10
+    val probed = AnnIndex.topKFromTable(spark, "fann_lsh", queries,
+      k = k, dim = 64, predicate = Some(pred))
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // every result matches the predicate, and k fills per query
+    val okIds = all.filter(pred).select($"vec_id").as[Long].collect().toSet
+    assert(got.forall { case (_, v) => okIds.contains(v) },
+      s"result outside the predicate: ${got.filterNot(t => okIds.contains(t._2))}")
+    val perQ = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.size == 5 && perQ.values.forall(_ == k), s"k did not fill: $perQ")
+
+    // recall vs the exact filtered top-k
+    graft.functions.CosineSim.register(spark)
+    val qs = queries.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val exact = all.filter(pred).crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("sim", expr("cosine_sim(embedding, qe)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)))
+      .filter($"rk" <= k)
+      .select($"qid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"filtered LSH recall@$k = $recall")
+
+    // the predicate reaches the SAME bucket-pruned scan the probe
+    // executes: in the probe's OWN executed plan, the fann_lsh scan
+    // carries label in PushedFilters beside an engaged
+    // SelectedBucketsCount (strictly below the table's bucket count)
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("spark_catalog.default.fann_lsh"))
+      .getOrElse(fail(s"probe does not read the persisted index:\n$plan"))
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(scanLine).isDefined,
+      s"metadata predicate not pushed to the LSH index scan:\n$scanLine")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scanLine)
+      .getOrElse(fail(s"no bucket pruning on the filtered scan:\n$scanLine"))
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"bucket pruning did not engage:\n$scanLine")
+  }
+
   test("same contract on the float IVF layout (IvfIndex)") {
     import graft.ops.IvfIndex
     import spark.implicits._

@@ -22,8 +22,11 @@ class SpeculationSpec extends AnyFunSuite {
     pb.redirectErrorStream(true)
     pb.redirectOutput(new java.io.File("/tmp/speculation-spec.log"))
     val p = pb.start()
-    assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
-      "speculation demo did not finish in 240s (see /tmp/speculation-spec.log)")
+    // generous wall budget: under a contended box, master/worker forks
+    // and executor registration alone can eat minutes — the demo's own
+    // internal timer (elapsed_sec) is what proves the race was fast
+    assert(p.waitFor(480, java.util.concurrent.TimeUnit.SECONDS),
+      "speculation demo did not finish in 480s (see /tmp/speculation-spec.log)")
     assert(p.exitValue() === 0, "demo failed (see /tmp/speculation-spec.log)")
 
     val out = scala.io.Source.fromFile("/tmp/speculation-spec.log").getLines().toSeq
@@ -37,8 +40,10 @@ class SpeculationSpec extends AnyFunSuite {
     assert(fields("retry_sum") === 136.0,
       s"task-retry leg (injected first-attempt failure) did not recover exactly: $json")
     // unraced, the straggler alone sleeps 120 s — the race must finish
-    // in a small fraction of that
-    assert(fields("elapsed_sec") < graft.core.SpeculationDemo.StragglerMillis / 1000.0 / 4,
+    // well under that. Half the sleep (60 s) still separates cleanly
+    // (an unraced run CANNOT beat 120 s) while tolerating a loaded box
+    // slowing the fast tasks and the speculation scan itself.
+    assert(fields("elapsed_sec") < graft.core.SpeculationDemo.StragglerMillis / 1000.0 / 2,
       s"speculation did not shortcut the straggler: $json")
   }
 }
