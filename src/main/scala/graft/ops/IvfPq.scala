@@ -155,9 +155,23 @@ object IvfPq {
       codebookTable: String,
       metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     index(corpus, model, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+    saveModelTables(spark, model, cellsTable, codebookTable)
+    // training-time per-cell population snapshot — the baseline
+    // [[IndexDrift.probe]] compares appended layouts against
+    IndexDrift.snapshotStats(spark, codesPath)
+  }
+
+  /** The kilobyte-sized model tables of a [[save]]d layout — shared by
+    * [[save]] and [[IndexDrift.retrainAndSwap]].
+    */
+  private[graft] def saveModelTables(
+      spark: SparkSession,
+      model: IvfPqModel,
+      cellsTable: String,
+      codebookTable: String): Unit = {
+    import spark.implicits._
     model.cells.indices.map(c => (c, model.cells(c).toSeq))
       .toDF("cell", "vals")
       .write.mode("overwrite").saveAsTable(cellsTable)
@@ -173,7 +187,10 @@ object IvfPq {
     * maintenance contract extended to the compressed production
     * layout (IndexAppendSpec: probe of the appended layout ≡ probe of
     * a from-scratch save of old ∪ new under the same model). The
-    * model tables are untouched; re-train + re-save only on drift.
+    * model tables are untouched; whether the frozen quantizer has
+    * drifted out from under the accumulated corpus is a MEASURED
+    * question — run [[IndexDrift.probe]] on an append cadence and
+    * [[IndexDrift.retrainAndSwap]] when it says so (DriftSpec).
     */
   def appendSaved(
       batch: DataFrame,

@@ -30,16 +30,27 @@ object Layouts {
     */
   def compactPartitioned(spark: SparkSession, path: String, partCol: String): Unit = {
     val tmp = path + "__compact_tmp"
-    val bak = path + "__compact_bak"
     spark.read.parquet(path)
       .repartition(spark.sparkContext.defaultParallelism, col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    publish(spark, path, tmp)
+  }
+
+  /** Staged-rename publish shared by the compactors and
+    * [[IndexDrift.retrainAndSwap]]: replace `path` with the staged
+    * directory `tmp` by two renames (stage the original aside, rename
+    * the staging dir in, delete the original). Atomic per rename on
+    * HDFS/local; same object-store caveat as documented on
+    * [[compactPartitioned]].
+    */
+  def publish(spark: SparkSession, path: String, tmp: String): Unit = {
+    val bak = path + "__compact_bak"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (p, t, b) = (new Path(path), new Path(tmp), new Path(bak))
     if (fs.exists(b)) fs.delete(b, true)
-    require(fs.rename(p, b), s"compact: cannot stage $path aside")
+    require(fs.rename(p, b), s"publish: cannot stage $path aside")
     require(fs.rename(t, p),
-      s"compact: cannot publish $tmp over $path (original preserved at $bak)")
+      s"publish: cannot publish $tmp over $path (original preserved at $bak)")
     fs.delete(b, true)
   }
 
@@ -64,16 +75,9 @@ object Layouts {
   def compactFlat(spark: SparkSession, path: String, numFiles: Int = 0): Unit = {
     val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
     val tmp = path + "__compact_tmp"
-    val bak = path + "__compact_bak"
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (p, t, b) = (new Path(path), new Path(tmp), new Path(bak))
-    if (fs.exists(b)) fs.delete(b, true)
-    require(fs.rename(p, b), s"compact: cannot stage $path aside")
-    require(fs.rename(t, p),
-      s"compact: cannot publish $tmp over $path (original preserved at $bak)")
-    fs.delete(b, true)
+    publish(spark, path, tmp)
   }
 
   /** Data-file count of a flat parquet directory. */
