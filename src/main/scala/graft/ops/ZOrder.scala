@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order write path — the operator that PRODUCES the layout q103
@@ -80,5 +81,86 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop(scaledNames :+ "__z": _*)
       .write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeManifest(fs, new Path(path), dataFiles(fs, new Path(path)))
+  }
+
+  /** Fast-ingest append: new rows land as plain unsorted part files in
+    * the layout directory (no exchange, no sort — the write a streaming
+    * or daily drop actually pays). The appended files' footer stats are
+    * ~global, so they hit every pruning window until [[recluster]]
+    * folds them into a z-ordered generation — the Delta `OPTIMIZE
+    * ZORDER` cadence: ingest cheap, re-cluster on a schedule.
+    */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Re-cluster ONLY the files appended since the last [[write]] /
+    * [[recluster]] (tracked in an underscore-prefixed manifest the
+    * parquet reader ignores): z-order the appended subset into its own
+    * file generation and publish via [[Layouts.publish]]'s staged
+    * rename. Cost is O(appended bytes) + rename-moves of the already-
+    * clustered files — the clustered generations are never re-read or
+    * re-sorted. Each generation's files carry tight per-file min/max
+    * on every clustering key, so scans prune all generations.
+    *
+    * Returns the number of raw files folded in (0 = no-op, nothing
+    * appended). Crash window: a failure between the staging moves and
+    * the publish leaves files split across `path` and the staging dir
+    * — recoverable by completing the moves (the manifests name every
+    * file); an object-store deployment publishes under a NEW path and
+    * flips a pointer instead, exactly as documented on
+    * [[Layouts.compactPartitioned]].
+    */
+  def recluster(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val clustered = readManifest(fs, p)
+    val appended = dataFiles(fs, p).filterNot(clustered.contains)
+    if (appended.isEmpty) return 0
+    val tmp = new Path(path + "__recluster_tmp")
+    fs.delete(tmp, true)
+    // z-order the appended subset into the staging dir (scaling stats
+    // come from the subset itself: footer pruning is on raw values, so
+    // generations need not share a z domain)
+    write(spark.read.parquet(appended.map(n => s"$path/$n"): _*),
+      cols, tmp.toString, numFiles, bits)
+    // the clustered generations move in beside the new one by rename
+    clustered.foreach { n =>
+      require(fs.rename(new Path(p, n), new Path(tmp, n)),
+        s"recluster: cannot stage $n")
+    }
+    writeManifest(fs, tmp, dataFiles(fs, tmp))
+    Layouts.publish(spark, path, tmp.toString)
+    appended.size
+  }
+
+  private val ManifestName = "_zorder_manifest"
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+
+  private def writeManifest(fs: FileSystem, dir: Path, names: Seq[String]): Unit = {
+    val out = fs.create(new Path(dir, ManifestName), true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, dir: Path): Set[String] = {
+    val f = new Path(dir, ManifestName)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
   }
 }

@@ -105,6 +105,61 @@ class ZOrderSpec extends SparkSuite {
     assert(spark.read.parquet(zDir).count() == li.count())
   }
 
+  test("recluster folds appended raw files into a pruned generation") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("x"), $"l_suppkey".as("y"), $"l_quantity")
+    // base layout: 3/4 of the table, z-ordered into 16 files
+    val base = li.filter($"l_orderkey" % 4 =!= 0)
+    val drop = li.filter($"l_orderkey" % 4 === 0)
+    val n = 16
+    val dir = java.nio.file.Files.createTempDirectory("zorder-recluster").toString + "/t"
+    ZOrder.write(base, "x", "y", dir, numFiles = n)
+
+    // fast-ingest append: 4 raw unsorted files whose stats are ~global
+    ZOrder.append(drop.repartition(4), dir)
+
+    def files(): Seq[String] = new java.io.File(dir).listFiles.toSeq
+      .map(_.getPath).filter(_.endsWith(".parquet"))
+    def stats(file: String, c: String): (Long, Long) = {
+      val r = spark.read.parquet(file)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def hits(c: String, lo: Long, hi: Long): Int =
+      files().count { f => val (mn, mx) = stats(f, c); mx >= lo && mn <= hi }
+    val (minX, maxX) = {
+      val r = li.agg(min($"x"), max($"x")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val w = math.max(1L, (maxX - minX) / 16)
+    val (xl, xh) = (minX + 5 * w, minX + 6 * w)
+
+    assert(files().size == n + 4)
+    val beforeHits = hits("x", xl, xh)
+    // every raw appended file spans ~the whole x domain → all 4 hit
+    assert(beforeHits >= 4, s"raw append should degrade pruning: $beforeHits")
+
+    // re-cluster ONLY the appended files into a 4-file generation
+    val folded = ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4)
+    assert(folded == 4, s"expected 4 raw files folded, got $folded")
+    assert(files().size == n + 4, s"file count after recluster: ${files().size}")
+    assert(!new java.io.File(dir + "__recluster_tmp").exists())
+    assert(!new java.io.File(dir + "__compact_bak").exists())
+
+    val afterHits = hits("x", xl, xh)
+    info(s"x-window hits of ${n + 4} files: $beforeHits before, $afterHits after recluster")
+    // the new generation prunes like the base one: at most half of each
+    // generation's files can contain a 1/16 window
+    assert(afterHits <= (n + 4) / 2, s"pruning not restored: $afterHits")
+    assert(afterHits < beforeHits,
+      s"recluster should strictly improve pruning: $beforeHits -> $afterHits")
+
+    // lossless, and a second recluster has nothing to do
+    assert(spark.read.parquet(dir).count() == li.count())
+    assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4) == 0)
+  }
+
   test("3-column ZOrder.write: every key's window prunes the written files") {
     import spark.implicits._
     import graft.ops.ZOrder
