@@ -125,6 +125,59 @@ object IndexDrift {
       reason = if (reasons.isEmpty) "healthy" else reasons.mkString("; "))
   }
 
+  /** [[probe]]'s contract on the float IVF layout ([[IvfIndex.save]]):
+    * the population signal is shared (both layouts are cell-
+    * partitioned), recall probes through [[IvfIndex.topKFromSaved]].
+    * Run [[snapshotStats]] after the save that establishes the
+    * baseline.
+    */
+  def probeIvf(
+      spark: SparkSession,
+      path: String,
+      centroids: Array[Array[Float]],
+      corpus: DataFrame,
+      k: Int = 10,
+      sampleQueries: Int = 8,
+      nprobe: Int = 4,
+      tvMax: Double = 0.25,
+      recallMin: Double = 0.7): DriftReport = {
+    val tv = populationDrift(spark, path)
+    val recall = recallVsExact(spark, corpus, k, sampleQueries,
+      qs => IvfIndex.topKFromSaved(spark, path, centroids, qs, k, nprobe))
+    val trainedCells = spark.read.parquet(statsPath(path)).count().toInt
+    val reasons = Seq(
+      if (tv > tvMax) Some(f"cell population drifted (tv=$tv%.3f > $tvMax%.2f)") else None,
+      if (recall < recallMin) Some(f"sampled recall decayed ($recall%.3f < $recallMin%.2f)") else None
+    ).flatten
+    DriftReport(trainedCells, tv, recall,
+      retrain = reasons.nonEmpty,
+      reason = if (reasons.isEmpty) "healthy" else reasons.mkString("; "))
+  }
+
+  /** [[retrainAndSwap]] for the float layout: fresh [[IvfIndex.train]]
+    * on the current corpus, re-index into a staging dir,
+    * [[Layouts.publish]], refresh the snapshot. Returns the new
+    * centroids (the float layout carries its model in memory / at the
+    * caller's side, not in tables).
+    */
+  def retrainAndSwapIvf(
+      corpus: DataFrame,
+      path: String,
+      kCells: Int,
+      dim: Int,
+      iters: Int,
+      trainSample: Int = 0,
+      metaCols: Seq[String] = Nil): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    val cents = IvfIndex.train(corpus, kCells, iters, dim, trainSample)
+    val tmp = path + "__retrain_tmp"
+    IvfIndex.index(corpus, cents, metaCols)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Layouts.publish(spark, path, tmp)
+    snapshotStats(spark, path)
+    cents
+  }
+
   /** Recall@k of the saved-layout probe against exact brute-force
     * cosine, on a deterministic [[TrainSample]] of `sampleQueries`
     * corpus vectors.
@@ -138,12 +191,25 @@ object IndexDrift {
       k: Int,
       sampleQueries: Int,
       nprobe: Int,
-      shortlist: Int): Double = {
+      shortlist: Int): Double =
+    recallVsExact(spark, corpus, k, sampleQueries,
+      qs => IvfPq.topKFromSaved(spark, codesPath, cellsTable, codebookTable,
+        corpus, qs, k, nprobe, shortlist))
+
+  /** Shared recall harness: `probeFn` maps a query frame to (qid,
+    * vec_id, …) top-k rows; the exact side is one corpus scan with the
+    * query batch broadcast (q25's machinery).
+    */
+  private def recallVsExact(
+      spark: SparkSession,
+      corpus: DataFrame,
+      k: Int,
+      sampleQueries: Int,
+      probeFn: DataFrame => DataFrame): Double = {
     val queries = TrainSample.sample(
       corpus.select(col("vec_id"), col("embedding")), sampleQueries)
       .localCheckpoint()
-    val got = IvfPq.topKFromSaved(spark, codesPath, cellsTable, codebookTable,
-      corpus, queries, k, nprobe, shortlist)
+    val got = probeFn(queries)
       .select(col("qid"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     CosineSim.register(spark)

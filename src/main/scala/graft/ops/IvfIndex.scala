@@ -301,9 +301,12 @@ object IvfIndex {
       corpus: DataFrame,
       centroids: Array[Array[Float]],
       path: String,
-      metaCols: Seq[String] = Nil): Unit =
+      metaCols: Seq[String] = Nil): Unit = {
     index(corpus, centroids, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // training-time per-cell population snapshot for IndexDrift.probeIvf
+    IndexDrift.snapshotStats(corpus.sparkSession, path)
+  }
 
   /** Append a new drop to a [[save]]d layout WITHOUT retraining: the
     * batch is assigned under the same frozen centroids and appended

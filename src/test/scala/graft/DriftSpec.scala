@@ -68,6 +68,39 @@ class DriftSpec extends SparkSuite {
       s"retrain worsened recall: ${flagged.sampledRecall} -> ${after.sampledRecall}")
   }
 
+  test("same cycle on the float IVF layout (probeIvf / retrainAndSwapIvf)") {
+    import spark.implicits._
+    import graft.ops.IvfIndex
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = IvfIndex.train(base, k = 8, iters = 3, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString + "/cells"
+    IvfIndex.save(base, cents, dir)
+
+    val healthy = IndexDrift.probeIvf(spark, dir, cents, base,
+      k = 10, sampleQueries = 8, nprobe = 8)
+    assert(!healthy.retrain && healthy.totalVariation < 0.05, s"$healthy")
+    assert(healthy.sampledRecall >= 0.9, s"float probe is exact in-cell: $healthy")
+
+    val drifted = base.as[(Long, Array[Float])].map { case (id, e) =>
+      (id + 1000000L, Array.tabulate(64) { i =>
+        (if (i < 8) 2.0f else 0.0f) + (if (i < e.length) e(i) else 0f)
+      })
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    IvfIndex.appendSaved(drifted, cents, dir)
+    val merged = base.union(drifted).localCheckpoint()
+
+    val flagged = IndexDrift.probeIvf(spark, dir, cents, merged,
+      k = 10, sampleQueries = 8, nprobe = 8)
+    assert(flagged.retrain && flagged.totalVariation > 0.25, s"$flagged")
+
+    val cents2 = IndexDrift.retrainAndSwapIvf(merged, dir, kCells = 8, dim = 64, iters = 3)
+    val after = IndexDrift.probeIvf(spark, dir, cents2, merged,
+      k = 10, sampleQueries = 8, nprobe = 8)
+    assert(!after.retrain && after.totalVariation < 0.05, s"$after")
+    assert(after.sampledRecall >= 0.9, s"recall not restored: $after")
+  }
+
   test("recall decay alone flags retrain even with balanced cells") {
     import spark.implicits._
     val base = spark.read.parquet(s"$sf/embeddings.parquet")
