@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.ops.IvfIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING index maintenance — [[IvfIndex.appendSaved]] driven by a
+  * stream of embedding micro-batches: the ingest half of a production
+  * vector index (new documents are embedded upstream and must become
+  * searchable within a trigger, not at the next nightly rebuild).
+  *
+  * Shape: `readStream → foreachBatch(appendBatch)`. Each micro-batch
+  * assigns + appends under the FROZEN centroids (cost O(|batch|), the
+  * q74/appendSaved posture); probes of the live layout see every
+  * committed batch with partition pruning intact (IndexAppendSpec's
+  * contract — append ≡ rebuild under the same model).
+  *
+  * Exactly-once: foreachBatch is AT-LEAST-once on restart (the sink
+  * checkpoint replays the last uncommitted trigger), and a blind
+  * append would duplicate the replayed batch's vectors in the layout.
+  * A batch-id commit marker beside the layout
+  * (`path + "__commits"`, the [[graft.ops.IndexDrift.statsPath]]
+  * sidecar convention — NOT inside the directory, so a
+  * [[IvfIndex.compactSaved]] republish cannot drop it) makes replays
+  * no-ops: a batch id at or below the marker returns without writing.
+  * Remaining window: a crash BETWEEN the data append and the marker
+  * write replays one batch's files — reconcile by vec_id dedup at
+  * rebuild, or a transactional table format in production (the same
+  * honest caveat as [[StreamCuration.start]]).
+  *
+  * Maintenance cadence composes with the batch operators unchanged:
+  * [[IvfIndex.compactSaved]] for the small-file tax,
+  * [[graft.ops.IndexDrift.probeIvf]] on a schedule for the frozen
+  * model's drift verdict (StreamIndexSpec runs the full loop).
+  */
+object StreamIndex {
+
+  /** Start maintaining a [[IvfIndex.save]]d layout from a streaming
+    * (vec_id, embedding) frame.
+    */
+  def start(
+      source: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String,
+      checkpoint: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        appendBatch(batch.toDF(), centroids, path, id): Unit
+      }
+      .start()
+
+  /** One micro-batch: append under the frozen centroids unless
+    * `batchId` is already committed. Returns whether data was written
+    * (false = replayed batch skipped, or empty batch).
+    */
+  private[graft] def appendBatch(
+      batch: DataFrame,
+      centroids: Array[Array[Float]],
+      path: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= committedBatch(spark, path)) return false
+    val wrote =
+      if (batch.isEmpty) false
+      else { IvfIndex.appendSaved(batch, centroids, path); true }
+    // the marker advances even for empty batches: a replayed empty
+    // trigger must not block later ids behind a stale marker
+    writeCommitted(spark, path, batchId)
+    wrote
+  }
+
+  private def markerPath(path: String) = new Path(path + "__commits")
+
+  private[graft] def committedBatch(spark: SparkSession, path: String): Long = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeCommitted(spark: SparkSession, path: String, id: Long): Unit = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$id\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+}
