@@ -36,35 +36,55 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIndex {
 
-  /** Start maintaining a [[IvfIndex.save]]d layout from a streaming
-    * (vec_id, embedding) frame.
+  /** Start maintaining a [[IvfIndex.save]]d float layout from a
+    * streaming (vec_id, embedding) frame.
     */
   def start(
       source: DataFrame,
       centroids: Array[Array[Float]],
       path: String,
       checkpoint: String): StreamingQuery =
+    startWith(source, path, checkpoint,
+      b => IvfIndex.appendSaved(b, centroids, path))
+
+  /** Same maintenance loop over the compressed [[graft.ops.IvfPq]]
+    * layout — the frozen model is the IVF-PQ pair, the appends are
+    * residual-encoded codes; marker semantics identical.
+    */
+  def startPq(
+      source: DataFrame,
+      model: graft.ops.IvfPq.IvfPqModel,
+      codesPath: String,
+      checkpoint: String): StreamingQuery =
+    startWith(source, codesPath, checkpoint,
+      b => graft.ops.IvfPq.appendSaved(b, model, codesPath))
+
+  private def startWith(
+      source: DataFrame,
+      path: String,
+      checkpoint: String,
+      append: DataFrame => Unit): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        appendBatch(batch.toDF(), centroids, path, id): Unit
+        appendBatch(batch.toDF(), path, id, append): Unit
       }
       .start()
 
-  /** One micro-batch: append under the frozen centroids unless
-    * `batchId` is already committed. Returns whether data was written
-    * (false = replayed batch skipped, or empty batch).
+  /** One micro-batch: run `append` unless `batchId` is already
+    * committed. Returns whether data was written (false = replayed
+    * batch skipped, or empty batch).
     */
   private[graft] def appendBatch(
       batch: DataFrame,
-      centroids: Array[Array[Float]],
       path: String,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      append: DataFrame => Unit): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= committedBatch(spark, path)) return false
     val wrote =
       if (batch.isEmpty) false
-      else { IvfIndex.appendSaved(batch, centroids, path); true }
+      else { append(batch); true }
     // the marker advances even for empty batches: a replayed empty
     // trigger must not block later ids behind a stale marker
     writeCommitted(spark, path, batchId)

@@ -64,7 +64,8 @@ class StreamIndexSpec extends SparkSuite {
 
     // a replayed batch id is a no-op even with data aboard
     val replay = all.filter($"vec_id" >= 400)
-    assert(!StreamIndex.appendBatch(replay, cents, dir, batchId = 0L),
+    assert(!StreamIndex.appendBatch(replay, dir, batchId = 0L,
+        b => IvfIndex.appendSaved(b, cents, dir)),
       "replayed batch id must be skipped")
     assert(spark.read.parquet(dir).count() == all.count(),
       "replayed batch appended anyway")
@@ -76,5 +77,38 @@ class StreamIndexSpec extends SparkSuite {
     val report = IndexDrift.probeIvf(spark, dir, cents, all,
       k = 10, sampleQueries = 4, nprobe = 8)
     assert(!report.retrain, s"same-distribution stream flagged: $report")
+  }
+
+  test("same maintenance loop on the compressed IVF-PQ layout") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.ops.IvfPq
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = all.filter($"vec_id" < 300)
+    val model = IvfPq.train(base, kCells = 4, m = 8, kSub = 8, dim = 64, iters = 2)
+    val dir = Files.createTempDirectory("stream-ivfpq").toString + "/codes"
+    IvfPq.save(base, model, dir, "si_cells", "si_codebook")
+
+    val srcDir = Files.createTempDirectory("stream-ivfpq-src").toString
+    val ckpt = Files.createTempDirectory("stream-ivfpq-ckpt").toString
+    all.filter($"vec_id" >= 300).write.mode("append").parquet(srcDir)
+    val q = StreamIndex.startPq(
+      spark.readStream.schema(all.schema).parquet(srcDir), model, dir, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.read.parquet(dir).select("vec_id").as[Long].collect()
+    assert(ids.length == all.count() && ids.distinct.length == ids.length)
+    // probe ≡ rebuild under the same model (IndexAppendSpec's contract
+    // through the streaming path)
+    val rebuilt = Files.createTempDirectory("stream-ivfpq-rb").toString + "/codes"
+    IvfPq.save(all, model, rebuilt, "si_cells_rb", "si_codebook_rb")
+    val queries = all.filter($"vec_id" < 5)
+    def probe(d: String, ct: String, cb: String) =
+      IvfPq.topKFromSaved(spark, d, ct, cb, all, queries, k = 10)
+        .select($"qid", $"vec_id", $"rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dir, "si_cells", "si_codebook") ==
+      probe(rebuilt, "si_cells_rb", "si_codebook_rb"))
   }
 }
