@@ -54,6 +54,28 @@ object Layouts {
     fs.delete(b, true)
   }
 
+  /** Repair a partitionBy layout that holds replayed duplicates — the
+    * reconcile path for [[graft.streaming.StreamIndex]]'s documented
+    * crash window (a failure between a batch's data append and its
+    * commit-marker write leaves that batch's rows twice). One row per
+    * `idCol` survives (duplicates are bit-identical by construction:
+    * same frozen model → same cell/code), rewritten one file per
+    * partition directory and published by the same staged rename as
+    * [[compactPartitioned]] — a reconcile is also a compact. Returns
+    * the number of duplicate rows dropped.
+    */
+  def dedupPartitioned(
+      spark: SparkSession, path: String, partCol: String, idCol: String): Long = {
+    val before = spark.read.parquet(path).count()
+    val tmp = path + "__compact_tmp"
+    spark.read.parquet(path)
+      .dropDuplicates(idCol)
+      .repartition(spark.sparkContext.defaultParallelism, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    publish(spark, path, tmp)
+    before - spark.read.parquet(path).count()
+  }
+
   /** Data-file count per partition directory — the bound
     * IndexAppendSpec asserts after a compact.
     */

@@ -25,9 +25,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[IvfIndex.compactSaved]] republish cannot drop it) makes replays
   * no-ops: a batch id at or below the marker returns without writing.
   * Remaining window: a crash BETWEEN the data append and the marker
-  * write replays one batch's files — reconcile by vec_id dedup at
-  * rebuild, or a transactional table format in production (the same
-  * honest caveat as [[StreamCuration.start]]).
+  * write replays one batch's files — run
+  * [[graft.ops.Layouts.dedupPartitioned]] to reconcile (one row per
+  * vec_id survives; duplicates are bit-identical under the frozen
+  * model), or use a transactional table format in production (the
+  * same honest caveat as [[StreamCuration.start]]).
   *
   * Maintenance cadence composes with the batch operators unchanged:
   * [[IvfIndex.compactSaved]] for the small-file tax,

@@ -79,6 +79,38 @@ class StreamIndexSpec extends SparkSuite {
     assert(!report.retrain, s"same-distribution stream flagged: $report")
   }
 
+  test("crash-window duplicates reconcile via Layouts.dedupPartitioned") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.ops.Layouts
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = all.filter($"vec_id" < 400)
+    val drop = all.filter($"vec_id" >= 400)
+    val cents = IvfIndex.train(base, k = 8, iters = 3, dim = 64)
+    val dir = Files.createTempDirectory("stream-ivf-crash").toString + "/cells"
+    IvfIndex.save(base, cents, dir)
+    // simulate the documented crash window: the batch's data landed but
+    // its marker write did not, so the restarted trigger appends again
+    IvfIndex.appendSaved(drop, cents, dir)
+    IvfIndex.appendSaved(drop, cents, dir)
+    assert(spark.read.parquet(dir).count() == all.count() + drop.count(),
+      "fixture must actually contain the replayed batch twice")
+
+    val removed = Layouts.dedupPartitioned(spark, dir, "cell", "vec_id")
+    assert(removed == drop.count(), s"expected ${drop.count()} dropped, got $removed")
+    val ids = spark.read.parquet(dir).select("vec_id").as[Long].collect()
+    assert(ids.length == all.count() && ids.distinct.length == ids.length)
+
+    // reconciled layout probes exactly like a clean rebuild, with one
+    // file per cell (a reconcile is also a compact)
+    val rebuilt = Files.createTempDirectory("stream-ivf-crash-rb").toString + "/cells"
+    IvfIndex.save(all, cents, rebuilt)
+    val queries = all.filter($"vec_id" < 5)
+    assert(topKSet(dir, cents, queries) == topKSet(rebuilt, cents, queries))
+    assert(Layouts.dataFilesPerPartition(spark, dir, "cell").values.forall(_ == 1))
+  }
+
   test("same maintenance loop on the compressed IVF-PQ layout") {
     import spark.implicits._
     import java.nio.file.Files
