@@ -25,6 +25,40 @@ object Selection {
   /** BM25 query terms (fixed, from the corpus vocabulary). */
   private val bm25Terms = Seq("spark", "window", "table")
 
+  /** q106's frozen merge ladder (the shipped-tokenizer artifact),
+    * applied in order; later merges build on earlier ones ('t'+'h' →
+    * 'th', then 'th'+'e' → 'the'). Every merge RESULT must fit the
+    * 3-char fixed-width symbol encoding below.
+    */
+  private[queries] val bpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "s" -> "t")
+
+  /** Fixed-width symbol id: '|' + the symbol right-padded to 3 with
+    * '_' (symbols are [a-z ]+ here, so '_' cannot collide). Fixed
+    * width is what makes a plain replace() chain EXACT BPE apply: '|'
+    * occurs only at symbol starts and every symbol occupies exactly 4
+    * chars, so a two-symbol pattern can only match two WHOLE adjacent
+    * symbols (no prefix/suffix aliasing with longer symbols — the
+    * '|s|t'-inside-'|s|th' hazard of delimiter-only encodings), the
+    * pattern carries no trailing context so adjacent merges chain in
+    * one pass, and replace()'s left-to-right non-overlapping scan IS
+    * BPE's greedy pairing (BpeSpec pins all of this against a
+    * symbol-list reference).
+    */
+  private[queries] def bpeSym(s: String): String = {
+    require(s.length <= 3, s"symbol '$s' exceeds the fixed width")
+    "|" + s.padTo(3, '_')
+  }
+
+  /** The replace() chain applying [[bpeMerges]] over `e` — shared
+    * verbatim by the Spark plan and the DuckDB oracle.
+    */
+  private[queries] def bpeApplySql(e: String): String =
+    bpeMerges.foldLeft(e) { case (acc, (a, b)) =>
+      s"replace($acc, '${bpeSym(a)}${bpeSym(b)}', '${bpeSym(a + b)}')"
+    }
+
   /** Portable 60-bit hash: both engines read the first 15 hex chars of
     * md5 as an integer (the q86 idiom) — Spark side.
     */
@@ -491,6 +525,48 @@ object Selection {
         graft.ops.BpeTrain.train(wf, rounds = 8)
       },
       None),
+
+    // --------------------------------------------------------------- q106
+    // BPE tokenizer APPLY — the other half of q97: a production
+    // pipeline trains merges once (a frozen tokenizer artifact) and
+    // then applies them to every document at scan scale to measure
+    // token counts (cost estimation, packing, length filtering). The
+    // merge ladder here is a FIXED literal (exactly how a pretrained
+    // tokenizer ships; q97's trained ladder stays rows-only by
+    // design), applied in order with all-occurrences left-to-right
+    // replacement — exact BPE apply via the fixed-width symbol
+    // encoding documented on [[bpeSym]]. The rewrite is a per-row
+    // codegen'd expression chain: the whole query is scan → project,
+    // no shuffle at all, and the identical SQL string runs in DuckDB.
+    Q(
+      "q106_bpe_apply",
+      (s, dir) => {
+        import s.implicits._
+        Llm.docsSpread(s, dir)
+          .withColumn("__pre",
+            expr("regexp_replace(lower(substring(text, 1, 64)), '[^a-z ]', '')"))
+          .withColumn("__sym", expr("regexp_replace(__pre, '(.)', '|$1__')"))
+          .withColumn("__tok", expr(bpeApplySql("__sym")))
+          .select($"doc_id",
+            expr("CAST(length(__pre) AS BIGINT)").as("n_chars"),
+            expr("CAST(length(__tok) - length(replace(__tok, '|', '')) AS BIGINT)")
+              .as("n_tokens"),
+            expr("substring(replace(__tok, '_', ''), 1, 40)").as("tok_prefix"))
+      },
+      Some(s"""
+        WITH sym AS (
+          SELECT doc_id,
+            regexp_replace(lower(substring(text, 1, 64)), '[^a-z ]', '', 'g') AS __pre,
+            regexp_replace(regexp_replace(lower(substring(text, 1, 64)),
+              '[^a-z ]', '', 'g'), '(.)', '|\\1__', 'g') AS __sym
+          FROM documents)
+        SELECT doc_id,
+          CAST(length(__pre) AS BIGINT) AS n_chars,
+          CAST(length(${bpeApplySql("__sym")})
+            - length(replace(${bpeApplySql("__sym")}, '|', '')) AS BIGINT)
+            AS n_tokens,
+          substring(replace(${bpeApplySql("__sym")}, '_', ''), 1, 40) AS tok_prefix
+        FROM sym""")),
 
     // ---------------------------------------------------------------- q98
     // Table profiling — the ANALYZE-style data-quality pass a pipeline

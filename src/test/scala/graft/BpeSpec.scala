@@ -180,4 +180,39 @@ class BpeSpec extends SparkSuite {
     // 8 merges on a 31-word vocab must bite hard on total symbol count
     assert(after.toDouble / before < 0.9, s"ratio=${after.toDouble / before}")
   }
+
+  test("q106's fixed-width replace chain is exact BPE apply") {
+    // reference: symbol-list BPE apply — each merge rewrites ALL
+    // left-to-right non-overlapping (a,b) adjacencies, in ladder order
+    def ref(text: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(text.map(_.toString).toList) { case (syms, (a, b)) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList
+      }
+    def sym(s: String) = "|" + s.padTo(3, '_')
+    val merges = Seq(
+      "t" -> "h", "th" -> "e", "a" -> "a", "s" -> "t", "st" -> "h")
+    // adjacency chains ("ththth"), repeats (odd/even runs), the
+    // prefix-aliasing hazard that breaks delimiter-only encodings
+    // ("sth": after t+h→th, the later s+t rule must NOT match the 't'
+    // prefix inside the 'th' symbol), and ladder build-up ("the")
+    val fixtures = Seq(
+      "ththth", "aaaa", "aaa", "aaaaaa", "sth", "the then ", "xsthx", "tsth")
+    val applied = merges.foldLeft("s") { case (e, (a, b)) =>
+      s"replace($e, '${sym(a)}${sym(b)}', '${sym(a + b)}')"
+    }
+    fixtures.foreach { f =>
+      val enc = f.map(c => sym(c.toString)).mkString
+      val got = spark.sql(s"SELECT $applied FROM (SELECT '$enc' AS s)")
+        .head().getString(0).split('|').filter(_.nonEmpty)
+        .map(_.replace("_", "")).toList
+      assert(got == ref(f, merges), s"'$f': $got != ${ref(f, merges)}")
+    }
+  }
 }
