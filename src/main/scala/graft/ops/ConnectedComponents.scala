@@ -138,7 +138,18 @@ object ConnectedComponents {
       labels: DataFrame,
       batch: DataFrame,
       localThreshold: Long = 1000000L): DataFrame = {
-    val l = labels.toDF("v", "cluster_id").localCheckpoint()
+    // labels is scanned twice (endpoint semi-filter + final relabel).
+    // If it is already a materialized/at-rest frame (checkpoint RDD,
+    // local rows, parquet table — possibly under projections), caching
+    // a corpus-sized COPY to save one re-scan is exactly backwards at
+    // 100 TB: the two scans are pruned columnar reads, the cache is a
+    // full-table materialization. Only checkpoint a labels frame with
+    // real compute in its lineage (e.g. a fresh CC run piped straight
+    // in).
+    val cheapLabels = isRescanCheap(labels)
+    val l =
+      if (cheapLabels) labels.toDF("v", "cluster_id")
+      else labels.toDF("v", "cluster_id").localCheckpoint()
     val e = symCanonical(batch).localCheckpoint()
     // materialize the batch-sized rep map ONCE (it feeds both translate
     // joins plus the rep probe below); labels streams through its scan
@@ -168,8 +179,27 @@ object ConnectedComponents {
       .join(broadcast(repSet.select(col("rep").as("v"))), Seq("v"), "left_anti")
       .select(col("v"), col("cluster_id"))
     val result = updatedOld.union(fresh).localCheckpoint()
-    Seq(l, e, cc, repMap).foreach(Checkpoints.release)
+    (if (cheapLabels) Seq(e, cc, repMap) else Seq(l, e, cc, repMap))
+      .foreach(Checkpoints.release)
     result
+  }
+
+  /** A frame whose re-scan costs no recompute: leaf data (checkpoint
+    * RDD, local rows, file/table relation) under any chain of pure
+    * column-level ops (project/filter/alias). Anything with a join,
+    * aggregate, or other multi-child/blocking node in the lineage
+    * re-executes on each consumer and is worth materializing.
+    */
+  private[graft] def isRescanCheap(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def cheap(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case u: UnaryNode =>
+        (u.isInstanceOf[Project] || u.isInstanceOf[Filter] ||
+          u.isInstanceOf[SubqueryAlias]) && cheap(u.child)
+      case _ => false
+    }
+    cheap(df.queryExecution.analyzed)
   }
 
   /** Labels restricted to the batch's endpoint set via a broadcast

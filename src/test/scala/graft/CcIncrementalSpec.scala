@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.ConnectedComponents
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.min
 
 /** ConnectedComponents.updateLabels — incremental cluster maintenance:
   * folding a batch of new pair edges into persisted labels must be
@@ -98,6 +99,34 @@ class CcIncrementalSpec extends SparkSuite {
     // and the values still translate correctly through the asserted plan
     val t = translated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(t == Set((1L, 5000L), (0L, 5001L), (5000L, 5002L)))
+  }
+
+  test("labels materialization is plan-aware (scan-cheap frames are not cached)") {
+    import spark.implicits._
+    // leaf / projection chains re-scan for free → no corpus-sized cache
+    val local = Seq((1L, 1L)).toDF("v", "cluster_id")
+    assert(ConnectedComponents.isRescanCheap(local))
+    assert(ConnectedComponents.isRescanCheap(
+      local.filter($"v" > 0).select($"v", $"cluster_id")))
+    val parquetDir = java.nio.file.Files.createTempDirectory("cc-labels").toString
+    local.write.parquet(s"$parquetDir/t")
+    assert(ConnectedComponents.isRescanCheap(spark.read.parquet(s"$parquetDir/t")))
+    // real compute in the lineage re-executes per consumer → cache it
+    assert(!ConnectedComponents.isRescanCheap(
+      local.groupBy($"v").agg(min($"cluster_id").as("cluster_id"))))
+    assert(!ConnectedComponents.isRescanCheap(
+      local.join(local.select($"v"), Seq("v"))))
+
+    // and the checkpoint branch still produces rebuild-identical labels
+    // when the labels frame arrives with compute in its lineage
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val batch = Seq((3L, 10L), (20L, 21L)).toDF("a", "b")
+    val computedLabels = ConnectedComponents.auto(oldE)
+      .union(Seq.empty[(Long, Long)].toDF("v", "cluster_id"))
+      .groupBy($"v").agg(min($"cluster_id").as("cluster_id"))
+    assert(!ConnectedComponents.isRescanCheap(computedLabels))
+    assert(labelSet(ConnectedComponents.updateLabels(computedLabels, batch)) ==
+      labelSet(ConnectedComponents.auto(oldE.union(batch))))
   }
 
   test("empty batch is the identity; batch onto empty labels is plain CC") {
