@@ -51,20 +51,45 @@ class EventsTsSpec extends SparkSuite {
     val base = java.nio.file.Files.createTempDirectory("events-enc").toString
     val micros = Seq(1700000000000000L, 1700003600000000L, 1700007200999999L)
 
+    // fixtures mirror the testdata's shape: events.parquet is a single
+    // FILE (the streaming source's pathGlobFilter matches leaf file
+    // names, so a directory named events.parquet would stream empty)
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      val staging = s"$dir/__staging"
+      df.coalesce(1).write.parquet(staging)
+      val part = new java.io.File(staging).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
     // legacy layout: ts physically INT64 nanos (what nanosAsLong yields)
     val nanosDir = s"$base/nanos"
-    micros.map(us => (us * 1000L, 1L)).toDF("ts", "event_id")
-      .write.parquet(s"$nanosDir/events.parquet")
+    writeSingleFile(
+      micros.map(us => (us * 1000L, 1L)).toDF("ts", "event_id"), nanosDir)
     // current layout: ts physically timestamp (micros)
     val tsDir = s"$base/micros"
-    micros.map(us => (us, 2L)).toDF("us", "event_id")
-      .select(timestamp_micros(col("us")).as("ts"), col("event_id"))
-      .write.parquet(s"$tsDir/events.parquet")
+    writeSingleFile(
+      micros.map(us => (us, 2L)).toDF("us", "event_id")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_id")), tsDir)
 
     def instants(dir: String): Seq[Long] =
       Sql.table(spark, dir, "events")
         .select(unix_micros(col("ts")).as("us")).as[Long].collect().toSeq.sorted
     assert(instants(nanosDir) === micros)
     assert(instants(tsDir) === micros)
+
+    // the STREAMING source normalizes identically on both layouts
+    def streamed(dir: String): Seq[Long] = {
+      val q = graft.streaming.EventStream.eventsSource(spark, dir)
+        .select(unix_micros(col("ts")).as("us"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ts_enc").start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.sql("SELECT us FROM ts_enc").as[Long].collect().toSeq.sorted
+      spark.catalog.dropTempView("ts_enc")
+      out
+    }
+    assert(streamed(nanosDir) === micros)
+    assert(streamed(tsDir) === micros)
   }
 }
