@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.queries.Mining
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental batch-vs-corpus ExactSubstr dedup — q102's winnowed
+  * substring statistic in the daily-drop posture ([[Lsh.saveBands]] /
+  * [[ConnectedComponents.updateLabels]]'s counterpart for substring-
+  * level duplication): persist the corpus's winnowed fingerprints
+  * ONCE, then score each new batch against corpus ∪ batch without
+  * ever re-reading corpus text.
+  *
+  * State: a flat parquet dir of (fp, ndocs) partial counts (one
+  * append per drop — sum per fp at read; [[Layouts.compactFlat]] on
+  * the usual schedule), plus a sidecar recording the FROZEN pos
+  * ladder rung and running max-grams. Freezing the rung is what makes
+  * increments comparable: q102 sizes its packed (hash, pos) BIGINT
+  * from the corpus max document length, and a batch fingerprinted
+  * under a different rung hashes differently. A batch that would
+  * widen the rung fails loudly — rebuild the state, exactly like
+  * re-training a drifted ANN model ([[IndexDrift]]).
+  *
+  * Probe scale shape: the corpus-sized state is only ever SCANNED —
+  * the batch's fingerprint set broadcasts into a left-semi that
+  * restricts state scan-side, the per-fp sum then runs on a
+  * batch-sized frame, and the scoring join is batch × batch.
+  * O(|batch| · grams) fingerprint work + one state scan per drop.
+  *
+  * Equivalence contract (WinnowStateSpec): probe(batch) is row-
+  * identical to [[Mining.winnowDupCoverage]] over corpus ∪ batch
+  * restricted to the batch's documents, as long as the rung holds —
+  * the `require` enforces exactly the condition under which the
+  * full run would pick the same rung.
+  */
+object WinnowState {
+
+  final case class Ladder(hashHex: Int, posMod: Long, maxGrams: Long)
+
+  /** Build the state from the current corpus: winnow under the rung
+    * the corpus itself sizes, store per-fp distinct-doc counts.
+    */
+  def save(docs: DataFrame, dir: String, w: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val maxGrams = Mining.maxGramsOf(docs)
+    val (hashHex, posMod) = Mining.posLadder(maxGrams)
+    Mining.selectedFingerprints(docs, w, hashHex, posMod)
+      .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+    writeLadder(spark, dir, Ladder(hashHex, posMod, maxGrams))
+  }
+
+  /** Score a batch against corpus ∪ batch and, when `commit`, fold the
+    * batch's fingerprints into the state (decisions first, append
+    * after — a batch never double-counts against itself). Output is
+    * q102's exact schema (doc_id, n_fp, n_dup, dup_frac), batch rows
+    * only.
+    */
+  def probe(
+      batch: DataFrame,
+      dir: String,
+      w: Int = 8,
+      commit: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val ladder = readLadder(spark, dir)
+    val batchMax = Mining.maxGramsOf(batch)
+    require(
+      Mining.posLadder(math.max(batchMax, ladder.maxGrams)) ==
+        ((ladder.hashHex, ladder.posMod)),
+      s"batch of $batchMax grams widens the pos ladder beyond the state's " +
+        s"frozen rung (posMod=${ladder.posMod}) — rebuild the state with " +
+        "WinnowState.save over the full corpus")
+    val sel = Mining
+      .selectedFingerprints(batch, w, ladder.hashHex, ladder.posMod)
+      .localCheckpoint()
+    val batchNd = sel.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("bdocs"))
+    // corpus-side counts for exactly the batch's fingerprints: the
+    // state streams through its scan, the probe set broadcasts
+    val stateNd = relevantState(spark, dir, sel.select(col("fp")).distinct())
+      .groupBy(col("fp")).agg(sum(col("ndocs")).as("cdocs"))
+    val totals = batchNd.join(stateNd, Seq("fp"), "left")
+      .select(col("fp"),
+        (col("bdocs") + coalesce(col("cdocs"), lit(0L))).as("ndocs"))
+    val out = sel.join(totals, "fp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_fp"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_fp"))
+      .localCheckpoint()
+    if (commit) {
+      batchNd.select(col("fp"), col("bdocs").as("ndocs"))
+        .write.mode("append").parquet(s"$dir/fps")
+      if (batchMax > ladder.maxGrams)
+        writeLadder(spark, dir, ladder.copy(maxGrams = batchMax))
+    }
+    Checkpoints.release(sel)
+    out
+  }
+
+  /** The state rows for the probed fingerprints — broadcast left-semi,
+    * corpus state never shuffles. Package-private for the spec's plan
+    * assertion.
+    */
+  private[graft] def relevantState(
+      spark: SparkSession, dir: String, probeFps: DataFrame): DataFrame =
+    spark.read.parquet(s"$dir/fps")
+      .join(broadcast(probeFps), Seq("fp"), "left_semi")
+
+  private def ladderPath(dir: String) = new Path(s"$dir/_ladder")
+
+  private def writeLadder(spark: SparkSession, dir: String, l: Ladder): Unit = {
+    val p = ladderPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"${l.hashHex} ${l.posMod} ${l.maxGrams}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readLadder(spark: SparkSession, dir: String): Ladder = {
+    val p = ladderPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no winnow state at $dir — run WinnowState.save first")
+    val in = fs.open(p)
+    val parts =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split(' ')
+      finally in.close()
+    Ladder(parts(0).toInt, parts(1).toLong, parts(2).toLong)
+  }
+}

@@ -471,7 +471,65 @@ object Mining {
           CAST(count(*) AS BIGINT) AS n_fp,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
-        FROM f JOIN c USING (fp) GROUP BY doc_id"""))
+        FROM f JOIN c USING (fp) GROUP BY doc_id""")),
+
+    // --------------------------------------------------------------- q107
+    // INCREMENTAL ExactSubstr — q102's winnowed statistic in the
+    // daily-drop posture (ops.WinnowState): the corpus's fingerprints
+    // persist once as (fp, ndocs) state under a frozen pos-ladder
+    // rung; a batch winnows only ITS text and probes the state with
+    // its fingerprint set broadcast (state scanned, never shuffled).
+    // The oracle is the FULL q102 computation over corpus ∪ batch
+    // restricted to batch documents — i.e. the query asserts
+    // increment ≡ full recompute end-to-end, hash-checked. The 2/3
+    // vs 1/3 split is arbitrary by design: any split must match.
+    Q(
+      "q107_incremental_winnow",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir).select($"doc_id", $"text".as("t"))
+        val corpus = docs.filter($"doc_id" % 3 =!= 0)
+        val batch = docs.filter($"doc_id" % 3 === 0)
+        val state = java.nio.file.Files
+          .createTempDirectory("winnow-state").toString
+        graft.ops.WinnowState.save(corpus, state, w = 8)
+        graft.ops.WinnowState.probe(batch, state, w = 8, commit = false)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, text AS t FROM documents WHERE length(text) >= 20),
+        g AS MATERIALIZED (
+          SELECT doc_id, t, length(t) - 19 AS n_grams,
+            unnest(generate_series(1, length(t) - 19)) AS pos
+          FROM t),
+        pb AS MATERIALIZED (
+          SELECT CASE WHEN max(n_grams) <= 65535 THEN 11
+                      WHEN max(n_grams) <= 16777215 THEN 9
+                      ELSE 7 END AS hh,
+                 CASE WHEN max(n_grams) <= 65535 THEN CAST(65536 AS BIGINT)
+                      WHEN max(n_grams) <= 16777215 THEN CAST(16777216 AS BIGINT)
+                      ELSE CAST(4294967296 AS BIGINT) END AS posmod
+          FROM g),
+        gh AS (
+          SELECT doc_id, pos, n_grams,
+            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, hh)) AS UBIGINT) AS BIGINT) * posmod + pos AS m
+          FROM g, pb),
+        w AS (
+          SELECT doc_id, pos, n_grams,
+            min(m) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+          FROM gh),
+        sel AS (
+          SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n_grams - 7),
+        f AS (SELECT doc_id, wmin // posmod AS fp FROM sel, pb),
+        c AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY fp)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_fp,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
+        FROM f JOIN c USING (fp)
+        WHERE doc_id % 3 = 0
+        GROUP BY doc_id"""))
   )
 
   /** Winnowed duplicate-coverage engine behind q102 (and, at w = 1,
@@ -498,14 +556,44 @@ object Mining {
   private[graft] def winnowDupCoverage(docs: org.apache.spark.sql.DataFrame, w: Int): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val filtered = docs.filter(length($"t") >= 20)
-    val maxGrams = {
-      val r = filtered.agg(max(length($"t") - 19)).head()
-      if (r.isNullAt(0)) 0L else r.getInt(0).toLong
-    }
+    val (hashHex, posMod) = posLadder(maxGramsOf(docs))
+    val sel = selectedFingerprints(docs, w, hashHex, posMod)
+    val nd = sel.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
+    sel.join(nd, "fp")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_fp"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_fp")
+  }
+
+  /** Max gram count over the corpus — the one cheap scan that sizes
+    * the pos ladder; fails loudly past the 32-bit rung.
+    */
+  private[graft] def maxGramsOf(docs: org.apache.spark.sql.DataFrame): Long = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val r = docs.filter(length($"t") >= 20).agg(max(length($"t") - 19)).head()
+    val maxGrams = if (r.isNullAt(0)) 0L else r.getInt(0).toLong
     require(maxGrams <= 4294967295L,
       s"document of $maxGrams grams exceeds the 32-bit pos ladder (4 GB of text in ONE document)")
-    val (hashHex, posMod) = posLadder(maxGrams)
+    maxGrams
+  }
+
+  /** The per-document DISTINCT winnowed fingerprint set (doc_id, fp)
+    * under an EXPLICIT ladder rung — the shared engine of [[q102]]'s
+    * full-corpus statistic and `ops.WinnowState`'s incremental
+    * batch-vs-corpus probe (which must fingerprint a batch under the
+    * corpus state's FROZEN rung to stay comparable).
+    */
+  private[graft] def selectedFingerprints(
+      docs: org.apache.spark.sql.DataFrame,
+      w: Int,
+      hashHex: Int,
+      posMod: Long): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val filtered = docs.filter(length($"t") >= 20)
     val grams = filtered
       .select($"doc_id", (length($"t") - 19).cast("long").as("n_grams"),
         explode(expr(
@@ -514,17 +602,10 @@ object Mining {
       .select($"doc_id", $"n_grams", $"g.pos".as("pos"), $"g.m".as("m"))
     val win = Window.partitionBy($"doc_id").orderBy($"pos".asc)
       .rowsBetween(Window.currentRow, w - 1)
-    val sel = grams.withColumn("wmin", min($"m").over(win))
+    grams.withColumn("wmin", min($"m").over(win))
       .filter($"pos" <= $"n_grams" - (w - 1))
       .select($"doc_id", $"wmin").distinct()
       .select($"doc_id", expr(s"wmin div ${posMod}L").as("fp"))
-    val nd = sel.groupBy($"fp").agg(countDistinct($"doc_id").as("ndocs"))
-    sel.join(nd, "fp")
-      .groupBy($"doc_id")
-      .agg(
-        count(lit(1)).cast("long").as("n_fp"),
-        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
-      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_fp")
   }
 
   /** (md5 hex chars, pos modulus) for the packed window-min BIGINT,
