@@ -81,6 +81,11 @@ object IndexDrift {
     * distribution and the training-time snapshot.
     */
   private[graft] def populationDrift(spark: SparkSession, codesPath: String): Double = {
+    val sp = new org.apache.hadoop.fs.Path(statsPath(codesPath))
+    require(
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp),
+      s"no training-time cell snapshot at ${statsPath(codesPath)} — the layout " +
+        "predates drift monitoring; run IndexDrift.snapshotStats to baseline it")
     val trained = spark.read.parquet(statsPath(codesPath))
       .select(col("cell"), col("n").as("n0"))
     val now = cellCounts(spark, codesPath)

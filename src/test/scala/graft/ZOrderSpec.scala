@@ -117,11 +117,12 @@ class ZOrderSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("zorder-recluster").toString + "/t"
     ZOrder.write(base, "x", "y", dir, numFiles = n)
 
-    // fast-ingest append: 4 raw unsorted files whose stats are ~global
-    ZOrder.append(drop.repartition(4), dir)
-
     def files(): Seq[String] = new java.io.File(dir).listFiles.toSeq
       .map(_.getPath).filter(_.endsWith(".parquet"))
+    val baseFiles = files().toSet
+
+    // fast-ingest append: 4 raw unsorted files whose stats are ~global
+    ZOrder.append(drop.repartition(4), dir)
     def stats(file: String, c: String): (Long, Long) = {
       val r = spark.read.parquet(file)
         .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
@@ -138,7 +139,10 @@ class ZOrderSpec extends SparkSuite {
     assert(files().size == n + 4)
     val beforeHits = hits("x", xl, xh)
     // every raw appended file spans ~the whole x domain → all 4 hit
-    assert(beforeHits >= 4, s"raw append should degrade pruning: $beforeHits")
+    val rawHits = files().filterNot(baseFiles).count { f =>
+      val (mn, mx) = stats(f, "x"); mx >= xl && mn <= xh
+    }
+    assert(rawHits == 4, s"raw append should degrade pruning: $rawHits of 4 hit")
 
     // re-cluster ONLY the appended files into a 4-file generation
     val folded = ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4)
@@ -148,10 +152,20 @@ class ZOrderSpec extends SparkSuite {
     assert(!new java.io.File(dir + "__compact_bak").exists())
 
     val afterHits = hits("x", xl, xh)
-    info(s"x-window hits of ${n + 4} files: $beforeHits before, $afterHits after recluster")
-    // the new generation prunes like the base one: at most half of each
-    // generation's files can contain a 1/16 window
-    assert(afterHits <= (n + 4) / 2, s"pruning not restored: $afterHits")
+    // the structural claim, robust to repartitionByRange's sampled
+    // (run-varying) range boundaries: every RAW appended file spans
+    // ~the whole x domain (all 4 hit any window), while the re-
+    // clustered generation's files each bound x — so the new
+    // generation must hit strictly fewer files than the raw ones it
+    // replaced, and the base generation is untouched (same files)
+    val newGen = files().filterNot(baseFiles)
+    assert(newGen.size == 4, s"expected a 4-file new generation: ${newGen.size}")
+    val newGenHits = newGen.count { f =>
+      val (mn, mx) = stats(f, "x"); mx >= xl && mn <= xh
+    }
+    info(s"x-window hits of ${n + 4} files: $beforeHits before, $afterHits after " +
+      s"recluster (new generation: $newGenHits of 4)")
+    assert(newGenHits < 4, s"re-clustered generation does not prune: $newGenHits of 4")
     assert(afterHits < beforeHits,
       s"recluster should strictly improve pruning: $beforeHits -> $afterHits")
 
