@@ -32,6 +32,15 @@ import org.apache.spark.sql.SparkSession
   * no-arg invocation is unchanged.
   */
 object Bench {
+
+  /** Locale.ROOT number formatting: the default-locale f-interpolator
+    * renders 1.2345 as "1,2345" under comma-decimal locales (de_DE,
+    * fr_FR, …) — invalid JSON in the one artifact whose whole job is
+    * to parse (BenchFormatSpec pins this).
+    */
+  private[graft] def fmt(v: Double, pattern: String): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,7 +153,7 @@ object Bench {
     // totals by summing their ~65 ms analysis-error times)
     val failedSet = failed.toSet
     def num(n: String, v: Double): String =
-      if (failedSet(n)) "null" else f"$v%.4f"
+      if (failedSet(n)) "null" else fmt(v, "%.4f")
     def numL(n: String, v: Long): String = if (failedSet(n)) "null" else v.toString
     def obj(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + num(k, v) }.mkString("{", ",", "}")
@@ -184,8 +193,8 @@ object Bench {
     // artifact it names.
     val slowest = okBest.sortBy(-_._2.sec).take(20)
     val compact =
-      s"""{"metric":"total","value":${f"$totalCold%.3f"},"unit":"sec"""" +
-        s""","total_warm":${f"$totalWarm%.3f"}""" +
+      s"""{"metric":"total","value":${fmt(totalCold, "%.3f")},"unit":"sec"""" +
+        s""","total_warm":${fmt(totalWarm, "%.3f")}""" +
         s""","n_queries":${bench.size},"n_ok":${okCold.size}""" +
         s""","queries":${obj(slowest.map(t => (t._1, t._2.sec)))}""" +
         s""","queries_note":"slowest ${slowest.size} of ${okCold.size} ok queries by warm sec; full per-query maps in $fullPath"""" +

@@ -77,10 +77,11 @@ object IndexDrift {
       .coalesce(1) // one row per cell — a kilobyte table
       .write.mode("overwrite").parquet(statsPath(codesPath))
 
-  /** Total-variation distance between the layout's current cell-share
-    * distribution and the training-time snapshot.
+  /** (total-variation distance between the layout's current cell-share
+    * distribution and the training-time snapshot, trained cell count).
     */
-  private[graft] def populationDrift(spark: SparkSession, codesPath: String): Double = {
+  private[graft] def populationDrift(
+      spark: SparkSession, codesPath: String): (Double, Int) = {
     val sp = new org.apache.hadoop.fs.Path(statsPath(codesPath))
     require(
       sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp),
@@ -94,8 +95,26 @@ object IndexDrift {
       .select(coalesce(col("n0"), lit(0L)), coalesce(col("n"), lit(0L)))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val (t0, t1) = (joined.map(_._1).sum.toDouble, joined.map(_._2).sum.toDouble)
-    if (t0 == 0 || t1 == 0) 1.0
-    else joined.map { case (a, b) => math.abs(a / t0 - b / t1) }.sum / 2.0
+    val tv =
+      if (t0 == 0 || t1 == 0) 1.0
+      else joined.map { case (a, b) => math.abs(a / t0 - b / t1) }.sum / 2.0
+    (tv, joined.count(_._1 > 0))
+  }
+
+  /** The shared verdict assembly of [[probe]] and [[probeIvf]] — one
+    * place for thresholds and reason wording, so the layouts' verdicts
+    * cannot drift apart.
+    */
+  private def report(
+      trainedCells: Int, tv: Double, recall: Double,
+      tvMax: Double, recallMin: Double): DriftReport = {
+    val reasons = Seq(
+      if (tv > tvMax) Some(f"cell population drifted (tv=$tv%.3f > $tvMax%.2f)") else None,
+      if (recall < recallMin) Some(f"sampled recall decayed ($recall%.3f < $recallMin%.2f)") else None
+    ).flatten
+    DriftReport(trainedCells, tv, recall,
+      retrain = reasons.nonEmpty,
+      reason = if (reasons.isEmpty) "healthy" else reasons.mkString("; "))
   }
 
   /** Measure drift of a [[IvfPq.save]]d (and since-appended) layout.
@@ -116,18 +135,11 @@ object IndexDrift {
       shortlist: Int = 100,
       tvMax: Double = 0.25,
       recallMin: Double = 0.7): DriftReport = {
-    val tv = populationDrift(spark, codesPath)
+    val (tv, trainedCells) = populationDrift(spark, codesPath)
     val recall =
       sampledRecall(spark, codesPath, cellsTable, codebookTable, corpus,
         k, sampleQueries, nprobe, shortlist)
-    val trainedCells = spark.read.parquet(statsPath(codesPath)).count().toInt
-    val reasons = Seq(
-      if (tv > tvMax) Some(f"cell population drifted (tv=$tv%.3f > $tvMax%.2f)") else None,
-      if (recall < recallMin) Some(f"sampled recall decayed ($recall%.3f < $recallMin%.2f)") else None
-    ).flatten
-    DriftReport(trainedCells, tv, recall,
-      retrain = reasons.nonEmpty,
-      reason = if (reasons.isEmpty) "healthy" else reasons.mkString("; "))
+    report(trainedCells, tv, recall, tvMax, recallMin)
   }
 
   /** [[probe]]'s contract on the float IVF layout ([[IvfIndex.save]]):
@@ -146,24 +158,20 @@ object IndexDrift {
       nprobe: Int = 4,
       tvMax: Double = 0.25,
       recallMin: Double = 0.7): DriftReport = {
-    val tv = populationDrift(spark, path)
+    val (tv, trainedCells) = populationDrift(spark, path)
     val recall = recallVsExact(spark, corpus, k, sampleQueries,
       qs => IvfIndex.topKFromSaved(spark, path, centroids, qs, k, nprobe))
-    val trainedCells = spark.read.parquet(statsPath(path)).count().toInt
-    val reasons = Seq(
-      if (tv > tvMax) Some(f"cell population drifted (tv=$tv%.3f > $tvMax%.2f)") else None,
-      if (recall < recallMin) Some(f"sampled recall decayed ($recall%.3f < $recallMin%.2f)") else None
-    ).flatten
-    DriftReport(trainedCells, tv, recall,
-      retrain = reasons.nonEmpty,
-      reason = if (reasons.isEmpty) "healthy" else reasons.mkString("; "))
+    report(trainedCells, tv, recall, tvMax, recallMin)
   }
 
   /** [[retrainAndSwap]] for the float layout: fresh [[IvfIndex.train]]
     * on the current corpus, re-index into a staging dir,
     * [[Layouts.publish]], refresh the snapshot. Returns the new
     * centroids (the float layout carries its model in memory / at the
-    * caller's side, not in tables).
+    * caller's side, not in tables) — probe with the RETURNED centroids
+    * from here on; old centroids against the republished layout mix
+    * model generations exactly like [[retrainAndSwap]]'s documented
+    * window.
     */
   def retrainAndSwapIvf(
       corpus: DataFrame,
@@ -233,11 +241,24 @@ object IndexDrift {
     if (exact.isEmpty) 1.0 else got.count(exact.contains).toDouble / exact.size
   }
 
-  /** Retrain on the current corpus and atomically swap the layout in:
-    * fresh [[IvfPq.train]], re-encode into `codesPath + "__retrain_tmp"`,
-    * [[Layouts.publish]] staged-rename over the live directory,
-    * overwrite the model tables, refresh the stats snapshot. Returns
+  /** Retrain on the current corpus and swap the layout in: fresh
+    * [[IvfPq.train]], re-encode into `codesPath + "__retrain_tmp"`,
+    * overwrite the model tables, then [[Layouts.publish]] staged-rename
+    * over the live directory and refresh the stats snapshot. Returns
     * the new model.
+    *
+    * Consistency: model tables and the code directory cannot flip in
+    * ONE atomic step, so a probe racing the swap can pair new model
+    * with old codes (or vice versa) and rank garbage for that instant.
+    * The tables are written BEFORE the directory publish because the
+    * publish is two renames (~ms) while table overwrites are the slow
+    * half — the mixed window is the rename, not the table writes.
+    * After a crash anywhere in the swap, RE-RUNNING retrainAndSwap
+    * heals: training is deterministic, so the rebuilt model matches
+    * whichever half already flipped. Deployments that cannot tolerate
+    * the instant should quiesce probes around the swap (or publish
+    * model+codes under a NEW path pair and flip a pointer — the
+    * [[Layouts.compactPartitioned]] object-store posture).
     */
   def retrainAndSwap(
       corpus: DataFrame,
@@ -256,8 +277,8 @@ object IndexDrift {
     val tmp = codesPath + "__retrain_tmp"
     IvfPq.index(corpus, model, metaCols)
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    Layouts.publish(spark, codesPath, tmp)
     IvfPq.saveModelTables(spark, model, cellsTable, codebookTable)
+    Layouts.publish(spark, codesPath, tmp)
     snapshotStats(spark, codesPath)
     model
   }

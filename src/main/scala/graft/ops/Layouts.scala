@@ -107,4 +107,29 @@ object Layouts {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Atomically (re)write a tiny text sidecar (commit markers, ladder
+    * rungs, file manifests): write to a sibling temp file, then rename
+    * over the target. A plain `fs.create(p, overwrite = true)`
+    * truncates BEFORE writing, so a crash mid-write would leave an
+    * empty/torn sidecar that wedges the next reader — rename makes the
+    * swap all-or-nothing on HDFS/local (usual object-store caveat).
+    */
+  def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"sidecar publish failed: $tmp -> $p")
+  }
+
+  /** Read a [[writeSidecar]]-maintained text sidecar; None if absent. */
+  def readSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
 }

@@ -114,19 +114,16 @@ object WinnowState {
   private def writeLadder(spark: SparkSession, dir: String, l: Ladder): Unit = {
     val p = ladderPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"${l.hashHex} ${l.posMod} ${l.maxGrams}\n".getBytes("UTF-8"))
-    finally out.close()
+    Layouts.writeSidecar(fs, p, s"${l.hashHex} ${l.posMod} ${l.maxGrams}\n")
   }
 
   private[graft] def readLadder(spark: SparkSession, dir: String): Ladder = {
     val p = ladderPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no winnow state at $dir — run WinnowState.save first")
-    val in = fs.open(p)
-    val parts =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.split(' ')
-      finally in.close()
+    val parts = Layouts.readSidecar(fs, p).getOrElse(
+      throw new IllegalArgumentException(
+        s"no winnow state at $dir — run WinnowState.save first"))
+      .trim.split(' ')
     Ladder(parts(0).toInt, parts(1).toLong, parts(2).toLong)
   }
 }

@@ -66,6 +66,16 @@ object ZOrder {
     val aggCols = cols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+    if (stats.isNullAt(0)) {
+      // zero input rows (an empty drop re-clustered, say): there is
+      // nothing to scale or sort — write the empty frame + manifest
+      // instead of NPE-ing on the null min/max stats
+      df.write.mode("overwrite").parquet(path)
+      val spark0 = df.sparkSession
+      val fs0 = new Path(path).getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      writeManifest(fs0, new Path(path), dataFiles(fs0, new Path(path)))
+      return
+    }
     val top = (1L << b) - 1
     def scaled(c: String, lo: Long, hi: Long): String =
       if (hi == lo) "0" else s"(($c - ${lo}L) * ${top}L) div ${hi - lo}L"
@@ -106,11 +116,15 @@ object ZOrder {
     * on every clustering key, so scans prune all generations.
     *
     * Returns the number of raw files folded in (0 = no-op, nothing
-    * appended). Crash window: a failure between the staging moves and
-    * the publish leaves files split across `path` and the staging dir
-    * — recoverable by completing the moves (the manifests name every
-    * file); an object-store deployment publishes under a NEW path and
-    * flips a pointer instead, exactly as documented on
+    * appended). Crash-safe: the staging dir's own manifest is the
+    * commit point of the new generation's write, so a re-run after a
+    * crash RESUMES instead of destroying staged state — a staging dir
+    * WITHOUT a manifest means the z-write itself died (no clustered
+    * file has moved yet; discard and redo), one WITH a manifest means
+    * the write completed (finish moving the clustered generations in
+    * and publish; the rewrite of appended data is skipped). An
+    * object-store deployment publishes under a NEW path and flips a
+    * pointer instead, exactly as documented on
     * [[Layouts.compactPartitioned]].
     */
   def recluster(
@@ -121,25 +135,45 @@ object ZOrder {
       bits: Int = 16): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__recluster_tmp")
+    val srcSidecar = new Path(tmp, SourcesName)
     val clustered = readManifest(fs, p)
     val appended = dataFiles(fs, p).filterNot(clustered.contains)
-    if (appended.isEmpty) return 0
-    val tmp = new Path(path + "__recluster_tmp")
-    fs.delete(tmp, true)
-    // z-order the appended subset into the staging dir (scaling stats
-    // come from the subset itself: footer pruning is on raw values, so
-    // generations need not share a z domain)
-    write(spark.read.parquet(appended.map(n => s"$path/$n"): _*),
-      cols, tmp.toString, numFiles, bits)
-    // the clustered generations move in beside the new one by rename
-    clustered.foreach { n =>
+    // the sources sidecar is the resume point: it is written only after
+    // the staged z-write (data + manifest) fully completed, and the
+    // clustered-generation moves only start after it exists — so its
+    // absence proves nothing has left the live layout yet
+    val staged = Layouts.readSidecar(fs, srcSidecar)
+      .map(_.linesIterator.filter(_.nonEmpty).toSeq)
+    val sources: Seq[String] = staged.getOrElse {
+      if (appended.isEmpty) return 0
+      fs.delete(tmp, true) // at most a crashed, never-referenced z-write
+      // z-order the appended subset into the staging dir (scaling
+      // stats come from the subset itself: footer pruning is on raw
+      // values, so generations need not share a z domain)
+      write(spark.read.parquet(appended.map(n => s"$path/$n"): _*),
+        cols, tmp.toString, numFiles, bits)
+      Layouts.writeSidecar(fs, srcSidecar, appended.mkString("\n") + "\n")
+      appended
+    }
+    // raw files appended AFTER the staged write began (possible when
+    // resuming a crashed run) were not folded into this generation:
+    // carry them through un-clustered so the publish cannot drop their
+    // data — they stay out of the manifest and re-cluster next time
+    val carry = appended.filterNot(sources.toSet)
+    // the clustered generations (and carried raw files) move in beside
+    // the new generation by rename (on resume: only those a previous
+    // crash left behind)
+    (clustered.filter(n => fs.exists(new Path(p, n))) ++ carry).foreach { n =>
       require(fs.rename(new Path(p, n), new Path(tmp, n)),
         s"recluster: cannot stage $n")
     }
-    writeManifest(fs, tmp, dataFiles(fs, tmp))
+    writeManifest(fs, tmp, dataFiles(fs, tmp).filterNot(carry.toSet))
     Layouts.publish(spark, path, tmp.toString)
-    appended.size
+    sources.size
   }
+
+  private val SourcesName = "_zorder_sources"
 
   private val ManifestName = "_zorder_manifest"
 

@@ -98,19 +98,17 @@ object StreamIndex {
   private[graft] def committedBatch(spark: SparkSession, path: String): Long = {
     val p = markerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    graft.ops.Layouts.readSidecar(fs, p).map(_.trim.toLong).getOrElse(-1L)
   }
 
+  // atomic temp+rename (Layouts.writeSidecar): the marker is the
+  // replay guard, so a torn in-place overwrite would wedge every
+  // subsequent trigger behind a NumberFormatException — or worse,
+  // invite a manual delete that resets committed to -1 and lets the
+  // replayed batch double-append
   private def writeCommitted(spark: SparkSession, path: String, id: Long): Unit = {
     val p = markerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$id\n".getBytes("UTF-8"))
-    finally out.close()
+    graft.ops.Layouts.writeSidecar(fs, p, s"$id\n")
   }
 }

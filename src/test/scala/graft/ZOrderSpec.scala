@@ -174,6 +174,64 @@ class ZOrderSpec extends SparkSuite {
     assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4) == 0)
   }
 
+  test("recluster resumes a crashed run without losing staged or late-appended data") {
+    import spark.implicits._
+    import graft.ops.{Layouts, ZOrder}
+    import org.apache.hadoop.fs.Path
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("x"), $"l_suppkey".as("y"), $"l_quantity")
+    val base = li.filter($"l_orderkey" % 4 === 1)
+    val drop = li.filter($"l_orderkey" % 4 === 2)
+    val late = li.filter($"l_orderkey" % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("zorder-crash").toString + "/t"
+    ZOrder.write(base, "x", "y", dir, numFiles = 8)
+    def files(): Seq[java.io.File] = new java.io.File(dir).listFiles.toSeq
+      .filter(_.getName.endsWith(".parquet"))
+    val baseFiles = files().map(_.getName).toSet
+    ZOrder.append(drop.repartition(2), dir)
+    val rawNames = files().map(_.getName).filterNot(baseFiles)
+
+    // stage exactly what a crashed recluster leaves behind: completed
+    // z-write of the raw subset + sources sidecar, HALF the clustered
+    // generation already moved, publish never reached
+    val tmp = dir + "__recluster_tmp"
+    ZOrder.write(spark.read.parquet(rawNames.map(n => s"$dir/$n"): _*),
+      Seq("x", "y"), tmp, numFiles = 2, bits = 16)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layouts.writeSidecar(fs, new Path(tmp, "_zorder_sources"),
+      rawNames.mkString("\n") + "\n")
+    baseFiles.toSeq.sorted.take(baseFiles.size / 2).foreach { n =>
+      assert(fs.rename(new Path(dir, n), new Path(tmp, n)))
+    }
+    // ... and between the crash and the retry, ANOTHER raw drop lands
+    ZOrder.append(late.repartition(1), dir)
+
+    // the retry resumes: the staged generation survives, the late
+    // append is carried through un-clustered, nothing is lost
+    val folded = ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 2)
+    assert(folded == rawNames.size, s"resume folded $folded of ${rawNames.size}")
+    assert(!new java.io.File(tmp).exists())
+    val total = base.count() + drop.count() + late.count()
+    assert(spark.read.parquet(dir).count() == total, "rows lost across the resume")
+    // the carried late file re-clusters on the NEXT cadence, then done
+    assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 1) == 1)
+    assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 1) == 0)
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
+  test("an appended empty drop re-clusters without error") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("x"), $"l_suppkey".as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder-empty").toString + "/t"
+    ZOrder.write(li, "x", "y", dir, numFiles = 4)
+    ZOrder.append(li.filter($"x" < 0).repartition(1), dir) // zero rows
+    assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 1) == 1)
+    assert(spark.read.parquet(dir).count() == li.count())
+    assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 1) == 0)
+  }
+
   test("3-column ZOrder.write: every key's window prunes the written files") {
     import spark.implicits._
     import graft.ops.ZOrder
