@@ -529,8 +529,158 @@ object Mining {
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
         FROM f JOIN c USING (fp)
         WHERE doc_id % 3 = 0
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // --------------------------------------------------------------- q108
+    // ExactSubstr span REMOVAL (Lee et al. 2022's actual pipeline
+    // step — q86/q91/q102 MEASURE duplication; this query produces the
+    // deduplicated corpus): every 20-char gram position whose gram
+    // occurs in ≥ 2 documents is excised from every document EXCEPT
+    // the gram's canonical owner (min doc_id — the q20/q85 keep-
+    // lowest-id discipline, the deterministic analogue of Lee et al.'s
+    // "keep the first occurrence in concatenation order"). Overlapping
+    // removal positions merge into maximal spans (gaps-and-islands:
+    // one running-max window + one running-sum window over ONLY the
+    // duplicated positions), the kept complement segments are cut with
+    // lag() + a tail row, and the cleaned text is the ordered
+    // concatenation of the kept segments. The q86 200-char prefix
+    // domain keeps the oracle cheap; the removal tail is detector-
+    // independent — feed it q102's winnowed rm-positions for the
+    // full-document form.
+    //
+    // Scale shape: the gram stream shuffles once on gh through the
+    // q86 shared exchange (ReusedExchange: the ndocs/owner agg and
+    // the join back read the same 24-byte rows, text never moves past
+    // the explode); everything after the ndocs≥2 filter is sized by
+    // the DUPLICATED mass only — windows partition by doc_id with
+    // per-doc state bounded by doc length; the one text-bearing join
+    // (segments → substring) is hash-equi on doc_id against the scan.
+    // Invariant pinned by SpanRemovalSpec: clean_len + rm_chars =
+    // length(t200) — the spans are disjoint and in-bounds by
+    // construction.
+    Q(
+      "q108_exactsubstr_removal",
+      (s, dir) => removeDupSpans(Llm.docPrefix(Llm.docsSpread(s, dir), 1)),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 200) AS t200 FROM documents
+          WHERE length(substr(text, 1, 200)) >= 1),
+        g AS (
+          SELECT doc_id, CAST(s.i AS BIGINT) AS p,
+            CAST(CAST(concat('0x', substr(md5(substr(t200, s.i, 20)), 1, 15)) AS UBIGINT) AS BIGINT) AS gh
+          FROM t CROSS JOIN generate_series(1, 181) s(i)
+          WHERE s.i <= length(t200) - 19),
+        c AS (
+          SELECT gh, count(DISTINCT doc_id) AS ndocs, min(doc_id) AS owner
+          FROM g GROUP BY gh),
+        rm AS (
+          SELECT doc_id, p FROM g JOIN c USING (gh)
+          WHERE ndocs >= 2 AND doc_id <> owner),
+        isl AS (
+          SELECT doc_id, p,
+            CASE WHEN max(p + 19) OVER w IS NULL
+                   OR p > max(p + 19) OVER w + 1
+                 THEN 1 ELSE 0 END AS ni
+          FROM rm
+          WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        iv AS (
+          SELECT doc_id, island, min(p) AS rs, max(p) + 19 AS re
+          FROM (
+            SELECT doc_id, p,
+              sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM isl)
+          GROUP BY doc_id, island),
+        seg AS (
+          SELECT doc_id,
+            coalesce(lag(re) OVER (PARTITION BY doc_id ORDER BY rs), 0) + 1 AS ks,
+            rs - 1 AS ke
+          FROM iv
+          UNION ALL
+          SELECT doc_id, max(re) + 1 AS ks, CAST(2000000000 AS BIGINT) AS ke
+          FROM iv GROUP BY doc_id),
+        segtext AS (
+          SELECT s.doc_id, s.ks,
+            substr(t200, CAST(s.ks AS INT),
+              CAST(greatest(least(s.ke, CAST(length(t200) AS BIGINT)) - s.ks + 1, 0) AS INT)) AS seg
+          FROM seg s JOIN t USING (doc_id)),
+        cleaned AS (
+          SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS ct
+          FROM segtext GROUP BY doc_id),
+        stats AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(re - rs + 1) AS BIGINT) AS rm_chars
+          FROM iv GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+          CAST(coalesce(rm_chars, 0) AS BIGINT) AS rm_chars,
+          coalesce(ct, t200) AS clean_text,
+          CAST(length(coalesce(ct, t200)) AS BIGINT) AS clean_len
+        FROM t LEFT JOIN cleaned USING (doc_id) LEFT JOIN stats USING (doc_id)"""))
   )
+
+  /** Span-removal engine behind q108. Input: (doc_id, t200). Excises
+    * every maximal character span covered by cross-document duplicated
+    * 20-grams from every document except each gram's canonical owner
+    * (min doc_id), and reconstructs the cleaned text from the kept
+    * complement segments. Output: (doc_id, n_spans, rm_chars,
+    * clean_text, clean_len) for EVERY input document (no-removal docs
+    * pass through). Disjointness + in-bounds of the merged spans give
+    * the invariant clean_len + rm_chars = length(t200) (pinned by
+    * SpanRemovalSpec).
+    */
+  private[graft] def removeDupSpans(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val grams = base.filter(length($"t200") >= 20)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(t200)-19), i -> struct(" +
+          "CAST(i AS BIGINT) AS p, " +
+          "CAST(conv(substr(md5(substring(t200, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
+      .select($"doc_id", $"g.p".as("p"), $"g.gh".as("gh"))
+      .repartition(s.sparkContext.defaultParallelism, $"gh")
+    val nd = grams.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("ndocs"), min($"doc_id").as("owner"))
+    val rm = grams.join(nd, "gh")
+      .filter($"ndocs" >= 2 && $"doc_id" =!= $"owner")
+      .select($"doc_id", $"p")
+    val byP = Window.partitionBy($"doc_id").orderBy($"p".asc)
+    val prevEnd = max($"p" + 19)
+      .over(byP.rowsBetween(Window.unboundedPreceding, -1))
+    val iv = rm
+      .withColumn("ni",
+        when(prevEnd.isNull || $"p" > prevEnd + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"ni").over(byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"p").as("rs"), (max($"p") + 19).as("re"))
+    val byRs = Window.partitionBy($"doc_id").orderBy($"rs".asc)
+    val segs = iv.select($"doc_id",
+        (coalesce(lag($"re", 1).over(byRs), lit(0L)) + 1).as("ks"),
+        ($"rs" - 1).as("ke"))
+      .unionByName(iv.groupBy($"doc_id")
+        .agg((max($"re") + 1).as("ks"))
+        // tail runs to end-of-text; clamped against length below
+        .withColumn("ke", lit(2000000000L)))
+    val cleaned = segs.join(base, "doc_id")
+      .select($"doc_id", $"ks", expr(
+        "substring(t200, CAST(ks AS INT), " +
+          "CAST(greatest(least(ke, CAST(length(t200) AS BIGINT)) - ks + 1, 0) AS INT))").as("seg"))
+      .groupBy($"doc_id")
+      .agg(expr(
+        "concat_ws('', transform(array_sort(collect_list(struct(ks, seg))), x -> x.seg))").as("ct"))
+    val stats = iv.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum($"re" - $"rs" + 1).cast("long").as("rm_chars"))
+    base.join(cleaned, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"rm_chars", lit(0L)).as("rm_chars"),
+        coalesce($"ct", $"t200").as("clean_text"),
+        length(coalesce($"ct", $"t200")).cast("long").as("clean_len"))
+  }
 
   /** Winnowed duplicate-coverage engine behind q102 (and, at w = 1,
     * exactly q86's statistic — WinnowDupSpec pins the equivalence).
