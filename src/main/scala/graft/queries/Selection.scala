@@ -729,6 +729,94 @@ object Selection {
         SELECT vec_id, cell, code0, code1, code2, code3, adc, exact,
           CAST(row_number() OVER (ORDER BY exact, vec_id) AS BIGINT) AS rank
         FROM probe"""
-      })
+      }),
+
+    // --------------------------------------------------------------- q109
+    // Hashed linear quality classifier (the fastText-style filter of
+    // DCLM / CCNet / the LLaMA pipeline: a linear model over hashed
+    // bag-of-words features scores every document, the margin gates
+    // the corpus). The 'en' slice stands in for the reference corpus
+    // (the q93 convention); training is one pass of per-bucket class
+    // counts over B = 256 md5 feature buckets, the model is add-one-
+    // smoothed bucket positivity in EXACT ppm integers — w_b =
+    // ((cp_b + 1)·10⁶) div (c_b + 2) — and a document's margin is
+    // Σ w_{b(tok)} − n_tok·prior_ppm, all BIGINT (no ln/exp: a
+    // monotone transform of naive-Bayes evidence, cross-engine exact;
+    // sigmoid calibration would be presentation only). score is the
+    // margin's ONE exact division by n_tok; sel = margin > 0 is the
+    // gate bit.
+    //
+    // Scale shape: ONE (bh) token shuffle trains the 256-row model
+    // (map-side combined); the model broadcasts into the scoring join
+    // so scoring runs at scan throughput — same posture as q93's LMs.
+    // The ppm weights are BIGINT-safe to ~9·10¹² training tokens; past
+    // that the ppm multiply moves to DECIMAL(38,0), nothing else
+    // changes. Token stream materialized once for its three consumers
+    // (q88/q93 discipline).
+    Q(
+      "q109_quality_classifier",
+      (s, dir) => qualityClassifier(Llm.docsSpread(s, dir)),
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang, ${h60Sql("tok")} % 256 AS bh FROM ws),
+        counts AS (
+          SELECT bh, CAST(count(*) AS BIGINT) AS c,
+            CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp
+          FROM toks GROUP BY bh),
+        totals AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_all, CAST(sum(cp) AS BIGINT) AS n_pos
+          FROM counts),
+        lm AS (
+          SELECT bh, (cp + 1) * 1000000 // (c + 2) AS w,
+            (n_pos + 1) * 1000000 // (n_all + 2) AS prior
+          FROM counts CROSS JOIN totals),
+        sc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(w) AS BIGINT) AS sw, max(prior) AS prior
+          FROM toks JOIN lm USING (bh) GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+          CAST(sw - n_tokens * prior AS BIGINT) AS margin,
+          CAST(sw - n_tokens * prior AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score,
+          CAST(sw - n_tokens * prior > 0 AS BIGINT) AS sel
+        FROM sc"""))
   )
+
+  /** Classifier engine behind q109. Input: (doc_id, lang, text).
+    * Trains the 256-bucket ppm-weight model on the 'en' slice in one
+    * token pass, broadcasts it, scores every document with ≥ 1 [a-z]+
+    * token. Output: (doc_id, n_tokens, margin, score, sel).
+    */
+  private[graft] def qualityClassifier(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", $"lang", explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+      .select($"doc_id", $"lang", (expr(h60("tok")) % 256).as("bh"))
+      .localCheckpoint()
+    val counts = toks.groupBy($"bh").agg(
+      count(lit(1)).cast("long").as("c"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).cast("long").as("cp"))
+    val totals = counts.agg(
+      sum($"c").cast("long").as("n_all"),
+      sum($"cp").cast("long").as("n_pos"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select($"bh",
+        expr("(cp + 1) * 1000000L div (c + 2)").as("w"),
+        expr("(n_pos + 1) * 1000000L div (n_all + 2)").as("prior"))
+    toks.join(broadcast(lm), "bh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum($"w").cast("long").as("sw"),
+        max($"prior").as("prior"))
+      .select($"doc_id", $"n_tokens",
+        ($"sw" - $"n_tokens" * $"prior").as("margin"))
+      .withColumn("score", $"margin".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("sel", ($"margin" > 0L).cast("long"))
+  }
 }

@@ -122,4 +122,43 @@ class SelectionSpec extends SparkSuite {
     assert(pr.values.max - pr.values.min > 1e-4,
       s"degenerate ranks: max=${pr.values.max} min=${pr.values.min}")
   }
+
+  test("q109 classifier: exact ppm weight math on a planted two-token corpus") {
+    import spark.implicits._
+    // 'good' (bucket 57) only in en docs, 'bad' (bucket 35) only in de
+    // docs — verified distinct mod 256. Hand math: w_good =
+    // (5+1)·10⁶ div (5+2) = 857142, w_bad = (0+1)·10⁶ div (5+2) =
+    // 142857, prior = (5+1)·10⁶ div (10+2) = 500000.
+    val docs = Seq(
+      (1L, "en", "good good good"), (2L, "en", "good good"),
+      (3L, "de", "bad bad bad"), (4L, "de", "bad bad")).toDF("doc_id", "lang", "text")
+    val got = graft.queries.Selection.qualityClassifier(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((3L, 3L * 857142 - 3L * 500000, 1L)), s"got $got")
+    assert(got(2L) == ((2L, 2L * 857142 - 2L * 500000, 1L)))
+    assert(got(3L) == ((3L, 3L * 142857 - 3L * 500000, 0L)))
+    assert(got(4L) == ((2L, 2L * 142857 - 2L * 500000, 0L)))
+  }
+
+  test("q109 classifier: separates the reference slice on the real corpus") {
+    import spark.implicits._
+    val sc = SparkEntry.queries("q109_quality_classifier")(spark, sf)
+    val byLang = sc.join(
+        spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang" === "en")
+      .agg(avg($"score").as("ms"), avg($"sel").as("sr"))
+      .collect().map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val (enScore, enRate) = byLang(true)
+    val (otherScore, otherRate) = byLang(false)
+    assert(enScore > otherScore,
+      s"en mean score $enScore must exceed non-en $otherScore")
+    assert(enRate > otherRate,
+      s"en sel rate $enRate must exceed non-en $otherRate")
+    // every scored doc appears exactly once with a verdict in {0,1}
+    assert(sc.filter($"sel" =!= 0L && $"sel" =!= 1L).count() == 0L)
+  }
 }
