@@ -306,6 +306,85 @@ object Curation {
           CAST(length(text) AS BIGINT) AS n_chars,
           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
           text
-        FROM near"""))
+        FROM near""")),
+
+    // --------------------------------------------------------------- q110
+    // Repeated-passage (boilerplate) removal — the MassiveText /
+    // RefinedWeb line-level filter (Rae et al. 2021 §A1.2; Penedo et
+    // al. 2023 line-wise correction), adapted to a corpus without
+    // newline structure: documents split into consecutive 10-token
+    // BLOCKS (the passage unit), a block whose 60-bit hash occurs in
+    // ≥ 3 distinct documents is boilerplate (nav bars, license
+    // headers, templated footers at web scale), and each document is
+    // reconstructed from its surviving blocks in order. Differs from
+    // q108 on purpose: q108 excises character spans of cross-doc
+    // 20-grams with owner-keeps (ExactSubstr dedup); this drops a
+    // passage EVERYWHERE once it is frequent enough — boilerplate has
+    // no canonical owner.
+    //
+    // Scale shape: one (bh) shuffle of 16-byte rows through the q86
+    // shared-exchange pattern (the ndocs agg and the join back both
+    // read it; text rides only to the final per-doc regroup, which
+    // re-partitions on doc_id — bounded per-doc state, spillable).
+    // The block table IS the passage index: persisting (bh, ndocs)
+    // gives the incremental form for daily drops (the q74 posture).
+    Q(
+      "q110_block_boilerplate",
+      (s, dir) => removeBoilerplateBlocks(Llm.docsSpread(s, dir)),
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE len(list_filter(str_split(text, ' '), x -> x <> '')) >= 1),
+        g AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS pos
+          FROM tk),
+        b AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+            array_to_string(toks[CAST(pos * 10 + 1 AS INT):CAST(pos * 10 + 10 AS INT)], ' ') AS blk
+          FROM g),
+        b2 AS (
+          SELECT doc_id, pos, blk,
+            CAST(CAST(concat('0x', substr(md5(blk), 1, 15)) AS UBIGINT) AS BIGINT) AS bh
+          FROM b),
+        c AS (SELECT bh, count(DISTINCT doc_id) AS ndocs FROM b2 GROUP BY bh)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rm,
+          coalesce(string_agg(blk, ' ' ORDER BY pos) FILTER (WHERE ndocs < 3), '') AS clean_text
+        FROM b2 JOIN c USING (bh) GROUP BY doc_id"""))
   )
+
+  /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
+    * Blocks of `blockTokens` consecutive whitespace tokens; a block
+    * occurring in ≥ `minDocs` distinct documents is dropped from ALL
+    * of them; output (doc_id, n_blocks, n_rm, clean_text) for every
+    * document with ≥ 1 token.
+    */
+  private[graft] def removeBoilerplateBlocks(
+      docs: org.apache.spark.sql.DataFrame,
+      blockTokens: Int = 10,
+      minDocs: Int = 3): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = docs
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(size($"toks") >= 1)
+    val blocks = tk
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, CAST((size(toks) + ${blockTokens - 1}) div $blockTokens AS INT) - 1), " +
+          s"j -> array_join(slice(toks, j * $blockTokens + 1, $blockTokens), ' '))")))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        $"col".as("blk"),
+        expr("CAST(conv(substr(md5(col), 1, 15), 16, 10) AS BIGINT)").as("bh"))
+      .repartition(s.sparkContext.defaultParallelism, $"bh")
+    val nd = blocks.groupBy($"bh").agg(countDistinct($"doc_id").as("ndocs"))
+    blocks.join(nd, "bh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_blocks"),
+        sum(when($"ndocs" >= minDocs, 1L).otherwise(0L)).cast("long").as("n_rm"),
+        expr(s"array_join(transform(array_sort(collect_list(" +
+          s"CASE WHEN ndocs < $minDocs THEN struct(pos, blk) END)), x -> x.blk), ' ')").as("clean_text"))
+  }
 }
