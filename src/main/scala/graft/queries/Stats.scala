@@ -216,6 +216,34 @@ object Stats {
       },
       None),
 
+    // --------------------------------------------------------------- q111
+    // Heavy hitters via a distributed Misra–Gries sketch — the third
+    // member of the approximate family (q37 HLL = distincts, q72
+    // KLL/GK = quantiles, this = frequent items): the 100 TB form of
+    // q75's exact vocabulary top-k. Each input partition keeps at most
+    // k = 512 counters in one pass (classic decrement-on-overflow,
+    // amortized O(1) per token); only the P·k surviving (token, count)
+    // partials shuffle — vs q75's |vocab|-sized exchange — and merged
+    // MG summaries are again an MG summary, so the final agg is a
+    // plain SUM. Deterministic guarantee (HeavyHitterSpec pins it
+    // against exact counts): estimates never overcount, undercount by
+    // at most n/(k+1), and every token with true frequency above
+    // n/(k+1) is present before the top-20 cut. Rows-only like
+    // q37/q72: which LIGHT tokens survive a summary depends on
+    // arrival order by design.
+    Q(
+      "q111_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.queries.Llm.docsSpread(s, dir)
+          .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter($"tok" =!= "").as[String]
+        heavyHitters(toks, 512)
+          .orderBy($"est".desc, $"tok".asc)
+          .limit(20)
+      },
+      None),
+
     // HLL sketch aggregation (rows-only: HLL implementations differ
     // across engines by design; StatsSpec bounds the error vs the exact
     // count instead). The sketch is the 100 TB answer to COUNT(DISTINCT)
@@ -233,4 +261,45 @@ object Stats {
       },
       None)
   )
+
+  /** Distributed Misra–Gries engine behind q111: per-partition MG
+    * summaries of ≤ k counters, merged by token-keyed SUM. Returns the
+    * FULL merged summary (tok, est) — q111 applies the top-20 cut;
+    * HeavyHitterSpec asserts the bounds on the uncut frame. The
+    * decrement step batches by the minimum surviving count (one pass
+    * over the k counters removes min·k mass), keeping the amortized
+    * cost O(1) per token. Per-partition error ≤ nₚ/(k+1); summed,
+    * global undercount ≤ n/(k+1) and overcount is impossible —
+    * mergeability is what lets the corpus-sized stream reduce to P·k
+    * shuffled rows.
+    */
+  private[graft] def heavyHitters(
+      toks: org.apache.spark.sql.Dataset[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            // Misra–Gries overflow: decrement every counter by the
+            // current minimum + 1 conceptually covers this arrival and
+            // min·k prior mass; practically decrement by 1 each and
+            // drop zeros (the arriving token is NOT inserted — its one
+            // unit is the decrement's own)
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.iterator.map { case (t, c) => (t, c) }
+    }.toDF("tok", "c")
+      .groupBy($"tok")
+      .agg(sum($"c").cast("long").as("est"))
+  }
 }
