@@ -206,7 +206,65 @@ object TrainPrep {
           CAST(count(*) AS BIGINT) AS n,
           min(x) AS min_x, max(x) AS max_x,
           min(y) AS min_y, max(y) AS max_y
-        FROM z GROUP BY 1"""))
+        FROM z GROUP BY 1""")),
+
+    // --------------------------------------------------------------- q112
+    // Corpus snapshot diff — the drop manifest every incremental
+    // operator in this engine consumes (q74/q105/q107, appendSaved,
+    // StreamIndex all take "the batch" as given; this query PRODUCES
+    // it by reconciling two corpus snapshots): full-outer join on
+    // doc_id comparing content fingerprints, emitting added / removed
+    // / changed rows (unchanged docs are suppressed — the manifest is
+    // sized by the CHANGE, not the corpus). The two snapshots are
+    // deterministic views of the documents table (old: %10==7 docs
+    // absent and %10==3 docs carry pre-edit text; new: %10==5 docs
+    // retired), so the oracle reproduces them exactly.
+    //
+    // Scale shape: fingerprints are computed scan-side (md5 of the
+    // text — 16 bytes), so the join shuffles (doc_id, fp) pairs only;
+    // text never moves. At 100 TB both sides hash-partition on doc_id
+    // (or co-bucket at rest, making the reconcile exchange-free —
+    // BucketingSpec's posture); the suppressed-equal filter keeps the
+    // output O(|diff|).
+    Q(
+      "q112_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val old = docs.filter($"doc_id" % 10 =!= 7)
+          .select($"doc_id", md5(when($"doc_id" % 10 === 3,
+            regexp_replace($"text", "spark", "spork")).otherwise($"text")).as("old_fp"))
+        val cur = docs.filter($"doc_id" % 10 =!= 5)
+          .select($"doc_id", md5($"text").as("new_fp"))
+        old.join(cur, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"old_fp".isNull, "added")
+              .when($"new_fp".isNull, "removed")
+              .when($"old_fp" =!= $"new_fp", "changed"))
+          .filter($"status".isNotNull)
+          .select($"doc_id", $"status",
+            coalesce($"old_fp", lit("")).as("old_fp"),
+            coalesce($"new_fp", lit("")).as("new_fp"))
+      },
+      Some("""
+        WITH old AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 10 = 3 THEN replace(text, 'spark', 'spork')
+                     ELSE text END) AS old_fp
+          FROM documents WHERE doc_id % 10 <> 7),
+        cur AS (
+          SELECT doc_id, md5(text) AS new_fp
+          FROM documents WHERE doc_id % 10 <> 5),
+        d AS (
+          SELECT coalesce(old.doc_id, cur.doc_id) AS doc_id, old_fp, new_fp,
+            CASE WHEN old_fp IS NULL THEN 'added'
+                 WHEN new_fp IS NULL THEN 'removed'
+                 WHEN old_fp <> new_fp THEN 'changed' END AS status
+          FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id)
+        SELECT doc_id, status,
+          coalesce(old_fp, '') AS old_fp,
+          coalesce(new_fp, '') AS new_fp
+        FROM d WHERE status IS NOT NULL"""))
   )
 
   /** Morton interleave of two `bits`-bit keys as portable integer
