@@ -322,10 +322,12 @@ object Curation {
     // passage EVERYWHERE once it is frequent enough — boilerplate has
     // no canonical owner.
     //
-    // Scale shape: one (bh) shuffle of 16-byte rows through the q86
-    // shared-exchange pattern (the ndocs agg and the join back both
-    // read it; text rides only to the final per-doc regroup, which
-    // re-partitions on doc_id — bounded per-doc state, spillable).
+    // Scale shape: the block stream tokenizes ONCE and shuffles once
+    // on bh, then materializes (localCheckpoint, the q88/q93
+    // discipline) for its two consumers — the ndocs agg and the join
+    // back read the same rows; text rides only to the final per-doc
+    // regroup, which re-partitions on doc_id (bounded per-doc state,
+    // spillable).
     // The block table IS the passage index: persisting (bh, ndocs)
     // gives the incremental form for daily drops (the q74 posture).
     Q(
@@ -378,6 +380,9 @@ object Curation {
         $"col".as("blk"),
         expr("CAST(conv(substr(md5(col), 1, 15), 16, 10) AS BIGINT)").as("bh"))
       .repartition(s.sparkContext.defaultParallelism, $"bh")
+      // two consumers (ndocs agg, join back): materialize once so the
+      // tokenize+block Generate never re-executes (q88/q93 discipline)
+      .localCheckpoint()
     val nd = blocks.groupBy($"bh").agg(countDistinct($"doc_id").as("ndocs"))
     blocks.join(nd, "bh")
       .groupBy($"doc_id")

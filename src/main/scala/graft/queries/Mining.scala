@@ -548,13 +548,14 @@ object Mining {
     // independent — feed it q102's winnowed rm-positions for the
     // full-document form.
     //
-    // Scale shape: the gram stream shuffles once on gh through the
-    // q86 shared exchange (ReusedExchange: the ndocs/owner agg and
-    // the join back read the same 24-byte rows, text never moves past
-    // the explode); everything after the ndocs≥2 filter is sized by
-    // the DUPLICATED mass only — windows partition by doc_id with
-    // per-doc state bounded by doc length; the one text-bearing join
-    // (segments → substring) is hash-equi on doc_id against the scan.
+    // Scale shape: the gram stream explodes ONCE and shuffles once on
+    // gh, then materializes (localCheckpoint) for its two consumers —
+    // the ndocs/owner agg and the join back read the same 24-byte
+    // rows; text never moves past the explode. Everything after the
+    // ndocs≥2 filter is sized by the DUPLICATED mass only — windows
+    // partition by doc_id with per-doc state bounded by doc length;
+    // the one text-bearing join (segments → substring) is hash-equi
+    // on doc_id against the scan.
     // Invariant pinned by SpanRemovalSpec: clean_len + rm_chars =
     // length(t200) — the spans are disjoint and in-bounds by
     // construction.
@@ -633,6 +634,12 @@ object Mining {
   private[graft] def removeDupSpans(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = base.sparkSession
     import s.implicits._
+    // the gram stream feeds two consumers (the ndocs/owner agg and the
+    // join back); materialize it ONCE, already gh-partitioned, so the
+    // explode never re-executes (the q88/q93 localCheckpoint
+    // discipline — here the nd side broadcasts under AQE, which breaks
+    // the q86 ReusedExchange shape and would otherwise re-run the
+    // Generate for the agg branch)
     val grams = base.filter(length($"t200") >= 20)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, length(t200)-19), i -> struct(" +
@@ -640,6 +647,7 @@ object Mining {
           "CAST(conv(substr(md5(substring(t200, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
       .select($"doc_id", $"g.p".as("p"), $"g.gh".as("gh"))
       .repartition(s.sparkContext.defaultParallelism, $"gh")
+      .localCheckpoint()
     val nd = grams.groupBy($"gh")
       .agg(countDistinct($"doc_id").as("ndocs"), min($"doc_id").as("owner"))
     val rm = grams.join(nd, "gh")
@@ -655,6 +663,10 @@ object Mining {
         sum($"ni").over(byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"doc_id", $"island")
       .agg(min($"p").as("rs"), (max($"p") + 19).as("re"))
+      // three consumers (mid segments, tails, stats): materialize the
+      // interval frame (sized by the duplicated mass only) instead of
+      // recomputing the island windows three times
+      .localCheckpoint()
     val byRs = Window.partitionBy($"doc_id").orderBy($"rs".asc)
     val segs = iv.select($"doc_id",
         (coalesce(lag($"re", 1).over(byRs), lit(0L)) + 1).as("ks"),
