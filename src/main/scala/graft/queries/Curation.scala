@@ -369,22 +369,46 @@ object Curation {
       minDocs: Int = 3): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val tk = docs
+    val blocks = blockFrame(docs, blockTokens)
+      .repartition(s.sparkContext.defaultParallelism, $"bh")
+      // two consumers (ndocs agg, join back): materialize once so the
+      // tokenize+block Generate never re-executes (q88/q93 discipline)
+      .localCheckpoint()
+    val nd = blocks.groupBy($"bh").agg(countDistinct($"doc_id").as("ndocs"))
+    reconstructClean(blocks.join(nd, "bh"), minDocs)
+  }
+
+  /** The aligned-block frame (doc_id, pos, blk, bh) of a documents
+    * frame — ONE implementation shared by the batch pipeline and
+    * `ops.BlockState`'s incremental probe, so corpus state and batch
+    * blocks can never desynchronize on tokenization or alignment.
+    */
+  private[graft] def blockFrame(
+      docs: org.apache.spark.sql.DataFrame,
+      blockTokens: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .select($"doc_id", expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size($"toks") >= 1)
-    val blocks = tk
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, CAST((size(toks) + ${blockTokens - 1}) div $blockTokens AS INT) - 1), " +
           s"j -> array_join(slice(toks, j * $blockTokens + 1, $blockTokens), ' '))")))
       .select($"doc_id", $"pos".cast("long").as("pos"),
         $"col".as("blk"),
         expr("CAST(conv(substr(md5(col), 1, 15), 16, 10) AS BIGINT)").as("bh"))
-      .repartition(s.sparkContext.defaultParallelism, $"bh")
-      // two consumers (ndocs agg, join back): materialize once so the
-      // tokenize+block Generate never re-executes (q88/q93 discipline)
-      .localCheckpoint()
-    val nd = blocks.groupBy($"bh").agg(countDistinct($"doc_id").as("ndocs"))
-    blocks.join(nd, "bh")
+  }
+
+  /** q110's per-document reconstruction from a block frame carrying
+    * `ndocs` — shared with `ops.BlockState` (identical output schema
+    * by construction).
+    */
+  private[graft] def reconstructClean(
+      blocksWithNd: org.apache.spark.sql.DataFrame,
+      minDocs: Int): org.apache.spark.sql.DataFrame = {
+    val s = blocksWithNd.sparkSession
+    import s.implicits._
+    blocksWithNd
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_blocks"),
