@@ -782,8 +782,114 @@ object Selection {
           CAST(sw - n_tokens * prior AS BIGINT) AS margin,
           CAST(sw - n_tokens * prior AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score,
           CAST(sw - n_tokens * prior > 0 AS BIGINT) AS sel
-        FROM sc"""))
+        FROM sc""")),
+
+    // --------------------------------------------------------------- q113
+    // Triangle counting with DEGREE-ORDERED orientation over the
+    // corpus bigram graph (q96's graph; the clustering-coefficient /
+    // community-structure primitive beside CC q45 and PageRank q96).
+    // The naive wedge join explodes on hubs (a degree-d node emits
+    // d² wedges); orienting every edge from its (degree, name)-smaller
+    // endpoint bounds out-degree by O(√m) — Schank/Wagner's
+    // node-iterator — so the wedge join is O(m^1.5) worst case and
+    // each triangle is generated EXACTLY once (its vertices in
+    // orientation order). Both the wedge pair and the closing edge
+    // use the same total order, so the closing probe is one hash-equi
+    // join, no direction disjunction.
+    //
+    // Scale shape: edges distinct once (one shuffle), degrees are one
+    // count over 2m endpoint rows, the oriented frame materializes
+    // once (localCheckpoint — three consumers: two wedge sides + the
+    // closing probe), and the only non-linear work is the wedge join,
+    // whose per-key fanout the orientation caps. No driver state.
+    Q(
+      "q113_triangle_count",
+      (s, dir) => triangleCount(Llm.docsSpread(s, dir)),
+      Some("""
+        WITH lst AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS l
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+            CAST(generate_subscripts(l, 1) AS BIGINT) AS idx
+          FROM lst),
+        bg AS (
+          SELECT doc_id, tok AS w1,
+            lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx ASC) AS w2
+          FROM toks),
+        edges AS (
+          SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+          FROM bg WHERE w2 IS NOT NULL AND w1 <> w2),
+        deg AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+          GROUP BY v),
+        dirE AS (
+          SELECT
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS src,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS dst,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN db.deg ELSE da.deg END AS dd
+          FROM edges
+          JOIN deg da ON da.v = a
+          JOIN deg db ON db.v = b),
+        wedges AS (
+          SELECT e1.dst AS x, e2.dst AS y
+          FROM dirE e1 JOIN dirE e2 ON e1.src = e2.src
+          WHERE e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+        tris AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM wedges w JOIN dirE e ON e.src = w.x AND e.dst = w.y)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+          n_triangles
+        FROM tris"""))
   )
+
+  /** Triangle-count engine behind q113. Input: (doc_id, text).
+    * Undirected distinct bigram edges → (degree, name)-orientation →
+    * wedge join (fanout capped at O(√m) per key) → closing hash-equi
+    * probe. Output: ONE row (n_nodes, n_edges, n_triangles); each
+    * triangle counted exactly once.
+    */
+  private[graft] def triangleCount(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id",
+        posexplode(filter(split(lower($"text"), "[^a-z]+"), x => x =!= "")))
+      .toDF("doc_id", "idx", "tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"idx".asc)
+    val edges = toks.withColumn("w2", lead($"tok", 1).over(w))
+      .filter($"w2".isNotNull && $"tok" =!= $"w2")
+      .select(least($"tok", $"w2").as("a"), greatest($"tok", $"w2").as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).cast("long").as("deg"))
+    val dirE = edges
+      .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("src"), $"b".as("dst"),
+            $"da".as("ds"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"),
+            $"db".as("ds"), $"da".as("dd"))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"), $"e.dd".as("dd"))
+      .localCheckpoint()
+    val wedges = dirE.select($"src", $"dst".as("x"), $"dd".as("dx"))
+      .join(dirE.select($"src", $"dst".as("y"), $"dd".as("dy")), "src")
+      .filter($"dx" < $"dy" || ($"dx" === $"dy" && $"x" < $"y"))
+    val tris = wedges
+      .join(dirE.select($"dst".as("y"), $"src".as("x")), Seq("x", "y"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).cast("long").as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tris)
+  }
 
   /** Classifier engine behind q109. Input: (doc_id, lang, text).
     * Trains the 256-bucket ppm-weight model on the 'en' slice in one
