@@ -167,6 +167,46 @@ object Extensions {
         FROM sig GROUP BY doc_id"""
       }),
 
+    // --------------------------------------------------------------- q114
+    // Grouped top-k via a BOUNDED typed Aggregator — the scale form of
+    // q75's window idiom, proven row-identical to it by sharing q75's
+    // oracle SQL verbatim: `row_number() OVER (PARTITION BY lang
+    // ORDER BY n DESC, tok ASC) <= 20` sorts every group in full and
+    // ships every group row through the shuffle; graft.functions.
+    // TopKAgg keeps ≤ k (n, tok) pairs of state per group, partial-
+    // aggregates map-side (each task contributes ≤ k rows per group),
+    // and merges bounded lists — at 100 TB the shuffle carries
+    // k·partitions rows per group instead of the group. The strict
+    // (n desc, tok asc) total order makes the heap's output exactly
+    // the window's.
+    Q(
+      "q114_grouped_topk_agg",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Llm.docsSpread(s, dir)
+          .select($"lang", explode(split(lower($"text"), "[^a-z]+")).as("tok"))
+          .filter($"tok" =!= "")
+          .groupBy($"lang", $"tok").agg(count(lit(1)).cast("long").as("n"))
+        val topk = udaf(new graft.functions.TopKAgg(20),
+          org.apache.spark.sql.Encoders.product[(String, Long)])
+        counts.groupBy($"lang").agg(topk($"tok", $"n").as("tk"))
+          .select($"lang", posexplode($"tk"))
+          .select($"lang", $"col._2".as("tok"), $"col._1".as("n"),
+            ($"pos" + 1).cast("long").as("rk"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        c AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY lang, tok),
+        r AS (
+          SELECT lang, tok, n,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rk
+          FROM c)
+        SELECT lang, tok, n, rk FROM r WHERE rk <= 20""")),
+
     // The multimodal AUDIO path (stub decode, real plumbing — same
     // pattern as q34's image features / q56's frames): waveform stats
     // derived deterministically from the blob, replayed exactly by the
