@@ -44,4 +44,32 @@ class TriangleSpec extends SparkSuite {
     assert(run(Seq(1L -> "x y z x", 2L -> "y x", 3L -> "z y x z")) ==
       ((3L, 3L, 1L)))
   }
+
+  test("random graphs ≡ brute-force triangle enumeration") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val names = ('a' to 'p').map(c => s"n$c")
+    val edgeGen = for {
+      a <- Gen.oneOf(names); b <- Gen.oneOf(names) if a != b
+    } yield (Seq(a, b).min, Seq(a, b).max)
+    val graphGen = Gen.listOfN(40, edgeGen).map(_.distinct)
+    (0 until 8).flatMap(i =>
+      graphGen.apply(Gen.Parameters.default, Seed(9000L + i))).foreach { edges =>
+      // render each edge as its own 2-token document — the bigram
+      // graph is then exactly this edge set
+      val docs = edges.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong + 1, s"$a $b")
+      }
+      val es = edges.toSet
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        i <- vs.indices; j <- (i + 1) until vs.size; l <- (j + 1) until vs.size
+        if es.contains((vs(i), vs(j))) && es.contains((vs(j), vs(l))) &&
+          es.contains((vs(i), vs(l)))
+      } yield 1).size.toLong
+      val (n, m, t) = run(docs)
+      assert(n == vs.size.toLong && m == edges.size.toLong && t == brute,
+        s"graph $edges: engine ($n,$m,$t) vs brute ($brute)")
+    }
+  }
 }
