@@ -719,32 +719,25 @@ object Llm {
     // the grams. Every k-gram hash is the same closed-form polynomial
     // sum in both engines (base 31, mod 2^31-1; codes ≤ 'z' keep the
     // weighted sum < 2^42, far from BIGINT overflow), and the window
-    // minimum is a plain ROWS frame — so integer fingerprints
-    // hash-match exactly. Scan + one window shuffle on doc_id; at
-    // 100 TB fingerprints (8 bytes each) shuffle, documents never do.
+    // minimum is document-local, so the whole selection runs inside
+    // the scan as one native codegen'd expression
+    // (functions.WinnowPolyFps — same integers, deque sliding min) —
+    // the plan has NO shuffle at all: the gram stream never
+    // materializes as rows, only the winnowed distinct fingerprints
+    // leave the scan. At 100 TB nothing shuffles here; whatever
+    // consumes the fingerprints pays the first exchange.
     Q(
       "q62_winnowing_fingerprint",
       (s, dir) => {
         import s.implicits._
-        // 31^7 .. 31^0
-        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
-        val poly = pows.zipWithIndex
-          .map { case (p, j) => s"ascii(substring(s, i + $j, 1)) * ${p}L" }
-          .mkString(" + ")
-        val t = docsSpread(s, dir)
+        graft.functions.WinnowPolyFps.register(s)
+        // < 11 normalized chars = < 4 grams = no full 4-gram window —
+        // same empty selection the old pos >= 4 filter produced
+        docsSpread(s, dir)
           .select($"doc_id",
             substring(regexp_replace(lower($"text"), "[^a-z]+", ""), 1, 300).as("s"))
-          .filter(length($"s") >= 8)
-        val grams = t.select($"doc_id",
-          explode(expr(
-            s"transform(sequence(1, length(s) - 7), i -> struct(i AS pos, ($poly) % 2147483647 AS h))")).as("g"))
-          .select($"doc_id", $"g.pos".as("pos"), $"g.h".as("h"))
-        val w = Window.partitionBy($"doc_id").orderBy($"pos".asc)
-          .rowsBetween(-3, Window.currentRow)
-        grams
-          .withColumn("fp", min($"h").over(w))
-          .filter($"pos" >= 4)
-          .select($"doc_id", $"fp").distinct()
+          .filter(length($"s") >= 11)
+          .select($"doc_id", explode(expr("winnow_poly_fps(s, 4)")).as("fp"))
       },
       Some {
         val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)

@@ -427,11 +427,12 @@ object Mining {
     // on the prefix domain, and recovery of a duplicate PLANTED PAST
     // the prefix that the q86/q91 domain provably cannot see.
     //
-    // Scale shape: the gram stream shuffles ONCE on doc_id for the
-    // window pass (per-doc state bounded by doc length, spillable
-    // sort), then only the ~2/(w+1) winnowed survivors shuffle on the
-    // fingerprint for the ndocs agg + join back — vs q86's full-stream
-    // gh shuffle. Text never moves past the explode.
+    // Scale shape: the gram stream never exists as rows at all — the
+    // window minima are higher-order array folds inside each document's
+    // row (winnowing is document-local), so the scan emits only the
+    // ~2/(w+1) winnowed survivors, and the ONLY shuffles in the plan
+    // are the fingerprint-keyed ndocs agg + join back — vs q86's
+    // full-stream gh shuffle. Text never moves past the scan.
     Q(
       "q102_fulldoc_dup_coverage",
       (s, dir) => {
@@ -755,19 +756,23 @@ object Mining {
       posMod: Long): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val filtered = docs.filter(length($"t") >= 20)
-    val grams = filtered
-      .select($"doc_id", (length($"t") - 19).cast("long").as("n_grams"),
-        explode(expr(
-          s"transform(sequence(1, length(t) - 19), i -> struct(CAST(i AS BIGINT) AS pos, " +
-            s"CAST(conv(substr(md5(substring(t, i, 20)), 1, $hashHex), 16, 10) AS BIGINT) * ${posMod}L + i AS m))")).as("g"))
-      .select($"doc_id", $"n_grams", $"g.pos".as("pos"), $"g.m".as("m"))
-    val win = Window.partitionBy($"doc_id").orderBy($"pos".asc)
-      .rowsBetween(Window.currentRow, w - 1)
-    grams.withColumn("wmin", min($"m").over(win))
-      .filter($"pos" <= $"n_grams" - (w - 1))
-      .select($"doc_id", $"wmin").distinct()
-      .select($"doc_id", expr(s"wmin div ${posMod}L").as("fp"))
+    // Winnowing is document-LOCAL — every window minimum depends only
+    // on the document's own grams — so the whole selection runs inside
+    // the scan as ONE native codegen'd expression
+    // (functions.WinnowFps: monotonic-deque sliding min + distinct in
+    // a single primitive-array pass): the gram stream never
+    // materializes as rows and NEVER shuffles (the window-over-doc_id
+    // form paid a corpus-sized gram shuffle + sort for the ROWS frame,
+    // then a second full shuffle for the DISTINCT). Only the
+    // ~2/(w+1)-density winnowed fingerprints leave the scan. Per-row
+    // state is the packed-m array — 8 bytes per gram, ~8x the text
+    // bytes, bounded by the same ladder `require` that caps pos. Docs
+    // with fewer than w grams have no full window and select nothing
+    // (the length filter mirrors the old pos ≤ n_grams−(w−1)).
+    graft.functions.WinnowFps.register(s)
+    docs.filter(length($"t") >= 19 + w)
+      .select($"doc_id",
+        explode(expr(s"winnow_fps(t, $w, $hashHex, ${posMod}L)")).as("fp"))
   }
 
   /** (md5 hex chars, pos modulus) for the packed window-min BIGINT,
