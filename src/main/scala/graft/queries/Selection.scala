@@ -25,6 +25,76 @@ object Selection {
   /** BM25 query terms (fixed, from the corpus vocabulary). */
   private val bm25Terms = Seq("spark", "window", "table")
 
+  /** BM25 per-document scores for [[bm25Terms]] — the (doc_id, dl,
+    * n_qterms, score) frame q95 reports directly and q115 consumes as
+    * its lexical retrieval leg. Scale shape (q95's): df and avgdl are
+    * term-count/2-scalar aggregates of the (doc, word) frame (map-side
+    * combined); scoring joins the |terms|-row idf frame and the
+    * 2-scalar stats frame broadcast, so after the one (doc_id, w)
+    * shuffle everything is scan-local.
+    */
+  private def bm25Scores(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // the (doc, word, tf) frame feeds both the length stats and the
+    // query-term scoring — materialize once (q88 discipline)
+    val wc = Llm.docsSpread(s, dir)
+      .select($"doc_id", explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val dl = wc.groupBy($"doc_id").agg(sum($"tf").cast("long").as("dl"))
+    val stats = dl.agg(
+      sum($"dl").cast("long").as("sum_dl"),
+      count(lit(1)).cast("long").as("nd"))
+    val qt = wc.filter($"w".isin(bm25Terms: _*))
+    val df = qt.groupBy($"w").agg(count(lit(1)).cast("long").as("df"))
+    qt.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"w", $"dl",
+        (($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") / ($"sum_dl".cast("double") / $"nd".cast("double"))))) *
+          (($"nd".cast("double") - $"df".cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)))).as("ts"))
+      .groupBy($"doc_id")
+      .agg(
+        max($"dl").as("dl"),
+        count(lit(1)).cast("long").as("n_qterms"),
+        sort_array(collect_list(struct($"w", $"ts"))).as("xs"))
+      .select($"doc_id", $"dl", $"n_qterms",
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ts)").as("score"))
+  }
+
+  /** DuckDB CTE chain producing the same frame as [[bm25Scores]]
+    * (terminal CTE `bm25`) — spliced into the q95 and q115 oracles.
+    */
+  private val bm25SqlCtes = s"""w AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM wc GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+        qt AS (SELECT * FROM wc WHERE w IN (${bm25Terms.map("'" + _ + "'").mkString(",")})),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY w),
+        ts AS (
+          SELECT doc_id, w, dl,
+            (CAST(tf AS DOUBLE) * 2.2) /
+              (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(nd AS DOUBLE))))) *
+              ((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5)) AS ts
+          FROM qt JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats),
+        bm25 AS (
+          SELECT doc_id, max(dl) AS dl,
+            CAST(count(*) AS BIGINT) AS n_qterms,
+            sum(ts ORDER BY w) AS score
+          FROM ts GROUP BY doc_id)"""
+
   /** q106's frozen merge ladder (the shipped-tokenizer artifact),
     * applied in order; later merges build on earlier ones ('t'+'h' →
     * 'th', then 'th'+'e' → 'the'). Every merge RESULT must fit the
@@ -346,61 +416,10 @@ object Selection {
     // after the one (doc_id, w) shuffle everything is scan-local.
     Q(
       "q95_bm25",
-      (s, dir) => {
-        import s.implicits._
-        // the (doc, word, tf) frame feeds both the length stats and the
-        // query-term scoring — materialize once (q88 discipline)
-        val wc = Llm.docsSpread(s, dir)
-          .select($"doc_id", explode(expr(
-            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
-          .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("long").as("tf"))
-          .localCheckpoint()
-        val dl = wc.groupBy($"doc_id").agg(sum($"tf").cast("long").as("dl"))
-        val stats = dl.agg(
-          sum($"dl").cast("long").as("sum_dl"),
-          count(lit(1)).cast("long").as("nd"))
-        val qt = wc.filter($"w".isin(bm25Terms: _*))
-        val df = qt.groupBy($"w").agg(count(lit(1)).cast("long").as("df"))
-        qt.join(broadcast(df), "w")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select($"doc_id", $"w", $"dl",
-            (($"tf".cast("double") * lit(2.2)) /
-              ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
-                ($"dl".cast("double") / ($"sum_dl".cast("double") / $"nd".cast("double"))))) *
-              (($"nd".cast("double") - $"df".cast("double") + lit(0.5)) /
-                ($"df".cast("double") + lit(0.5)))).as("ts"))
-          .groupBy($"doc_id")
-          .agg(
-            max($"dl").as("dl"),
-            count(lit(1)).cast("long").as("n_qterms"),
-            sort_array(collect_list(struct($"w", $"ts"))).as("xs"))
-          .select($"doc_id", $"dl", $"n_qterms",
-            expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ts)").as("score"))
-      },
+      (s, dir) => bm25Scores(s, dir),
       Some(s"""
-        WITH w AS (
-          SELECT doc_id,
-            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
-          FROM documents),
-        wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, w),
-        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM wc GROUP BY doc_id),
-        stats AS (
-          SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, CAST(count(*) AS BIGINT) AS nd FROM dl),
-        qt AS (SELECT * FROM wc WHERE w IN (${bm25Terms.map("'" + _ + "'").mkString(",")})),
-        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY w),
-        ts AS (
-          SELECT doc_id, w, dl,
-            (CAST(tf AS DOUBLE) * 2.2) /
-              (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-                (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(nd AS DOUBLE))))) *
-              ((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-                (CAST(df AS DOUBLE) + 0.5)) AS ts
-          FROM qt JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
-        SELECT doc_id, max(dl) AS dl,
-          CAST(count(*) AS BIGINT) AS n_qterms,
-          sum(ts ORDER BY w) AS score
-        FROM ts GROUP BY doc_id""")),
+        WITH $bm25SqlCtes
+        SELECT doc_id, dl, n_qterms, score FROM bm25""")),
 
     // ---------------------------------------------------------------- q96
     // TextRank keyword ranking (Mihalcea & Tarau 2004): weighted
@@ -844,7 +863,87 @@ object Selection {
           (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
           n_triangles
-        FROM tris"""))
+        FROM tris""")),
+
+    // --------------------------------------------------------------- q115
+    // HYBRID retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009's RRF, the standard lexical+vector production shape): the
+    // BM25 leg ranks documents for the fixed query terms (q95's exact
+    // scores), the vector leg ranks the corpus by cosine against one
+    // query embedding (q25's exact machinery), and the fused score is
+    // Σ 1/(60 + rank) over the legs a document appears in (top-50
+    // each), final top-20. Rank determinism: both legs order by a
+    // bit-stable double (ordered-fold BM25 score / codegen'd
+    // CosineSim ≡ the oracle's ordered sums) with doc_id tie-break,
+    // and the RRF sum is two IEEE terms added in a fixed written
+    // order — so ranks, fused scores, and the final order hash-match.
+    //
+    // Scale shape: each leg is a global top-k with BOUNDED k — Spark
+    // plans orderBy+limit as TakeOrderedAndProject (per-partition
+    // top-50 heaps, merge of 50-row partials; no global sort, no
+    // single-partition window over the corpus). The rank windows and
+    // the full-outer fusion join then run on ≤50-row frames. The legs
+    // themselves keep their own scale shapes (q95's broadcast joins;
+    // one broadcast query vector against the embedding scan).
+    Q(
+      "q115_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.CosineSim.register(s)
+        val bm = bm25Scores(s, dir)
+          .select($"doc_id", $"score")
+          .orderBy($"score".desc, $"doc_id".asc).limit(50)
+          .withColumn("br",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+          .select($"doc_id", $"br")
+        val q0 = table(s, dir, "embeddings").filter($"vec_id" === 0L)
+          .select($"embedding".as("ea"))
+        val ann = table(s, dir, "embeddings").filter($"vec_id" =!= 0L)
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+          .select($"vec_id", $"embedding".as("eb"))
+          .crossJoin(broadcast(q0))
+          .select($"vec_id".as("doc_id"), expr("cosine_sim(ea, eb)").as("sim"))
+          .orderBy($"sim".desc, $"doc_id".asc).limit(50)
+          .withColumn("ar",
+            row_number().over(Window.orderBy($"sim".desc, $"doc_id".asc)).cast("long"))
+          .select($"doc_id", $"ar")
+        bm.join(ann, Seq("doc_id"), "full_outer")
+          .select($"doc_id", $"br".as("bm25_rank"), $"ar".as("ann_rank"),
+            (coalesce(expr("CAST(1 AS DOUBLE) / (60 + br)"), lit(0.0)) +
+              coalesce(expr("CAST(1 AS DOUBLE) / (60 + ar)"), lit(0.0))).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id".asc).limit(20)
+          .withColumn("rk",
+            row_number().over(Window.orderBy($"rrf".desc, $"doc_id".asc)).cast("long"))
+      },
+      Some(s"""
+        WITH $bm25SqlCtes,
+        bmr AS (
+          SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS br
+          FROM bm25 QUALIFY br <= 50),
+        q0 AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 0),
+        el AS (
+          SELECT e.vec_id, unnest(q0.ea) x, unnest(e.embedding) y,
+            generate_subscripts(e.embedding, 1) i
+          FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> 0),
+        d AS (
+          SELECT vec_id,
+            sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS dot,
+            sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) AS na,
+            sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS nb
+          FROM el GROUP BY vec_id),
+        annr AS (
+          SELECT vec_id AS doc_id,
+            CAST(row_number() OVER (ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, vec_id) AS BIGINT) AS ar
+          FROM d QUALIFY ar <= 50),
+        f AS (
+          SELECT coalesce(bmr.doc_id, annr.doc_id) AS doc_id, br, ar,
+            coalesce(CAST(1 AS DOUBLE) / (60 + br), CAST(0 AS DOUBLE)) +
+            coalesce(CAST(1 AS DOUBLE) / (60 + ar), CAST(0 AS DOUBLE)) AS rrf
+          FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id)
+        SELECT doc_id, br AS bm25_rank, ar AS ann_rank, rrf,
+          CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+        FROM f QUALIFY rk <= 20"""))
   )
 
   /** Triangle-count engine behind q113. Input: (doc_id, text).
