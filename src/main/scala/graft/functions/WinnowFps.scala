@@ -176,6 +176,82 @@ object WinnowFps {
       "winnow_fps", fromExprs, "scala_udf")
 }
 
+/** Native Catalyst expression for the ExactSubstr gram-hash pipelines
+  * (q86/q108/q67's map side): element i (0-based) is the first
+  * `hexChars` hex digits of md5 of the `width`-char gram starting at
+  * 1-based character position i+1 — numerically equal to
+  * `transform(sequence(1, length(t)-width+1), i ->
+  * CAST(conv(substr(md5(substring(t, i, width)), 1, hexChars), 16,
+  * 10) AS BIGINT))`, which the DuckDB oracles replay with builtins.
+  * Returns an empty array when the text is shorter than one gram.
+  *
+  * vs the declarative transform: no interpreted lambda per gram and
+  * no per-gram UTF8String allocation — one reused MessageDigest runs
+  * directly over the document's byte range per gram (character
+  * boundaries from one offsets pass, so multibyte text cuts exactly
+  * like SQL substring). Positions are recoverable downstream via
+  * `posexplode` (p = pos+1), which is how q108 keeps its (p, gh)
+  * pairs without the struct-building lambda.
+  */
+case class Md5GramHashes(child: Expression, width: Int, hexChars: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
+  def hashes(t: UTF8String): ArrayData = {
+    val bytes = t.getBytes
+    val offs = Winnow.charOffsets(bytes)
+    val n = offs.length - 1 - (width - 1)
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val nb = (hexChars + 1) / 2
+    val shift = 8 * nb - 4 * hexChars
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val from = offs(i)
+      md.reset()
+      md.update(bytes, from, offs(i + width) - from)
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < nb) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> shift
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5GramHashes", this, classOf[Md5GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5GramHashes {
+
+  def fromExprs(exprs: Seq[Expression]): Md5GramHashes = {
+    require(exprs.drop(1).forall(_.foldable),
+      "md5_gram_hashes(t, width, hex_chars): width and hex_chars must be literals")
+    Md5GramHashes(
+      exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].intValue,
+      exprs(2).eval(null).asInstanceOf[Number].intValue)
+  }
+
+  /** Register `md5_gram_hashes(t, width, hex_chars)` for expr use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_gram_hashes", fromExprs, "scala_udf")
+}
+
 /** Native Catalyst expression behind q62's MOSS fingerprints: the
   * distinct window-minima (width `w`) of the base-31 polynomial
   * rolling hash over character 8-grams of `s`, mod 2^31−1 — the exact

@@ -853,9 +853,9 @@ object Llm {
       (s, dir) => {
         import s.implicits._
         val t = docPrefix(docsSpread(s, dir), 13)
+        graft.functions.Md5GramHashes.register(s)
         val sh = t.select($"doc_id", explode(expr(
-          s"array_distinct(transform(${shingleGen(13)}, g -> " +
-            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)))")).as("gh"))
+          "array_distinct(md5_gram_hashes(t200, 13, 15))")).as("gh"))
         val eval = sh.filter($"doc_id" < 20).select($"gh", $"doc_id".as("eval_id"))
         sh.filter($"doc_id" >= 20)
           .join(broadcast(eval), "gh")

@@ -67,9 +67,9 @@ object Mining {
         // committed same-window numbers: 1.45 s in-suite idle vs
         // 1.91 s fresh-JVM isolated (BENCH_IDLE_r07.json /
         // BENCH_ISOLATED.json, SCALING.md "Bench posture").
-        val grams = t.select($"doc_id", explode(expr(
-          s"transform(${Llm.shingleGen(20)}, g -> " +
-            "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))")).as("gh"))
+        graft.functions.Md5GramHashes.register(s)
+        val grams = t.select($"doc_id",
+          explode(expr("md5_gram_hashes(t200, 20, 15)")).as("gh"))
           .repartition(s.sparkContext.defaultParallelism, $"gh")
         val nd = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("ndocs"))
         grams.join(nd, "gh")
@@ -641,12 +641,11 @@ object Mining {
     // discipline — here the nd side broadcasts under AQE, which breaks
     // the q86 ReusedExchange shape and would otherwise re-run the
     // Generate for the agg branch)
+    graft.functions.Md5GramHashes.register(s)
     val grams = base.filter(length($"t200") >= 20)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(t200)-19), i -> struct(" +
-          "CAST(i AS BIGINT) AS p, " +
-          "CAST(conv(substr(md5(substring(t200, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
-      .select($"doc_id", $"g.p".as("p"), $"g.gh".as("gh"))
+      .select($"doc_id",
+        posexplode(expr("md5_gram_hashes(t200, 20, 15)")).as(Seq("p0", "gh")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("p"), $"gh")
       .repartition(s.sparkContext.defaultParallelism, $"gh")
       .localCheckpoint()
     val nd = grams.groupBy($"gh")

@@ -134,6 +134,47 @@ class WinnowFpsSpec extends SparkSuite {
     assert(Winnow.charOffsets(Array.emptyByteArray).toSeq == Seq(0))
   }
 
+  test("Md5GramHashes ≡ the declarative transform, incl. multibyte and short input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = ((1 to 40).map(i => (i.toLong, rnd.alphanumeric.take(5 + rnd.nextInt(60)).mkString)) ++
+      Seq((98L, "déjà-vu — naïve façade über café résumé, encore déjà-vu"),
+          (99L, "日本語のテキスト、マルチバイト文字列のテスト用。")))
+      .toDF("doc_id", "t200")
+    graft.functions.Md5GramHashes.register(spark)
+    for ((width, hex) <- Seq((20, 15), (13, 15), (5, 8))) {
+      // production call sites filter to >= one gram first (the
+      // declarative sequence() turns DESCENDING below that); the
+      // native expression instead returns an empty array — pinned in
+      // the metadata test below
+      val full = docs.filter(length($"t200") >= width)
+      val want = full.select($"doc_id", explode(expr(
+        s"transform(sequence(1, length(t200)-${width - 1}), i -> " +
+          s"CAST(conv(substr(md5(substring(t200, i, $width)), 1, $hex), 16, 10) AS BIGINT))")).as("gh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val got = full.select($"doc_id",
+        explode(expr(s"md5_gram_hashes(t200, $width, $hex)")).as("gh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want, s"width=$width hex=$hex")
+      val short = docs.filter(length($"t200") < width)
+        .select($"doc_id", expr(s"md5_gram_hashes(t200, $width, $hex)").as("gh"))
+        .collect()
+      short.foreach(r => assert(r.getSeq[Long](1).isEmpty))
+    }
+    // positions via posexplode equal the declarative struct form
+    val docsW = docs.filter(length($"t200") >= 20)
+    val wantP = docsW.select($"doc_id", explode(expr(
+      "transform(sequence(1, length(t200)-19), i -> struct(CAST(i AS BIGINT) AS p, " +
+        "CAST(conv(substr(md5(substring(t200, i, 20)), 1, 15), 16, 10) AS BIGINT) AS gh))")).as("g"))
+      .select($"doc_id", $"g.p", $"g.gh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val gotP = docsW.select($"doc_id",
+      posexplode(expr("md5_gram_hashes(t200, 20, 15)")).as(Seq("p0", "gh")))
+      .select($"doc_id", ($"p0" + 1).cast("long"), $"gh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(gotP == wantP)
+  }
+
   test("expression metadata: null in → null out, empty under-w input → empty array") {
     import spark.implicits._
     graft.functions.WinnowFps.register(spark)
