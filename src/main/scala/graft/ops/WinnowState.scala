@@ -56,12 +56,24 @@ object WinnowState {
     * after — a batch never double-counts against itself). Output is
     * q102's exact schema (doc_id, n_fp, n_dup, dup_frac), batch rows
     * only.
+    *
+    * `sink` (streaming hook) runs with the scored frame BEFORE any
+    * state write — so the one fingerprint pass feeds both the output
+    * and the commit. `batchId` switches the commit from a flat append
+    * into an OVERWRITE of the per-batch directory
+    * `fps_stream/b<id>` — idempotent, which is what makes
+    * [[graft.streaming.StreamWinnow]]'s replays exactly-once for the
+    * state (a flat append replayed after a crash would double-count
+    * the batch's fingerprints; an overwrite of the same directory
+    * cannot).
     */
   def probe(
       batch: DataFrame,
       dir: String,
       w: Int = 8,
-      commit: Boolean = true): DataFrame = {
+      commit: Boolean = true,
+      batchId: Option[Long] = None,
+      sink: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     val ladder = readLadder(spark, dir)
     val batchMax = Mining.maxGramsOf(batch)
@@ -90,9 +102,15 @@ object WinnowState {
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_fp"))
       .localCheckpoint()
+    sink(out)
     if (commit) {
-      batchNd.select(col("fp"), col("bdocs").as("ndocs"))
-        .write.mode("append").parquet(s"$dir/fps")
+      val nd = batchNd.select(col("fp"), col("bdocs").as("ndocs"))
+      batchId match {
+        case Some(id) =>
+          nd.write.mode("overwrite").parquet(s"$dir/fps_stream/b$id")
+        case None =>
+          nd.write.mode("append").parquet(s"$dir/fps")
+      }
       if (batchMax > ladder.maxGrams)
         writeLadder(spark, dir, ladder.copy(maxGrams = batchMax))
     }
@@ -106,8 +124,82 @@ object WinnowState {
     */
   private[graft] def relevantState(
       spark: SparkSession, dir: String, probeFps: DataFrame): DataFrame =
-    spark.read.parquet(s"$dir/fps")
+    stateFps(spark, dir)
       .join(broadcast(probeFps), Seq("fp"), "left_semi")
+
+  /** The full (fp, ndocs) state frame: the flat `fps` dir plus every
+    * live per-batch streaming append. A `fps_stream` directory listed
+    * in a pending-fold sidecar whose token matches the `_fold` token
+    * INSIDE the current fps dir is already folded in (the fold
+    * published but its deletions didn't finish) and is excluded —
+    * see [[compactStream]]'s crash-safety protocol.
+    */
+  private[graft] def stateFps(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded: Set[String] = Layouts.readSidecar(fs, foldPendingPath(dir)) match {
+      case Some(s) =>
+        val lines = s.trim.split('\n')
+        val token = lines.head
+        val published = Layouts
+          .readSidecar(fs, new Path(s"$dir/fps/_fold")).map(_.trim).contains(token)
+        if (published) lines.tail.toSet else Set.empty
+      case None => Set.empty
+    }
+    val streamRoot = new Path(s"$dir/fps_stream")
+    val streamDirs =
+      if (!fs.exists(streamRoot)) Seq.empty
+      else fs.listStatus(streamRoot).toSeq
+        .filter(st => st.isDirectory && !folded.contains(st.getPath.getName))
+        .map(_.getPath.toString)
+    val base = spark.read.parquet(s"$dir/fps")
+    if (streamDirs.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(streamDirs: _*).select(col("fp"), col("ndocs")))
+  }
+
+  /** Fold the per-batch streaming appends into the flat `fps` dir and
+    * drop them — the small-file compaction for stream-maintained
+    * state. Crash-safe across the two directories involved: the new
+    * fps content carries a fold token file, a pending sidecar names
+    * the token and the folded batch dirs BEFORE the publish, and
+    * readers ([[stateFps]]) exclude the named dirs ONLY when the
+    * published fps carries the matching token — so a crash before the
+    * publish changes nothing (sidecar names a token no fps dir has),
+    * a crash after it cannot double-count (readers see the folded
+    * dirs excluded), and re-running compactStream finishes the
+    * deletions either way.
+    */
+  def compactStream(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // finish (or discard) a previous fold first
+    Layouts.readSidecar(fs, foldPendingPath(dir)).foreach { s =>
+      val lines = s.trim.split('\n')
+      val token = lines.head
+      val published = Layouts
+        .readSidecar(fs, new Path(s"$dir/fps/_fold")).map(_.trim).contains(token)
+      if (published)
+        lines.tail.foreach(d => fs.delete(new Path(s"$dir/fps_stream/$d"), true))
+      fs.delete(foldPendingPath(dir), false)
+    }
+    val streamRoot = new Path(s"$dir/fps_stream")
+    if (!fs.exists(streamRoot)) return
+    val dirs = fs.listStatus(streamRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    if (dirs.isEmpty) return
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = s"$dir/fps__compact_tmp"
+    stateFps(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(tmp)
+    Layouts.writeSidecar(fs, new Path(s"$tmp/_fold"), s"$token\n")
+    Layouts.writeSidecar(fs, foldPendingPath(dir),
+      (token +: dirs).mkString("", "\n", "\n"))
+    Layouts.publish(spark, s"$dir/fps", tmp)
+    dirs.foreach(d => fs.delete(new Path(s"$dir/fps_stream/$d"), true))
+    fs.delete(foldPendingPath(dir), false)
+  }
+
+  private def foldPendingPath(dir: String) = new Path(s"$dir/_fold_pending")
 
   private def ladderPath(dir: String) = new Path(s"$dir/_ladder")
 

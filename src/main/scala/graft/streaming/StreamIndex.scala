@@ -106,7 +106,7 @@ object StreamIndex {
   // subsequent trigger behind a NumberFormatException — or worse,
   // invite a manual delete that resets committed to -1 and lets the
   // replayed batch double-append
-  private def writeCommitted(spark: SparkSession, path: String, id: Long): Unit = {
+  private[graft] def writeCommitted(spark: SparkSession, path: String, id: Long): Unit = {
     val p = markerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.ops.Layouts.writeSidecar(fs, p, s"$id\n")
