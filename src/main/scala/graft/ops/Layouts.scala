@@ -108,6 +108,117 @@ object Layouts {
     fs.listStatus(new Path(path)).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** CHILD-DIR state layout — the streaming maintainers' exactly-once
+    * state shape: a root directory whose immediate children are each a
+    * complete parquet dir ("base" from a batch build, "b<id>" per
+    * streaming micro-batch, "fold_<token>" from compaction). A
+    * micro-batch commits by OVERWRITING its own b<id> child —
+    * idempotent, so a replayed trigger rewrites bit-identical content
+    * instead of double-appending (the flat-append crash window
+    * [[graft.streaming.StreamIndex]] documents). Readers take the
+    * union of [[liveChildren]]; [[foldChildren]] compacts many
+    * children into one with a crash-safe protocol.
+    */
+
+  /** The currently-live child dirs of a child-dir state root, fold
+    * protocol aware: a pending-fold sidecar whose target child EXISTS
+    * means the fold published but its deletions didn't finish — the
+    * folded children it names are excluded (their rows live in the
+    * fold child). If the target does not exist the fold never
+    * published and every child counts. Staging dirs (`__`-prefixed)
+    * never count.
+    */
+  def liveChildren(spark: SparkSession, root: String): Seq[Path] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return Seq.empty
+    val folded: Set[String] = readSidecar(fs, foldPending(root)) match {
+      case Some(s) =>
+        val lines = s.trim.split('\n')
+        if (fs.exists(new Path(rootP, lines.head))) lines.tail.toSet
+        else Set.empty
+      case None => Set.empty
+    }
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("__") &&
+        !folded.contains(st.getPath.getName))
+      .map(_.getPath)
+  }
+
+  /** [[liveChildren]] restricted to children committed BELOW a batch
+    * id: per-batch children `b<id'>` with id' >= `beforeBatch` are
+    * excluded — replay hygiene for the streaming maintainers (a
+    * crashed attempt of the CURRENT trigger may have committed its
+    * child before the marker advanced; a replay that read it would
+    * judge the batch against itself).
+    */
+  def liveChildrenBefore(
+      spark: SparkSession, root: String, beforeBatch: Option[Long]): Seq[Path] =
+    liveChildren(spark, root).filter(p => beforeBatch.forall { id =>
+      val n = p.getName
+      !n.startsWith("b") || !n.drop(1).forall(_.isDigit) || n.drop(1).toLong < id
+    })
+
+  /** Union of the live children as one frame; `ddl` types the empty
+    * frame before the first child exists.
+    */
+  def readChildren(
+      spark: SparkSession,
+      root: String,
+      ddl: String,
+      beforeBatch: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val live = liveChildrenBefore(spark, root, beforeBatch)
+    if (live.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else {
+      val cols = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.map(col).toSeq
+      spark.read.parquet(live.map(_.toString): _*).select(cols: _*)
+    }
+  }
+
+  /** Fold all live children into ONE new child and delete them —
+    * compaction for the child-dir layout. Crash-safe at every step
+    * with ONE atomic publish rename:
+    *   1. union of live children → `root/__stage` (overwrite);
+    *   2. pending sidecar names the fold child + the folded children;
+    *   3. rename __stage → root/fold_<token>  (THE commit point);
+    *   4. delete folded children, drop the sidecar.
+    * Before 3 readers see the original children (the sidecar's target
+    * doesn't exist yet) and a re-run discards the stale sidecar and
+    * starts over; after 3 readers exclude the folded children (their
+    * rows live in the fold child) and a re-run finishes the
+    * deletions. Re-running after any crash converges.
+    */
+  def foldChildren(spark: SparkSession, root: String): Unit = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    // finish (or discard) a previous fold first
+    readSidecar(fs, foldPending(root)).foreach { s =>
+      val lines = s.trim.split('\n')
+      if (fs.exists(new Path(rootP, lines.head)))
+        lines.tail.foreach(d => fs.delete(new Path(rootP, d), true))
+      fs.delete(foldPending(root), false)
+    }
+    val live = liveChildren(spark, root)
+    if (live.length <= 1) return
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(rootP, "__stage")
+    spark.read.parquet(live.map(_.toString): _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(stage.toString)
+    writeSidecar(fs, foldPending(root),
+      (s"fold_$token" +: live.map(_.getName)).mkString("", "\n", "\n"))
+    require(fs.rename(stage, new Path(rootP, s"fold_$token")),
+      s"foldChildren: cannot publish $stage")
+    live.foreach(p => fs.delete(p, true))
+    fs.delete(foldPending(root), false)
+  }
+
+  private def foldPending(root: String) = new Path(root + "__fold_pending")
+
   /** Atomically (re)write a tiny text sidecar (commit markers, ladder
     * rungs, file manifests): write to a sibling temp file, then rename
     * over the target. A plain `fs.create(p, overwrite = true)`

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * ONCE, then score each new batch against corpus ∪ batch without
   * ever re-reading corpus text.
   *
-  * State: a flat parquet dir of (fp, ndocs) partial counts (one
-  * append per drop — sum per fp at read; [[Layouts.compactFlat]] on
-  * the usual schedule), plus a sidecar recording the FROZEN pos
-  * ladder rung and running max-grams. Freezing the rung is what makes
+  * State: a child-dir layout ([[Layouts.liveChildren]]) of (fp,
+  * ndocs) partial counts — `base` from [[save]], one `b<id>` child
+  * per streaming drop (idempotent overwrite), folded by
+  * [[compactStream]] on the usual schedule; sum per fp at read —
+  * plus a sidecar recording the FROZEN pos ladder rung and running
+  * max-grams. Freezing the rung is what makes
   * increments comparable: q102 sizes its packed (hash, pos) BIGINT
   * from the corpus max document length, and a batch fingerprinted
   * under a different rung hashes differently. A batch that would
@@ -39,7 +41,10 @@ object WinnowState {
   final case class Ladder(hashHex: Int, posMod: Long, maxGrams: Long)
 
   /** Build the state from the current corpus: winnow under the rung
-    * the corpus itself sizes, store per-fp distinct-doc counts.
+    * the corpus itself sizes, store per-fp distinct-doc counts. The
+    * fps dir is a [[Layouts.liveChildren]] child-dir layout (`base`
+    * from this build, `b<id>` per streaming batch, `fold_*` from
+    * compaction) so streaming commits are idempotent overwrites.
     */
   def save(docs: DataFrame, dir: String, w: Int = 8): Unit = {
     val spark = docs.sparkSession
@@ -47,7 +52,7 @@ object WinnowState {
     val (hashHex, posMod) = Mining.posLadder(maxGrams)
     Mining.selectedFingerprints(docs, w, hashHex, posMod)
       .groupBy(col("fp")).agg(countDistinct(col("doc_id")).as("ndocs"))
-      .write.mode("overwrite").parquet(s"$dir/fps")
+      .write.mode("overwrite").parquet(s"$dir/fps/base")
     writeLadder(spark, dir, Ladder(hashHex, posMod, maxGrams))
   }
 
@@ -60,12 +65,16 @@ object WinnowState {
     * `sink` (streaming hook) runs with the scored frame BEFORE any
     * state write — so the one fingerprint pass feeds both the output
     * and the commit. `batchId` switches the commit from a flat append
-    * into an OVERWRITE of the per-batch directory
-    * `fps_stream/b<id>` — idempotent, which is what makes
+    * into an OVERWRITE of the per-batch child `fps/b<id>` —
+    * idempotent, which is what makes
     * [[graft.streaming.StreamWinnow]]'s replays exactly-once for the
     * state (a flat append replayed after a crash would double-count
     * the batch's fingerprints; an overwrite of the same directory
-    * cannot).
+    * cannot) — AND restricts the probed state to children BELOW the
+    * batch id: a crashed attempt may have committed this very batch's
+    * child before the marker advanced, and a replay that read it
+    * would count the batch against itself (every duplicate within
+    * the batch would double, inflating n_dup).
     */
   def probe(
       batch: DataFrame,
@@ -90,7 +99,8 @@ object WinnowState {
       .agg(countDistinct(col("doc_id")).as("bdocs"))
     // corpus-side counts for exactly the batch's fingerprints: the
     // state streams through its scan, the probe set broadcasts
-    val stateNd = relevantState(spark, dir, sel.select(col("fp")).distinct())
+    val stateNd = relevantState(spark, dir,
+        sel.select(col("fp")).distinct(), beforeBatch = batchId)
       .groupBy(col("fp")).agg(sum(col("ndocs")).as("cdocs"))
     val totals = batchNd.join(stateNd, Seq("fp"), "left")
       .select(col("fp"),
@@ -107,9 +117,9 @@ object WinnowState {
       val nd = batchNd.select(col("fp"), col("bdocs").as("ndocs"))
       batchId match {
         case Some(id) =>
-          nd.write.mode("overwrite").parquet(s"$dir/fps_stream/b$id")
+          nd.write.mode("overwrite").parquet(s"$dir/fps/b$id")
         case None =>
-          nd.write.mode("append").parquet(s"$dir/fps")
+          nd.write.mode("append").parquet(s"$dir/fps/base")
       }
       if (batchMax > ladder.maxGrams)
         writeLadder(spark, dir, ladder.copy(maxGrams = batchMax))
@@ -120,86 +130,40 @@ object WinnowState {
 
   /** The state rows for the probed fingerprints — broadcast left-semi,
     * corpus state never shuffles. Package-private for the spec's plan
-    * assertion.
+    * assertion. `beforeBatch` restricts to children committed below
+    * that batch id (replay hygiene — see [[probe]]).
     */
   private[graft] def relevantState(
-      spark: SparkSession, dir: String, probeFps: DataFrame): DataFrame =
-    stateFps(spark, dir)
+      spark: SparkSession,
+      dir: String,
+      probeFps: DataFrame,
+      beforeBatch: Option[Long] = None): DataFrame =
+    stateFps(spark, dir, beforeBatch)
       .join(broadcast(probeFps), Seq("fp"), "left_semi")
 
-  /** The full (fp, ndocs) state frame: the flat `fps` dir plus every
-    * live per-batch streaming append. A `fps_stream` directory listed
-    * in a pending-fold sidecar whose token matches the `_fold` token
-    * INSIDE the current fps dir is already folded in (the fold
-    * published but its deletions didn't finish) and is excluded —
-    * see [[compactStream]]'s crash-safety protocol.
+  /** The full (fp, ndocs) state frame — the union of the fps root's
+    * live children ([[Layouts.liveChildren]]). With `beforeBatch`,
+    * per-batch children `b<id>` with id >= that batch are excluded
+    * (they can only exist as a crashed attempt of the current or a
+    * later trigger).
     */
-  private[graft] def stateFps(spark: SparkSession, dir: String): DataFrame = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded: Set[String] = Layouts.readSidecar(fs, foldPendingPath(dir)) match {
-      case Some(s) =>
-        val lines = s.trim.split('\n')
-        val token = lines.head
-        val published = Layouts
-          .readSidecar(fs, new Path(s"$dir/fps/_fold")).map(_.trim).contains(token)
-        if (published) lines.tail.toSet else Set.empty
-      case None => Set.empty
-    }
-    val streamRoot = new Path(s"$dir/fps_stream")
-    val streamDirs =
-      if (!fs.exists(streamRoot)) Seq.empty
-      else fs.listStatus(streamRoot).toSeq
-        .filter(st => st.isDirectory && !folded.contains(st.getPath.getName))
-        .map(_.getPath.toString)
-    val base = spark.read.parquet(s"$dir/fps")
-    if (streamDirs.isEmpty) base
-    else base.unionByName(
-      spark.read.parquet(streamDirs: _*).select(col("fp"), col("ndocs")))
+  private[graft] def stateFps(
+      spark: SparkSession,
+      dir: String,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val live = Layouts.liveChildrenBefore(spark, s"$dir/fps", beforeBatch)
+    if (live.isEmpty)
+      throw new IllegalArgumentException(
+        s"no winnow state at $dir — run WinnowState.save first")
+    spark.read.parquet(live.map(_.toString): _*).select(col("fp"), col("ndocs"))
   }
 
-  /** Fold the per-batch streaming appends into the flat `fps` dir and
-    * drop them — the small-file compaction for stream-maintained
-    * state. Crash-safe across the two directories involved: the new
-    * fps content carries a fold token file, a pending sidecar names
-    * the token and the folded batch dirs BEFORE the publish, and
-    * readers ([[stateFps]]) exclude the named dirs ONLY when the
-    * published fps carries the matching token — so a crash before the
-    * publish changes nothing (sidecar names a token no fps dir has),
-    * a crash after it cannot double-count (readers see the folded
-    * dirs excluded), and re-running compactStream finishes the
-    * deletions either way.
+  /** Fold the per-batch streaming children into one — the small-file
+    * compaction for stream-maintained state, with
+    * [[Layouts.foldChildren]]'s crash-safe single-rename protocol.
     */
-  def compactStream(spark: SparkSession, dir: String): Unit = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // finish (or discard) a previous fold first
-    Layouts.readSidecar(fs, foldPendingPath(dir)).foreach { s =>
-      val lines = s.trim.split('\n')
-      val token = lines.head
-      val published = Layouts
-        .readSidecar(fs, new Path(s"$dir/fps/_fold")).map(_.trim).contains(token)
-      if (published)
-        lines.tail.foreach(d => fs.delete(new Path(s"$dir/fps_stream/$d"), true))
-      fs.delete(foldPendingPath(dir), false)
-    }
-    val streamRoot = new Path(s"$dir/fps_stream")
-    if (!fs.exists(streamRoot)) return
-    val dirs = fs.listStatus(streamRoot).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
-    if (dirs.isEmpty) return
-    val token = java.util.UUID.randomUUID().toString
-    val tmp = s"$dir/fps__compact_tmp"
-    stateFps(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(tmp)
-    Layouts.writeSidecar(fs, new Path(s"$tmp/_fold"), s"$token\n")
-    Layouts.writeSidecar(fs, foldPendingPath(dir),
-      (token +: dirs).mkString("", "\n", "\n"))
-    Layouts.publish(spark, s"$dir/fps", tmp)
-    dirs.foreach(d => fs.delete(new Path(s"$dir/fps_stream/$d"), true))
-    fs.delete(foldPendingPath(dir), false)
-  }
-
-  private def foldPendingPath(dir: String) = new Path(s"$dir/_fold_pending")
+  def compactStream(spark: SparkSession, dir: String): Unit =
+    Layouts.foldChildren(spark, s"$dir/fps")
 
   private def ladderPath(dir: String) = new Path(s"$dir/_ladder")
 

@@ -5,7 +5,6 @@ import graft.queries.Llm
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.StructType
 
 /** STREAMING curation — the q100 pipeline (quality gate → exact dedup →
   * capped+verified MinHash-LSH near-dup drop → curated projection)
@@ -27,10 +26,10 @@ import org.apache.spark.sql.types.StructType
   *     state — bucket-keyed, batch side broadcast, q74's posture);
   *     both verified by exact Jaccard against the persisted shingle
   *     sets before any drop;
-  *  3. survivors append to the output; the batch's bands / shingle
-  *     sets / fingerprints append to the state dirs AFTER the
-  *     decisions (a batch never suppresses itself against its own
-  *     state).
+  *  3. survivors land in the output's per-batch child; the batch's
+  *     bands / shingle sets / fingerprints land in the state roots'
+  *     per-batch children AFTER the decisions (a batch never
+  *     suppresses itself against its own state).
   *
   * Batch-equivalence contract (StreamCurationSpec): feeding the corpus
   * as doc_id-ordered micro-batches yields EXACTLY q100's batch output —
@@ -46,24 +45,34 @@ import org.apache.spark.sql.types.StructType
   * prefix-shingle array/doc; fps: one 32-char hash/doc) — text never
   * enters the state; the state probes are bucket-keyed equi-joins with
   * the batch side broadcast; per-drop cost is O(|batch|) like
-  * [[graft.ops.IvfIndex.appendSaved]]. The parquet state dirs
-  * accumulate one file set per batch — compact with
-  * [[graft.ops.Layouts.compactPartitioned]]'s discipline on the same
-  * schedule as the index layouts. The hot-bucket cap applies to the
-  * population VISIBLE at each drop (corpus-so-far + batch, exactly
+  * [[graft.ops.IvfIndex.appendSaved]]. The hot-bucket cap applies to
+  * the population VISIBLE at each drop (corpus-so-far + batch, exactly
   * [[Lsh.incrementalCandidatesFrom]]'s combined-population contract);
   * a bucket that only later exceeds the cap has already emitted its
   * early pairs — the backfill reconciles, the stream never expands a
   * visible-hot bucket.
+  *
+  * Exactly-once, everywhere: the state roots and the output are
+  * [[graft.ops.Layouts.liveChildren]] child-dir layouts — every write
+  * of a trigger OVERWRITES that batch's own `b<id>` child, and reads
+  * during the trigger exclude children at or above the current id
+  * ([[graft.ops.Layouts.liveChildrenBefore]]) — so a replay after a
+  * crash anywhere mid-batch sees exactly the pre-crash state view,
+  * makes identical decisions, and rewrites bit-identical children; a
+  * batch id at or below the commit marker skips entirely (the
+  * [[StreamIndex]] sidecar). Per-batch children are the small-file
+  * tax; [[compactState]] folds them with
+  * [[graft.ops.Layouts.foldChildren]]'s crash-safe protocol on the
+  * same schedule as the index layouts.
   */
 object StreamCuration {
 
+  private val survivorsDdl =
+    "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, n_tokens BIGINT, text STRING"
+
   /** Start the stream: every micro-batch of `source` (a streaming
     * documents frame: doc_id, lang, source, text) flows through
-    * [[processBatch]]. The sink checkpoint makes the TRIGGER exactly-
-    * once; the state/output appends themselves are at-least-once on a
-    * crash mid-batch (a transactional table format is the production
-    * answer, out of scope here — the spec drives clean batches).
+    * [[processBatch]] under its trigger's batch id.
     */
   def start(
       source: DataFrame,
@@ -72,22 +81,34 @@ object StreamCuration {
       maxBucket: Int = Llm.lshMaxBucket): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", s"$stateDir/ckpt")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, outDir, maxBucket)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        processBatch(batch.sparkSession, batch, stateDir, outDir, id, maxBucket): Unit
       }
       .start()
 
+  /** The curated output across all committed batches. */
+  def curated(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.Layouts.readChildren(spark, outDir, survivorsDdl)
+
   /** One micro-batch through the full curation — also directly drivable
-    * (the spec's deterministic ordered-drop harness).
+    * (the spec's deterministic ordered-drop harness). Returns whether
+    * the batch was processed (false = replay skipped or empty batch).
     */
   private[graft] def processBatch(
       spark: SparkSession,
       batchDocs: DataFrame,
       stateDir: String,
       outDir: String,
-      maxBucket: Int = Llm.lshMaxBucket): Unit = {
+      batchId: Long,
+      maxBucket: Int = Llm.lshMaxBucket): Boolean = {
     import spark.implicits._
-    if (batchDocs.isEmpty) return
+    val guard = s"$stateDir/state"
+    if (batchId <= StreamIndex.committedBatch(spark, guard)) return false
+    if (batchDocs.isEmpty) {
+      // the marker advances even for empty batches (StreamIndex rule)
+      StreamIndex.writeCommitted(spark, guard, batchId)
+      return false
+    }
     val docs = batchDocs.localCheckpoint()
     // in-batch signature frames, each consumed more than once
     val sets = Llm.shingleSets(docs).localCheckpoint()
@@ -99,7 +120,7 @@ object StreamCuration {
     val fp = CurationPipeline.qualityGate(docs)
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
       .localCheckpoint()
-    val seenFps = readState(spark, s"$stateDir/fps", "fp STRING")
+    val seenFps = readState(spark, s"$stateDir/fps", "fp STRING", batchId)
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = fp
       .join(keep, Seq("fp", "doc_id"), "left_semi")
@@ -108,10 +129,12 @@ object StreamCuration {
     // 2. near-dup: candidates from both sides, then exact verify
     val inBatch = Lsh.expandPairsCapped(bands, Seq("band", "bsig"), "doc_id", maxBucket)
       .select($"d1", $"d2")
-    val seenBands = readState(spark, s"$stateDir/bands", "bkey STRING, doc_id BIGINT")
+    val seenBands = readState(spark, s"$stateDir/bands",
+      "bkey STRING, doc_id BIGINT", batchId)
     val cross = Lsh.incrementalCandidatesFrom(spark, seenBands, bands, maxBucket)
       .select(col("corpus_doc").as("d1"), col("batch_doc").as("d2"))
-    val seenSets = readState(spark, s"$stateDir/sets", "doc_id BIGINT, gs ARRAY<STRING>")
+    val seenSets = readState(spark, s"$stateDir/sets",
+      "doc_id BIGINT, gs ARRAY<STRING>", batchId)
     val verified = inBatch.union(cross).distinct()
       .join(seenSets.union(sets).select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
       .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
@@ -128,32 +151,38 @@ object StreamCuration {
         length(col("text")).cast("long").as("n_chars"),
         size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
         col("text"))
-    survivors.write.mode("append").parquet(outDir)
+    survivors.write.mode("overwrite").parquet(s"$outDir/b$batchId")
 
-    // 3. state appends AFTER the decisions. Bands/sets ingest EVERY
-    // batch doc (q100 computes pairs on the pre-gate corpus); fps
-    // ingest gated docs (q100's exact-dedup domain).
-    bands.select($"bkey", $"doc_id").write.mode("append").parquet(s"$stateDir/bands")
-    sets.write.mode("append").parquet(s"$stateDir/sets")
-    fp.select($"fp").distinct().write.mode("append").parquet(s"$stateDir/fps")
+    // 3. state commits AFTER the decisions, each an idempotent
+    // overwrite of this batch's child. Bands/sets ingest EVERY batch
+    // doc (q100 computes pairs on the pre-gate corpus); fps ingest
+    // gated docs (q100's exact-dedup domain).
+    bands.select($"bkey", $"doc_id")
+      .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
+    sets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
+    fp.select($"fp").distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
+    StreamIndex.writeCommitted(spark, guard, batchId)
     Seq(docs, sets, bands, fp).foreach(graft.ops.Checkpoints.release)
+    true
   }
 
-  /** Compact the three accumulating state dirs (one file set lands per
-    * batch) — run on the same schedule as the index layouts'
-    * [[graft.ops.Layouts.compactPartitioned]]; decisions are
-    * state-CONTENT functions, so compaction never changes them
-    * (StreamCurationSpec).
+  /** Fold each state root's per-batch children (one lands per batch) —
+    * run on the same schedule as the index layouts' compaction;
+    * decisions are state-CONTENT functions, so a fold never changes
+    * them (StreamCurationSpec), and
+    * [[graft.ops.Layouts.foldChildren]]'s protocol is crash-safe at
+    * every step.
     */
   def compactState(spark: SparkSession, stateDir: String): Unit =
     Seq("bands", "sets", "fps").foreach { d =>
-      val p = s"$stateDir/$d"
-      if (new java.io.File(p).exists()) graft.ops.Layouts.compactFlat(spark, p)
+      graft.ops.Layouts.foldChildren(spark, s"$stateDir/$d")
     }
 
-  /** Accumulated parquet state, or a typed empty frame on first batch. */
-  private def readState(spark: SparkSession, path: String, ddl: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(
-      new java.util.ArrayList[Row](), StructType.fromDDL(ddl))
+  /** Accumulated state below the current batch id, or a typed empty
+    * frame on first batch.
+    */
+  private def readState(
+      spark: SparkSession, path: String, ddl: String, batchId: Long): DataFrame =
+    graft.ops.Layouts.readChildren(spark, path, ddl, beforeBatch = Some(batchId))
 }

@@ -34,18 +34,24 @@ class StreamCurationSpec extends SparkSuite {
       docs.filter($"doc_id" > cuts(0) && $"doc_id" <= cuts(1)),
       docs.filter($"doc_id" > cuts(1) && $"doc_id" <= cuts(2)),
       docs.filter($"doc_id" > cuts(2)))
-    slices.take(2).foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
+    slices.take(2).zipWithIndex.foreach { case (b, i) =>
+      assert(StreamCuration.processBatch(spark, b, stateDir, outDir, batchId = i.toLong))
+    }
     // state compaction mid-stream: decisions are state-content
     // functions, so the remaining drops see identical state — and the
-    // per-batch file accumulation is squashed
-    assert(graft.ops.Layouts.dataFiles(spark, s"$stateDir/fps") >= 2)
+    // per-batch child accumulation is squashed to one fold child
+    assert(graft.ops.Layouts.liveChildren(spark, s"$stateDir/fps").size == 2)
     StreamCuration.compactState(spark, stateDir)
-    val filesAfter = graft.ops.Layouts.dataFiles(spark, s"$stateDir/fps")
-    assert(filesAfter <= spark.sparkContext.defaultParallelism,
-      s"fps state not compacted: $filesAfter files")
-    slices.drop(2).foreach(b => StreamCuration.processBatch(spark, b, stateDir, outDir))
+    val childrenAfter = graft.ops.Layouts.liveChildren(spark, s"$stateDir/fps")
+    assert(childrenAfter.size == 1,
+      s"fps state not folded: ${childrenAfter.map(_.getName)}")
+    slices.drop(2).zipWithIndex.foreach { case (b, i) =>
+      assert(StreamCuration.processBatch(spark, b, stateDir, outDir, batchId = 2L + i))
+    }
+    // a replayed batch id is a no-op even with data aboard
+    assert(!StreamCuration.processBatch(spark, slices.last, stateDir, outDir, batchId = 3L))
 
-    val streamed = rows(spark.read.parquet(outDir))
+    val streamed = rows(StreamCuration.curated(spark, outDir))
     val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
     assert(streamed == batch,
       s"streamed != q100: only-streamed=${(streamed -- batch).map(_._1)} only-batch=${(batch -- streamed).map(_._1)}")
@@ -68,10 +74,39 @@ class StreamCurationSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = rows(spark.read.parquet(outDir))
+    val streamed = rows(StreamCuration.curated(spark, outDir))
     val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
     assert(streamed == batch,
       s"single-trigger stream != q100: diff=${(streamed -- batch).map(_._1)} / ${(batch -- streamed).map(_._1)}")
+  }
+
+  test("a replay after a crashed state commit decides identically (no self-suppression)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val mid = {
+      val ids = docs.select($"doc_id").as[Long].collect().sorted
+      ids(ids.length / 2)
+    }
+    val b0 = docs.filter($"doc_id" <= mid)
+    val b1 = docs.filter($"doc_id" > mid)
+    val crashState = java.nio.file.Files.createTempDirectory("scur-crash").toString
+    val crashOut = java.nio.file.Files.createTempDirectory("scur-crash-out").toString + "/data"
+    val refState = java.nio.file.Files.createTempDirectory("scur-ref").toString
+    val refOut = java.nio.file.Files.createTempDirectory("scur-ref-out").toString + "/data"
+    assert(StreamCuration.processBatch(spark, b0, crashState, crashOut, batchId = 0L))
+    assert(StreamCuration.processBatch(spark, b0, refState, refOut, batchId = 0L))
+    // crashed attempt of batch 1: every state child committed, but the
+    // marker never advanced (rewind it to simulate the crash point)
+    assert(StreamCuration.processBatch(spark, b1, crashState, crashOut, batchId = 1L))
+    graft.streaming.StreamIndex.writeCommitted(spark, s"$crashState/state", 0L)
+    // the replayed trigger must not anti-join b1 against its own
+    // crashed fps/bands commits — that would suppress the whole batch
+    assert(StreamCuration.processBatch(spark, b1, crashState, crashOut, batchId = 1L))
+    assert(StreamCuration.processBatch(spark, b1, refState, refOut, batchId = 1L))
+    assert(rows(StreamCuration.curated(spark, crashOut)) ==
+      rows(StreamCuration.curated(spark, refOut)),
+      "replayed trigger decided against its own crashed state commit")
   }
 
   test("restart from the sink checkpoint: a later drop resumes against persisted state") {
@@ -96,11 +131,11 @@ class StreamCurationSpec extends SparkSuite {
     // lands and a NEW query resumes from the same checkpoint + state
     docs.filter($"doc_id" <= mid).write.mode("append").parquet(srcDir)
     runOnce()
-    val afterFirst = rows(spark.read.parquet(outDir)).size
+    val afterFirst = rows(StreamCuration.curated(spark, outDir)).size
     docs.filter($"doc_id" > mid).write.mode("append").parquet(srcDir)
     runOnce()
 
-    val streamed = rows(spark.read.parquet(outDir))
+    val streamed = rows(StreamCuration.curated(spark, outDir))
     assert(streamed.size > afterFirst, "second drop produced no survivors")
     val batch = rows(SparkEntry.queries("q100_curation_pipeline")(spark, sf))
     assert(streamed == batch,

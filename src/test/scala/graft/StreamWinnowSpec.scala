@@ -84,6 +84,30 @@ class StreamWinnowSpec extends SparkSuite {
     assert(all.select("batch_id").distinct().count() == 2)
   }
 
+  test("a replay after a crashed state commit scores identically (no self-count)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val corpus = docs.filter($"doc_id" < 100)
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 160)
+    val dir = Files.createTempDirectory("sw-replay").toString
+    val refDir = Files.createTempDirectory("sw-replay-ref").toString
+    val outDir = Files.createTempDirectory("sw-replay-out").toString
+    WinnowState.save(corpus, dir, w = 8)
+    WinnowState.save(corpus, refDir, w = 8)
+    // crashed attempt: the batch's state child committed, but the
+    // marker never advanced
+    val crashed = rowsOf(
+      WinnowState.probe(batch, dir, w = 8, commit = true, batchId = Some(0L)))
+    assert(rowsOf(WinnowState.probe(batch, refDir, w = 8, commit = false)) == crashed)
+    // the replayed trigger must NOT see the crashed commit as corpus
+    // state (it would count the batch against itself and inflate
+    // n_dup for every within-batch duplicate)
+    assert(StreamWinnow.scoreBatch(batch, dir, outDir, batchId = 0L, w = 8))
+    assert(rowsOf(spark.read.parquet(s"$outDir/batch_0")
+      .drop("batch_id")) == crashed,
+      "replayed trigger scored against its own crashed state commit")
+  }
+
   test("compactStream: fold preserves counts and survives both crash points") {
     import spark.implicits._
     import java.nio.file.Files
@@ -97,37 +121,40 @@ class StreamWinnowSpec extends SparkSuite {
     val before = stateAgg(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // crash point A — pending sidecar written, publish never happened:
-    // readers must still include the stream dirs (no undercount), and
-    // the next compactStream discards the stale sidecar and folds
-    Layouts.writeSidecar(fs, new Path(s"$dir/_fold_pending"),
-      "deadbeef-token\nb0\nb1\n")
+    // crash point A — pending sidecar written, the fold child was
+    // never published (rename didn't happen): readers must still
+    // include every child (no undercount), and the next compactStream
+    // discards the stale sidecar and folds for real
+    Layouts.writeSidecar(fs, new Path(s"$dir/fps__fold_pending"),
+      "fold_deadbeef\nb0\nb1\n")
     assert(stateAgg(dir) == before, "unpublished fold made readers undercount")
     WinnowState.compactStream(spark, dir)
     assert(stateAgg(dir) == before, "fold changed the state contents")
-    assert(!fs.exists(new Path(s"$dir/fps_stream/b0")) &&
-      !fs.exists(new Path(s"$dir/fps_stream/b1")), "folded dirs not deleted")
+    assert(!fs.exists(new Path(s"$dir/fps/b0")) &&
+      !fs.exists(new Path(s"$dir/fps/b1")), "folded children not deleted")
+    assert(!fs.exists(new Path(s"$dir/fps/base")), "base child survived the fold")
 
-    // crash point B — fold published but deletions didn't finish:
-    // replay the protocol steps by hand up to the crash
+    // crash point B — fold child published (the rename happened) but
+    // the deletions didn't finish: replay the protocol by hand up to
+    // the crash — readers must EXCLUDE the folded child (no double
+    // count), and recovery finishes the deletions
     val b3 = docs.filter($"doc_id" >= 200 && $"doc_id" < 250)
     WinnowState.probe(b3, dir, w = 8, commit = true, batchId = Some(2L))
     val withB3 = stateAgg(dir)
-    val token = "crash-after-publish-token"
-    val tmp = s"$dir/fps__compact_tmp"
-    WinnowState.stateFps(spark, dir).write.mode("overwrite").parquet(tmp)
-    Layouts.writeSidecar(fs, new Path(s"$tmp/_fold"), s"$token\n")
-    Layouts.writeSidecar(fs, new Path(s"$dir/_fold_pending"), s"$token\nb2\n")
-    Layouts.publish(spark, s"$dir/fps", tmp)
-    // CRASH here: b2 still on disk, but the published fps carries the
-    // token — readers must exclude b2 (no double-count)
-    assert(fs.exists(new Path(s"$dir/fps_stream/b2")))
-    assert(stateAgg(dir) == withB3, "published fold double-counts the folded dir")
-    // recovery finishes the deletions
+    val stage = s"$dir/fps/__stage"
+    WinnowState.stateFps(spark, dir).write.mode("overwrite").parquet(stage)
+    Layouts.writeSidecar(fs, new Path(s"$dir/fps__fold_pending"),
+      Layouts.liveChildren(spark, s"$dir/fps").map(_.getName)
+        .mkString("fold_crash\n", "\n", "\n"))
+    assert(fs.rename(new Path(stage), new Path(s"$dir/fps/fold_crash")))
+    // CRASH here: b2 (and the earlier fold child) still on disk beside
+    // the published fold_crash child
+    assert(fs.exists(new Path(s"$dir/fps/b2")))
+    assert(stateAgg(dir) == withB3, "published fold double-counts the folded children")
     WinnowState.compactStream(spark, dir)
     assert(stateAgg(dir) == withB3)
-    assert(!fs.exists(new Path(s"$dir/fps_stream/b2")))
-    assert(!fs.exists(new Path(s"$dir/_fold_pending")))
+    assert(!fs.exists(new Path(s"$dir/fps/b2")))
+    assert(!fs.exists(new Path(s"$dir/fps__fold_pending")))
 
     // probes read identically through fold and recovery
     val probe = WinnowState.probe(docs.filter($"doc_id" >= 250 && $"doc_id" < 260),
