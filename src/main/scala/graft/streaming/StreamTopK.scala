@@ -24,6 +24,16 @@ import org.apache.spark.sql.types.StructType
   * nothing, shuffles nothing, and the only driver materialization is
   * the k+1-row threshold probe (k-bounded by contract). Per batch the
   * corpus-sized work is the batch's own token pass.
+  *
+  * Exactly-once: the fold-into-state is NOT naturally idempotent (a
+  * replayed trigger that re-merged its batch would double that
+  * batch's mass and break the no-overcount invariant), so the state
+  * is kept as batch-id-named GENERATIONS — `topk/b<id>`, each a
+  * complete ≤ k-row summary. A trigger reads the newest generation
+  * BELOW its own id and overwrites its own, so a replay recomputes
+  * from the same input and rewrites bit-identical rows. Only the two
+  * newest generations are retained (a replay can only be of the
+  * newest id, which reads the one below).
   */
 object StreamTopK {
 
@@ -34,26 +44,28 @@ object StreamTopK {
       k: Int = 512): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", s"$stateDir/ckpt")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, k)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        processBatch(batch.sparkSession, batch, stateDir, k, id)
       }
       .start()
 
-  /** One micro-batch: summarize → merge → MG-compress → publish.
-    * Directly drivable (the spec's ordered-drop harness).
+  /** One micro-batch: summarize → merge → MG-compress → publish this
+    * batch's state generation. Directly drivable (the spec's
+    * ordered-drop harness).
     */
   private[graft] def processBatch(
       spark: SparkSession,
       batchDocs: DataFrame,
       stateDir: String,
-      k: Int): Unit = {
+      k: Int,
+      batchId: Long): Unit = {
     import spark.implicits._
     if (batchDocs.isEmpty) return
     val toks = batchDocs
       .select(explode(split(lower($"text"), "[^a-z]+")).as("tok"))
       .filter($"tok" =!= "").as[String]
     val summary = graft.queries.Stats.heavyHitters(toks, k)
-    val state = readState(spark, s"$stateDir/topk")
+    val state = readState(spark, stateDir, beforeBatch = Some(batchId))
     val merged = state.union(summary)
       .groupBy($"tok").agg(sum($"est").cast("long").as("est"))
       .localCheckpoint() // two consumers (threshold probe, compress filter)
@@ -65,27 +77,42 @@ object StreamTopK {
     val t = if (top.length <= k) 0L else top.last
     val next = merged.filter($"est" > t)
       .select($"tok", ($"est" - t).as("est"))
-    // publish the ≤ k-row state by staged rename (atomic swap; the
-    // in-place overwrite window would lose state on a crash mid-write)
-    val tmp = s"$stateDir/topk.tmp"
-    next.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // publish as THIS batch's generation — an idempotent overwrite
+    next.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stateDir/topk/b$batchId")
     graft.ops.Checkpoints.release(merged)
-    val dst = new org.apache.hadoop.fs.Path(s"$stateDir/topk")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dst))
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-        s"cannot publish first state generation to $dst")
-    else graft.ops.Layouts.publish(spark, s"$stateDir/topk", tmp)
+    // retain the newest two generations (replay depth is one trigger)
+    val gens = generations(spark, stateDir)
+    if (gens.length > 2) {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/topk")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      gens.dropRight(2).foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"b$id"), true))
+    }
   }
 
   /** Current top-n estimate (deterministic order: est desc, tok asc). */
   def topN(spark: SparkSession, stateDir: String, n: Int): DataFrame = {
     import spark.implicits._
-    readState(spark, s"$stateDir/topk").orderBy($"est".desc, $"tok".asc).limit(n)
+    readState(spark, stateDir, beforeBatch = None)
+      .orderBy($"est".desc, $"tok".asc).limit(n)
   }
 
-  private def readState(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
-    else spark.createDataFrame(
-      new java.util.ArrayList[Row](), StructType.fromDDL("tok STRING, est BIGINT"))
+  /** Committed generation ids, ascending. */
+  private def generations(spark: SparkSession, stateDir: String): Seq[Long] =
+    graft.ops.Layouts.liveChildren(spark, s"$stateDir/topk")
+      .map(_.getName).filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
+
+  /** The newest generation below `beforeBatch` (newest overall when
+    * None), or a typed empty frame before the first one.
+    */
+  private def readState(
+      spark: SparkSession, stateDir: String, beforeBatch: Option[Long]): DataFrame =
+    generations(spark, stateDir)
+      .filter(id => beforeBatch.forall(id < _)).lastOption match {
+      case Some(id) => spark.read.parquet(s"$stateDir/topk/b$id")
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[Row](), StructType.fromDDL("tok STRING, est BIGINT"))
+    }
 }

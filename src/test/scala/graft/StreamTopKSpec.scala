@@ -35,9 +35,17 @@ class StreamTopKSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val stateDir = java.nio.file.Files.createTempDirectory("stk-state").toString
     Seq(0, 1, 2).foreach { r =>
-      StreamTopK.processBatch(spark, docs.filter($"doc_id" % 3 === r), stateDir, k)
+      StreamTopK.processBatch(spark, docs.filter($"doc_id" % 3 === r), stateDir, k,
+        batchId = r.toLong)
       assert(stateOf(stateDir).size <= k, s"state exceeded k after drop $r")
     }
+    // a REPLAYED trigger must not double its batch's mass: recompute
+    // batch 2 from the generation below it — state content unchanged
+    val committed = stateOf(stateDir)
+    StreamTopK.processBatch(spark, docs.filter($"doc_id" % 3 === 2), stateDir, k,
+      batchId = 2L)
+    assert(stateOf(stateDir) == committed,
+      "replayed trigger changed the sketch (double-merged its batch)")
     val exact = exactCounts()
     val n = exact.values.sum
     val bound = n / (k + 1)
@@ -80,7 +88,8 @@ class StreamTopKSpec extends SparkSuite {
       (61 to 80).map(i => (i.toLong, s"warm${i % 3} filler$i"))).toDF("doc_id", "text")
     val stateDir = java.nio.file.Files.createTempDirectory("stk-state3").toString
     Seq(0, 1).foreach { r =>
-      StreamTopK.processBatch(spark, docs.filter($"doc_id" % 2 === r), stateDir, k)
+      StreamTopK.processBatch(spark, docs.filter($"doc_id" % 2 === r), stateDir, k,
+        batchId = r.toLong)
     }
     val est = stateOf(stateDir)
     assert(est.size <= k)
