@@ -191,7 +191,11 @@ object Layouts {
     * rows live in the fold child) and a re-run finishes the
     * deletions. Re-running after any crash converges.
     */
-  def foldChildren(spark: SparkSession, root: String): Unit = {
+  def foldChildren(
+      spark: SparkSession,
+      root: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit = {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return
@@ -206,7 +210,7 @@ object Layouts {
     if (live.length <= 1) return
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(rootP, "__stage")
-    spark.read.parquet(live.map(_.toString): _*)
+    transform(spark.read.parquet(live.map(_.toString): _*))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(stage.toString)
     writeSidecar(fs, foldPending(root),

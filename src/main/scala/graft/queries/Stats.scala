@@ -259,7 +259,57 @@ object Stats {
             approx_count_distinct($"l_orderkey").as("approx_orders"),
             count(lit(1)).as("n"))
       },
-      None)
+      None),
+
+    // --------------------------------------------------------------- q116
+    // INCREMENTAL distinct counting via HLL register state AT REST
+    // (ops.HllState): per-lang distinct-text registers built over ⅔ of
+    // the corpus, a drop of the remaining ⅓ max-merged in, and the
+    // EXACT-INTEGER register summary (live registers, zero registers,
+    // the 2^(W+1)-scaled harmonic sum) reported. Register tables are
+    // deterministic functions of the value SET — so the oracle
+    // recomputes them over the FULL corpus in DuckDB (same md5 hash,
+    // same bin()-length rho, same integer sum) and a hash-match
+    // proves increment ≡ rebuild END TO END through the oracle, the
+    // claim opaque sketch bytes (q37's builtin) can't make. Only the
+    // final cardinality estimate (HllState.estimate, error-pinned in
+    // HllStateSpec) leaves integer land.
+    //
+    // Scale shape: one map-side-combinable aggregate per drop (≤ m
+    // rows per key per partition partial), ≤ m-row-per-key state
+    // scans, no corpus re-read on increment.
+    Q(
+      "q116_hll_state",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"lang", $"text")
+        val state = java.nio.file.Files
+          .createTempDirectory("hll-state").toString
+        graft.ops.HllState.save(
+          docs.filter($"doc_id" % 3 =!= 0), state, "lang", "text")
+        graft.ops.HllState.add(
+          docs.filter($"doc_id" % 3 === 0), state, "lang", "text",
+          batchId = Some(0L))
+        graft.ops.HllState.summary(s, state)
+          .select($"key".as("lang"), $"n_regs", $"v", $"sumint")
+      },
+      Some("""
+        WITH h AS (
+          SELECT lang,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents),
+        rr AS (
+          SELECT lang, h // 281474976710656 AS reg, h % 281474976710656 AS rest
+          FROM h),
+        regs AS (
+          SELECT lang, reg,
+            max(CASE WHEN rest = 0 THEN 49 ELSE 48 - length(bin(rest)) + 1 END) AS rho
+          FROM rr GROUP BY lang, reg)
+        SELECT lang,
+          CAST(count(*) AS BIGINT) AS n_regs,
+          CAST(4096 - count(*) AS BIGINT) AS v,
+          CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS sumint
+        FROM regs GROUP BY lang"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
