@@ -56,6 +56,33 @@ class HllStateSpec extends SparkSuite {
       "key STRING, reg BIGINT, rho INT").count() == before.size)
   }
 
+  test("StreamDistinct plumbing: streamed drops ≡ rebuild, restart replays nothing") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang".as("key"), $"text".as("v"))
+    val stateDir = Files.createTempDirectory("hll-stream").toString
+    val srcDir = Files.createTempDirectory("hll-src").toString
+    // freeze the precision over the first third, stream the rest
+    HllState.save(docs.filter($"doc_id" < 170), stateDir, "key", "v")
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(docs.schema).parquet(srcDir)
+      val q = graft.streaming.StreamDistinct.start(src, stateDir, "key", "v")
+      q.processAllAvailable()
+      q.stop()
+    }
+    docs.filter($"doc_id" >= 170 && $"doc_id" < 340)
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter($"doc_id" >= 340).write.mode("append").parquet(srcDir)
+    runOnce()
+    val full = Files.createTempDirectory("hll-stream-ref").toString
+    HllState.save(docs, full, "key", "v")
+    assert(regsOf(stateDir) == regsOf(full),
+      "streamed registers diverge from a full rebuild")
+    assert(estOf(stateDir) == estOf(full))
+  }
+
   test("estimates: ~1.6% σ in the raw range, near-exact linear counting below it") {
     import spark.implicits._
     import java.nio.file.Files

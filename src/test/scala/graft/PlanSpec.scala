@@ -129,6 +129,44 @@ class PlanSpec extends SparkSuite {
       s"q98 regressed to the wide multi-distinct Expand plan:\n$p")
   }
 
+  test("runtime bloom filter reaches the fact side of a selective shuffle join") {
+    // the at-scale posture for dim-fact joins whose dim side is
+    // selective but too big to broadcast: AQE injects a bloom filter
+    // from the dim side's filtered build into the fact scan, pruning
+    // shuffle input. Locally every dim broadcasts (the thresholds are
+    // sized for clusters), so this pins the CONFIGURED behavior:
+    // thresholds to zero, broadcast off → the filter must appear.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creationSideThreshold is a MAX (build side must be small
+      // enough); applicationSideScanSizeThreshold is a MIN (fact side
+      // must be big enough — 10GB default, zeroed for the fixture)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val dir = sf
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select($"l_orderkey", $"l_quantity")
+      val joined = li.join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan-side of the hot queries") {
     Seq("q01_pricing_summary", "q15_wordcount", "q26_token_stats").foreach { n =>
       // AQE prints codegen stages only in the finalized plan → execute first
