@@ -943,8 +943,141 @@ object Selection {
           FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id)
         SELECT doc_id, br AS bm25_rank, ar AS ann_rank, rrf,
           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
-        FROM f QUALIFY rk <= 20"""))
+        FROM f QUALIFY rk <= 20""")),
+
+    // --------------------------------------------------------------- q117
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // LASER/CCMatrix parallel-corpus miner — the op that produces
+    // translation training pairs): for every source-side embedding,
+    // the best target-side match by the RATIO MARGIN — cos(x,y)
+    // normalized by the mean of both sides' k-NN similarity
+    // neighborhoods — which suppresses hubs that plain cosine top-1
+    // mining mismatches. Here the two "languages" are the label-parity
+    // halves of the embeddings table; candidates are blocked by the
+    // q92 sign-bucket cells (deterministic, oracle-replayable — the
+    // same blocked-approximation discipline as q22/q92), so the pair
+    // space is per-cell src×tgt hash-equi joins, never a cartesian.
+    // k-NN averages use k = 4 within the block, as a FIXED-ORDER
+    // coalesce chain over the rank-pivoted sims (no unordered double
+    // sum), so margins are bit-identical in both engines.
+    //
+    // Scale shape: blocking bounds candidates per vector; the
+    // production path swaps sign-cells for IvfPq.topKFromSaved
+    // candidate lists (pruned probes against the persisted layout) —
+    // the margin algebra downstream is unchanged. Two windows
+    // partition by src/tgt vector over candidate-sized groups.
+    Q(
+      "q117_bitext_margin",
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+          .withColumn("cell", expr(
+            """CAST(element_at(embedding, 1) > 0 AS INT)
+               + 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+               + 4 * CAST(element_at(embedding, 3) > 0 AS INT)""").cast("long"))
+        bitextMargin(
+          e.filter($"label" % 2 === 0)
+            .select($"cell", $"vec_id".as("u"), $"embedding".as("ea")),
+          e.filter($"label" % 2 === 1)
+            .select($"cell", $"vec_id".as("v"), $"embedding".as("eb")))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+            CAST(CAST(embedding[1] > 0 AS INT)
+              + 2 * CAST(embedding[2] > 0 AS INT)
+              + 4 * CAST(embedding[3] > 0 AS INT) AS BIGINT) AS cell
+          FROM embeddings),
+        pr AS (
+          SELECT a.vec_id u, b.vec_id v, a.embedding ea, b.embedding eb
+          FROM e a JOIN e b ON a.cell = b.cell
+          WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+        el AS (
+          SELECT u, v, unnest(ea) x, unnest(eb) y, generate_subscripts(ea, 1) i
+          FROM pr),
+        d AS MATERIALIZED (
+          SELECT u, v,
+            sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS dot,
+            sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) ORDER BY i) AS na,
+            sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE) ORDER BY i) AS nb
+          FROM el GROUP BY u, v),
+        -- r feeds au, av AND m: MATERIALIZED, or DuckDB re-inlines the
+        -- whole 8M-row unnest chain three times and exhausts memory
+        r AS MATERIALIZED (
+          SELECT u, v, dot/(sqrt(na)*sqrt(nb)) AS sim,
+            row_number() OVER (PARTITION BY u ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, v) AS ru,
+            row_number() OVER (PARTITION BY v ORDER BY dot/(sqrt(na)*sqrt(nb)) DESC, u) AS rv
+          FROM d),
+        au AS (
+          SELECT u,
+            (coalesce(max(CASE WHEN ru = 1 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN ru = 2 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN ru = 3 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN ru = 4 THEN sim END), CAST(0 AS DOUBLE)))
+            / count(*) AS avgu
+          FROM r WHERE ru <= 4 GROUP BY u),
+        av AS (
+          SELECT v,
+            (coalesce(max(CASE WHEN rv = 1 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN rv = 2 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN rv = 3 THEN sim END), CAST(0 AS DOUBLE))
+             + coalesce(max(CASE WHEN rv = 4 THEN sim END), CAST(0 AS DOUBLE)))
+            / count(*) AS avgv
+          FROM r WHERE rv <= 4 GROUP BY v),
+        m AS (
+          SELECT r.u, r.v, r.sim,
+            r.sim / ((au.avgu + av.avgv) / CAST(2 AS DOUBLE)) AS margin
+          FROM r JOIN au ON r.u = au.u JOIN av ON r.v = av.v)
+        SELECT u AS src_id, v AS tgt_id, sim, margin,
+          CAST(margin > 1.0 AS BIGINT) AS sel
+        FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY margin DESC, v) AS rm
+              FROM m)
+        WHERE rm = 1"""))
   )
+
+  /** Margin-based bitext mining engine behind q117 (Artetxe &
+    * Schwenk 2019's ratio margin, k = 4): src = (cell, u, ea), tgt =
+    * (cell, v, eb); candidates are the within-cell src×tgt pairs
+    * (blocking is the caller's contract — sign-buckets for the
+    * oracle-checked query, ANN candidate lists in production). For
+    * each candidate pair, margin = cos / ((avgKnn(u) + avgKnn(v))/2)
+    * where avgKnn is the mean of the vector's k best within-block
+    * sims, computed as a FIXED-ORDER coalesce chain over the
+    * rank-pivoted values (bit-deterministic, oracle-replayable); the
+    * output keeps each src's best-margin target with its sim, margin
+    * and a margin > 1 selection flag.
+    */
+  private[graft] def bitextMargin(
+      src: org.apache.spark.sql.DataFrame,
+      tgt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSim.register(s)
+    val wu = Window.partitionBy($"u").orderBy($"sim".desc, $"v".asc)
+    val wv = Window.partitionBy($"v").orderBy($"sim".desc, $"u".asc)
+    // one sim frame feeds both rank windows and the margin scoring
+    val rk = src.join(tgt, "cell")
+      .select($"u", $"v", expr("cosine_sim(ea, eb)").as("sim"))
+      .withColumn("ru", row_number().over(wu))
+      .withColumn("rv", row_number().over(wv))
+      .localCheckpoint()
+    def knnAvg(key: String, rkCol: String, out: String) =
+      rk.filter(col(rkCol) <= 4)
+        .groupBy(col(key))
+        .agg(((1 to 4).map(i =>
+          coalesce(max(when(col(rkCol) === i, $"sim")), lit(0.0)))
+          .reduce(_ + _) / count(lit(1)).cast("double")).as(out))
+    val wm = Window.partitionBy($"u").orderBy($"margin".desc, $"v".asc)
+    rk.join(knnAvg("u", "ru", "avgu"), "u")
+      .join(knnAvg("v", "rv", "avgv"), "v")
+      .withColumn("margin", $"sim" / (($"avgu" + $"avgv") / lit(2.0)))
+      .withColumn("rm", row_number().over(wm))
+      .filter($"rm" === 1)
+      .select($"u".as("src_id"), $"v".as("tgt_id"), $"sim", $"margin",
+        ($"margin" > 1.0).cast("long").as("sel"))
+  }
 
   /** Triangle-count engine behind q113. Input: (doc_id, text).
     * Undirected distinct bigram edges → (degree, name)-orientation →
