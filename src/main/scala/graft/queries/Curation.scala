@@ -354,7 +354,56 @@ object Curation {
           CAST(count(*) AS BIGINT) AS n_blocks,
           CAST(coalesce(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rm,
           coalesce(string_agg(blk, ' ' ORDER BY pos) FILTER (WHERE ndocs < 3), '') AS clean_text
-        FROM b2 JOIN c USING (bh) GROUP BY doc_id"""))
+        FROM b2 JOIN c USING (bh) GROUP BY doc_id""")),
+
+    // --------------------------------------------------------------- q118
+    // Curation AUDIT manifest — the provenance record a production
+    // pipeline keeps beside q100's survivors: one row per INPUT
+    // document with every stage verdict (quality gate, exact-dup
+    // canonical if any, lowest verified near-dup partner if any), the
+    // FIRST failing stage as the drop reason (the q100 stage order:
+    // gate → exact → near), and the final keep bit. keep = 1 rows are
+    // exactly q100's survivor set (CurationAuditSpec pins the
+    // equivalence); the counts-by-reason are the numbers a data-run
+    // report quotes. Same machinery as q100 (gate predicate, exact
+    // fingerprints over the gated domain, q21's capped+verified LSH
+    // pairs) — the audit adds only per-stage LEFT joins, so its cost
+    // is q100's plus two |dups|-sized joins; text never shuffles.
+    Q(
+      "q118_curation_audit",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        curationAudit(docs,
+          Llm.minhashLshPairs(docs, Llm.lshMaxBucket).select($"d1", $"d2"))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        g AS (
+          SELECT doc_id,
+            (length(text) >= 30
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+          FROM documents),
+        fp AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        canon AS (SELECT fp, min(doc_id) AS canon FROM fp GROUP BY fp),
+        eo AS (
+          SELECT f.doc_id, c.canon AS exact_dup_of
+          FROM fp f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2)
+        SELECT g.doc_id,
+          CAST(g.gate AS BIGINT) AS gate_pass,
+          eo.exact_dup_of, no.near_dup_of,
+          CASE WHEN NOT g.gate THEN 'quality_gate'
+               WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
+               WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
+          CAST((g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
+        FROM g
+        LEFT JOIN eo ON g.doc_id = eo.doc_id
+        LEFT JOIN no ON g.doc_id = no.doc_id"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
@@ -397,6 +446,44 @@ object Curation {
       .select($"doc_id", $"pos".cast("long").as("pos"),
         $"col".as("blk"),
         expr("CAST(conv(substr(md5(col), 1, 15), 16, 10) AS BIGINT)").as("bh"))
+  }
+
+  /** q118's audit engine: per input document, every stage verdict of
+    * the q100 pipeline (gate flag, exact-dup canonical, lowest
+    * verified near-dup partner), the first failing stage as the drop
+    * reason, and the keep bit — keep = 1 ⟺ the doc survives q100
+    * (CurationAuditSpec).
+    */
+  private[graft] def curationAudit(
+      docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val gate = docs.select($"doc_id",
+      (length($"text") >= 30 &&
+        size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)")) >= 1)
+        .as("gate"))
+    val fp = graft.ops.CurationPipeline.qualityGate(docs)
+      .select($"doc_id",
+        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+    val canon = fp.groupBy($"fp").agg(min($"doc_id").as("canon"))
+    val exactOf = fp.join(canon, "fp")
+      .filter($"canon" < $"doc_id")
+      .select($"doc_id", $"canon".as("exact_dup_of"))
+    val nearOf = pairs.groupBy($"d2")
+      .agg(min($"d1").as("near_dup_of"))
+      .select($"d2".as("doc_id"), $"near_dup_of")
+    gate.join(exactOf, Seq("doc_id"), "left")
+      .join(nearOf, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"gate".cast("long").as("gate_pass"),
+        $"exact_dup_of", $"near_dup_of",
+        when(!$"gate", "quality_gate")
+          .when($"exact_dup_of".isNotNull, "exact_dup")
+          .when($"near_dup_of".isNotNull, "near_dup")
+          .otherwise(lit(null).cast("string")).as("drop_reason"),
+        ($"gate" && $"exact_dup_of".isNull && $"near_dup_of".isNull)
+          .cast("long").as("keep"))
   }
 
   /** q110's per-document reconstruction from a block frame carrying
