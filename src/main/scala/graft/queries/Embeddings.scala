@@ -77,34 +77,64 @@ object Embeddings {
     // operator version, not a runtime adaptation.
     Q(
       "q84_embedding_centroids",
-      (s, dir) => {
-        import s.implicits._
-        val el = table(s, dir, "embeddings")
-          .select($"label".cast("long").as("label"), $"vec_id", posexplode($"embedding"))
-          .select($"label", $"vec_id", $"pos".cast("long").as("i"),
-            $"col".cast("double").as("x"))
-        val seg1 = el
-          .groupBy($"label", $"i", expr("vec_id div 64").as("seg"))
-          .agg(
-            sort_array(collect_list(struct($"vec_id", $"x"))).as("xs"),
-            count(lit(1)).as("n1"))
-          .withColumn("ssum", expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.x)"))
-        val seg2 = seg1
-          .groupBy($"label", $"i", expr("seg div 64").as("blk"))
-          .agg(
-            sort_array(collect_list(struct($"seg", $"ssum"))).as("ss"),
-            sum($"n1").cast("long").as("n2"))
-          .withColumn("bsum", expr("aggregate(ss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)"))
-        seg2
-          .groupBy($"label", $"i")
-          .agg(
-            sort_array(collect_list(struct($"blk", $"bsum"))).as("bs"),
-            sum($"n2").cast("long").as("n"))
-          .withColumn("vsum", expr("aggregate(bs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)"))
-          .select($"label", $"i", $"n", ($"vsum" / $"n".cast("double")).as("centroid"))
-      },
-      Some("""
-        WITH el AS (
+      (s, dir) => labelCentroids(table(s, dir, "embeddings")),
+      Some(s"""
+        WITH $centroidSqlCtes
+        SELECT label, i, n, vsum / CAST(n AS DOUBLE) AS centroid FROM c""")),
+
+    // --------------------------------------------------------------- q120
+    // Prototypicality pruning (SSL-prototypes; the second half of
+    // Sorscher et al. 2022 / the D4 recipe beside SemDeDup q92): score
+    // every embedding by cosine to its cluster's centroid and DROP the
+    // most prototypical quarter per cluster — near-centroid points
+    // carry the least marginal information, so pruning them beats
+    // random subsetting at equal token budget. Clusters here are the
+    // table's labels with q84's bit-reproducible centroids (the
+    // k-means assignment a production run would use); the cosine is an
+    // in-row ORDERED fold over zip_with (index order ≡ the oracle's
+    // `ORDER BY i` sums — bit-identical), centroids broadcast, so
+    // scoring runs at scan throughput. The per-cluster row_number is a
+    // window over one CLUSTER (bounded by the q92 maxCell discipline),
+    // never the corpus; pruned = rank ≤ ceil(n/4) in exact integer
+    // arithmetic.
+    Q(
+      "q120_proto_prune",
+      (s, dir) => protoPrune(table(s, dir, "embeddings")),
+      Some(s"""
+        WITH $centroidSqlCtes,
+        cent AS (
+          SELECT label, i, vsum / CAST(n AS DOUBLE) AS c FROM c),
+        u AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+          FROM embeddings),
+        d AS (
+          SELECT u.vec_id, u.label,
+            sum(u.x * cent.c ORDER BY u.i) AS dot,
+            sum(u.x * u.x ORDER BY u.i) AS na,
+            sum(cent.c * cent.c ORDER BY u.i) AS nb
+          FROM u JOIN cent ON u.label = cent.label AND u.i = cent.i
+          GROUP BY u.vec_id, u.label),
+        r AS (
+          SELECT vec_id, label, dot / (sqrt(na) * sqrt(nb)) AS sim,
+            CAST(row_number() OVER (
+              PARTITION BY label
+              ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, vec_id ASC) AS BIGINT) AS rk,
+            CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
+          FROM d)
+        SELECT vec_id, label, sim, rk,
+          CAST(rk <= (n + 3) // 4 AS BIGINT) AS pruned
+        FROM r"""))
+  )
+
+  /** Shared DuckDB CTE chain for q84's fixed-depth-3 centroid tree
+    * (terminal CTE `c` = (label, i, vsum, n)) — spliced into the q84
+    * and q120 oracles so both replay the identical reduction tree.
+    */
+  // lazy: referenced from `all`'s initializer above — a strict val here
+  // would still be null at that point (object-body init order)
+  private lazy val centroidSqlCtes = """el AS (
           SELECT CAST(label AS BIGINT) AS label, vec_id,
             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
             CAST(unnest(embedding) AS DOUBLE) AS x
@@ -123,7 +153,65 @@ object Embeddings {
           SELECT label, i,
             sum(bsum ORDER BY blk) AS vsum,
             CAST(sum(n2) AS BIGINT) AS n
-          FROM s2 GROUP BY label, i)
-        SELECT label, i, n, vsum / CAST(n AS DOUBLE) AS centroid FROM c"""))
-  )
+          FROM s2 GROUP BY label, i)"""
+
+  /** Centroid engine behind q84 (and q120's model): input
+    * (vec_id, embedding, label); output (label, i, n, centroid) via
+    * the fixed-depth-3 reproducible sum tree documented on q84.
+    */
+  private[graft] def labelCentroids(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val el = emb
+      .select($"label".cast("long").as("label"), $"vec_id", posexplode($"embedding"))
+      .select($"label", $"vec_id", $"pos".cast("long").as("i"),
+        $"col".cast("double").as("x"))
+    val seg1 = el
+      .groupBy($"label", $"i", expr("vec_id div 64").as("seg"))
+      .agg(
+        sort_array(collect_list(struct($"vec_id", $"x"))).as("xs"),
+        count(lit(1)).as("n1"))
+      .withColumn("ssum", expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.x)"))
+    val seg2 = seg1
+      .groupBy($"label", $"i", expr("seg div 64").as("blk"))
+      .agg(
+        sort_array(collect_list(struct($"seg", $"ssum"))).as("ss"),
+        sum($"n1").cast("long").as("n2"))
+      .withColumn("bsum", expr("aggregate(ss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)"))
+    seg2
+      .groupBy($"label", $"i")
+      .agg(
+        sort_array(collect_list(struct($"blk", $"bsum"))).as("bs"),
+        sum($"n2").cast("long").as("n"))
+      .withColumn("vsum", expr("aggregate(bs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)"))
+      .select($"label", $"i", $"n", ($"vsum" / $"n".cast("double")).as("centroid"))
+  }
+
+  /** Pruning engine behind q120. Input: (vec_id, embedding, label);
+    * output (vec_id, label, sim, rk, pruned) where sim = cosine to the
+    * label's q84 centroid and pruned = 1 for the ceil(n/4) most
+    * prototypical vectors of each label. Centroid arrays assemble in
+    * index order and broadcast; the cosine folds in index order
+    * in-row (bit-identical to the oracle's ordered sums).
+    */
+  private[graft] def protoPrune(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cvec = labelCentroids(emb)
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"i", $"centroid"))).as("cs"))
+      .select($"label", expr("transform(cs, e -> e.centroid)").as("cvec"))
+    val w = Window.partitionBy($"label").orderBy($"sim".desc, $"vec_id".asc)
+    emb.select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+      .join(broadcast(cvec), "label")
+      .select($"vec_id", $"label",
+        (expr("aggregate(zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), (a, e) -> a + e)") /
+          (sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
+            sqrt(expr("aggregate(cvec, CAST(0.0 AS DOUBLE), (a, c) -> a + c * c)")))).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"label")).cast("long"))
+      .select($"vec_id", $"label", $"sim", $"rk",
+        ($"rk" <= expr("(n + 3) div 4")).cast("long").as("pruned"))
+  }
 }

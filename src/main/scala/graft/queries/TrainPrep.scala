@@ -264,8 +264,156 @@ object TrainPrep {
         SELECT doc_id, status,
           coalesce(old_fp, '') AS old_fp,
           coalesce(new_fp, '') AS new_fp
-        FROM d WHERE status IS NOT NULL"""))
+        FROM d WHERE status IS NOT NULL""")),
+
+    // --------------------------------------------------------------- q119
+    // CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): a
+    // per-language score distribution is cut into terciles and every
+    // document is tagged head (best third), middle, or tail — the
+    // lever CCNet/LLaMA pipelines use to weight or drop whole quality
+    // strata. The scale-defining choice: cutoffs are score VALUES
+    // computed from a content-addressed 20% sample (md5 bucket, the
+    // q53 discipline — deterministic, partitioning-independent) via a
+    // per-language bounded order-statistic agg, then BROADCAST into a
+    // scan-side CASE — NOT a row_number window over the corpus (a
+    // per-language rank would funnel each language through one
+    // partition; cutoff values assign buckets at read throughput, and
+    // ties land deterministically by value on both engines, exactly
+    // CCNet's semantics). The stand-in score is mean token length in
+    // exact ppm BIGINTs (one in-row fold, no ln(), the q88/q109
+    // rules); production swaps in a KenLM perplexity column — the
+    // bucketing machinery is score-agnostic. Languages absent from
+    // the sample get 'middle' (explicit, not an error: a new language
+    // appearing mid-corpus should not crash the tagger).
+    //
+    // Scale shape: score is a pure scan projection; the sample agg
+    // holds one sorted LONG list per language (cap the sample fraction
+    // so a language's list stays ~1e5 entries ≈ 800 KB — CCNet itself
+    // computes cutoffs on a fixed sample); assignment is scan +
+    // broadcast join. Nothing corpus-sized ever shuffles.
+    Q(
+      "q119_ppl_buckets",
+      (s, dir) => {
+        import s.implicits._
+        pplBuckets(table(s, dir, "documents").select($"doc_id", $"lang", $"text"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+          FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            (CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) * 1000000)
+              // CAST(len(toks) AS BIGINT) AS score_ppm
+          FROM t WHERE len(toks) >= 1),
+        samp AS (
+          SELECT lang, score_ppm FROM sc
+          WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|pplcut')), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 20),
+        cut AS (
+          SELECT lang,
+            l[CAST((m + 2) // 3 AS INT)] AS cut1,
+            l[CAST((2 * m + 2) // 3 AS INT)] AS cut2
+          FROM (
+            SELECT lang, list(score_ppm ORDER BY score_ppm) AS l,
+              CAST(count(*) AS BIGINT) AS m
+            FROM samp GROUP BY lang))
+        SELECT sc.doc_id, sc.lang, sc.score_ppm,
+          CASE WHEN cut.cut1 IS NULL THEN 'middle'
+               WHEN sc.score_ppm <= cut.cut1 THEN 'head'
+               WHEN sc.score_ppm <= cut.cut2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sc LEFT JOIN cut ON sc.lang = cut.lang""")),
+
+    // --------------------------------------------------------------- q121
+    // Deterministic global shuffle + exactly-balanced shard assignment
+    // — the step that WRITES a training set: order the corpus by a
+    // content-addressed hash (a reproducible "random" permutation —
+    // same order on any engine, any partitioning, any run, unlike
+    // rand()), take the global rank, and deal documents round-robin
+    // into 16 shards, so shard sizes are equal ±1 BY CONSTRUCTION
+    // (q53's hash-bucket split is reproducible but only
+    // statistically balanced; a shard writer needs exact balance).
+    // The writer tail is `partitionBy(shard)` over this frame.
+    //
+    // Scale shape: the global rank is ops.GlobalRank (range-partition
+    // on h + per-partition offset prefix-sum + narrow local
+    // numbering — q83's machinery), NOT a row_number window that
+    // funnels 100 TB through one partition; the hash is a scan
+    // projection and the modulo is free. Eager (the offset prefix-sum
+    // is a numPartitions-row action), same caveat as q83.
+    Q(
+      "q121_shard_assign",
+      (s, dir) => {
+        import s.implicits._
+        shardAssign(table(s, dir, "documents").select($"doc_id"), 16,
+          s.sparkContext.defaultParallelism)
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|shard')), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT doc_id, h,
+            CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rk
+          FROM h)
+        SELECT doc_id, h, rk, (rk - 1) % 16 AS shard FROM r"""))
   )
+
+  /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
+    * (doc_id, lang, score_ppm, bucket) for every document with ≥ 1
+    * [a-z]+ token. Sampled per-language tercile cutoff VALUES
+    * broadcast into a scan-side CASE; ties land by value (CCNet
+    * semantics), unsampled languages get 'middle'.
+    */
+  private[graft] def pplBuckets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sc = docs
+      .select($"doc_id", $"lang",
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("toks"))
+      .filter(size($"toks") >= 1)
+      .select($"doc_id", $"lang",
+        expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000000L) div size(toks)")
+          .as("score_ppm"))
+    val cut = sc
+      .filter(expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|pplcut')), 1, 8), 16, 10) AS BIGINT) % 100 < 20"))
+      .groupBy($"lang")
+      .agg(
+        sort_array(collect_list($"score_ppm")).as("l"),
+        count(lit(1)).cast("long").as("m"))
+      .select($"lang",
+        expr("element_at(l, CAST((m + 2) div 3 AS INT))").as("cut1"),
+        expr("element_at(l, CAST((2 * m + 2) div 3 AS INT))").as("cut2"))
+    sc.join(broadcast(cut), Seq("lang"), "left")
+      .select($"doc_id", $"lang", $"score_ppm",
+        when($"cut1".isNull, "middle")
+          .when($"score_ppm" <= $"cut1", "head")
+          .when($"score_ppm" <= $"cut2", "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Shard-assignment engine behind q121. Input: a frame with a
+    * `doc_id` column; output (doc_id, h, rk, shard) where rk is the
+    * 1-based global rank in (h, doc_id) order and shard = (rk−1) mod
+    * nShards — sizes equal ±1 by construction, order reproducible
+    * anywhere md5 is.
+    */
+  private[graft] def shardAssign(
+      docs: org.apache.spark.sql.DataFrame,
+      nShards: Int,
+      numPartitions: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val h = docs.select($"doc_id",
+      expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|shard')), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+    graft.ops.GlobalRank
+      .withRank(h, Seq($"h".asc, $"doc_id".asc), "rk", numPartitions)
+      .withColumn("shard", expr(s"(rk - 1) % $nShards"))
+  }
 
   /** Morton interleave of two `bits`-bit keys as portable integer
     * arithmetic: x's bit i lands at position 2i, y's at 2i+1. `div` is
