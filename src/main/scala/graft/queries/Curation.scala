@@ -403,7 +403,43 @@ object Curation {
           CAST((g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
         FROM g
         LEFT JOIN eo ON g.doc_id = eo.doc_id
-        LEFT JOIN no ON g.doc_id = no.doc_id"""))
+        LEFT JOIN no ON g.doc_id = no.doc_id""")),
+
+    // --------------------------------------------------------------- q122
+    // Bloom-gated batch-vs-corpus membership (ops.BloomGate) — "which
+    // incoming documents already exist in the corpus", the exact-dup
+    // drop-time gate in its constant-state form. The corpus fp set
+    // (here: md5 of the 40-char boilerplate prefix, the signature this
+    // corpus demonstrably repeats; any frozen fp works) is folded into
+    // a fixed-size bloom sketch in ONE tree-reduced scan; the batch
+    // (doc_id % 10 == 3, q112's drop convention) is prefiltered AT THE
+    // SCAN by Spark's own codegen'd might_contain over the literal
+    // sketch, and only probable members reach the exact-verify semi
+    // join that removes the fpp tail. The bloom provably cannot change
+    // the answer (no false negatives; FPs verified away) — so this
+    // whole query hash-matches a plain EXISTS in DuckDB, sketch and
+    // all. At 10⁹ corpus fps the sketch is ~1.2 GB where the exact set
+    // is ~16 GB and un-broadcastable; the exact join shuffles |hits| +
+    // fpp·|batch| rows instead of the whole batch. Eager (the sketch
+    // build is an action — q45/q83 precedent).
+    Q(
+      "q122_bloom_gate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        graft.ops.BloomGate.membership(
+          docs.filter($"doc_id" % 10 =!= 3)
+            .select(md5(substring($"text", 1, 40)).as("fp")),
+          docs.filter($"doc_id" % 10 === 3)
+            .select($"doc_id", md5(substring($"text", 1, 40)).as("fp")))
+      },
+      Some("""
+        SELECT b.doc_id,
+          CAST(EXISTS (
+            SELECT 1 FROM documents c
+            WHERE c.doc_id % 10 <> 3
+              AND md5(substr(c.text, 1, 40)) = md5(substr(b.text, 1, 40))) AS BIGINT) AS hit
+        FROM documents b WHERE b.doc_id % 10 = 3"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
