@@ -244,6 +244,68 @@ object Stats {
       },
       None),
 
+    // --------------------------------------------------------------- q123
+    // Count-Min point-frequency estimates (ops.CmsState, Cormode &
+    // Muthukrishnan 2005) — the fourth approximate-family member
+    // (q37 distincts, q72 quantiles, q111 frequent items; this =
+    // "how often did THIS token occur" when the vocabulary is too
+    // large for an exact table). Per language: 4 md5-salted hash rows
+    // × 1024 buckets of exact BIGINT counts; a probe's estimate is
+    // the MIN of its 4 counters. Unlike every other sketch here, the
+    // WHOLE pipeline — counters, probes, estimates — is exact integer
+    // arithmetic on md5 buckets both engines compute identically, so
+    // this one is fully hash-ORACLE-CHECKED (not rows-only): the
+    // oracle replays the sketch and the exact counts, pinning the
+    // never-undercount bound est ≥ exact on real data end to end.
+    // Scale shape: one map-side-combinable (key, j, c) count (≤ 4096
+    // partial rows per lang per partition); probes join the
+    // broadcast counter frame scan-locally.
+    Q(
+      "q123_cms_counts",
+      (s, dir) => {
+        import s.implicits._
+        val toks = graft.queries.Llm.docsSpread(s, dir)
+          .select($"lang".as("key"),
+            explode(split(lower($"text"), "[^a-z]+")).as("v"))
+          .filter($"v" =!= "")
+          .localCheckpoint() // feeds counters, probe grid AND exact counts
+        val cnts = graft.ops.CmsState.counters(toks, "key", "v", 4, 1024)
+        val items = toks.select($"key").distinct()
+          .crossJoin(broadcast(
+            Seq("the", "and", "data", "spark", "window", "zyzzyva").toDF("v")))
+        val exact = toks.groupBy($"key", $"v")
+          .agg(count(lit(1)).cast("long").as("exact"))
+        graft.ops.CmsState.probe(items, cnts, 4, 1024)
+          .join(exact, Seq("key", "v"), "left")
+          .select($"key".as("lang"), $"v".as("tok"), $"est",
+            coalesce($"exact", lit(0L)).as("exact"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang AS key,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS v
+          FROM documents),
+        js AS (SELECT unnest(range(0, 4)) AS j),
+        cnts AS (
+          SELECT key, j,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|', v)), 1, 15)) AS UBIGINT) AS BIGINT) % 1024 AS c,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM toks CROSS JOIN js GROUP BY key, j, c),
+        probes AS (SELECT unnest(['the', 'and', 'data', 'spark', 'window', 'zyzzyva']) AS v),
+        items AS (SELECT DISTINCT toks.key, probes.v FROM toks CROSS JOIN probes),
+        pj AS (
+          SELECT key, v, j,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), '|', v)), 1, 15)) AS UBIGINT) AS BIGINT) % 1024 AS c
+          FROM items CROSS JOIN js),
+        est AS (
+          SELECT pj.key, pj.v, min(coalesce(cnts.cnt, 0)) AS est
+          FROM pj LEFT JOIN cnts ON pj.key = cnts.key AND pj.j = cnts.j AND pj.c = cnts.c
+          GROUP BY pj.key, pj.v),
+        ex AS (SELECT key, v, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY key, v)
+        SELECT est.key AS lang, est.v AS tok, est.est,
+          coalesce(ex.exact, 0) AS exact
+        FROM est LEFT JOIN ex ON est.key = ex.key AND est.v = ex.v""")),
+
     // HLL sketch aggregation (rows-only: HLL implementations differ
     // across engines by design; StatsSpec bounds the error vs the exact
     // count instead). The sketch is the 100 TB answer to COUNT(DISTINCT)
