@@ -970,6 +970,45 @@ object Llm {
           SELECT lang, tok, n,
             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rk
           FROM c)
-        SELECT lang, tok, n, rk FROM r WHERE rk <= 20"""))
+        SELECT lang, tok, n, rk FROM r WHERE rk <= 20""")),
+
+    // --------------------------------------------------------------- q125
+    // Cross-source near-dup contamination matrix — the review surface
+    // a curation team reads before mixing sources: for every unordered
+    // source pair, how many verified near-dup pairs (q21's LSH
+    // pipeline, shared body and shared oracle SQL) cross it, and how
+    // near. Within-source rows (sa = sb) are boilerplate self-similarity;
+    // cross-source rows are contamination/leakage between feeds — the
+    // number that decides whether two "independent" sources really are.
+    // Scale shape: the pair frame is LSH-bounded (never all-pairs);
+    // the two metadata attachments join the pair IDs against the
+    // docs scan (pairs side tiny → broadcast at scale), and the
+    // matrix is |sources|² rows. max_jac is a max over bit-stable
+    // doubles (order-independent — safe unordered, the q84 note).
+    Q(
+      "q125_dup_source_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = docsSpread(s, dir)
+        val meta = docs.select($"doc_id", $"source")
+        minhashLshPairs(docs, lshMaxBucket)
+          .join(meta.select($"doc_id".as("d1"), $"source".as("s1")), "d1")
+          .join(meta.select($"doc_id".as("d2"), $"source".as("s2")), "d2")
+          .select(least($"s1", $"s2").as("sa"), greatest($"s1", $"s2").as("sb"), $"jac")
+          .groupBy($"sa", $"sb")
+          .agg(
+            count(lit(1)).cast("long").as("n_pairs"),
+            max($"jac").as("max_jac"))
+      },
+      Some(s"""
+        WITH pairs AS ($minhashPairsSql),
+        m AS (
+          SELECT least(m1.source, m2.source) AS sa,
+            greatest(m1.source, m2.source) AS sb, p.jac
+          FROM pairs p
+          JOIN documents m1 ON m1.doc_id = p.d1
+          JOIN documents m2 ON m2.doc_id = p.d2)
+        SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs, max(jac) AS max_jac
+        FROM m GROUP BY sa, sb"""))
   )
 }

@@ -619,7 +619,140 @@ object Mining {
           CAST(coalesce(rm_chars, 0) AS BIGINT) AS rm_chars,
           coalesce(ct, t200) AS clean_text,
           CAST(length(coalesce(ct, t200)) AS BIGINT) AS clean_len
-        FROM t LEFT JOIN cleaned USING (doc_id) LEFT JOIN stats USING (doc_id)"""))
+        FROM t LEFT JOIN cleaned USING (doc_id) LEFT JOIN stats USING (doc_id)""")),
+
+    // --------------------------------------------------------------- q124
+    // Stupid Backoff doc scoring (Brants et al. 2007, "Large Language
+    // Models in Machine Translation") — THE web-scale n-gram scoring
+    // method: no discounting, no normalization, just relative
+    // frequencies with a fixed 0.4 backoff penalty per level, chosen
+    // because it needs exactly the count tables a distributed engine
+    // can build in one pass each. A trigram LM trains on the corpus
+    // slice (doc_id % 10 ≠ 3) and scores the HELD-OUT slice, so
+    // backoff genuinely fires: S(w|w1,w2) = c3/c2(w1,w2) when the
+    // trigram is known, else 0.4·c2(w2,w)/c1(w2), else 0.16·c1(w)/N,
+    // else the 0.16/N OOV floor. Denominators are never null by
+    // construction (a corpus trigram's context bigram is in the
+    // corpus; a corpus bigram's head unigram is too). Per-doc score =
+    // mean of S over trigram positions, folded in position order (the
+    // q88 discipline), with per-level hit counts as exact integers.
+    //
+    // Scale shape: the count tables are one map-side-combinable agg
+    // each over the corpus token stream; scoring is the batch trigram
+    // stream through five hash-equi joins against them (broadcast
+    // when the vocab allows, hash-partitioned otherwise) — text
+    // shuffles only as the gram keys themselves. The shared
+    // token-array frame materializes ONCE for its four consumers.
+    Q(
+      "q124_stupid_backoff",
+      (s, dir) => {
+        import s.implicits._
+        val ws = Llm.docsSpread(s, dir)
+          .select($"doc_id",
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ws"))
+          .localCheckpoint()
+        val corpusWs = ws.filter($"doc_id" % 10 =!= 3)
+        val ctoks = corpusWs.select(explode($"ws").as("w"))
+        val c1 = ctoks.groupBy($"w").agg(count(lit(1)).cast("long").as("c1"))
+        val nTot = ctoks.agg(count(lit(1)).cast("long").as("n_corpus"))
+        val cbi = corpusWs.filter(size($"ws") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws)-1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))")).as("b"))
+          .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("c2"))
+        val ctri = corpusWs.filter(size($"ws") >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws)-2), i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2, element_at(ws, i+2) AS w))")).as("t"))
+          .select($"t.w1".as("w1"), $"t.w2".as("w2"), $"t.w".as("w"))
+          .groupBy($"w1", $"w2", $"w").agg(count(lit(1)).cast("long").as("c3"))
+        val tri = ws.filter($"doc_id" % 10 === 3 && size($"ws") >= 3)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(1, size(ws)-2), i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2, element_at(ws, i+2) AS w))")))
+          .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+            $"col.w1".as("w1"), $"col.w2".as("w2"), $"col.w".as("w"))
+        tri
+          .join(ctri, Seq("w1", "w2", "w"), "left")
+          .join(cbi.select($"w1", $"w2", $"c2".as("c2ctx")), Seq("w1", "w2"), "left")
+          .join(cbi.select($"w1".as("w2"), $"w2".as("w"), $"c2".as("c2bw")),
+            Seq("w2", "w"), "left")
+          .join(c1.select($"w".as("w2"), $"c1".as("c1ctx")), Seq("w2"), "left")
+          .join(c1, Seq("w"), "left")
+          .crossJoin(broadcast(nTot))
+          .select($"doc_id", $"pos",
+            when($"c3".isNotNull, lit(3L))
+              .when($"c2bw".isNotNull, lit(2L))
+              .when($"c1".isNotNull, lit(1L))
+              .otherwise(lit(0L)).as("lvl"),
+            when($"c3".isNotNull, $"c3".cast("double") / $"c2ctx".cast("double"))
+              .when($"c2bw".isNotNull,
+                lit(0.4) * ($"c2bw".cast("double") / $"c1ctx".cast("double")))
+              .when($"c1".isNotNull,
+                lit(0.16) * ($"c1".cast("double") / $"n_corpus".cast("double")))
+              .otherwise(lit(0.16) * (lit(1.0) / $"n_corpus".cast("double"))).as("sb"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_scored"),
+            sum(when($"lvl" === 3L, 1L).otherwise(0L)).cast("long").as("n_tri"),
+            sum(when($"lvl" === 2L, 1L).otherwise(0L)).cast("long").as("n_bi"),
+            sum(when($"lvl" === 1L, 1L).otherwise(0L)).cast("long").as("n_uni"),
+            sum(when($"lvl" === 0L, 1L).otherwise(0L)).cast("long").as("n_oov"),
+            sort_array(collect_list(struct($"pos", $"sb"))).as("ss"))
+          .select($"doc_id", $"n_scored", $"n_tri", $"n_bi", $"n_uni", $"n_oov",
+            (expr("aggregate(ss, CAST(0.0 AS DOUBLE), (a, e) -> a + e.sb)") /
+              $"n_scored".cast("double")).as("sb_score"))
+      },
+      Some("""
+        WITH ws AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+          FROM documents),
+        ct AS (SELECT unnest(ws) AS w FROM ws WHERE doc_id % 10 <> 3),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ct GROUP BY w),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM ct),
+        bp AS (
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM ws WHERE doc_id % 10 <> 3 AND len(ws) >= 2),
+        c2 AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c2
+          FROM bp GROUP BY w1, w2),
+        tp AS (
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+          FROM ws WHERE doc_id % 10 <> 3 AND len(ws) >= 3),
+        c3 AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w,
+            CAST(count(*) AS BIGINT) AS c3
+          FROM tp GROUP BY w1, w2, w),
+        bt AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w
+          FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM ws WHERE doc_id % 10 = 3 AND len(ws) >= 3)),
+        sc AS (
+          SELECT bt.doc_id, bt.pos,
+            CASE WHEN c3.c3 IS NOT NULL THEN 3
+                 WHEN b2.c2 IS NOT NULL THEN 2
+                 WHEN u1.c1 IS NOT NULL THEN 1
+                 ELSE 0 END AS lvl,
+            CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+                 WHEN b2.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * (CAST(b2.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))
+                 WHEN u1.c1 IS NOT NULL THEN CAST(0.16 AS DOUBLE) * (CAST(u1.c1 AS DOUBLE) / CAST(nt.n_corpus AS DOUBLE))
+                 ELSE CAST(0.16 AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(nt.n_corpus AS DOUBLE)) END AS sb
+          FROM bt
+          LEFT JOIN c3 ON c3.w1 = bt.w1 AND c3.w2 = bt.w2 AND c3.w = bt.w
+          LEFT JOIN c2 bc ON bc.w1 = bt.w1 AND bc.w2 = bt.w2
+          LEFT JOIN c2 b2 ON b2.w1 = bt.w2 AND b2.w2 = bt.w
+          LEFT JOIN c1 uc ON uc.w = bt.w2
+          LEFT JOIN c1 u1 ON u1.w = bt.w
+          CROSS JOIN nt)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_scored,
+          CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+          CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+          CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+          CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          sum(sb ORDER BY pos) / CAST(count(*) AS DOUBLE) AS sb_score
+        FROM sc GROUP BY doc_id"""))
   )
 
   /** Span-removal engine behind q108. Input: (doc_id, t200). Excises
