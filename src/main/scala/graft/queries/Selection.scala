@@ -1033,7 +1033,59 @@ object Selection {
           CAST(margin > 1.0 AS BIGINT) AS sel
         FROM (SELECT *, row_number() OVER (PARTITION BY u ORDER BY margin DESC, v) AS rm
               FROM m)
-        WHERE rm = 1"""))
+        WHERE rm = 1""")),
+
+    // --------------------------------------------------------------- q126
+    // Label-propagation communities (Raghavan et al. 2007) over the
+    // corpus bigram graph — the fourth graph primitive beside CC
+    // (q45), PageRank (q96) and triangles (q113): 4 SYNCHRONOUS
+    // rounds, every vertex adopting its neighbors' most frequent
+    // label with ties to the smallest (min over struct(−count,
+    // label) — one total order, so the notoriously order-dependent
+    // LPA becomes bit-deterministic and oracle-replayable; the fixed
+    // round count is operator definition, the q96 discipline). The
+    // oracle unrolls the identical rounds as generated MATERIALIZED
+    // CTEs. Scale shape: each round is one edge-sized hash join plus
+    // a map-side-combinable (v, label) count — the Pregel round as
+    // two exchanges; the symmetric edge list materializes once for
+    // all rounds; no driver state, no windows.
+    Q(
+      "q126_label_prop",
+      (s, dir) => labelProp(bigramEdges(Llm.docsSpread(s, dir)), 4),
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          s"""n$r AS (
+          SELECT e.v, l.lbl, CAST(count(*) AS BIGINT) AS c
+          FROM e2 e JOIN l${r - 1} l ON l.v = e.u GROUP BY e.v, l.lbl),
+        l$r AS MATERIALIZED (
+          SELECT v, lbl FROM (
+            SELECT v, lbl,
+              row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+            FROM n$r) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH lst AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS l
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(l) AS tok,
+            CAST(generate_subscripts(l, 1) AS BIGINT) AS idx
+          FROM lst),
+        bg AS (
+          SELECT doc_id, tok AS w1,
+            lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY idx ASC) AS w2
+          FROM toks),
+        edges AS (
+          SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+          FROM bg WHERE w2 IS NOT NULL AND w1 <> w2),
+        e2 AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM edges
+          UNION ALL SELECT b, a FROM edges),
+        l0 AS (SELECT DISTINCT v, v AS lbl FROM e2),
+        $roundCtes
+        SELECT v, lbl FROM l4"""
+      })
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &
@@ -1085,7 +1137,11 @@ object Selection {
     * probe. Output: ONE row (n_nodes, n_edges, n_triangles); each
     * triangle counted exactly once.
     */
-  private[graft] def triangleCount(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Distinct undirected token-adjacency edges (a < b) of the corpus
+    * bigram graph — shared by q113 (triangles) and q126 (label
+    * propagation). Materialized once (multiple consumers downstream).
+    */
+  private[graft] def bigramEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs
@@ -1094,11 +1150,45 @@ object Selection {
       .toDF("doc_id", "idx", "tok")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"idx".asc)
-    val edges = toks.withColumn("w2", lead($"tok", 1).over(w))
+    toks.withColumn("w2", lead($"tok", 1).over(w))
       .filter($"w2".isNotNull && $"tok" =!= $"w2")
       .select(least($"tok", $"w2").as("a"), greatest($"tok", $"w2").as("b"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) behind
+    * q126, made DETERMINISTIC: every vertex simultaneously adopts the
+    * most frequent label among its neighbors, ties to the smallest
+    * label — expressed as min over struct(−count, label), one total
+    * order, no arrival-order dependence (the async/random-order LPA
+    * of the paper is irreproducible by construction). Fixed `rounds`
+    * is part of the operator definition (the q84/q96 static-shape
+    * rule). Each round is one edge-sized join + a map-side-combinable
+    * (v, lbl) count — the textbook Pregel round as two exchanges; the
+    * symmetric edge list materializes once for all rounds.
+    */
+  private[graft] def labelProp(edges: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e2 = edges.select($"a".as("u"), $"b".as("v"))
+      .unionAll(edges.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint()
+    var lbl = e2.select($"v").distinct().select($"v", $"v".as("lbl"))
+    (1 to rounds).foreach { _ =>
+      lbl = e2.join(lbl.select($"v".as("u"), $"lbl"), "u")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).cast("long").as("c"))
+        .groupBy($"v")
+        .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+        .select($"v", $"m.l".as("lbl"))
+    }
+    lbl
+  }
+
+  private[graft] def triangleCount(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val edges = bigramEdges(docs)
     val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).cast("long").as("deg"))
     val dirE = edges
