@@ -408,6 +408,48 @@ object Coverage {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
           AND NOT EXISTS (
             SELECT 1 FROM orders o2
-            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')"""))
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderpriority = '5-LOW')""")),
+
+    // --------------------------------------------------------------- q127
+    // Corpus datasheet — the "data card" rollup every released
+    // training set ships (Datasheets for Datasets, Gebru et al.):
+    // doc/char/token totals and mean length by language, by source,
+    // by (language, source), and overall, in ONE Expand pass (explicit
+    // GROUPING SETS — q70's machinery pointed at the corpus). Token
+    // counts are computed once in the scan projection; the four
+    // groupings then share a single map-side-combined aggregate. At
+    // 100 TB this is the whole-corpus reporting query: one scan, one
+    // |langs × sources|-bounded shuffle.
+    Q(
+      "q127_corpus_datasheet",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"lang", $"source", $"n_chars",
+            size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_toks"))
+          .createOrReplaceTempView("docs_ds_v")
+        s.sql("""
+          SELECT coalesce(lang, 'ALL') AS lang,
+                 coalesce(source, 'ALL') AS source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+                 CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+          FROM docs_ds_v
+          GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, source, n_chars,
+            CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+          FROM documents)
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM d
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())"""))
   )
 }

@@ -1085,7 +1085,63 @@ object Selection {
         l0 AS (SELECT DISTINCT v, v AS lbl FROM e2),
         $roundCtes
         SELECT v, lbl FROM l4"""
-      })
+      }),
+
+    // --------------------------------------------------------------- q128
+    // Tokenizer fertility by language — the multilingual-fairness
+    // metric (tokens per word under a FROZEN tokenizer; high-fertility
+    // languages pay more compute per word and fit less context, the
+    // XLM-R/NLLB reporting line): q106's exact BPE apply (the frozen
+    // merge ladder as a codegen'd replace chain, shared bpeApplySql)
+    // counts subword tokens per doc in the scan, whitespace words are
+    // counted on the same normalized prefix domain, and one
+    // |langs|-row aggregate yields fertility = Σtokens / Σwords as a
+    // single division of exact BIGINTs. Wordless docs excluded
+    // explicitly (no 0/0). Scan + one tiny map-side-combined agg.
+    Q(
+      "q128_tokenizer_fertility",
+      (s, dir) => {
+        import s.implicits._
+        Llm.docsSpread(s, dir)
+          .withColumn("__pre",
+            expr("regexp_replace(lower(substring(text, 1, 64)), '[^a-z ]', '')"))
+          .withColumn("__sym", expr("regexp_replace(__pre, '(.)', '|$1__')"))
+          .withColumn("__tok", expr(bpeApplySql("__sym")))
+          .select($"lang",
+            expr("CAST(length(__tok) - length(replace(__tok, '|', '')) AS BIGINT)")
+              .as("n_toks"),
+            expr("CAST(size(filter(split(__pre, ' '), x -> x <> '')) AS BIGINT)")
+              .as("n_words"))
+          .filter($"n_words" >= 1L)
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_words").cast("long").as("n_words"),
+            sum($"n_toks").cast("long").as("n_tokens"))
+          .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+            ($"n_tokens".cast("double") / $"n_words".cast("double")).as("fertility"))
+      },
+      Some(s"""
+        WITH sym AS (
+          SELECT lang,
+            regexp_replace(lower(substring(text, 1, 64)), '[^a-z ]', '', 'g') AS __pre,
+            regexp_replace(regexp_replace(lower(substring(text, 1, 64)),
+              '[^a-z ]', '', 'g'), '(.)', '|\\1__', 'g') AS __sym
+          FROM documents),
+        pd AS (
+          SELECT lang,
+            CAST(length(${bpeApplySql("__sym")})
+              - length(replace(${bpeApplySql("__sym")}, '|', '')) AS BIGINT) AS n_toks,
+            CAST(len(list_filter(regexp_split_to_array(__pre, ' '), x -> x <> '')) AS BIGINT) AS n_words
+          FROM sym),
+        ag AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_words) AS BIGINT) AS n_words,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM pd WHERE n_words >= 1 GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_tokens,
+          CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+        FROM ag"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &
