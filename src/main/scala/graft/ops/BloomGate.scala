@@ -72,9 +72,18 @@ object BloomGate {
     * false positives), and left-joins the verdict back so every batch
     * row carries a 0/1 hit. Eager: the sketch build is an action
     * (q45/q83 precedent).
+    *
+    * `expectedItems` sizes the sketch; when absent it is counted from
+    * the corpus — a SECOND corpus scan. At 100 TB pass the catalog/
+    * metastore row estimate (any overestimate only widens the sketch;
+    * an underestimate raises the realized fpp, never correctness —
+    * the verify join owns correctness either way), keeping the build
+    * at one scan.
     */
-  def membership(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01): DataFrame = {
-    val bytes = sketch(corpus, math.max(corpus.count(), 1L), fpp)
+  def membership(corpus: DataFrame, batch: DataFrame, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val bytes = sketch(corpus,
+      math.max(expectedItems.getOrElse(corpus.count()), 1L), fpp)
     val hits = prefilter(batch, bytes)
       .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(1L).as("hit"))

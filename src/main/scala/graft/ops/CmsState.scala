@@ -87,6 +87,10 @@ object CmsState {
   /** Point estimates for `items` (key, v) against a counter frame:
     * min over the d counters — 0 for never-seen buckets. The counter
     * frame broadcasts (≤ d·w rows per key), so probing is scan-local.
+    * The broadcast presumes a BOUNDED key domain (the
+    * sketch-per-group contract — languages, sources, dates); for an
+    * unbounded key domain drop the hint and let the (key, j, c)
+    * hash-equi join shuffle the d probe rows per item instead.
     */
   def probe(items: DataFrame, cnts: DataFrame, d: Int, w: Int): DataFrame =
     items
