@@ -167,6 +167,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q119/q121/q124/q126 plan with NO window operator (the scale-defining choice)") {
+    // q119: cutoff VALUES broadcast into a CASE, never a per-language
+    // rank; q121: ops.GlobalRank, never row_number() over the corpus;
+    // q124: five hash joins against count tables; q126: join+agg
+    // Pregel rounds. A Window appearing in any of these plans means
+    // the corpus-window formulation crept back in.
+    Seq("q119_ppl_buckets", "q121_shard_assign",
+      "q124_stupid_backoff", "q126_label_prop").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n regressed to a window plan:\n$p")
+    }
+  }
+
+  test("q119 assigns buckets through a broadcast of the cutoff frame") {
+    val p = plan("q119_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-side of the hot queries") {
     Seq("q01_pricing_summary", "q15_wordcount", "q26_token_stats").foreach { n =>
       // AQE prints codegen stages only in the finalized plan → execute first
