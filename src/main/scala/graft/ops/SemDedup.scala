@@ -87,4 +87,54 @@ object SemDedup {
       path: String,
       tau: Double): DataFrame =
     prune(spark.read.parquet(path), tau)
+
+  /** Batch-vs-corpus incremental semantic dedup — the daily-drop
+    * posture that completes the incremental family (near-dup
+    * [[Lsh.saveBands]], ExactSubstr [[WinnowState]], passages
+    * [[BlockState]], clusters
+    * [[ConnectedComponents.updateLabels]]; this = embeddings): a new
+    * drop assigns to cells under the FROZEN refined model, reads ONLY
+    * its touched cell directories from the [[saveAssigned]] layout
+    * (partition pruning — the corpus is never scanned), and each
+    * batch vector is dropped when any corpus cell-mate or lower-id
+    * batch cell-mate reaches tau. Corpus members count as prior
+    * regardless of their own keep verdict — exactly [[prune]]'s
+    * one-pass max-lower-sim rule, so with batch ids above corpus ids
+    * the verdicts EQUAL a full re-prune of corpus ∪ batch restricted
+    * to the batch (SemDedupSpec pins the equivalence and the pruned
+    * scan). Output: (vec_id, cell, max_prior_sim, keep). O(|batch| ×
+    * touched-cell population) — maxCell bounds every cell, the
+    * [[IvfIndex.refine]] contract.
+    */
+  def pruneIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      model: IvfIndex.IvfModel,
+      batch: DataFrame,
+      tau: Double): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    // consumed three times (cell list, corpus-pair side, batch-pair
+    // sides) — materialize the assignment once
+    val b = IvfIndex.indexRefined(batch, model)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val cells = b.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col("embedding").as("ce"))
+    val fromCorpus = b.join(corpus, "cell")
+      .select(col("vec_id"), expr("cosine_sim(embedding, ce)").as("sim"))
+    val fromBatch = b.as("a")
+      .join(b.as("x"),
+        col("a.cell") === col("x.cell") && col("a.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        expr("cosine_sim(a.embedding, x.embedding)").as("sim"))
+    val worst = fromCorpus.unionAll(fromBatch)
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("msim"))
+    b.join(worst, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("msim"), lit(-1.0)).as("max_prior_sim"),
+        (coalesce(col("msim"), lit(-1.0)) < tau).cast("long").as("keep"))
+  }
 }

@@ -67,4 +67,39 @@ class SemDedupSpec extends SparkSuite {
     assert(got(13L)._1 == 1L)
     assert(got(14L)._1 == 1L && got(14L)._2 == -1.0, "cells must isolate comparisons")
   }
+
+  test("pruneIncremental ≡ full re-prune restricted to the batch; corpus scan prunes to touched cells") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // corpus = lower ids, batch = upper ids (the drop convention the
+    // equivalence claim requires)
+    val corpus = all.filter($"vec_id" < 350)
+    val batch = all.filter($"vec_id" >= 350)
+    val cents = IvfIndex.train(corpus, k = 4, iters = 3, dim = 64)
+    val model = IvfIndex.refine(corpus, cents, maxCell = 100L, subK = 4, iters = 3, dim = 64)
+    val path = Files.createTempDirectory("semdedup-inc").toString
+    SemDedup.saveAssigned(corpus, model, path)
+
+    val inc = SemDedup.pruneIncremental(spark, path, model, batch, tau = 0.3)
+    // the corpus side of the plan must carry cell partition filters
+    // (touched cells only — never a full-layout scan)
+    val p = inc.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cell"), s"corpus scan not cell-pruned:\n$p")
+    val got = inc.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+
+    // ground truth: one prune over corpus ∪ batch under the SAME
+    // frozen assignment, restricted to batch ids
+    val want = SemDedup.prune(IvfIndex.indexRefined(all, model), tau = 0.3)
+      .filter($"vec_id" >= 350)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"vec $id: got ${got(id)}, want $w")
+    }
+    // the batch genuinely collides with the corpus at this tau
+    assert(got.values.exists(_._2 == 0L), "fixture exercised no drops")
+  }
 }
