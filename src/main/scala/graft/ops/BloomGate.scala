@@ -84,10 +84,15 @@ object BloomGate {
       expectedItems: Option[Long] = None): DataFrame = {
     val bytes = sketch(corpus,
       math.max(expectedItems.getOrElse(corpus.count()), 1L), fpp)
+    // verdicts key on (doc_id, fp), not doc_id alone: a batch carrying
+    // two fps under one doc_id must get per-ROW verdicts (a doc_id-only
+    // key would smear one row's hit onto the other and cross-multiply);
+    // distinct() keeps the left join 1:1 even for exact-duplicate rows
     val hits = prefilter(batch, bytes)
       .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi")
-      .select(col("doc_id"), lit(1L).as("hit"))
-    batch.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp")).distinct()
+      .withColumn("hit", lit(1L))
+    batch.join(hits, Seq("doc_id", "fp"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
   }
 }

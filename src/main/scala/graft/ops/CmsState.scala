@@ -47,9 +47,7 @@ object CmsState {
     require(w >= 16 && (w & (w - 1)) == 0, s"width w=$w not a power of two >= 16")
     df.select(col(keyCol).as("key"), col(valCol).as("v"))
       .select(col("key"), explode(expr(s"sequence(0, ${d - 1})")).as("j"), col("v"))
-      .select(col("key"), col("j"),
-        expr(s"CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', v)), 1, 15), 16, 10) AS BIGINT) % $w")
-          .as("c"))
+      .select(col("key"), col("j"), bucketCol(w).as("c"))
       .groupBy(col("key"), col("j"), col("c"))
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
@@ -84,21 +82,29 @@ object CmsState {
       .groupBy(col("key"), col("j"), col("c"))
       .agg(sum(col("cnt")).as("cnt"))
 
-  /** Point estimates for `items` (key, v) against a counter frame:
-    * min over the d counters — 0 for never-seen buckets. The counter
-    * frame broadcasts (≤ d·w rows per key), so probing is scan-local.
-    * The broadcast presumes a BOUNDED key domain (the
-    * sketch-per-group contract — languages, sources, dates); for an
-    * unbounded key domain drop the hint and let the (key, j, c)
-    * hash-equi join shuffle the d probe rows per item instead.
+  /** The (row-salt, value) → bucket hash — ONE definition shared by
+    * [[counters]] and [[probe]]: the sketch's never-undercount
+    * invariant holds only while both sides hash identically, so the
+    * expression must not exist twice (the h60/h60Sql factoring rule).
+    * Expects `j` and `v` columns in scope.
     */
-  def probe(items: DataFrame, cnts: DataFrame, d: Int, w: Int): DataFrame =
+  private def bucketCol(w: Int) =
+    expr(s"CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', v)), 1, 15), 16, 10) AS BIGINT) % $w")
+
+  /** Point estimates for `items` (key, v) against a counter frame:
+    * min over the d counters — 0 for never-seen buckets. With
+    * `broadcastCnts` (the default) the counter frame broadcasts
+    * (≤ d·w rows per key) and probing is scan-local — the BOUNDED
+    * key-domain contract (languages, sources, dates); pass false for
+    * an unbounded key domain and the (key, j, c) hash-equi join
+    * shuffles the d probe rows per item instead.
+    */
+  def probe(items: DataFrame, cnts: DataFrame, d: Int, w: Int,
+      broadcastCnts: Boolean = true): DataFrame =
     items
       .select(col("key"), col("v"), explode(expr(s"sequence(0, ${d - 1})")).as("j"))
-      .select(col("key"), col("v"), col("j"),
-        expr(s"CAST(conv(substr(md5(concat(CAST(j AS STRING), '|', v)), 1, 15), 16, 10) AS BIGINT) % $w")
-          .as("c"))
-      .join(broadcast(cnts), Seq("key", "j", "c"), "left")
+      .select(col("key"), col("v"), col("j"), bucketCol(w).as("c"))
+      .join(if (broadcastCnts) broadcast(cnts) else cnts, Seq("key", "j", "c"), "left")
       .groupBy(col("key"), col("v"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 

@@ -105,6 +105,14 @@ object SemDedup {
     * scan). Output: (vec_id, cell, max_prior_sim, keep). O(|batch| ×
     * touched-cell population) — maxCell bounds every cell, the
     * [[IvfIndex.refine]] contract.
+    *
+    * An absent or row-less layout is the from-scratch bootstrap, not
+    * an error: the corpus leg is empty and only the in-batch rule
+    * decides (the [[graft.streaming.StreamCms]] convention). The
+    * batch assignment is `localCheckpoint`ed internally — after fully
+    * materializing the result, call [[Checkpoints.release]] on it
+    * (per-trigger callers like [[graft.streaming.StreamSemDedup]]
+    * must, or every trigger leaks one batch of blocks).
     */
   def pruneIncremental(
       spark: org.apache.spark.sql.SparkSession,
@@ -120,7 +128,7 @@ object SemDedup {
       .localCheckpoint()
     val cells = b.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path)
+    val corpus = readLayout(spark, path)
       .filter(col("cell").isin(cells: _*))
       .select(col("cell"), col("embedding").as("ce"))
     val fromCorpus = b.join(corpus, "cell")
@@ -136,5 +144,21 @@ object SemDedup {
       .select(col("vec_id"), col("cell"),
         coalesce(col("msim"), lit(-1.0)).as("max_prior_sim"),
         (coalesce(col("msim"), lit(-1.0)) < tau).cast("long").as("keep"))
+  }
+
+  /** The saved layout, or an empty correctly-typed frame when the
+    * path is absent or holds no partition directories yet (a
+    * partitionBy write of zero rows leaves only `_SUCCESS`) — the
+    * streaming bootstrap case.
+    */
+  private def readLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+    if (hasData) spark.read.parquet(path)
+    else Seq.empty[(Int, Long, Array[Float])].toDF("cell", "vec_id", "embedding")
   }
 }

@@ -419,18 +419,25 @@ object Coverage {
     // counts are computed once in the scan projection; the four
     // groupings then share a single map-side-combined aggregate. At
     // 100 TB this is the whole-corpus reporting query: one scan, one
-    // |langs × sources|-bounded shuffle.
+    // |langs × sources|-bounded shuffle. Two determinism details:
+    // the whitespace class is written out explicitly ([ \t\r\n]+ —
+    // Java's \s includes \x0B, RE2's does not, so a bare \s+ can
+    // hash-diverge on a vertical tab), and GROUPING() markers
+    // disambiguate rollup rows from genuine NULL or literal-'ALL'
+    // group values (coalesce alone would conflate the grains).
     Q(
       "q127_corpus_datasheet",
       (s, dir) => {
         import s.implicits._
         table(s, dir, "documents")
           .select($"lang", $"source", $"n_chars",
-            size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_toks"))
+            size(filter(split($"text", "[ \\t\\r\\n]+"), x => x =!= "")).cast("long").as("n_toks"))
           .createOrReplaceTempView("docs_ds_v")
         s.sql("""
           SELECT coalesce(lang, 'ALL') AS lang,
                  coalesce(source, 'ALL') AS source,
+                 CAST(grouping(lang) AS BIGINT) AS g_lang,
+                 CAST(grouping(source) AS BIGINT) AS g_source,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
@@ -441,10 +448,12 @@ object Coverage {
       Some("""
         WITH d AS (
           SELECT lang, source, n_chars,
-            CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+            CAST(len(list_filter(regexp_split_to_array(text, '[ \t\r\n]+'), x -> x <> '')) AS BIGINT) AS n_toks
           FROM documents)
         SELECT coalesce(lang, 'ALL') AS lang,
                coalesce(source, 'ALL') AS source,
+               CAST(grouping(lang) AS BIGINT) AS g_lang,
+               CAST(grouping(source) AS BIGINT) AS g_source,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                CAST(sum(n_toks) AS BIGINT) AS sum_tokens,

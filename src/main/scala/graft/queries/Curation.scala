@@ -427,11 +427,17 @@ object Curation {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
+        // expectedItems from the parquet footer count (metadata-only,
+        // count pushdown — no data scan): sizing the sketch from the
+        // table total overestimates the 90% corpus slice by ~11%,
+        // which only widens the sketch; skipping the exact count
+        // keeps the build at ONE corpus scan (BloomGate's contract)
         graft.ops.BloomGate.membership(
           docs.filter($"doc_id" % 10 =!= 3)
             .select(md5(substring($"text", 1, 40)).as("fp")),
           docs.filter($"doc_id" % 10 === 3)
-            .select($"doc_id", md5(substring($"text", 1, 40)).as("fp")))
+            .select($"doc_id", md5(substring($"text", 1, 40)).as("fp")),
+          expectedItems = Some(table(s, dir, "documents").count()))
       },
       Some("""
         SELECT b.doc_id,

@@ -1187,12 +1187,6 @@ object Selection {
         ($"margin" > 1.0).cast("long").as("sel"))
   }
 
-  /** Triangle-count engine behind q113. Input: (doc_id, text).
-    * Undirected distinct bigram edges → (degree, name)-orientation →
-    * wedge join (fanout capped at O(√m) per key) → closing hash-equi
-    * probe. Output: ONE row (n_nodes, n_edges, n_triangles); each
-    * triangle counted exactly once.
-    */
   /** Distinct undirected token-adjacency edges (a < b) of the corpus
     * bigram graph — shared by q113 (triangles) and q126 (label
     * propagation). Materialized once (multiple consumers downstream).
@@ -1241,6 +1235,12 @@ object Selection {
     lbl
   }
 
+  /** Triangle-count engine behind q113. Input: (doc_id, text).
+    * Undirected distinct bigram edges → (degree, name)-orientation →
+    * wedge join (fanout capped at O(√m) per key) → closing hash-equi
+    * probe. Output: ONE row (n_nodes, n_edges, n_triangles); each
+    * triangle counted exactly once.
+    */
   private[graft] def triangleCount(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

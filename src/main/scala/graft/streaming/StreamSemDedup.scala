@@ -59,12 +59,17 @@ object StreamSemDedup {
       path: String,
       tau: Double): Unit = {
     val spark = batch.sparkSession
-    val keep = SemDedup.pruneIncremental(spark, path, model, batch, tau)
+    val verdicts = SemDedup.pruneIncremental(spark, path, model, batch, tau)
+    val keep = verdicts
       .filter(col("keep") === 1L)
       .select(col("vec_id"), col("cell"))
     batch.join(keep, "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"))
       .write.partitionBy("cell").mode("append").parquet(path)
+    // the write fully materialized the verdict plan — release the
+    // batch assignment pruneIncremental checkpointed, or a long
+    // stream leaks one batch of blocks per trigger
+    graft.ops.Checkpoints.release(verdicts)
   }
 
   /** The curated corpus (the read side). */

@@ -34,6 +34,20 @@ class BloomGateSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("duplicate doc_ids get per-ROW verdicts, no smear, no multiplication") {
+    // one doc_id carrying two different fps (only one in the corpus),
+    // plus an exact-duplicate row pair: verdicts must be per (doc_id,
+    // fp) row — a doc_id-only key would smear the hit across both fps
+    // and cross-multiply the duplicates (the round-9 review finding)
+    val corpus = Seq("in_corpus")
+    val batch = Seq(
+      (7L, "in_corpus"), (7L, "not_in_corpus"),
+      (8L, "in_corpus"), (8L, "in_corpus"))
+    val got = graft.ops.BloomGate.membership(fps(corpus), batchOf(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((7L, 0L), (7L, 1L), (8L, 1L), (8L, 1L)), s"got $got")
+  }
+
   test("no false negatives; prefilter discards most non-members at fpp = 0.01") {
     val corpus = (0 until 1000).map(i => s"c_$i")
     val bytes = graft.ops.BloomGate.sketch(fps(corpus), corpus.size.toLong, 0.01)
