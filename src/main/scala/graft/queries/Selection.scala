@@ -1087,6 +1087,35 @@ object Selection {
         SELECT v, lbl FROM l4"""
       }),
 
+    // --------------------------------------------------------------- q129
+    // Index-served BM25 (ops.LexIndex) — the lexical inverted index
+    // AT REST, the exact-search twin of the ANN layouts: the corpus
+    // builds once into token-sorted posting rows plus one-row stats
+    // children, and this query scores q95's fixed terms FROM THE
+    // INDEX — term probe pruned by the pushed In(tok, …) filter, df
+    // counted over the pruned rows (never stale under appends),
+    // corpus scalars read from k tiny stats files. The oracle is
+    // q95's SQL VERBATIM: the index changes the access path, not one
+    // double of the answer (same exact integers, same fixed-order
+    // per-document fold). Incremental drops append O(|batch|)
+    // children (LexIndexSpec: increment ≡ rebuild bit-for-bit,
+    // replayed drop no-op, pruned probe plan). Eager: the in-query
+    // index build is the q107 demo pattern — a probe alone reads
+    // only its terms' row groups.
+    Q(
+      "q129_lex_search",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("lex-index").toString
+        graft.ops.LexIndex.save(
+          Llm.docsSpread(s, dir).select($"doc_id", $"text"), path)
+        graft.ops.LexIndex.search(s, path, bm25Terms)
+      },
+      Some(s"""
+        WITH $bm25SqlCtes
+        SELECT doc_id, dl, n_qterms, score FROM bm25""")),
+
     // --------------------------------------------------------------- q128
     // Tokenizer fertility by language — the multilingual-fairness
     // metric (tokens per word under a FROZEN tokenizer; high-fertility
