@@ -13,11 +13,19 @@ import org.apache.spark.sql.functions._
   * ONCE, then clean each new batch against corpus ∪ batch without
   * re-reading corpus text.
   *
-  * State: a flat parquet dir of (bh, ndocs) partial counts (one
-  * append per drop, summed at read; [[Layouts.compactFlat]] cadence),
-  * plus a sidecar freezing the BLOCK GEOMETRY (blockTokens) — a probe
-  * under a different alignment hashes different passages, so a
-  * mismatch fails loudly instead of silently missing boilerplate.
+  * State: a [[Layouts.liveChildren]] child-dir layout of (bh, ndocs)
+  * partial counts — `blocks/base` from [[save]], `blocks/b<id>` per
+  * drop (summed at read; [[compact]] folds them) — plus a sidecar
+  * freezing the BLOCK GEOMETRY (blockTokens): a probe under a
+  * different alignment hashes different passages, so a mismatch
+  * fails loudly instead of silently missing boilerplate. The
+  * per-drop child OVERWRITE makes a retried drop idempotent (the
+  * round-9 review found the original flat append double-counted a
+  * replayed batch's blocks, pushing them over minDocs spuriously —
+  * the same fix as [[WinnowState.probe]]'s batchId mode), and a
+  * probe's state read excludes children at/above its own batch id
+  * (a crashed attempt's commit must not count the batch against
+  * itself).
   *
   * Probe scale shape: corpus state is only ever SCANNED — the batch's
   * block-hash set broadcasts into a left-semi that restricts state
@@ -39,21 +47,26 @@ object BlockState {
     val spark = docs.sparkSession
     Curation.blockFrame(docs, blockTokens)
       .groupBy(col("bh")).agg(countDistinct(col("doc_id")).as("ndocs"))
-      .write.mode("overwrite").parquet(s"$dir/blocks")
+      .write.mode("overwrite").parquet(s"$dir/blocks/base")
     writeGeometry(spark, dir, blockTokens)
   }
 
   /** Clean a batch against corpus ∪ batch; when `commit`, fold the
-    * batch's block counts into the state (decisions first, append
-    * after). Output is q110's exact schema (doc_id, n_blocks, n_rm,
-    * clean_text), batch rows only.
+    * batch's block counts into the state (decisions first, commit
+    * after). `batchId` switches the commit from a flat append into an
+    * idempotent OVERWRITE of `blocks/b<id>` AND excludes children at
+    * or above the id from the probed state (replay hygiene). Output
+    * is q110's exact schema (doc_id, n_blocks, n_rm, clean_text),
+    * batch rows only — `localCheckpoint`ed; a per-trigger caller
+    * should [[Checkpoints.release]] it after materializing.
     */
   def probe(
       batch: DataFrame,
       dir: String,
       minDocs: Int = 3,
       blockTokens: Int = 10,
-      commit: Boolean = true): DataFrame = {
+      commit: Boolean = true,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val frozen = readGeometry(spark, dir)
     require(frozen == blockTokens,
@@ -63,27 +76,45 @@ object BlockState {
     val blocks = Curation.blockFrame(batch, blockTokens).localCheckpoint()
     val batchNd = blocks.groupBy(col("bh"))
       .agg(countDistinct(col("doc_id")).as("bdocs"))
-    val stateNd = relevantState(spark, dir, blocks.select(col("bh")).distinct())
+    val stateNd = relevantState(spark, dir,
+        blocks.select(col("bh")).distinct(), beforeBatch = batchId)
       .groupBy(col("bh")).agg(sum(col("ndocs")).as("cdocs"))
     val totals = batchNd.join(stateNd, Seq("bh"), "left")
       .select(col("bh"),
         (col("bdocs") + coalesce(col("cdocs"), lit(0L))).as("ndocs"))
     val out = Curation.reconstructClean(blocks.join(totals, "bh"), minDocs)
       .localCheckpoint()
-    if (commit)
-      batchNd.select(col("bh"), col("bdocs").as("ndocs"))
-        .write.mode("append").parquet(s"$dir/blocks")
+    if (commit) {
+      val nd = batchNd.select(col("bh"), col("bdocs").as("ndocs"))
+      batchId match {
+        case Some(id) => nd.write.mode("overwrite").parquet(s"$dir/blocks/b$id")
+        case None => nd.write.mode("append").parquet(s"$dir/blocks/base")
+      }
+    }
     Checkpoints.release(blocks)
     out
   }
+
+  /** Fold the accumulated children back to one, merging partial
+    * counts by sum — [[Layouts.foldChildren]]'s crash-safe protocol.
+    * `beforeBatch` bounds the fold for stream-maintained state (see
+    * foldChildren's contract).
+    */
+  def compact(spark: SparkSession, dir: String,
+      beforeBatch: Option[Long] = None): Unit =
+    Layouts.foldChildren(spark, s"$dir/blocks",
+      _.groupBy(col("bh")).agg(sum(col("ndocs")).as("ndocs")),
+      beforeBatch = beforeBatch)
 
   /** State rows for the probed block hashes — broadcast left-semi,
     * corpus state never shuffles. Package-private for the spec's plan
     * assertion.
     */
   private[graft] def relevantState(
-      spark: SparkSession, dir: String, probeBhs: DataFrame): DataFrame =
-    spark.read.parquet(s"$dir/blocks")
+      spark: SparkSession, dir: String, probeBhs: DataFrame,
+      beforeBatch: Option[Long] = None): DataFrame =
+    Layouts.readChildren(spark, s"$dir/blocks", "bh BIGINT, ndocs BIGINT",
+        beforeBatch)
       .join(broadcast(probeBhs), Seq("bh"), "left_semi")
 
   private def geomPath(dir: String) = new Path(s"$dir/_geometry")

@@ -45,7 +45,10 @@ object CmsState {
       d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 8, s"depth d=$d outside [1, 8]")
     require(w >= 16 && (w & (w - 1)) == 0, s"width w=$w not a power of two >= 16")
-    df.select(col(keyCol).as("key"), col(valCol).as("v"))
+    // NULLs hash to a NULL bucket (phantom counter row; probes never
+    // match it) — a NULL value is no occurrence of anything, drop it
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valCol).as("v"))
       .select(col("key"), explode(expr(s"sequence(0, ${d - 1})")).as("j"), col("v"))
       .select(col("key"), col("j"), bucketCol(w).as("c"))
       .groupBy(col("key"), col("j"), col("c"))
@@ -115,11 +118,17 @@ object CmsState {
   }
 
   /** Fold the children and SUM while folding, back to ≤ d·w rows per
-    * key — [[Layouts.foldChildren]]'s crash-safe protocol.
+    * key — [[Layouts.foldChildren]]'s crash-safe protocol. SUM-merge
+    * is not idempotent, so when a stream maintains this root pass the
+    * checkpoint-committed bound (or compact only after a clean stop):
+    * folding a crashed attempt's own child and then replaying it
+    * would double-count (foldChildren's contract).
     */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String,
+      beforeBatch: Option[Long] = None): Unit =
     Layouts.foldChildren(spark, s"$dir/cnts",
-      _.groupBy(col("key"), col("j"), col("c")).agg(sum(col("cnt")).as("cnt")))
+      _.groupBy(col("key"), col("j"), col("c")).agg(sum(col("cnt")).as("cnt")),
+      beforeBatch = beforeBatch)
 
   private[graft] def geometry(spark: SparkSession, dir: String): (Int, Int) = {
     val pp = new Path(s"$dir/_dw")

@@ -49,7 +49,12 @@ object HllState {
   def registers(df: DataFrame, keyCol: String, valCol: String, p: Int = 12): DataFrame = {
     require(p >= 8 && p <= 16, s"precision p=$p outside [8, 16]")
     val w = 60 - p
-    df.select(col(keyCol).as("key"),
+    // NULL values contribute nothing to a distinct count — and
+    // md5(NULL) is NULL, which would otherwise mint a phantom
+    // (key, null, null) register row that inflates n_regs and
+    // shrinks V, skewing summary AND estimate (round-9 review)
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"),
       expr(s"CAST(conv(substr(md5($valCol), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .select(col("key"),
         expr(s"h div ${1L << w}L").as("reg"),

@@ -47,11 +47,32 @@ object Layouts {
     val bak = path + "__compact_bak"
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (p, t, b) = (new Path(path), new Path(tmp), new Path(bak))
+    // recover a previous publish that crashed between its two renames
+    // (original staged aside, replacement never renamed in): restore
+    // the original so this run compacts from a consistent layout —
+    // without this, the crash window left NO layout at `path` and
+    // both readers and a re-run failed on path-not-found
+    if (fs.exists(b) && !fs.exists(p)) {
+      require(fs.rename(b, p), s"publish: cannot restore $bak after a crashed publish")
+    }
     if (fs.exists(b)) fs.delete(b, true)
     require(fs.rename(p, b), s"publish: cannot stage $path aside")
     require(fs.rename(t, p),
       s"publish: cannot publish $tmp over $path (original preserved at $bak)")
     fs.delete(b, true)
+  }
+
+  /** Recover `path` if a previous [[publish]] crashed between its two
+    * renames — the read-side twin of publish's own recovery, for
+    * callers that open the layout without re-running the compactor.
+    * No-op when the layout is intact.
+    */
+  def recoverPublished(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (p, b) = (new Path(path), new Path(path + "__compact_bak"))
+    if (fs.exists(b) && !fs.exists(p)) {
+      require(fs.rename(b, p), s"recoverPublished: cannot restore $b")
+    }
   }
 
   /** Repair a partitionBy layout that holds replayed duplicates — the
@@ -190,12 +211,31 @@ object Layouts {
     * starts over; after 3 readers exclude the folded children (their
     * rows live in the fold child) and a re-run finishes the
     * deletions. Re-running after any crash converges.
+    *
+    * `beforeBatch` is REQUIRED CORRECTNESS PLUMBING when the root is
+    * maintained by a streaming trigger: a crashed attempt may have
+    * committed its own `b<id>` child before its commit marker
+    * advanced, and folding that child into a `fold_<token>` name
+    * would defeat the replay's own-batch exclusion
+    * ([[liveChildrenBefore]] only recognizes `b<digits>` names) — the
+    * replayed trigger would then judge the batch against itself AND,
+    * for non-idempotent merges (sum counters), double-count it. Pass
+    * the maintainer's committed-batch bound (committed + 1) so
+    * at-or-above children stay unfolded; None is only safe for
+    * batch-built roots or a cleanly-stopped stream.
+    *
+    * `repartitionOutput = false` leaves the transform's own
+    * partitioning/ordering intact (for roots whose probe contract
+    * depends on clustering, e.g. [[LexIndex]]'s token-sorted
+    * postings); the default round-robins to the session parallelism.
     */
   def foldChildren(
       spark: SparkSession,
       root: String,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        identity): Unit = {
+        identity,
+      beforeBatch: Option[Long] = None,
+      repartitionOutput: Boolean = true): Unit = {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return
@@ -206,12 +246,14 @@ object Layouts {
         lines.tail.foreach(d => fs.delete(new Path(rootP, d), true))
       fs.delete(foldPending(root), false)
     }
-    val live = liveChildren(spark, root)
+    val live = liveChildrenBefore(spark, root, beforeBatch)
     if (live.length <= 1) return
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(rootP, "__stage")
-    transform(spark.read.parquet(live.map(_.toString): _*))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val folded = transform(spark.read.parquet(live.map(_.toString): _*))
+    (if (repartitionOutput)
+      folded.repartition(spark.sparkContext.defaultParallelism)
+    else folded)
       .write.mode("overwrite").parquet(stage.toString)
     writeSidecar(fs, foldPending(root),
       (s"fold_$token" +: live.map(_.getName)).mkString("", "\n", "\n"))
@@ -224,11 +266,18 @@ object Layouts {
   private def foldPending(root: String) = new Path(root + "__fold_pending")
 
   /** Atomically (re)write a tiny text sidecar (commit markers, ladder
-    * rungs, file manifests): write to a sibling temp file, then rename
-    * over the target. A plain `fs.create(p, overwrite = true)`
-    * truncates BEFORE writing, so a crash mid-write would leave an
-    * empty/torn sidecar that wedges the next reader — rename makes the
-    * swap all-or-nothing on HDFS/local (usual object-store caveat).
+    * rungs, file manifests): write to a sibling temp file, then
+    * delete-and-rename over the target. A plain `fs.create(p,
+    * overwrite = true)` truncates BEFORE writing, so a crash mid-write
+    * would leave an empty/torn sidecar that wedges the next reader.
+    * The delete→rename pair is NOT itself atomic (Hadoop FileSystem
+    * rename cannot overwrite), so [[readSidecar]] closes the
+    * remaining window: a crash between the delete and the rename
+    * leaves the target absent but the COMPLETE `.tmp` present
+    * (written and closed before the delete), and reads fall back to
+    * it — a lost marker would otherwise reset commit state (e.g.
+    * [[graft.streaming.StreamIndex]]'s committedBatch to −1, inviting
+    * a double-append) or wedge a ladder-rung reader entirely.
     */
   def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
@@ -239,12 +288,24 @@ object Layouts {
     require(fs.rename(tmp, p), s"sidecar publish failed: $tmp -> $p")
   }
 
-  /** Read a [[writeSidecar]]-maintained text sidecar; None if absent. */
-  def readSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+  /** Read a [[writeSidecar]]-maintained text sidecar; None if absent.
+    * Falls back to the sibling `.tmp` when the target is missing —
+    * the recovery read for a crash between writeSidecar's delete and
+    * rename (the `.tmp` is complete by then; see [[writeSidecar]]).
+    * A live target always wins: a fresher `.tmp` from an in-flight
+    * write is not yet committed.
+    */
+  def readSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] = {
+    val target =
+      if (fs.exists(p)) Some(p)
+      else {
+        val tmp = new Path(p.getParent, p.getName + ".tmp")
+        if (fs.exists(tmp)) Some(tmp) else None
+      }
+    target.map { t =>
+      val in = fs.open(t)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
+  }
 }

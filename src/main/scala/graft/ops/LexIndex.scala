@@ -17,24 +17,34 @@ import org.apache.spark.sql.functions._
   * verbatim — the index provably changes the ACCESS PATH, not one
   * double of the answer.
   *
-  * State shape: a [[Layouts.liveChildren]] child-dir layout —
-  * `post/base` from [[save]], `post/b<id>` per drop (NEW doc_ids
+  * State shape: ONE [[Layouts.liveChildren]] child-dir root —
+  * `chunks/base` from [[save]], `chunks/b<id>` per drop (NEW doc_ids
   * only, the q112 drop contract; postings are disjoint across
-  * children so the merged view is plain concatenation), each written
-  * token-sorted so the term probe prunes row groups under the pushed
-  * `In(tok, …)` filter. df is NOT stored: it is counted over the
-  * pruned probe rows at search time, so appends can never leave a
-  * stale df behind. The two corpus scalars BM25 needs (Σdl, n_docs)
-  * live as one-row parquet children under `stats/` with the same
-  * child names — a replayed drop overwrites BOTH its children
-  * idempotently, so exactly-once needs no marker (the
-  * [[graft.streaming.StreamCms]] argument).
+  * children so the merged view is plain concatenation). Each child
+  * carries BOTH row kinds: its posting rows (kind 'p') AND one
+  * kind-'s' row holding the child's (Σdl, n_docs) — so a child is
+  * internally CONSISTENT BY CONSTRUCTION and the whole drop has a
+  * single commit unit (the round-9 review caught the first design
+  * splitting postings and stats across two roots: a crash between
+  * the two writes left postings visible with no matching stats and
+  * skewed every score; no cross-root pairing rule survives
+  * asymmetric compaction, so the pairing moved INSIDE the child).
+  * Children write (kind, tok)-sorted, so the pushed kind+tok filters
+  * prune the probe to the query terms' row groups. df is NOT stored:
+  * it is counted over the pruned probe rows at search time, so
+  * appends can never leave it stale; Σdl and n_docs are plain sums
+  * of the kind-'s' rows (one per child).
   *
   * 100 TB shape: build is the one (doc, tok) shuffle q95 pays anyway;
-  * a probe reads only the query terms' row groups plus k tiny stats
-  * files; a drop costs O(|batch|) with no corpus rescan.
+  * a probe reads only the query terms' row groups plus one stats row
+  * per child; a drop costs O(|batch|) with no corpus rescan and
+  * replays are idempotent child overwrites (no marker — the
+  * [[graft.streaming.StreamCms]] argument).
   */
 object LexIndex {
+
+  private val chunkDdl =
+    "kind STRING, tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, sum_dl BIGINT, nd BIGINT"
 
   /** (tok, doc_id, tf, dl) posting rows of a (doc_id, text) frame —
     * q95's exact tokenization and counts.
@@ -51,27 +61,48 @@ object LexIndex {
 
   /** Build the index from the current corpus. */
   def save(docs: DataFrame, path: String): Unit =
-    writeChild(docs, path, "base")
+    writeChild(postings(docs), path, "base")
 
-  /** Fold a drop of NEW documents in — one idempotent pair of child
-    * overwrites per `batchId` (postings + stats), O(|batch|).
+  /** Fold a drop of NEW documents in — one idempotent child overwrite
+    * per `batchId` (postings + their stats row together), O(|batch|).
     */
   def append(batch: DataFrame, path: String, batchId: Long): Unit =
-    writeChild(batch, path, s"b$batchId")
+    writeChild(postings(batch), path, s"b$batchId")
 
-  private def writeChild(docs: DataFrame, path: String, child: String): Unit = {
-    val post = postings(docs)
-      .repartition(col("tok"))
-      .sortWithinPartitions("tok", "doc_id")
-      .localCheckpoint() // feeds the posting write AND the stats agg
-    post.write.mode("overwrite").parquet(s"$path/post/$child")
-    post.select(col("doc_id"), col("dl")).distinct()
-      .agg(sum(col("dl")).cast("long").as("sum_dl"),
-        count(lit(1)).cast("long").as("nd"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats/$child")
+  /** One child from a posting frame: kind-'p' rows plus the single
+    * kind-'s' stats row, (kind, tok)-clustered. The checkpoint feeds
+    * the frame's two consumers (p-rows and the stats agg) and is
+    * released once the child is on disk.
+    */
+  private def writeChild(postRaw: DataFrame, path: String, child: String): Unit = {
+    val post = postRaw.localCheckpoint()
+    withStatsRow(post)
+      .write.mode("overwrite").parquet(s"$path/chunks/$child")
     Checkpoints.release(post)
   }
+
+  /** kind-'p' rows + the single kind-'s' stats row of a posting
+    * frame. Consumes `post` twice — callers checkpoint when the frame
+    * is expensive ([[writeChild]]); [[compact]]'s transform passes the
+    * children read directly (a second scan of small state beats
+    * holding blocks inside foldChildren's write).
+    */
+  private def withStatsRow(post: DataFrame): DataFrame = {
+    val p = post.select(lit("p").as("kind"), col("tok"), col("doc_id"),
+      col("tf"), col("dl"), lit(null).cast("long").as("sum_dl"),
+      lit(null).cast("long").as("nd"))
+    val s = post.select(col("doc_id"), col("dl")).distinct()
+      .agg(sum(col("dl")).cast("long").as("sum_dl"),
+        count(lit(1)).cast("long").as("nd"))
+      .select(lit("s").as("kind"), lit(null).cast("string").as("tok"),
+        lit(null).cast("long").as("doc_id"), lit(null).cast("long").as("tf"),
+        lit(null).cast("long").as("dl"), col("sum_dl"), col("nd"))
+    p.repartition(col("tok")).sortWithinPartitions("kind", "tok", "doc_id")
+      .unionAll(s.coalesce(1))
+  }
+
+  private def chunks(spark: SparkSession, path: String): DataFrame =
+    Layouts.readChildren(spark, s"$path/chunks", chunkDdl)
 
   /** BM25 scores for `terms` served from the index — output
     * (doc_id, dl, n_qterms, score), bit-identical to q95's corpus
@@ -79,12 +110,11 @@ object LexIndex {
     * `k = 0` returns every matching document (q95's shape).
     */
   def search(spark: SparkSession, path: String, terms: Seq[String], k: Int = 0): DataFrame = {
-    val post = Layouts
-      .readChildren(spark, s"$path/post", "tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
-      .filter(col("tok").isin(terms: _*))
+    val all = chunks(spark, path)
+    val post = all.filter(col("kind") === "p" && col("tok").isin(terms: _*))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
     val df = post.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
-    val stats = Layouts
-      .readChildren(spark, s"$path/stats", "sum_dl BIGINT, nd BIGINT")
+    val stats = all.filter(col("kind") === "s")
       .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
         sum(col("nd")).cast("long").as("nd"))
     val scored = post.join(broadcast(df), "tok")
@@ -107,14 +137,21 @@ object LexIndex {
     else scored
   }
 
-  /** Fold the accumulated children back to one per root — postings
-    * concatenate (disjoint docs), stats re-sum; [[Layouts.foldChildren]]'s
-    * crash-safe protocol on both roots.
+  /** Fold the accumulated children back to one — postings concatenate
+    * (disjoint docs) and RE-CLUSTER by token, the per-child stats
+    * rows re-sum into one; the fold child keeps the
+    * internally-consistent shape, so [[Layouts.foldChildren]]'s
+    * crash-safe protocol carries over unchanged
+    * (repartitionOutput = false: the default round-robin would
+    * destroy the sorted row-group clustering the pruned probe depends
+    * on — round-9 review). `beforeBatch` bounds a fold under a live
+    * stream (foldChildren's contract).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    Layouts.foldChildren(spark, s"$path/post", identity)
-    Layouts.foldChildren(spark, s"$path/stats",
-      _.agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
-        sum(col("nd")).cast("long").as("nd")))
-  }
+  def compact(spark: SparkSession, path: String,
+      beforeBatch: Option[Long] = None): Unit =
+    Layouts.foldChildren(spark, s"$path/chunks",
+      all => withStatsRow(
+        all.filter(col("kind") === "p")
+          .select(col("tok"), col("doc_id"), col("tf"), col("dl"))),
+      beforeBatch = beforeBatch, repartitionOutput = false)
 }

@@ -160,10 +160,20 @@ object WinnowState {
 
   /** Fold the per-batch streaming children into one — the small-file
     * compaction for stream-maintained state, with
-    * [[Layouts.foldChildren]]'s crash-safe single-rename protocol.
+    * [[Layouts.foldChildren]]'s crash-safe single-rename protocol,
+    * BOUNDED by the stream's commit marker when one exists
+    * ([[graft.streaming.StreamWinnow]] keeps it at this very root): a
+    * crashed attempt's own b<id> child must stay unfolded, or the
+    * replay's own-batch exclusion cannot see it inside a fold_ name
+    * and the batch double-counts against itself (the round-9 review
+    * finding). Without a marker (batch-mode state) every child folds.
     */
-  def compactStream(spark: SparkSession, dir: String): Unit =
-    Layouts.foldChildren(spark, s"$dir/fps")
+  def compactStream(spark: SparkSession, dir: String): Unit = {
+    val committed =
+      graft.streaming.StreamIndex.committedBatch(spark, s"$dir/fps")
+    Layouts.foldChildren(spark, s"$dir/fps",
+      beforeBatch = if (committed >= 0) Some(committed + 1) else None)
+  }
 
   private def ladderPath(dir: String) = new Path(s"$dir/_ladder")
 

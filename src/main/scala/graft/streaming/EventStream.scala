@@ -38,25 +38,44 @@ object EventStream {
   def sessionize(events: Dataset[Event]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      // the watermark makes EventTimeTimeout legal AND bounds state:
+      // without a timeout, one (start, last, n) entry per distinct
+      // user lived FOREVER and an idle user's final session was never
+      // emitted (it only closed when a LATER event arrived — the
+      // round-9 review finding); now a session whose gap has passed
+      // the watermark times out, emits closed, and frees its state
+      .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         // state: (session_start_ms, last_ms, n_events)
         (userId: Long, batch: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var (start, last, n) =
-            state.getOption.getOrElse((-1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
-          sorted.foreach { e =>
-            val ms = e.ts.getTime
-            if (start < 0) { start = ms; last = ms; n = 1 }
-            else if (ms - last > 1800000L) {
-              out += SessionUpdate(userId, start, n, closed = true)
-              start = ms; last = ms; n = 1
-            } else { last = ms; n += 1 }
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, start, n, closed = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var (start, last, n) =
+              state.getOption.getOrElse((-1L, -1L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+            sorted.foreach { e =>
+              val ms = e.ts.getTime
+              if (start < 0) { start = ms; last = ms; n = 1 }
+              else if (ms - last > 1800000L) {
+                out += SessionUpdate(userId, start, n, closed = true)
+                start = ms; last = ms; n = 1
+              } else { last = ms; n += 1 }
+            }
+            if (start >= 0) {
+              state.update((start, last, n))
+              // the gap boundary, clamped above the current watermark
+              // (a timeout timestamp at or below it is rejected)
+              state.setTimeoutTimestamp(
+                math.max(last + 1800000L, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          if (start >= 0) state.update((start, last, n))
-          out.iterator
       }
   }
 

@@ -69,10 +69,14 @@ object StreamWinnow {
     val wrote =
       if (batch.isEmpty) false
       else {
-        WinnowState.probe(batch, stateDir, w, commit = true,
+        val scored = WinnowState.probe(batch, stateDir, w, commit = true,
           batchId = Some(batchId),
           sink = out => out.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$outDir/batch_$batchId"))
+        // the sink already materialized the scored frame — release its
+        // localCheckpoint blocks, or a long stream leaks one batch of
+        // blocks per trigger (the StreamSemDedup discipline)
+        graft.ops.Checkpoints.release(scored)
         true
       }
     // the marker advances even for empty batches (StreamIndex rule)

@@ -38,17 +38,16 @@ class LexIndexSpec extends SparkSuite {
     LexIndex.append(docs.filter($"doc_id" % 3 === 2), inc, 1L)
     assert(searchAll(inc) == want, "replayed drop changed the index")
 
-    // compaction folds to one child per root, same answer
-    assert(Layouts.liveChildren(spark, s"$inc/post").size > 1)
+    // compaction folds to one child, same answer
+    assert(Layouts.liveChildren(spark, s"$inc/chunks").size > 1)
     LexIndex.compact(spark, inc)
-    assert(Layouts.liveChildren(spark, s"$inc/post").size == 1)
-    assert(Layouts.liveChildren(spark, s"$inc/stats").size == 1)
+    assert(Layouts.liveChildren(spark, s"$inc/chunks").size == 1)
     assert(searchAll(inc) == want, "compaction changed the index")
 
-    // the probe scan carries the pushed term filter
+    // the probe scan carries the pushed kind + term filters
     val p = LexIndex.search(spark, inc, terms)
       .queryExecution.executedPlan.toString
-    assert(p.contains("PushedFilters: [In(tok"), s"term probe not pushed:\n$p")
+    assert(p.contains("EqualTo(kind,p), In(tok"), s"term probe not pushed:\n$p")
 
     // top-k = the k-prefix of the full (score desc, doc_id) ordering
     val top5 = LexIndex.search(spark, inc, terms, k = 5)

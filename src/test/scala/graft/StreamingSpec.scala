@@ -20,13 +20,19 @@ class StreamingSpec extends SparkSuite {
     assert(hourlyRows === batchHourly)
 
     val batchSessions = SparkEntry.queries("q32_sessionize")(spark, sf).count()
-    // streaming emits only *closed* sessions (append mode); each user
-    // with events keeps exactly one open session in state, so
-    // batch count = closed + #users
-    val users = graft.Sql.table(spark, sf, "events")
-      .select("user_id").distinct().count()
-    assert(sessionRows + users === batchSessions,
-      s"closed=$sessionRows users=$users batch=$batchSessions")
+    // streaming emits closed sessions: gap-closed by a successor event
+    // AND — since the EventTimeTimeout fix — finals whose 30-min gap
+    // passed the watermark (final watermark = max ts − 30-min delay,
+    // so a final times out iff its last event sits ≥ 60 min before
+    // the stream frontier). Only users still inside that horizon keep
+    // an open session in state: batch total = closed + still-open.
+    import spark.implicits._
+    val ev = graft.Sql.table(spark, sf, "events")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+    val stillOpen = ev.groupBy($"user_id").agg(max($"ts").as("mx"))
+      .collect().count(_.getTimestamp(1).getTime + 3600000L > maxTs)
+    assert(sessionRows + stillOpen === batchSessions,
+      s"closed=$sessionRows stillOpen=$stillOpen batch=$batchSessions")
   }
 
   test("streaming dedup and stream-static join match batch equivalents") {
