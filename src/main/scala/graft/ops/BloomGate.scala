@@ -87,9 +87,12 @@ object BloomGate {
     // verdicts key on (doc_id, fp), not doc_id alone: a batch carrying
     // two fps under one doc_id must get per-ROW verdicts (a doc_id-only
     // key would smear one row's hit onto the other and cross-multiply);
-    // distinct() keeps the left join 1:1 even for exact-duplicate rows
+    // the post-join distinct() keeps the final left join 1:1 even for
+    // exact-duplicate batch rows. No distinct() on the corpus build
+    // side though — left_semi already ignores duplicates, and it was
+    // a whole extra corpus-wide aggregation per drop (round-9 review)
     val hits = prefilter(batch, bytes)
-      .join(corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .join(corpus.select(col("fp")), Seq("fp"), "left_semi")
       .select(col("doc_id"), col("fp")).distinct()
       .withColumn("hit", lit(1L))
     batch.join(hits, Seq("doc_id", "fp"), "left")

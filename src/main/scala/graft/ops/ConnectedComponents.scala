@@ -158,7 +158,14 @@ object ConnectedComponents {
     // CC over the contracted batch graph: vertices are old
     // representatives and never-labeled ids (the id spaces cannot
     // collide — every cluster_id is itself a labeled vertex)
-    val cc = auto(translated, localThreshold).localCheckpoint()
+    // auto()'s distributed tier returns an ALREADY-checkpointed frame;
+    // checkpointing again and releasing only the outer copy would leak
+    // the inner blocks forever (round-9 review) — materialize the
+    // outer copy first, then release every checkpoint in the inner
+    // plan (Checkpoints.release walks all LogicalRDD leaves)
+    val ccRaw = auto(translated, localThreshold)
+    val cc = ccRaw.localCheckpoint()
+    Checkpoints.release(ccRaw)
     // the only representatives that can appear in cc are those of the
     // batch's labeled endpoints — i.e. repMap's cluster_ids — so the
     // rep probe is batch-sized (a distinct over repMap, NOT over the

@@ -140,6 +140,12 @@ object PqIndex {
       iters: Int,
       trainSample: Int = 0,
       normalizeInput: Boolean = true): PqModel = {
+    // a remainder would silently fall outside every subspace: codes
+    // and ADC tables would ignore the tail components and recall
+    // would erode with no error (round-9 review) — fail loudly
+    require(dim % m == 0,
+      s"dim=$dim not divisible by m=$m subspaces — the trailing " +
+        s"${dim % m} components would be silently ignored")
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m

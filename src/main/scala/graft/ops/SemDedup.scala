@@ -34,7 +34,14 @@ object SemDedup {
   def prune(assigned: DataFrame, tau: Double): DataFrame = {
     val spark = assigned.sparkSession
     graft.functions.CosineSim.register(spark)
+    // consumed three times (both self-join sides + the verdict join):
+    // materialize once — AQE does not reuse exchanges across identical
+    // self-join inputs (the Lsh lesson), so a lazy corpus assignment
+    // would re-run its argmax scan per consumer. Same release caveat
+    // as pruneIncremental: callers may Checkpoints.release the result
+    // after materializing.
     val a = assigned.select(col("cell"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val pairs = a.as("a")
       .join(a.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

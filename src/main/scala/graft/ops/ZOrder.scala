@@ -77,8 +77,22 @@ object ZOrder {
       return
     }
     val top = (1L << b) - 1
-    def scaled(c: String, lo: Long, hi: Long): String =
-      if (hi == lo) "0" else s"(($c - ${lo}L) * ${top}L) div ${hi - lo}L"
+    // two overflow-safe forms (round-9 review: the plain
+    // (c−lo)·top÷width wraps negative once width·top exceeds 2⁶³ —
+    // e.g. 60-bit md5-derived keys — and the z-values become
+    // non-monotonic noise with every file spanning the full domain):
+    // narrow domains keep the full-resolution multiply; wide domains
+    // step-divide ((c−lo) div (width div (top+1) + 1) ∈ [0, top] with
+    // no multiplication at all)
+    def scaled(c: String, lo: Long, hi: Long): String = {
+      require(hi - lo >= 0,
+        s"z-order key domain [$lo, $hi] wider than 2^63 — split the key first")
+      val width = hi - lo
+      if (width == 0L) "0"
+      else if (width <= Long.MaxValue / top)
+        s"(($c - ${lo}L) * ${top}L) div ${width}L"
+      else s"($c - ${lo}L) div ${width / (top + 1) + 1}L"
+    }
     val withScaled = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
       d.withColumn(s"__zs$j",
         expr(scaled(c, stats.getLong(2 * j), stats.getLong(2 * j + 1))))
@@ -135,6 +149,10 @@ object ZOrder {
       bits: Int = 16): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a previous run may have died INSIDE Layouts.publish (original
+    // staged aside, replacement never renamed in) — restore before
+    // listing, or everything below throws path-not-found
+    Layouts.recoverPublished(spark, path)
     val tmp = new Path(path + "__recluster_tmp")
     val srcSidecar = new Path(tmp, SourcesName)
     val clustered = readManifest(fs, p)
@@ -156,19 +174,23 @@ object ZOrder {
       Layouts.writeSidecar(fs, srcSidecar, appended.mkString("\n") + "\n")
       appended
     }
-    // raw files appended AFTER the staged write began (possible when
-    // resuming a crashed run) were not folded into this generation:
-    // carry them through un-clustered so the publish cannot drop their
-    // data — they stay out of the manifest and re-cluster next time
-    val carry = appended.filterNot(sources.toSet)
-    // the clustered generations (and carried raw files) move in beside
-    // the new generation by rename (on resume: only those a previous
-    // crash left behind)
-    (clustered.filter(n => fs.exists(new Path(p, n))) ++ carry).foreach { n =>
+    // move EVERYTHING currently live except the source files the new
+    // generation replaces — re-listing here (not reusing the entry
+    // listing) catches raw files appended while the staged z-write
+    // ran, which the publish would otherwise silently delete
+    // (round-9 review); anything moved that is not in the clustered
+    // manifest is carried un-clustered, stays out of the new
+    // manifest, and re-clusters next time. The residual window is the
+    // instant between this listing and the publish rename — the same
+    // single-maintainer-at-a-time contract as every non-transactional
+    // layout here.
+    val moveSet = dataFiles(fs, p).filterNot(sources.toSet)
+    val carried = moveSet.filterNot(clustered.contains)
+    moveSet.foreach { n =>
       require(fs.rename(new Path(p, n), new Path(tmp, n)),
         s"recluster: cannot stage $n")
     }
-    writeManifest(fs, tmp, dataFiles(fs, tmp).filterNot(carry.toSet))
+    writeManifest(fs, tmp, dataFiles(fs, tmp).filterNot(carried.toSet))
     Layouts.publish(spark, path, tmp.toString)
     sources.size
   }

@@ -178,6 +178,26 @@ class ZOrderSpec extends SparkSuite {
     assert(ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4) == 0)
   }
 
+  test("recluster recovers a layout stranded inside a crashed publish") {
+    import spark.implicits._
+    import graft.ops.ZOrder
+    import org.apache.hadoop.fs.Path
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey".as("x"), $"l_suppkey".as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder-pubcrash").toString + "/t"
+    ZOrder.write(li.filter($"l_orderkey" % 2 === 0), Seq("x", "y"), dir, numFiles = 4, bits = 16)
+    ZOrder.append(li.filter($"l_orderkey" % 2 =!= 0), dir)
+    val total = spark.read.parquet(dir).count()
+    // simulate a crash between Layouts.publish's two renames: the
+    // layout is staged aside, nothing renamed in
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(dir), new Path(dir + "__compact_bak")))
+    // a re-run must restore the layout at entry and then recluster it
+    val folded = ZOrder.recluster(spark, dir, Seq("x", "y"), numFiles = 4)
+    assert(folded > 0)
+    assert(spark.read.parquet(dir).count() == total, "rows lost across the recovery")
+  }
+
   test("recluster resumes a crashed run without losing staged or late-appended data") {
     import spark.implicits._
     import graft.ops.{Layouts, ZOrder}
