@@ -125,7 +125,41 @@ object Embeddings {
           FROM d)
         SELECT vec_id, label, sim, rk,
           CAST(rk <= (n + 3) // 4 AS BIGINT) AS pruned
-        FROM r"""))
+        FROM r""")),
+
+    // --------------------------------------------------------------- q130
+    // k-NN GRAPH construction — each vector's 5 nearest in-cell
+    // neighbors by exact cosine, the neighbor graph that semantic
+    // dedup (SemDeDup §3.2), label-propagation communities (q126) and
+    // graph-based diversity pruning all consume. Blocked by the coarse
+    // cell (label = cluster id, the q24/q92 stand-in for
+    // ops.IvfIndex's trained cells): distances only WITHIN a cell,
+    // never all-pairs, and the directed pair stream — quadratic in
+    // the cell size, the largest intermediate in the whole pipeline —
+    // never hits a window sort: per-vector top-k runs through the
+    // bounded TopKSimAgg Aggregator (the q114 scale idiom), so each
+    // map task contributes at most k rows per vector to the shuffle
+    // and no sort ever sees more than k elements. At 100 TB: cells
+    // come from the trained quantizer (hot cells sub-split via
+    // IvfIndex.refine), cosine is the codegen'd native expression, and
+    // both join sides stay partitioned by cell — one exchange each.
+    // The oracle replays the same edges through the window
+    // formulation, pinning the Aggregator's (sim desc, id asc) heap
+    // order row-identical to row_number().
+    Q(
+      "q130_knn_graph",
+      (s, dir) => knnGraph(table(s, dir, "embeddings"), 5),
+      Some(s"""
+        WITH ranked AS (
+          SELECT v1, v2, sim,
+            row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2) AS rk
+          FROM (${Llm.cosineSql(
+        """SELECT a.vec_id v1, b.vec_id v2, a.embedding ea, b.embedding eb
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id""",
+        "")}) sims)
+        SELECT v1 AS vec_id, v2 AS nbr, sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5"""))
   )
 
   /** Shared DuckDB CTE chain for q84's fixed-depth-3 centroid tree
@@ -154,6 +188,31 @@ object Embeddings {
             sum(bsum ORDER BY blk) AS vsum,
             CAST(sum(n2) AS BIGINT) AS n
           FROM s2 GROUP BY label, i)"""
+
+  /** k-NN graph engine behind q130: input (vec_id, embedding, label);
+    * output (vec_id, nbr, sim, rk) — each vector's k nearest IN-CELL
+    * neighbors by exact cosine under the strict (sim desc, nbr asc)
+    * order, ranked 1..k. The quadratic directed pair stream goes
+    * through the bounded [[graft.functions.TopKSimAgg]] (never a
+    * window sort); KnnGraphSpec pins bit-equality with a sequential
+    * JVM replica, and the q130 oracle pins it against the window
+    * formulation in DuckDB.
+    */
+  private[graft] def knnGraph(emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.CosineSim.register(s)
+    val edges = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
+    val topk = udaf(new graft.functions.TopKSimAgg(k),
+      org.apache.spark.sql.Encoders.product[(Long, Double)])
+    edges.groupBy($"v1").agg(topk($"v2", $"sim").as("tk"))
+      .select($"v1".as("vec_id"), posexplode($"tk"))
+      .select($"vec_id", $"col._2".as("nbr"), $"col._1".as("sim"),
+        ($"pos" + 1).cast("long").as("rk"))
+  }
 
   /** Centroid engine behind q84 (and q120's model): input
     * (vec_id, embedding, label); output (label, i, n, centroid) via

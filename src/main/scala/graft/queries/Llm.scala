@@ -106,7 +106,7 @@ object Llm {
           FROM bits GROUP BY doc_id)"""
 
   /** DuckDB: per-pair cosine via zipped unnest + ordered sums. */
-  private def cosineSql(pairsSql: String, simFilter: String): String = s"""
+  private[queries] def cosineSql(pairsSql: String, simFilter: String): String = s"""
         WITH pairs AS ($pairsSql),
         el AS (
           SELECT v1, v2, unnest(ea) x, unnest(eb) y, generate_subscripts(ea, 1) i
@@ -179,16 +179,32 @@ object Llm {
     * corpora (wider 4×2 banding floods candidates with word-soup
     * text).
     */
-  private[graft] def bandsOf(docSets: DataFrame): DataFrame = {
+  private[graft] def bandsOf(docSets: DataFrame): DataFrame =
+    bandsOfSig(minhashSig(docSets))
+
+  /** The 8-component minhash signature frame (doc_id, mh1..mh8) of a
+    * [[shingleSets]] corpus — [[bandsOf]]'s first half, exposed so the
+    * q132 calibration audit can join per-pair component agreement
+    * without recomputing the hash stream.
+    */
+  private[graft] def minhashSig(docSets: DataFrame): DataFrame = {
     val s = docSets.sparkSession
     import s.implicits._
     graft.functions.MinHashLongs.register(s)
     val sh = docSets.select($"doc_id", explode($"gs").as("g"))
     val hashed = sh.select($"doc_id", expr("minhash_longs(g, 8)").as("hs"))
-    val sig = hashed
+    hashed
       .groupBy($"doc_id")
       .agg(min($"hs".getItem(0)).as("mh1"),
         (2 to 8).map(j => min($"hs".getItem(j - 1)).as(s"mh$j")): _*)
+  }
+
+  /** [[bandsOf]]'s second half: a [[minhashSig]] frame → the
+    * (doc_id, band, bsig) banding geometry (2 bands × 4 minhashes).
+    */
+  private[graft] def bandsOfSig(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
     sig.select($"doc_id",
       explode(expr(
         """array(struct(0L AS band, concat_ws(',', CAST(mh1 AS STRING), CAST(mh2 AS STRING), CAST(mh3 AS STRING), CAST(mh4 AS STRING)) AS bsig),
@@ -232,10 +248,51 @@ object Llm {
       .select($"d1", $"d2", $"jac")
   }
 
+  /** Calibration engine behind q132: input (doc_id, text); output one
+    * row per signature-agreement level (see the q132 comment).
+    * Package-visible so LshCalibrationSpec can replay it against a
+    * first-principles JVM replica on a planted-duplicate fixture.
+    */
+  private[graft] def lshCalibration(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // docSets: verify-side truth (both pair sides); sig: bands +
+    // both pair sides — each consumed ≥2× → materialize (the q21
+    // localCheckpoint discipline)
+    val docSets = shingleSets(docs).localCheckpoint()
+    val sig = minhashSig(docSets).localCheckpoint()
+    val cand = graft.ops.Lsh.expandPairsCapped(
+      bandsOfSig(sig), Seq("band", "bsig"), "doc_id", lshMaxBucket)
+    val sigArr = sig.select($"doc_id",
+      array((1 to 8).map(j => col(s"mh$j")): _*).as("mhs"))
+    cand
+      .join(sigArr.select($"doc_id".as("d1"), $"mhs".as("m1")), "d1")
+      .join(sigArr.select($"doc_id".as("d2"), $"mhs".as("m2")), "d2")
+      .withColumn("agree",
+        expr("size(filter(zip_with(m1, m2, (x, y) -> x = y), b -> b))").cast("long"))
+      .join(docSets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+      .join(docSets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+      .select($"agree",
+        size(array_intersect($"gs1", $"gs2")).cast("long").as("ni"),
+        (size($"gs1") + size($"gs2")).cast("long").as("nab"))
+      .withColumn("un", $"nab" - $"ni")
+      .groupBy($"agree")
+      .agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        sum($"ni").cast("long").as("sum_inter"),
+        sum($"un").cast("long").as("sum_union"),
+        sum(when($"ni" * 20 >= $"un" * 7, 1L).otherwise(0L)).cast("long").as("n_ge_035"))
+      .select($"agree".as("n_agree"),
+        ($"agree".cast("double") / 8.0).as("est"),
+        $"n_pairs",
+        $"sum_inter", $"sum_union",
+        ($"sum_inter".cast("double") / $"sum_union".cast("double")).as("pooled_jac"),
+        $"n_ge_035")
+  }
+
   /** q21's oracle SQL, shared with the q45 clustering query and the
     * q85 dedup-apply step (Curation.scala). */
-  private[queries] val minhashPairsSql: String = s"""
-        WITH sh AS (
+  private[queries] val minhashCandSql: String = s"""sh AS (
           SELECT DISTINCT doc_id, substr(substr(text,1,200), s.i, 5) AS g
           FROM documents CROSS JOIN generate_series(1, 196) s(i)
           WHERE s.i <= length(substr(text,1,200)) - 4),
@@ -253,7 +310,10 @@ object Llm {
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-          JOIN bsz z ON z.band = a.band AND z.bsig = a.bsig AND z.n <= $lshMaxBucket),
+          JOIN bsz z ON z.band = a.band AND z.bsig = a.bsig AND z.n <= $lshMaxBucket)"""
+
+  private[queries] val minhashPairsSql: String = s"""
+        WITH $minhashCandSql,
         inter AS (
           SELECT c.d1, c.d2, count(*) AS ni
           FROM cand c
@@ -1009,6 +1069,61 @@ object Llm {
           JOIN documents m1 ON m1.doc_id = p.d1
           JOIN documents m2 ON m2.doc_id = p.d2)
         SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs, max(jac) AS max_jac
-        FROM m GROUP BY sa, sb"""))
+        FROM m GROUP BY sa, sb""")),
+
+    // --------------------------------------------------------------- q132
+    // LSH estimator CALIBRATION audit — "is the banding geometry
+    // earning its keep?": for every band-collision candidate pair,
+    // the signature-side Jaccard estimate (fraction of the 8 minhash
+    // components agreeing — the textbook unbiased estimator) is
+    // compared against GROUND-TRUTH shingle Jaccard, grouped by
+    // agreement level. Per level: pair count, pooled true Jaccard
+    // (SUM(|∩|)/SUM(|∪|) — one division of exact BIGINTs, never a
+    // mean of per-pair doubles), and how many pairs clear the q21
+    // production threshold, tested EXACTLY in integers
+    // (20·|∩| ≥ 7·|∪| ⟺ jac ≥ 0.35 — no double comparison anywhere).
+    // This is the precision table that justifies (or indicts) the
+    // 2×4 band choice: candidates collide on ≥1 full band, so
+    // agreement starts at 4/8, and the n_ge_035 column IS the
+    // measured precision of each estimator bucket. At 100 TB this
+    // runs on the candidate stream the dedup pipeline already
+    // produces (signatures and shingle sets shuffle, text never
+    // does) — or on a doc_id-sampled slice, since it's a statistic,
+    // not a transform.
+    Q(
+      "q132_lsh_calibration",
+      (s, dir) => lshCalibration(docsSpread(s, dir)),
+      Some(s"""
+        WITH $minhashCandSql,
+        agr AS (
+          SELECT c.d1, c.d2,
+            CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.d1
+          JOIN sig b ON b.doc_id = c.d2 AND b.j = a.j
+          GROUP BY c.d1, c.d2),
+        ji AS (
+          SELECT c.d1, c.d2,
+            CAST(coalesce(i.ni, 0) AS BIGINT) AS ni,
+            CAST(sa.n + sb.n - coalesce(i.ni, 0) AS BIGINT) AS un
+          FROM cand c
+          LEFT JOIN (
+            SELECT c2.d1, c2.d2, count(*) AS ni
+            FROM cand c2
+            JOIN sh s1 ON s1.doc_id = c2.d1
+            JOIN sh s2 ON s2.doc_id = c2.d2 AND s2.g = s1.g
+            GROUP BY c2.d1, c2.d2) i ON i.d1 = c.d1 AND i.d2 = c.d2
+          JOIN sizes sa ON sa.doc_id = c.d1
+          JOIN sizes sb ON sb.doc_id = c.d2)
+        SELECT agr.agree AS n_agree,
+          CAST(agr.agree AS DOUBLE) / 8.0 AS est,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(ji.ni) AS BIGINT) AS sum_inter,
+          CAST(sum(ji.un) AS BIGINT) AS sum_union,
+          CAST(CAST(sum(ji.ni) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(sum(ji.un) AS BIGINT) AS DOUBLE) AS pooled_jac,
+          CAST(sum(CASE WHEN ji.ni * 20 >= ji.un * 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_035
+        FROM agr JOIN ji ON ji.d1 = agr.d1 AND ji.d2 = agr.d2
+        GROUP BY agr.agree"""))
   )
 }
