@@ -1170,7 +1170,92 @@ object Selection {
           FROM pd WHERE n_words >= 1 GROUP BY lang)
         SELECT lang, n_docs, n_words, n_tokens,
           CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
-        FROM ag"""))
+        FROM ag""")),
+
+    // --------------------------------------------------------------- q131
+    // CONTRASTIVE TRIPLET mining — the training-pair generator for a
+    // dense retriever (DPR / E5 / Contriever recipe): for each anchor
+    // document, a POSITIVE (its best verified near-duplicate, the
+    // natural-paraphrase signal) and ranked HARD NEGATIVES — the
+    // documents BM25 says are most lexically similar to the anchor
+    // yet provably NOT duplicates of it (exact-fp and verified-LSH
+    // exclusion). Lexically-close-but-distinct is exactly the
+    // negative that teaches a bi-encoder more than a random one.
+    //
+    // Scale shape: anchors are a bounded deterministic sample
+    // (doc_id % 25 = 7 — the training-pair budget, not a corpus
+    // scan); candidate generation is an inverted-index join on each
+    // anchor's 5 most DISCRIMINATIVE terms only (lowest df — the
+    // impact-ordered pruning idea: the candidate stream is Σ df over
+    // 5 terms per anchor, never |anchors|×|corpus|, and stopwords
+    // lose to anything rarer); the anchor term table broadcasts; per-pair
+    // scores fold in sorted term order (the q95 discipline — one
+    // ordered double fold, ln-free rational idf); and per-anchor
+    // top-3 runs through the bounded TopKSimAgg, never a window over
+    // the candidate stream. The LSH pair frame is q21's, LSH-bounded.
+    Q(
+      "q131_contrastive_triplets",
+      (s, dir) => contrastiveTriplets(Llm.docsSpread(s, dir)),
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        w AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+          FROM documents),
+        wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM wc GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, CAST(count(*) AS BIGINT) AS nd FROM dl),
+        dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY w),
+        aterms AS (
+          SELECT anchor_id, w, df FROM (
+            SELECT wc.doc_id AS anchor_id, wc.w, dfq.df,
+              row_number() OVER (PARTITION BY wc.doc_id ORDER BY dfq.df, wc.w) AS trk
+            FROM wc JOIN dfq USING (w) WHERE wc.doc_id % 25 = 7)
+          WHERE trk <= 5),
+        ts AS (
+          SELECT aterms.anchor_id, wc.doc_id, wc.w,
+            (CAST(wc.tf AS DOUBLE) * 2.2) /
+              (CAST(wc.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                (CAST(dl.dl AS DOUBLE) / (CAST(stats.sum_dl AS DOUBLE) / CAST(stats.nd AS DOUBLE))))) *
+              ((CAST(stats.nd AS DOUBLE) - CAST(aterms.df AS DOUBLE) + 0.5) /
+                (CAST(aterms.df AS DOUBLE) + 0.5)) AS ts
+          FROM wc
+          JOIN aterms ON wc.w = aterms.w AND wc.doc_id <> aterms.anchor_id
+          JOIN dl ON dl.doc_id = wc.doc_id
+          CROSS JOIN stats),
+        sc AS (
+          SELECT anchor_id, doc_id, sum(ts ORDER BY w) AS score
+          FROM ts GROUP BY anchor_id, doc_id),
+        fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        nd2 AS (
+          SELECT d1 AS anchor_id, d2 AS doc_id FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+        ex AS (
+          SELECT sc.anchor_id, sc.doc_id, sc.score
+          FROM sc
+          JOIN fps cf ON cf.doc_id = sc.doc_id
+          JOIN fps af ON af.doc_id = sc.anchor_id
+          WHERE cf.fp <> af.fp
+            AND NOT EXISTS (
+              SELECT 1 FROM nd2
+              WHERE nd2.anchor_id = sc.anchor_id AND nd2.doc_id = sc.doc_id)),
+        rkd AS (
+          SELECT anchor_id, doc_id, score,
+            row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, doc_id) AS rk
+          FROM ex),
+        po AS (
+          SELECT anchor_id, partner, jac,
+            row_number() OVER (PARTITION BY anchor_id ORDER BY jac DESC, partner) AS prk
+          FROM (
+            SELECT d1 AS anchor_id, d2 AS partner, jac FROM pairs
+            UNION ALL SELECT d2, d1, jac FROM pairs)
+          WHERE anchor_id % 25 = 7)
+        SELECT r.anchor_id, p.partner AS pos_id, p.jac AS pos_jac,
+          r.doc_id AS neg_id, r.score AS neg_score, CAST(r.rk AS BIGINT) AS neg_rk
+        FROM rkd r
+        LEFT JOIN (SELECT * FROM po WHERE prk = 1) p ON p.anchor_id = r.anchor_id
+        WHERE r.rk <= 3"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &
@@ -1331,5 +1416,84 @@ object Selection {
         ($"sw" - $"n_tokens" * $"prior").as("margin"))
       .withColumn("score", $"margin".cast("double") / $"n_tokens".cast("double"))
       .withColumn("sel", ($"margin" > 0L).cast("long"))
+  }
+
+  /** Triplet-mining engine behind q131: input (doc_id, text, …);
+    * output (anchor_id, pos_id, pos_jac, neg_id, neg_score, neg_rk) —
+    * see the q131 comment for semantics and scale shape.
+    * Package-visible so TripletSpec can replay it against a
+    * first-principles replica and pin the exclusion invariants.
+    */
+  private[graft] def contrastiveTriplets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (doc, word, tf) feeds dl, df, anchor terms AND candidate
+    // scoring — materialize once (the q95 discipline)
+    val wc = docs
+      .select($"doc_id", explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val dl = wc.groupBy($"doc_id").agg(sum($"tf").cast("long").as("dl"))
+      .localCheckpoint() // consumed by stats + the scoring join
+    val stats = dl.agg(
+      sum($"dl").cast("long").as("sum_dl"),
+      count(lit(1)).cast("long").as("nd"))
+    val dfq = wc.groupBy($"w").agg(count(lit(1)).cast("long").as("df"))
+    // each anchor queries with its 5 most DISCRIMINATIVE terms
+    // (lowest df, tie word asc): bounds candidate fan-out to
+    // Σ df over 5 terms per anchor, and keeps stopword-shaped terms
+    // out whenever anything rarer exists; the window runs over the
+    // budget-bounded anchor term lists, never the corpus
+    val aw = Window.partitionBy($"anchor_id").orderBy($"df".asc, $"w".asc)
+    val aterms = wc.filter($"doc_id" % 25 === 7)
+      .select($"doc_id".as("anchor_id"), $"w")
+      .join(broadcast(dfq), "w")
+      .withColumn("trk", row_number().over(aw))
+      .filter($"trk" <= 5)
+      .select($"anchor_id", $"w", $"df")
+    val cand = wc.join(broadcast(aterms), "w")
+      .filter($"doc_id" =!= $"anchor_id")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"anchor_id", $"doc_id", $"w",
+        (($"tf".cast("double") * lit(2.2)) /
+          ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") / ($"sum_dl".cast("double") / $"nd".cast("double"))))) *
+          (($"nd".cast("double") - $"df".cast("double") + lit(0.5)) /
+            ($"df".cast("double") + lit(0.5)))).as("ts"))
+    val scores = cand.groupBy($"anchor_id", $"doc_id")
+      .agg(sort_array(collect_list(struct($"w", $"ts"))).as("xs"))
+      .select($"anchor_id", $"doc_id",
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ts)").as("score"))
+    // q21's verified LSH pairs: consumed by the exclusion AND the
+    // positive pick — materialize once
+    val pairs = Llm.minhashLshPairs(docs, Llm.lshMaxBucket).localCheckpoint()
+    val ndup = pairs.select($"d1".as("anchor_id"), $"d2".as("doc_id"))
+      .union(pairs.select($"d2".as("anchor_id"), $"d1".as("doc_id")))
+    val fps = docs.select($"doc_id", md5($"text").as("fp"))
+    val filtered = scores
+      .join(fps.select($"doc_id", $"fp"), "doc_id")
+      .join(fps.select($"doc_id".as("anchor_id"), $"fp".as("afp")), "anchor_id")
+      .filter($"fp" =!= $"afp")
+      .join(ndup, Seq("anchor_id", "doc_id"), "left_anti")
+    val topk = udaf(new graft.functions.TopKSimAgg(3),
+      org.apache.spark.sql.Encoders.product[(Long, Double)])
+    val negs = filtered.groupBy($"anchor_id")
+      .agg(topk($"doc_id", $"score").as("tk"))
+      .select($"anchor_id", posexplode($"tk"))
+      .select($"anchor_id", $"col._2".as("neg_id"), $"col._1".as("neg_score"),
+        ($"pos" + 1).cast("long").as("neg_rk"))
+    val wpo = Window.partitionBy($"anchor_id").orderBy($"jac".desc, $"partner".asc)
+    val po = pairs.select($"d1".as("anchor_id"), $"d2".as("partner"), $"jac")
+      .union(pairs.select($"d2".as("anchor_id"), $"d1".as("partner"), $"jac"))
+      .filter($"anchor_id" % 25 === 7)
+      .withColumn("prk", row_number().over(wpo))
+      .filter($"prk" === 1)
+      .select($"anchor_id", $"partner".as("pos_id"), $"jac".as("pos_jac"))
+    negs.join(broadcast(po), Seq("anchor_id"), "left")
+      .select($"anchor_id", $"pos_id", $"pos_jac",
+        $"neg_id", $"neg_score", $"neg_rk")
   }
 }

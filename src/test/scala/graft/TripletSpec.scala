@@ -1,0 +1,117 @@
+package graft
+
+/** graft.queries.Selection.contrastiveTriplets (q131, dense-retriever
+  * training pairs): bit-exact agreement of the hard-negative ranking
+  * with an in-JVM BM25 replica (anchor's 5 lowest-df terms, sorted
+  * term-order fold), and the exclusion invariants that make a
+  * negative HARD but not WRONG — the anchor itself, its exact
+  * duplicates (fp-equal), and its verified near-duplicates can never
+  * appear as negatives, while the best verified near-duplicate is the
+  * positive.
+  */
+class TripletSpec extends SparkSuite {
+
+  /** 30 docs, one anchor (doc 7): doc 12 is an exact copy of the
+    * anchor, doc 13 a near-duplicate (one late word changed), docs
+    * 14/15 share the anchor's three rare marker words (hard
+    * negatives), the rest are unrelated word salad over a 40-word
+    * vocabulary (wide enough that salad docs stay below the 0.35
+    * near-dup threshold against the anchor).
+    */
+  private def fixture: Seq[(Long, String)] = {
+    val r = new scala.util.Random(29)
+    val vocab = (0 until 40).map(_ =>
+      (0 until 4 + r.nextInt(4)).map(_ => ('a' + r.nextInt(26)).toChar).mkString)
+    def salad(n: Int): String =
+      (0 until n).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+    val anchorText = "zebra quokka axolotl " + salad(20)
+    (0 until 30).map { i =>
+      val text = i match {
+        case 7  => anchorText
+        case 12 => anchorText
+        case 13 => anchorText.dropRight(6) + " stray"
+        case 14 => "zebra quokka axolotl zebra " + salad(18)
+        case 15 => "quokka axolotl " + salad(22)
+        case _  => salad(24)
+      }
+      (i.toLong, text)
+    }
+  }
+
+  private def toks(t: String): Seq[String] =
+    t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+
+  /** Replica of the engine's negative ranking: BM25 over the anchor's
+    * 5 lowest-(df, w) terms, ts summed in sorted term order — the
+    * identical IEEE op sequence, so score comparisons are ==.
+    */
+  private def replicaNegs(
+      docs: Seq[(Long, String)],
+      anchor: Long,
+      excluded: Set[Long]): Seq[(Long, Double)] = {
+    val wc = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    }.toMap
+    val dl = wc.map { case (id, m) => id -> m.values.sum }
+    val nd = dl.size.toLong
+    val sumDl = dl.values.sum
+    val df = wc.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val anchorTerms = wc(anchor).keys.toSeq
+      .sortBy(w => (df(w), w)).take(5)
+    val scored = docs.collect { case (id, _) if id != anchor && !excluded.contains(id) =>
+      val shared = anchorTerms.filter(wc(id).contains).sorted
+      if (shared.isEmpty) None
+      else {
+        var s = 0.0
+        shared.foreach { w =>
+          val tf = wc(id)(w).toDouble
+          val ts = (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (dl(id).toDouble / (sumDl.toDouble / nd.toDouble)))) *
+            ((nd.toDouble - df(w).toDouble + 0.5) / (df(w).toDouble + 0.5))
+          s += ts
+        }
+        Some(id -> s)
+      }
+    }.flatten
+    scored.sortBy { case (id, s) => (-s, id) }.take(3)
+  }
+
+  test("negatives ≡ BM25 replica bit-for-bit; exclusions hold; positive is the best partner") {
+    import spark.implicits._
+    val docs = fixture
+    val df = docs.toDF("doc_id", "text")
+    val rows = graft.queries.Selection.contrastiveTriplets(df).collect()
+    assert(rows.nonEmpty)
+    // single anchor on this fixture, and it is the sampled id
+    assert(rows.map(_.getLong(0)).toSet == Set(7L))
+
+    // the verified near-dup partners (engine pair machinery, pinned
+    // independently by LshSpec/LshCalibrationSpec)
+    val pairs = graft.queries.Llm.minhashLshPairs(df, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val partners = pairs.collect {
+      case (a, b, j) if a == 7L => (b, j)
+      case (a, b, j) if b == 7L => (a, j)
+    }
+    assert(partners.map(_._1).toSet == Set(12L, 13L), s"partners: ${partners.toSeq}")
+
+    // positive = best partner by (jac desc, id asc): the exact copy
+    val best = partners.sortBy { case (id, j) => (-j, id) }.head
+    rows.foreach { r =>
+      assert(r.getLong(1) == best._1 && r.getDouble(2) == best._2,
+        s"positive ${r.getLong(1)} != ${best._1}")
+    }
+
+    // negatives: never the anchor, the fp-equal copy, or a partner
+    val negIds = rows.map(_.getLong(3)).toSeq
+    val banned = Set(7L) ++ partners.map(_._1)
+    assert(negIds.toSet.intersect(banned).isEmpty, s"banned negative in $negIds")
+    // the planted marker-sharers outrank the salad docs
+    assert(negIds.take(2).toSet == Set(14L, 15L), s"negs: $negIds")
+
+    // ranking ≡ replica exactly (ids, ranks, scores ==)
+    val want = replicaNegs(docs, 7L, banned)
+    val got = rows.sortBy(_.getLong(5)).map(r => (r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+}
