@@ -1071,6 +1071,77 @@ object Llm {
         SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs, max(jac) AS max_jac
         FROM m GROUP BY sa, sb""")),
 
+    // --------------------------------------------------------------- q133
+    // SOURCE DIVERGENCE matrix — pairwise total-variation distance
+    // between per-source hashed-unigram distributions: the
+    // distributional-shift audit beside q125's dup matrix (q125 asks
+    // "do these sources share documents?", this asks "do they speak
+    // the same language?" — the number mixture design and drift
+    // review read before reweighting). TV = ½ Σᵢ |pᵢ − qᵢ| over 64
+    // hash buckets, computed EXACTLY: the summand is
+    // |cᵢ·n_b − dᵢ·n_a| in BIGINTs (bounded by n_a·n_b < 2^53), the
+    // half and both normalizations fold into ONE final division —
+    // no doubles anywhere until the last op, so the matrix
+    // hash-matches bit-for-bit. Buckets are densified per source
+    // (missing bucket = 0) so no |cᵢ·n_b − 0| term is ever dropped.
+    //
+    // Scale shape: ONE corpus scan map-side-combines to |sources|×64
+    // rows; everything after (densify, pair join, fold) is
+    // sources²-sized — driver-trivial at any corpus size. The bucket
+    // count is the resolution/variance knob, not a cost knob.
+    Q(
+      "q133_source_divergence",
+      (s, dir) => {
+        import s.implicits._
+        val counts = docsSpread(s, dir)
+          .select($"source", explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+          .groupBy($"source",
+            (expr(Selection.h60("tok")) % 64).as("i"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val totals = counts.groupBy($"source").agg(sum($"c").cast("long").as("n"))
+        val dense = totals
+          .crossJoin(broadcast(s.range(0, 64).select($"id".as("i"))))
+          .join(counts, Seq("source", "i"), "left")
+          .select($"source", $"i", coalesce($"c", lit(0L)).as("c"), $"n")
+        dense.as("a")
+          .join(dense.as("b"),
+            col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+          .select(col("a.source").as("sa"), col("b.source").as("sb"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"),
+            abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")).as("t"))
+          .groupBy($"sa", $"sb", $"n_a", $"n_b")
+          .agg(sum($"t").cast("long").as("num"))
+          .select($"sa", $"sb", $"n_a", $"n_b", $"num",
+            ($"num".cast("double") /
+              (lit(2L) * $"n_a" * $"n_b").cast("double")).as("tv"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT source,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT source,
+            ${Selection.h60Sql("tok")} % 64 AS i,
+            CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2),
+        totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+        dense AS (
+          SELECT t.source, g.i, CAST(coalesce(c.c, 0) AS BIGINT) AS c, t.n
+          FROM totals t
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+          LEFT JOIN counts c ON c.source = t.source AND c.i = g.i),
+        pairs AS (
+          SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b,
+            CAST(abs(a.c * b.n - b.c * a.n) AS BIGINT) AS t
+          FROM dense a JOIN dense b ON a.i = b.i AND a.source < b.source)
+        SELECT sa, sb, n_a, n_b,
+          CAST(sum(t) AS BIGINT) AS num,
+          CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) /
+            CAST(2 * n_a * n_b AS DOUBLE) AS tv
+        FROM pairs GROUP BY sa, sb, n_a, n_b""")),
+
     // --------------------------------------------------------------- q132
     // LSH estimator CALIBRATION audit — "is the banding geometry
     // earning its keep?": for every band-collision candidate pair,

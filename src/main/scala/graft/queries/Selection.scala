@@ -132,11 +132,11 @@ object Selection {
   /** Portable 60-bit hash: both engines read the first 15 hex chars of
     * md5 as an integer (the q86 idiom) — Spark side.
     */
-  private def h60(col: String): String =
+  private[queries] def h60(col: String): String =
     s"CAST(conv(substr(md5($col), 1, 15), 16, 10) AS BIGINT)"
 
   /** Same 60-bit md5 hash, DuckDB side. */
-  private def h60Sql(col: String): String =
+  private[queries] def h60Sql(col: String): String =
     s"CAST(CAST(concat('0x', substr(md5($col), 1, 15)) AS UBIGINT) AS BIGINT)"
 
   // ------------------------------------------------------------- q101

@@ -358,7 +358,65 @@ object TrainPrep {
           SELECT doc_id, h,
             CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rk
           FROM h)
-        SELECT doc_id, h, rk, (rk - 1) % 16 AS shard FROM r"""))
+        SELECT doc_id, h, rk, (rk - 1) % 16 AS shard FROM r""")),
+
+    // --------------------------------------------------------------- q134
+    // FEATURE-HASHED document embeddings (Weinberger et al. 2009's
+    // hashing trick, the fastText/Vowpal-Wabbit featurizer): each
+    // token lands in bucket h mod 16 with sign from an independent
+    // hash bit, per-doc signed counts accumulate in EXACT BIGINTs,
+    // and the l2 normalization is the only float step — x_i =
+    // c_i / sqrt(Σc²), two IEEE ops per component over an exact
+    // integer norm, so the vectors hash-match bit-for-bit (no model,
+    // no training, deterministic across engines and partitionings).
+    // This closes the text → vector loop: the output is the sparse
+    // long form (doc_id, i, c, x) the ANN family (q130's kNN graph,
+    // the IVF/PQ indexes) ingests after a pivot-to-array.
+    //
+    // Scale shape: tokenize + hash + signed count is ONE map-side-
+    // combinable aggregation (≤16 partials per doc leave each map
+    // task); the norm is a second |docs|×16-sized agg joined back on
+    // doc_id — the partitioning from the first shuffle is reused, no
+    // extra exchange. Nothing corpus-quadratic, no windows, text
+    // never shuffles (only (doc_id, bucket, count) triples).
+    Q(
+      "q134_feature_hash",
+      (s, dir) => {
+        import s.implicits._
+        val sel = graft.queries.Selection
+        val toks = Llm.docsSpread(s, dir)
+          .select($"doc_id", explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+          .withColumn("h", expr(sel.h60("tok")))
+        val comps = toks
+          .groupBy($"doc_id", ($"h" % 16).as("i"))
+          .agg(sum(expr("IF((shiftright(h, 4) & 1) = 1, 1, -1)")).cast("long").as("c"))
+          .filter($"c" =!= 0L)
+        val norms = comps.groupBy($"doc_id")
+          .agg(sum($"c" * $"c").cast("long").as("n2"))
+        comps.join(norms, "doc_id")
+          .select($"doc_id", $"i", $"c",
+            ($"c".cast("double") / sqrt($"n2".cast("double"))).as("x"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM toks),
+        comps AS (
+          SELECT doc_id, h % 16 AS i,
+            CAST(sum(CASE WHEN ((h >> 4) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS c
+          FROM h GROUP BY doc_id, h % 16
+          HAVING sum(CASE WHEN ((h >> 4) & 1) = 1 THEN 1 ELSE -1 END) <> 0),
+        norms AS (
+          SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM comps GROUP BY doc_id)
+        SELECT comps.doc_id, comps.i, comps.c,
+          CAST(comps.c AS DOUBLE) / sqrt(CAST(norms.n2 AS DOUBLE)) AS x
+        FROM comps JOIN norms ON comps.doc_id = norms.doc_id"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
