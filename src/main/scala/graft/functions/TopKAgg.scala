@@ -16,6 +16,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAgg(k: Int)
     extends Aggregator[(String, Long), Seq[(Long, String)], Seq[(Long, String)]] {
+  require(k >= 1, s"TopKAgg needs k >= 1, got $k")
 
   /** (n desc, key asc) — strict total order on (n, key) pairs. */
   private def better(a: (Long, String), b: (Long, String)): Boolean =

@@ -19,10 +19,20 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKSimAgg(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k >= 1, s"TopKSimAgg needs k >= 1, got $k")
 
-  /** (score desc, id asc) — strict total order on (score, id). */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (score desc, id asc) — strict TOTAL order on (score, id), via
+    * java.lang.Double.compare so a NaN score (e.g. a zero-norm
+    * cosine) ranks above every real score deterministically — the
+    * same place Spark's and DuckDB's ORDER BY sim DESC both put it —
+    * instead of poisoning sortWith with an irreflexive comparator.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    // + 0.0 collapses -0.0 to +0.0 first, so the only place this
+    // total order differs from IEEE == is NaN itself
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Nil
 

@@ -1093,17 +1093,23 @@ object Llm {
       "q133_source_divergence",
       (s, dir) => {
         import s.implicits._
+        // counts is the one corpus-sized stage and feeds totals AND
+        // the densify join; dense feeds both self-join sides — each
+        // consumed ≥2× → materialize (the q21 localCheckpoint
+        // discipline; both frames are |sources|×64-bounded)
         val counts = docsSpread(s, dir)
           .select($"source", explode(expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
           .groupBy($"source",
             (expr(Selection.h60("tok")) % 64).as("i"))
           .agg(count(lit(1)).cast("long").as("c"))
+          .localCheckpoint()
         val totals = counts.groupBy($"source").agg(sum($"c").cast("long").as("n"))
         val dense = totals
           .crossJoin(broadcast(s.range(0, 64).select($"id".as("i"))))
           .join(counts, Seq("source", "i"), "left")
           .select($"source", $"i", coalesce($"c", lit(0L)).as("c"), $"n")
+          .localCheckpoint()
         dense.as("a")
           .join(dense.as("b"),
             col("a.i") === col("b.i") && col("a.source") < col("b.source"))

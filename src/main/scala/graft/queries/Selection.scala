@@ -1446,10 +1446,14 @@ object Selection {
     // Σ df over 5 terms per anchor, and keeps stopword-shaped terms
     // out whenever anything rarer exists; the window runs over the
     // budget-bounded anchor term lists, never the corpus
+    // plain shuffle join against the vocab-sized df table (the
+    // anchor side is tiny, but dfq is NOT broadcastable at corpus
+    // scale — a billion-term vocabulary must never ship to the
+    // driver; AQE may still pick broadcast when it actually fits)
     val aw = Window.partitionBy($"anchor_id").orderBy($"df".asc, $"w".asc)
     val aterms = wc.filter($"doc_id" % 25 === 7)
       .select($"doc_id".as("anchor_id"), $"w")
-      .join(broadcast(dfq), "w")
+      .join(dfq, "w")
       .withColumn("trk", row_number().over(aw))
       .filter($"trk" <= 5)
       .select($"anchor_id", $"w", $"df")

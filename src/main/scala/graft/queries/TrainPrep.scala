@@ -404,8 +404,7 @@ object TrainPrep {
             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
           FROM documents),
         h AS (
-          SELECT doc_id,
-            CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          SELECT doc_id, ${graft.queries.Selection.h60Sql("tok")} AS h
           FROM toks),
         comps AS (
           SELECT doc_id, h % 16 AS i,

@@ -73,9 +73,10 @@ class SourceDivergenceSpec extends SparkSuite {
       (3L, "zzqx zzwv zzpk zzmn", "other"))
     val got = run(docs)
     assert(got(("same1", "same2"))._4 == 0.0)
-    // the replica agrees on whatever bucket collisions exist — and on
-    // this fixture the supports are bucket-disjoint, so exactly 1
-    assert(got(("other", "same1"))._4 == 1.0 || got == replica(docs))
+    // on this fixture the supports are bucket-disjoint (the exact
+    // assertions would fail loudly if a collision ever appeared)
+    assert(got(("other", "same1"))._4 == 1.0)
+    assert(got(("other", "same2"))._4 == 1.0)
     assert(got == replica(docs))
   }
 }
