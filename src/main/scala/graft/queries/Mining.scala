@@ -106,53 +106,12 @@ object Mining {
     // a semi-join (the q85 shape).
     Q(
       "q87_gopher_rules",
-      (s, dir) => {
-        import s.implicits._
-        val words = Llm.docsSpread(s, dir).select($"doc_id",
-          explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
-        val wc = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-        wc.groupBy($"doc_id")
-          .agg(
-            sum($"c").cast("long").as("n_words"),
-            count(lit(1)).cast("long").as("n_distinct"),
-            max($"c").cast("long").as("top_c"),
-            coalesce(sum(when($"w".isin(stopwords: _*), $"c")), lit(0L))
-              .cast("long").as("n_stop"),
-            sum(length($"w") * $"c").cast("long").as("char_sum"))
-          .select($"doc_id", $"n_words", $"n_distinct",
-            ($"char_sum".cast("double") / $"n_words").as("mean_wlen"),
-            ($"n_stop".cast("double") / $"n_words").as("stop_frac"),
-            ($"top_c".cast("double") / $"n_words").as("top_frac"))
-          .withColumn("pass",
-            ($"n_words" >= 30 && $"n_words" <= 100000 &&
-              $"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0 &&
-              $"stop_frac" > 0.0 && $"top_frac" <= 0.15).cast("long"))
-      },
+      (s, dir) => gopherRules(Llm.docsSpread(s, dir)),
       Some(s"""
-        WITH w AS (
-          SELECT doc_id,
-            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
-          FROM documents),
-        wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
-        a AS (
-          SELECT doc_id,
-            CAST(sum(c) AS BIGINT) AS n_words,
-            CAST(count(*) AS BIGINT) AS n_distinct,
-            CAST(max(c) AS BIGINT) AS top_c,
-            CAST(coalesce(sum(c) FILTER (w IN (${stopwords.map("'" + _ + "'").mkString(",")})), 0) AS BIGINT) AS n_stop,
-            CAST(sum(length(w) * c) AS BIGINT) AS char_sum
-          FROM wc GROUP BY doc_id)
-        SELECT doc_id, n_words, n_distinct,
-          CAST(char_sum AS DOUBLE) / n_words AS mean_wlen,
-          CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
-          CAST(top_c AS DOUBLE) / n_words AS top_frac,
-          CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
-            AND CAST(char_sum AS DOUBLE) / n_words >= 3.0
-            AND CAST(char_sum AS DOUBLE) / n_words <= 5.0
-            AND CAST(n_stop AS DOUBLE) / n_words > 0.0
-            AND CAST(top_c AS DOUBLE) / n_words <= 0.15
-            THEN 1 ELSE 0 END AS BIGINT) AS pass
-        FROM a""")),
+        WITH $gopherSqlCtes
+        SELECT doc_id, n_words, n_distinct, mean_wlen, stop_frac,
+          top_frac, pass
+        FROM gop""")),
 
     // ---------------------------------------------------------------- q88
     // Corpus-LM document scoring — the CCNet/perplexity-filter shape
@@ -915,4 +874,63 @@ object Mining {
     if (maxGrams <= 65535L) (11, 65536L)
     else if (maxGrams <= 16777215L) (9, 16777216L)
     else (7, 4294967296L)
+
+  /** DuckDB CTE chain producing [[gopherRules]]'s frame (terminal CTE
+    * `gop`) — spliced into the q87 and q135 oracles. CTE names are
+    * g-prefixed so the chain composes beside other families' CTEs.
+    * lazy: referenced from `all`'s initializer above.
+    */
+  private[queries] lazy val gopherSqlCtes: String = s"""gw AS (
+          SELECT doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+          FROM documents),
+        gwc AS (SELECT doc_id, w, count(*) AS c FROM gw GROUP BY doc_id, w),
+        ga AS (
+          SELECT doc_id,
+            CAST(sum(c) AS BIGINT) AS n_words,
+            CAST(count(*) AS BIGINT) AS n_distinct,
+            CAST(max(c) AS BIGINT) AS top_c,
+            CAST(coalesce(sum(c) FILTER (w IN (${stopwords.map("'" + _ + "'").mkString(",")})), 0) AS BIGINT) AS n_stop,
+            CAST(sum(length(w) * c) AS BIGINT) AS char_sum
+          FROM gwc GROUP BY doc_id),
+        gop AS (
+          SELECT doc_id, n_words, n_distinct,
+            CAST(char_sum AS DOUBLE) / n_words AS mean_wlen,
+            CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
+            CAST(top_c AS DOUBLE) / n_words AS top_frac,
+            CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+              AND CAST(char_sum AS DOUBLE) / n_words >= 3.0
+              AND CAST(char_sum AS DOUBLE) / n_words <= 5.0
+              AND CAST(n_stop AS DOUBLE) / n_words > 0.0
+              AND CAST(top_c AS DOUBLE) / n_words <= 0.15
+              THEN 1 ELSE 0 END AS BIGINT) AS pass
+          FROM ga)"""
+
+  /** Gopher rule engine behind q87 (and the q135 calibration's gate
+    * side): input (doc_id, text, …); output one row per document with
+    * the rule statistics and the conjunctive `pass` bit.
+    */
+  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select($"doc_id",
+      explode(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+    val wc = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    wc.groupBy($"doc_id")
+      .agg(
+        sum($"c").cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max($"c").cast("long").as("top_c"),
+        coalesce(sum(when($"w".isin(stopwords: _*), $"c")), lit(0L))
+          .cast("long").as("n_stop"),
+        sum(length($"w") * $"c").cast("long").as("char_sum"))
+      .select($"doc_id", $"n_words", $"n_distinct",
+        ($"char_sum".cast("double") / $"n_words").as("mean_wlen"),
+        ($"n_stop".cast("double") / $"n_words").as("stop_frac"),
+        ($"top_c".cast("double") / $"n_words").as("top_frac"))
+      .withColumn("pass",
+        ($"n_words" >= 30 && $"n_words" <= 100000 &&
+          $"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0 &&
+          $"stop_frac" > 0.0 && $"top_frac" <= 0.15).cast("long"))
+  }
 }

@@ -1255,7 +1255,57 @@ object Selection {
           r.doc_id AS neg_id, r.score AS neg_score, CAST(r.rk AS BIGINT) AS neg_rk
         FROM rkd r
         LEFT JOIN (SELECT * FROM po WHERE prk = 1) p ON p.anchor_id = r.anchor_id
-        WHERE r.rk <= 3"""))
+        WHERE r.rk <= 3""")),
+
+    // --------------------------------------------------------------- q135
+    // Classifier CALIBRATION against the rule gate — q132's audit
+    // idea applied to the quality stack: q109's hashed-linear
+    // evidence, banded EXACTLY in integers
+    // (band = (Σw·10) div (n_tok·prior) — all-positive BIGINTs, so
+    // truncating division floors identically on both engines; band 10
+    // is the sel cut), cross-tabulated against q87's Gopher rule
+    // verdict. Each (band, gate) cell carries its document count and
+    // how many the classifier selects — the table that says whether
+    // the cheap learned filter AGREES with the expensive rule gate,
+    // where its threshold actually sits, and which band to route to
+    // human review before trusting it at corpus scale.
+    //
+    // Scale shape: both legs are scan-throughput passes the engine
+    // already runs (one bh-shuffle + broadcast model; one word
+    // shuffle), the join is doc-keyed, and the output is
+    // |bands|×2-sized. Nothing new shuffles.
+    Q(
+      "q135_classifier_calibration",
+      (s, dir) => classifierCalibration(Llm.docsSpread(s, dir)),
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang, ${h60Sql("tok")} % 256 AS bh FROM ws),
+        counts AS (
+          SELECT bh, CAST(count(*) AS BIGINT) AS c,
+            CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp
+          FROM toks GROUP BY bh),
+        totals AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_all, CAST(sum(cp) AS BIGINT) AS n_pos
+          FROM counts),
+        lm AS (
+          SELECT bh, (cp + 1) * 1000000 // (c + 2) AS w,
+            (n_pos + 1) * 1000000 // (n_all + 2) AS prior
+          FROM counts CROSS JOIN totals),
+        ev AS (
+          SELECT doc_id,
+            (CAST(sum(w) AS BIGINT) * 10) // (CAST(count(*) AS BIGINT) * max(prior)) AS band,
+            CAST(CAST(sum(w) AS BIGINT) > CAST(count(*) AS BIGINT) * max(prior) AS BIGINT) AS sel
+          FROM toks JOIN lm USING (bh) GROUP BY doc_id),
+        ${graft.queries.Mining.gopherSqlCtes}
+        SELECT ev.band, gop.pass AS gate_pass,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(ev.sel) AS BIGINT) AS n_sel
+        FROM ev JOIN gop ON ev.doc_id = gop.doc_id
+        GROUP BY ev.band, gop.pass"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &
@@ -1391,6 +1441,21 @@ object Selection {
   private[graft] def qualityClassifier(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    classifierEvidence(docs)
+      .select($"doc_id", $"n_tokens",
+        ($"sw" - $"n_tokens" * $"prior").as("margin"))
+      .withColumn("score", $"margin".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("sel", ($"margin" > 0L).cast("long"))
+  }
+
+  /** The q109 classifier's raw evidence frame
+    * (doc_id, n_tokens, sw, prior) — qualityClassifier derives its
+    * margin/score/sel from this; the q135 calibration derives its
+    * evidence bands from the same numbers.
+    */
+  private def classifierEvidence(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val toks = docs
       .select($"doc_id", $"lang", explode(expr(
         "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
@@ -1412,10 +1477,26 @@ object Selection {
         count(lit(1)).cast("long").as("n_tokens"),
         sum($"w").cast("long").as("sw"),
         max($"prior").as("prior"))
-      .select($"doc_id", $"n_tokens",
-        ($"sw" - $"n_tokens" * $"prior").as("margin"))
-      .withColumn("score", $"margin".cast("double") / $"n_tokens".cast("double"))
-      .withColumn("sel", ($"margin" > 0L).cast("long"))
+  }
+
+  /** Calibration engine behind q135: input (doc_id, text, lang, …);
+    * output one row per (evidence band, gate verdict) cell — see the
+    * q135 comment.
+    */
+  private[graft] def classifierCalibration(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ev = classifierEvidence(docs)
+      // all-positive BIGINTs, so truncating div = floor on both
+      // engines; band 10 = evidence exactly at the prior (sel cut)
+      .select($"doc_id",
+        expr("(sw * 10L) div (n_tokens * prior)").as("band"),
+        ($"sw" > $"n_tokens" * $"prior").cast("long").as("sel"))
+    ev.join(Mining.gopherRules(docs).select($"doc_id", $"pass".as("gate_pass")), "doc_id")
+      .groupBy($"band", $"gate_pass")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum($"sel").cast("long").as("n_sel"))
   }
 
   /** Triplet-mining engine behind q131: input (doc_id, text, …);
