@@ -1148,6 +1148,97 @@ object Llm {
             CAST(2 * n_a * n_b AS DOUBLE) AS tv
         FROM pairs GROUP BY sa, sb, n_a, n_b""")),
 
+    // --------------------------------------------------------------- q136
+    // DROP DRIFT report — the q133 divergence algebra pointed at the
+    // ingestion boundary: an incoming drop (doc_id % 10 = 3, q112's
+    // convention) versus the standing corpus, PER LANGUAGE — the
+    // check a pipeline runs before folding a drop in ("is today's
+    // crawl the same kind of text we already have, or did a source
+    // silently change underneath us?"). Per language: doc/token
+    // volumes on both sides and the exact total-variation distance
+    // between the drop's and the corpus's hashed-unigram
+    // distributions — same all-BIGINT summands, densified buckets,
+    // ONE division per row. Languages absent from either side have
+    // no defined divergence and drop out (the volume columns already
+    // tell that story).
+    //
+    // Scale shape: one corpus scan map-side-combines to
+    // |langs|×2×64 rows; the reconcile is langs-sized. The drop
+    // predicate is a scan-side filter — at 100 TB the two sides are
+    // one partition-pruned read each (drops land partitioned by
+    // batch), never a shuffle of text.
+    Q(
+      "q136_drop_drift",
+      (s, dir) => {
+        import s.implicits._
+        // ONE corpus scan into a |docs|×≤64-bounded per-doc-bucket
+        // frame; both rollups (bucket counts AND per-side volumes
+        // incl. the distinct doc count) derive from it — materialized
+        // for its two consumers, like the densified frame for its
+        // self-join sides (the q21/q133 discipline)
+        val pdb = docsSpread(s, dir)
+          .select(($"doc_id" % 10 === 3).cast("int").as("side"), $"lang", $"doc_id",
+            explode(expr(
+              "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+          .groupBy($"side", $"lang", $"doc_id",
+            (expr(Selection.h60("tok")) % 64).as("i"))
+          .agg(count(lit(1)).cast("long").as("c"))
+          .localCheckpoint()
+        val counts = pdb.groupBy($"side", $"lang", $"i")
+          .agg(sum($"c").cast("long").as("c"))
+        val tot = pdb.groupBy($"side", $"lang")
+          .agg(sum($"c").cast("long").as("n"),
+            expr("count(DISTINCT doc_id)").cast("long").as("n_docs"))
+        val dense = tot
+          .crossJoin(broadcast(s.range(0, 64).select($"id".as("i"))))
+          .join(counts, Seq("side", "lang", "i"), "left")
+          .select($"side", $"lang", $"i", coalesce($"c", lit(0L)).as("c"), $"n", $"n_docs")
+          .localCheckpoint()
+        dense.filter($"side" === 1).as("a")
+          .join(dense.filter($"side" === 0).as("b"),
+            col("a.lang") === col("b.lang") && col("a.i") === col("b.i"))
+          .select(col("a.lang").as("lang"),
+            col("a.n_docs").as("drop_docs"), col("a.n").as("drop_tokens"),
+            col("b.n_docs").as("corpus_docs"), col("b.n").as("corpus_tokens"),
+            abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")).as("t"))
+          .groupBy($"lang", $"drop_docs", $"drop_tokens", $"corpus_docs", $"corpus_tokens")
+          .agg(sum($"t").cast("long").as("num"))
+          .select($"lang", $"drop_docs", $"drop_tokens", $"corpus_docs", $"corpus_tokens",
+            ($"num".cast("double") /
+              (lit(2L) * $"drop_tokens" * $"corpus_tokens").cast("double")).as("tv"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT CAST(doc_id % 10 = 3 AS INT) AS side, lang, doc_id,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT side, lang,
+            ${Selection.h60Sql("tok")} % 64 AS i,
+            CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT side, lang, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1, 2),
+        dc AS (
+          SELECT CAST(doc_id % 10 = 3 AS INT) AS side, lang,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM toks GROUP BY 1, 2),
+        dense AS (
+          SELECT t.side, t.lang, g.i, CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+            t.n, dc.n_docs
+          FROM tot t
+          JOIN dc ON dc.side = t.side AND dc.lang = t.lang
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+          LEFT JOIN counts c ON c.side = t.side AND c.lang = t.lang AND c.i = g.i)
+        SELECT a.lang,
+          a.n_docs AS drop_docs, a.n AS drop_tokens,
+          b.n_docs AS corpus_docs, b.n AS corpus_tokens,
+          CAST(CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS DOUBLE) /
+            CAST(2 * a.n * b.n AS DOUBLE) AS tv
+        FROM dense a JOIN dense b ON a.lang = b.lang AND a.i = b.i
+          AND a.side = 1 AND b.side = 0
+        GROUP BY a.lang, a.n_docs, a.n, b.n_docs, b.n""")),
+
     // --------------------------------------------------------------- q132
     // LSH estimator CALIBRATION audit — "is the banding geometry
     // earning its keep?": for every band-collision candidate pair,
