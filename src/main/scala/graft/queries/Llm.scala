@@ -290,6 +290,34 @@ object Llm {
         $"n_ge_035")
   }
 
+  /** ½·Σᵢ|ca/na − cb/nb| folded in bucket order — the keyed
+    * total-variation tail shared by q133 (source pairs) and q136
+    * (drop vs corpus). Input: one row per (key…, i) with both sides'
+    * bucket count and total; output: the key group + `tv`. Per-term
+    * arithmetic is single IEEE ops over counts that convert to
+    * DOUBLE exactly (token counts < 2^53 at any realistic corpus),
+    * and the 64-term sum is an ordered fold (DuckDB:
+    * `sum(… ORDER BY i)` — see [[tvTermSql]]). The earlier
+    * all-BIGINT cross-product form (Σ|ca·nb − cb·na|, one division)
+    * was exact but overflows Long once na·nb passes ~2^63 — which is
+    * REAL at the 100 TB scale these audits are pitched for
+    * (round-9 review finding).
+    */
+  private def tvFold(joined: DataFrame, keys: Seq[String]): DataFrame =
+    joined
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("i"),
+        abs(col("ca").cast("double") / col("na").cast("double") -
+          col("cb").cast("double") / col("nb").cast("double")).as("d")))).as("ds"))
+      .withColumn("tv",
+        expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.d) / 2.0"))
+      .drop("ds")
+
+  /** [[tvFold]]'s per-term expression, DuckDB side — wrap in
+    * `sum(… ORDER BY i) / 2.0`. */
+  private def tvTermSql(a: String, b: String): String =
+    s"abs(CAST($a.c AS DOUBLE)/CAST($a.n AS DOUBLE) - CAST($b.c AS DOUBLE)/CAST($b.n AS DOUBLE))"
+
   /** q21's oracle SQL, shared with the q45 clustering query and the
     * q85 dedup-apply step (Curation.scala). */
   private[queries] val minhashCandSql: String = s"""sh AS (
@@ -1110,17 +1138,15 @@ object Llm {
           .join(counts, Seq("source", "i"), "left")
           .select($"source", $"i", coalesce($"c", lit(0L)).as("c"), $"n")
           .localCheckpoint()
-        dense.as("a")
+        val joined = dense.as("a")
           .join(dense.as("b"),
             col("a.i") === col("b.i") && col("a.source") < col("b.source"))
           .select(col("a.source").as("sa"), col("b.source").as("sb"),
-            col("a.n").as("n_a"), col("b.n").as("n_b"),
-            abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")).as("t"))
-          .groupBy($"sa", $"sb", $"n_a", $"n_b")
-          .agg(sum($"t").cast("long").as("num"))
-          .select($"sa", $"sb", $"n_a", $"n_b", $"num",
-            ($"num".cast("double") /
-              (lit(2L) * $"n_a" * $"n_b").cast("double")).as("tv"))
+            col("a.n").as("n_a"), col("b.n").as("n_b"), col("a.i").as("i"),
+            col("a.c").as("ca"), col("a.n").as("na"),
+            col("b.c").as("cb"), col("b.n").as("nb"))
+        tvFold(joined, Seq("sa", "sb", "n_a", "n_b"))
+          .select($"sa", $"sb", $"n_a", $"n_b", $"tv")
       },
       Some(s"""
         WITH toks AS (
@@ -1140,12 +1166,10 @@ object Llm {
           LEFT JOIN counts c ON c.source = t.source AND c.i = g.i),
         pairs AS (
           SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b,
-            CAST(abs(a.c * b.n - b.c * a.n) AS BIGINT) AS t
+            a.i AS i, ${tvTermSql("a", "b")} AS d
           FROM dense a JOIN dense b ON a.i = b.i AND a.source < b.source)
         SELECT sa, sb, n_a, n_b,
-          CAST(sum(t) AS BIGINT) AS num,
-          CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) /
-            CAST(2 * n_a * n_b AS DOUBLE) AS tv
+          sum(d ORDER BY i) / 2.0 AS tv
         FROM pairs GROUP BY sa, sb, n_a, n_b""")),
 
     // --------------------------------------------------------------- q136
