@@ -1106,12 +1106,17 @@ object Llm {
     // "do these sources share documents?", this asks "do they speak
     // the same language?" — the number mixture design and drift
     // review read before reweighting). TV = ½ Σᵢ |pᵢ − qᵢ| over 64
-    // hash buckets, computed EXACTLY: the summand is
-    // |cᵢ·n_b − dᵢ·n_a| in BIGINTs (bounded by n_a·n_b < 2^53), the
-    // half and both normalizations fold into ONE final division —
-    // no doubles anywhere until the last op, so the matrix
-    // hash-matches bit-for-bit. Buckets are densified per source
-    // (missing bucket = 0) so no |cᵢ·n_b − 0| term is ever dropped.
+    // hash buckets, computed as an ORDERED double fold (tvFold): the
+    // summand is |cᵢ/n_a − dᵢ/n_b| in doubles, folded in ascending
+    // bucket order, one final /2.0. The exact BIGINT cross-product
+    // form (|cᵢ·n_b − dᵢ·n_a| summed, one division) was abandoned
+    // because Σᵢ|cᵢ·n_b − dᵢ·n_a| overflows Long once n_a·n_b nears
+    // 2^63 — real at 100 TB token counts — and Spark (non-ANSI)
+    // wraps silently where DuckDB errors. Determinism instead comes
+    // from fixing the fold ORDER on both engines (sort_array by i /
+    // sum(d ORDER BY i)), so the matrix still hash-matches
+    // bit-for-bit. Buckets are densified per source (missing bucket
+    // = 0) so no |0 − dᵢ/n_b| term is ever dropped.
     //
     // Scale shape: ONE corpus scan map-side-combines to |sources|×64
     // rows; everything after (densify, pair join, fold) is
@@ -1179,12 +1184,15 @@ object Llm {
     // check a pipeline runs before folding a drop in ("is today's
     // crawl the same kind of text we already have, or did a source
     // silently change underneath us?"). Per language: doc/token
-    // volumes on both sides and the exact total-variation distance
-    // between the drop's and the corpus's hashed-unigram
-    // distributions — same all-BIGINT summands, densified buckets,
-    // ONE division per row. Languages absent from either side have
-    // no defined divergence and drop out (the volume columns already
-    // tell that story).
+    // volumes on both sides and the total-variation distance between
+    // the drop's and the corpus's hashed-unigram distributions —
+    // q133's ordered double-fold (tvFold), densified buckets. The
+    // BIGINT cross-product summand is deliberately NOT used here:
+    // Σᵢ|cᵢ·n_b − dᵢ·n_a| overflows Long once drop·corpus token
+    // counts near 2^63, which is exactly the scale this audit is
+    // pitched at. Languages absent from either side have no defined
+    // divergence and drop out (the volume columns already tell that
+    // story).
     //
     // Scale shape: one corpus scan map-side-combines to
     // |langs|×2×64 rows; the reconcile is langs-sized. The drop
@@ -1218,18 +1226,19 @@ object Llm {
           .join(counts, Seq("side", "lang", "i"), "left")
           .select($"side", $"lang", $"i", coalesce($"c", lit(0L)).as("c"), $"n", $"n_docs")
           .localCheckpoint()
-        dense.filter($"side" === 1).as("a")
+        val joined = dense.filter($"side" === 1).as("a")
           .join(dense.filter($"side" === 0).as("b"),
             col("a.lang") === col("b.lang") && col("a.i") === col("b.i"))
           .select(col("a.lang").as("lang"),
             col("a.n_docs").as("drop_docs"), col("a.n").as("drop_tokens"),
             col("b.n_docs").as("corpus_docs"), col("b.n").as("corpus_tokens"),
-            abs(col("a.c") * col("b.n") - col("b.c") * col("a.n")).as("t"))
-          .groupBy($"lang", $"drop_docs", $"drop_tokens", $"corpus_docs", $"corpus_tokens")
-          .agg(sum($"t").cast("long").as("num"))
-          .select($"lang", $"drop_docs", $"drop_tokens", $"corpus_docs", $"corpus_tokens",
-            ($"num".cast("double") /
-              (lit(2L) * $"drop_tokens" * $"corpus_tokens").cast("double")).as("tv"))
+            col("a.i").as("i"),
+            col("a.c").as("ca"), col("a.n").as("na"),
+            col("b.c").as("cb"), col("b.n").as("nb"))
+        tvFold(joined,
+          Seq("lang", "drop_docs", "drop_tokens", "corpus_docs", "corpus_tokens"))
+          .select($"lang", $"drop_docs", $"drop_tokens",
+            $"corpus_docs", $"corpus_tokens", $"tv")
       },
       Some(s"""
         WITH toks AS (
@@ -1253,15 +1262,17 @@ object Llm {
           FROM tot t
           JOIN dc ON dc.side = t.side AND dc.lang = t.lang
           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
-          LEFT JOIN counts c ON c.side = t.side AND c.lang = t.lang AND c.i = g.i)
-        SELECT a.lang,
-          a.n_docs AS drop_docs, a.n AS drop_tokens,
-          b.n_docs AS corpus_docs, b.n AS corpus_tokens,
-          CAST(CAST(sum(abs(a.c * b.n - b.c * a.n)) AS BIGINT) AS DOUBLE) /
-            CAST(2 * a.n * b.n AS DOUBLE) AS tv
-        FROM dense a JOIN dense b ON a.lang = b.lang AND a.i = b.i
-          AND a.side = 1 AND b.side = 0
-        GROUP BY a.lang, a.n_docs, a.n, b.n_docs, b.n""")),
+          LEFT JOIN counts c ON c.side = t.side AND c.lang = t.lang AND c.i = g.i),
+        pairs AS (
+          SELECT a.lang AS lang, a.n_docs AS drop_docs, a.n AS drop_tokens,
+            b.n_docs AS corpus_docs, b.n AS corpus_tokens,
+            a.i AS i, ${tvTermSql("a", "b")} AS d
+          FROM dense a JOIN dense b ON a.lang = b.lang AND a.i = b.i
+            AND a.side = 1 AND b.side = 0)
+        SELECT lang, drop_docs, drop_tokens, corpus_docs, corpus_tokens,
+          sum(d ORDER BY i) / 2.0 AS tv
+        FROM pairs
+        GROUP BY lang, drop_docs, drop_tokens, corpus_docs, corpus_tokens""")),
 
     // --------------------------------------------------------------- q132
     // LSH estimator CALIBRATION audit — "is the banding geometry

@@ -34,12 +34,16 @@ class DropDriftSpec extends SparkSuite {
           .groupBy(identity).map { case (i, ys) => i -> ys.size.toLong }
       val (bd, br) = (buckets(drop), buckets(rest))
       val (nd, nr) = (bd.values.sum, br.values.sum)
-      val num = (0L until 64L).map { i =>
-        math.abs(bd.getOrElse(i, 0L) * nr - br.getOrElse(i, 0L) * nd)
-      }.sum
+      // ordered double fold, ascending bucket index — the engine's
+      // tvFold op sequence verbatim (overflow-safe at 100 TB token
+      // counts, unlike the BIGINT cross-product form)
+      var acc = 0.0
+      (0L until 64L).foreach { i =>
+        acc += math.abs(bd.getOrElse(i, 0L).toDouble / nd.toDouble -
+          br.getOrElse(i, 0L).toDouble / nr.toDouble)
+      }
       lang -> (drop.map(_._3).distinct.size.toLong, nd,
-        rest.map(_._3).distinct.size.toLong, nr,
-        num.toDouble / (2L * nd * nr).toDouble)
+        rest.map(_._3).distinct.size.toLong, nr, acc / 2.0)
     }.toMap
   }
 

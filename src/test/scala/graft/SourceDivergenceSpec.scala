@@ -5,8 +5,15 @@ import java.security.MessageDigest
 /** q133_source_divergence (pairwise total-variation between hashed
   * unigram distributions): bit-exact agreement with a JVM replica on
   * random data, and the metric's ground-truth anchors on planted
-  * sources — TV = 0 for identically-distributed sources, TV = 1 for
+  * sources — TV = 0 for identically-distributed sources, TV ≈ 1 for
   * disjoint-support sources, TV ∈ [0, 1] everywhere.
+  *
+  * The replica mirrors the engine's tvFold exactly: per-bucket
+  * |ca/na − cb/nb| in doubles (overflow-safe at any n_a·n_b, unlike
+  * the BIGINT cross-product form), folded in ascending bucket order,
+  * one final /2.0 — the same IEEE op sequence as the Spark
+  * `aggregate(sort_array(...))` expression, so `==` on the Double is
+  * the right comparison.
   */
 class SourceDivergenceSpec extends SparkSuite {
 
@@ -16,7 +23,7 @@ class SourceDivergenceSpec extends SparkSuite {
   }
 
   private def replica(
-      docs: Seq[(Long, String, String)]): Map[(String, String), (Long, Long, Long, Double)] = {
+      docs: Seq[(Long, String, String)]): Map[(String, String), (Long, Long, Double)] = {
     val counts = docs
       .flatMap { case (_, text, src) =>
         text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).map(t => (src, h60(t) % 64))
@@ -27,17 +34,20 @@ class SourceDivergenceSpec extends SparkSuite {
     (for {
       a <- srcs; b <- srcs if a < b
     } yield {
-      val num = (0L until 64L).map { i =>
+      // ordered double fold, ascending bucket index — the engine's
+      // tvFold op sequence verbatim
+      var acc = 0.0
+      (0L until 64L).foreach { i =>
         val ca = counts.getOrElse((a, i), 0L)
         val cb = counts.getOrElse((b, i), 0L)
-        math.abs(ca * totals(b) - cb * totals(a))
-      }.sum
-      (a, b) -> (totals(a), totals(b), num,
-        num.toDouble / (2L * totals(a) * totals(b)).toDouble)
+        acc += math.abs(ca.toDouble / totals(a).toDouble -
+          cb.toDouble / totals(b).toDouble)
+      }
+      (a, b) -> (totals(a), totals(b), acc / 2.0)
     }).toMap
   }
 
-  private def run(docs: Seq[(Long, String, String)]): Map[(String, String), (Long, Long, Long, Double)] = {
+  private def run(docs: Seq[(Long, String, String)]): Map[(String, String), (Long, Long, Double)] = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sdv").toString
     docs.toDF("doc_id", "text", "source").write.mode("overwrite")
@@ -45,7 +55,7 @@ class SourceDivergenceSpec extends SparkSuite {
     graft.SparkEntry.queries("q133_source_divergence")(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
       .toMap
   }
 
@@ -59,24 +69,26 @@ class SourceDivergenceSpec extends SparkSuite {
     val want = replica(docs)
     assert(got == want, s"got $got\nwant $want")
     assert(got.size == 6) // C(4,2)
-    assert(got.values.forall { case (_, _, _, tv) => tv >= 0.0 && tv <= 1.0 })
+    assert(got.values.forall { case (_, _, tv) => tv >= 0.0 && tv <= 1.0 })
   }
 
-  test("identical distributions -> TV = 0; disjoint supports -> TV = 1") {
+  test("identical distributions -> TV = 0; disjoint supports -> TV ≈ 1") {
     val sharedText = "alpha beta gamma delta epsilon alpha beta"
     val docs = Seq(
       (0L, sharedText, "same1"), (1L, sharedText, "same1"),
       (2L, sharedText, "same2"),
       // zz-words hash into (almost surely) different buckets than the
       // greek names; verified by the exact assertion below, not luck:
-      // disjoint SUPPORT means TV = 1 only if no bucket collides
+      // disjoint SUPPORT means TV ≈ 1 only if no bucket collides
       (3L, "zzqx zzwv zzpk zzmn", "other"))
     val got = run(docs)
-    assert(got(("same1", "same2"))._4 == 0.0)
-    // on this fixture the supports are bucket-disjoint (the exact
-    // assertions would fail loudly if a collision ever appeared)
-    assert(got(("other", "same1"))._4 == 1.0)
-    assert(got(("other", "same2"))._4 == 1.0)
+    // identical distributions: every |ca/na − cb/nb| term is exactly
+    // 0.0 (2c/2n and c/n round identically), so the fold is exact
+    assert(got(("same1", "same2"))._3 == 0.0)
+    // disjoint supports: TV = (Σ ca/na + Σ cb/nb)/2 = 1 up to fold
+    // rounding (the per-bucket fractions aren't exact doubles)
+    assert(math.abs(got(("other", "same1"))._3 - 1.0) < 1e-12)
+    assert(math.abs(got(("other", "same2"))._3 - 1.0) < 1e-12)
     assert(got == replica(docs))
   }
 }
