@@ -160,10 +160,50 @@ object Layouts {
         else Set.empty
       case None => Set.empty
     }
-    fs.listStatus(rootP).toSeq
+    val all = fs.listStatus(rootP).toSeq
+    // A PRE-child-dir-era flat layout (data files directly under the
+    // root, e.g. BlockState's original `$dir/blocks/part-*.parquet`)
+    // would otherwise read as silently EMPTY state — probes would
+    // miss every count and pass duplicates/boilerplate through
+    // unflagged. Fail loudly instead; [[adoptFlat]] migrates.
+    val flat = all.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(flat.isEmpty,
+      s"child-dir state root $root holds flat data files " +
+        s"(${flat.map(_.getPath.getName).take(3).mkString(", ")}…) from a " +
+        "pre-child-dir layout — reading them as empty state would " +
+        "silently miss every count; run Layouts.adoptFlat to migrate " +
+        "them into a base child")
+    all
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith("__") &&
         !folded.contains(st.getPath.getName))
       .map(_.getPath)
+  }
+
+  /** Migrate a pre-child-dir-era FLAT state root (data files directly
+    * under `root`) into the child-dir layout by moving the files into
+    * a `base` child — the repair for [[liveChildren]]'s flat-layout
+    * guard. Idempotent: re-running after a crash moves the remaining
+    * files; a crash mid-move leaves a root the guard still rejects
+    * (some files flat), never silently-empty state.
+    */
+  def adoptFlat(spark: SparkSession, root: String): Unit = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val base = new Path(rootP, "base")
+    if (!fs.exists(base)) fs.mkdirs(base)
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .foreach { st =>
+        require(fs.rename(st.getPath, new Path(base, st.getPath.getName)),
+          s"adoptFlat: cannot move ${st.getPath} into $base")
+      }
   }
 
   /** [[liveChildren]] restricted to children committed BELOW a batch
@@ -281,9 +321,19 @@ object Layouts {
     */
   def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
+    // The `.tmp` is [[readSidecar]]'s fallback when the target is
+    // absent, so it must NEVER be observable torn. On the first-ever
+    // write the target doesn't exist yet, so a crash mid-`.tmp`-write
+    // would leave a partial `.tmp` as the ONLY file — the fallback
+    // would trust it. Stage through a third name first: `.stage` may
+    // tear (nobody reads it); `.tmp` only ever appears by rename of a
+    // complete, closed file.
+    val stage = new Path(p.getParent, p.getName + ".stage")
+    val out = fs.create(stage, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    require(fs.rename(stage, tmp), s"sidecar stage failed: $stage -> $tmp")
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"sidecar publish failed: $tmp -> $p")
   }

@@ -171,8 +171,14 @@ object WinnowState {
   def compactStream(spark: SparkSession, dir: String): Unit = {
     val committed =
       graft.streaming.StreamIndex.committedBatch(spark, s"$dir/fps")
+    // Some(committed + 1) UNCONDITIONALLY (Some(0) when no marker
+    // exists yet): a first-trigger crash can leave b0 written with
+    // the marker never created, and an unbounded fold would absorb
+    // that uncommitted child into a fold_ name — defeating the
+    // replay's own-batch exclusion (the exact hazard foldChildren's
+    // contract documents; StreamCuration.compactState does the same).
     Layouts.foldChildren(spark, s"$dir/fps",
-      beforeBatch = if (committed >= 0) Some(committed + 1) else None)
+      beforeBatch = Some(committed + 1))
   }
 
   private def ladderPath(dir: String) = new Path(s"$dir/_ladder")

@@ -92,4 +92,31 @@ class BlockStateSpec extends SparkSuite {
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty, plan.toString)
     assert(shufflesOutsideBroadcast(plan).isEmpty, plan.toString)
   }
+
+  test("pre-child-dir flat state fails loudly and adoptFlat migrates it") {
+    import graft.ops.Layouts
+    val corpus = docsAll.filter(col("doc_id") % 4 =!= 0)
+    val batch = docsAll.filter(col("doc_id") % 8 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("blockstate-flat").toString
+    BlockState.save(corpus, dir)
+    val want = rows(BlockState.probe(batch, dir, commit = false))
+    // regress the layout to the pre-child-dir era: data files flat
+    // under $dir/blocks (what a round-8 save left behind)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blocks = new org.apache.hadoop.fs.Path(s"$dir/blocks")
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/blocks/base"))
+      .foreach(st => require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(blocks, st.getPath.getName))))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/blocks/base"), true)
+    // a probe against the old layout must NOT read as empty state —
+    // that would pass boilerplate through unremoved, silently
+    val e = intercept[IllegalArgumentException] {
+      BlockState.probe(batch, dir, commit = false).collect()
+    }
+    assert(e.getMessage.contains("adoptFlat"), e.getMessage)
+    // migration restores the exact pre-regression probe results
+    Layouts.adoptFlat(spark, s"$dir/blocks")
+    assert(rows(BlockState.probe(batch, dir, commit = false)) == want)
+  }
 }

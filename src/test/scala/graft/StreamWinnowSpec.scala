@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{Layouts, WinnowState}
-import graft.streaming.StreamWinnow
+import graft.streaming.{StreamIndex, StreamWinnow}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,10 @@ class StreamWinnowSpec extends SparkSuite {
     WinnowState.save(corpus, dir, w = 8)
     WinnowState.probe(b1, dir, w = 8, commit = true, batchId = Some(0L))
     WinnowState.probe(b2, dir, w = 8, commit = true, batchId = Some(1L))
+    // advance the commit marker as scoreBatch would: compactStream
+    // bounds its fold by it, and an uncommitted child must never fold
+    // (first-trigger-crash hygiene)
+    StreamIndex.writeCommitted(spark, s"$dir/fps", 1L)
     val before = stateAgg(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -140,6 +144,7 @@ class StreamWinnowSpec extends SparkSuite {
     // count), and recovery finishes the deletions
     val b3 = docs.filter($"doc_id" >= 200 && $"doc_id" < 250)
     WinnowState.probe(b3, dir, w = 8, commit = true, batchId = Some(2L))
+    StreamIndex.writeCommitted(spark, s"$dir/fps", 2L)
     val withB3 = stateAgg(dir)
     val stage = s"$dir/fps/__stage"
     WinnowState.stateFps(spark, dir).write.mode("overwrite").parquet(stage)
@@ -160,5 +165,26 @@ class StreamWinnowSpec extends SparkSuite {
     val probe = WinnowState.probe(docs.filter($"doc_id" >= 250 && $"doc_id" < 260),
       dir, w = 8, commit = false)
     assert(probe.count() > 0)
+  }
+
+  test("compactStream never folds an uncommitted child (first-trigger crash)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("sw-uncommitted").toString
+    WinnowState.save(docs.filter($"doc_id" < 100), dir, w = 8)
+    // model a first-trigger crash: b0 committed, marker never written
+    WinnowState.probe(docs.filter($"doc_id" >= 100 && $"doc_id" < 150),
+      dir, w = 8, commit = true, batchId = Some(0L))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    WinnowState.compactStream(spark, dir)
+    assert(fs.exists(new Path(s"$dir/fps/b0")),
+      "uncommitted b0 was folded — the replayed trigger's own-batch " +
+        "exclusion can no longer see it inside a fold_ child")
+    // once the trigger's replay commits the marker, the child folds
+    StreamIndex.writeCommitted(spark, s"$dir/fps", 0L)
+    val before = stateAgg(dir)
+    WinnowState.compactStream(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/fps/b0")))
+    assert(stateAgg(dir) == before)
   }
 }
