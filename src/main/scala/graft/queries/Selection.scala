@@ -1538,7 +1538,12 @@ object Selection {
       .withColumn("trk", row_number().over(aw))
       .filter($"trk" <= 5)
       .select($"anchor_id", $"w", $"df")
-    val cand = wc.join(broadcast(aterms), "w")
+    // NO broadcast hint: aterms is anchors×5 rows — |docs|/5 — which
+    // scales linearly with the corpus; a forced hint would override
+    // AQE and OOM at 100× (the round-9 verdict's finding, and the
+    // same reasoning as the dfq join above). AQE broadcasts it
+    // whenever it actually fits.
+    val cand = wc.join(aterms, "w")
       .filter($"doc_id" =!= $"anchor_id")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1577,7 +1582,9 @@ object Selection {
       .withColumn("prk", row_number().over(wpo))
       .filter($"prk" === 1)
       .select($"anchor_id", $"partner".as("pos_id"), $"jac".as("pos_jac"))
-    negs.join(broadcast(po), Seq("anchor_id"), "left")
+    // po is ≤1 row per anchor — also anchor-proportional, so no
+    // forced hint here either (AQE decides)
+    negs.join(po, Seq("anchor_id"), "left")
       .select($"anchor_id", $"pos_id", $"pos_jac",
         $"neg_id", $"neg_score", $"neg_rk")
   }

@@ -114,4 +114,21 @@ class TripletSpec extends SparkSuite {
     val got = rows.sortBy(_.getLong(5)).map(r => (r.getLong(3), r.getDouble(4)))
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
+
+  test("no forced broadcast on anchor-proportional frames (hint audit)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val df = fixture.toDF("doc_id", "text")
+    // anchors scale as |docs|/25, so aterms and po scale linearly
+    // with the corpus — a mandatory broadcast hint on either would
+    // override AQE and OOM at 100× (round-9 verdict). The only hint
+    // allowed in the plan is the 1-row global-stats aggregate.
+    val hints = graft.queries.Selection.contrastiveTriplets(df)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the stats hint, got ${hints.size}")
+    val isGlobalAgg = hints.head.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.isDefined
+    assert(isGlobalAgg, s"hinted subtree is not the 1-row stats frame:\n${hints.head}")
+  }
 }
