@@ -91,45 +91,82 @@ object Lsh {
       .bucketBy(numBuckets, "bkey").sortBy("bkey")
       .saveAsTable(tableName)
 
-  /** Cross-set candidate pairs of a (small) batch band frame against a
-    * [[saveBands]]-persisted corpus: the batch's band keys become an
-    * IN-filter (bucket-pruned scan), the batch side is broadcast, and
-    * output pairs are (corpus_doc, batch_doc) distinct. The same
-    * hot-bucket cap as the batch pipeline applies, on the same
-    * measure — the COMBINED bucket population (corpus rows + probing
-    * batch rows per band key), exactly what [[expandPairsCapped]] would
-    * see if corpus and batch were banded together. A combined bucket
-    * above `maxBucket` is boilerplate and emits nothing, so the
-    * incremental path keeps [[expandPairsCapped]]'s operator contract
-    * (and its corpus×batch fan-out bound) instead of silently
-    * reintroducing the quadratic flood. The batch side is collected ONCE (it is
-    * dimension-sized by contract) and rebuilt as a local relation, so
-    * the upstream batch hashing pipeline executes a single time. The
-    * exact verify stage (Jaccard on shingle sets) stays the caller's
-    * job, same as the in-memory pipeline.
+  /** Batch row count at/below which [[incrementalCandidatesFrom]] uses
+    * the driver tier (collect + literal IN-keys, enabling static
+    * bucket pruning). Above it the batch stays distributed — a
+    * realistic daily drop (10⁶–10⁸ docs × bands) is not driver-sized,
+    * and collecting it would OOM the driver (the two-tier discipline
+    * ConnectedComponents / BpeTrain / PageRank already follow).
+    */
+  val DriverBatchRows: Long = 100000L
+
+  /** Cross-set candidate pairs of a batch band frame against a
+    * [[saveBands]]-persisted corpus; output pairs are
+    * (corpus_doc, batch_doc) distinct. The same hot-bucket cap as the
+    * batch pipeline applies, on the same measure — the COMBINED bucket
+    * population (corpus rows + probing batch rows per band key),
+    * exactly what [[expandPairsCapped]] would see if corpus and batch
+    * were banded together. A combined bucket above `maxBucket` is
+    * boilerplate and emits nothing, so the incremental path keeps
+    * [[expandPairsCapped]]'s operator contract (and its corpus×batch
+    * fan-out bound) instead of silently reintroducing the quadratic
+    * flood. The exact verify stage (Jaccard on shingle sets) stays the
+    * caller's job, same as the in-memory pipeline.
+    *
+    * Two tiers on the batch size (see [[DriverBatchRows]]):
+    * driver-sized batches are collected once and probed as literal
+    * IN-keys (static bucket pruning: the scan reads only the buckets
+    * the batch lands in); larger batches stay distributed — the
+    * saved table's bucketing co-locates the semi join and the count
+    * without shuffling the corpus side. Both tiers produce the same
+    * pairs under the same cap (LshSpec's tier-equality property).
     */
   def incrementalCandidates(
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       batchBands: DataFrame,
-      maxBucket: Int = 64): DataFrame =
-    incrementalCandidatesFrom(spark, spark.table(tableName), batchBands, maxBucket)
+      maxBucket: Int = 64,
+      driverMaxRows: Long = DriverBatchRows): DataFrame =
+    incrementalCandidatesFrom(spark, spark.table(tableName), batchBands,
+      maxBucket, driverMaxRows)
 
   /** [[incrementalCandidates]] against any (bkey, doc_id) corpus band
     * frame instead of a saved table — the entry the streaming curation
     * path probes its accumulating parquet band state through (same
-    * contract: bucket-pruned corpus scan, broadcast batch side,
-    * combined-population cap).
+    * contract and the same two tiers; without table bucketing the
+    * distributed tier's joins shuffle batch-bucket-sized frames, the
+    * corpus frame is still only scanned).
+    *
+    * The batch pipeline executes once per tier decision plus once per
+    * tier: callers keep their band frames `localCheckpoint`ed (both
+    * production callers do), so the extra passes are over materialized
+    * partitions.
     */
   def incrementalCandidatesFrom(
       spark: org.apache.spark.sql.SparkSession,
       corpusBands: DataFrame,
       batchBands: DataFrame,
-      maxBucket: Int = 64): DataFrame = {
-    val probeRows = batchBands
+      maxBucket: Int = 64,
+      driverMaxRows: Long = DriverBatchRows): DataFrame = {
+    val batchK = batchBands
       .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
       .select(col("bkey"), col("doc_id").as("batch_doc"))
-      .collect()
+    val probeCap = math.min(driverMaxRows + 1, Int.MaxValue.toLong).toInt
+    if (batchK.limit(probeCap).count() <= driverMaxRows)
+      incrementalDriverTier(spark, corpusBands, batchK, maxBucket)
+    else incrementalDistributedTier(corpusBands, batchK, maxBucket)
+  }
+
+  /** Driver tier: collect the (dimension-sized) batch once, rebuild it
+    * as a local relation, probe with literal IN-keys so the corpus
+    * scan statically prunes to the touched buckets.
+    */
+  private def incrementalDriverTier(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusBands: DataFrame,
+      batchK: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val probeRows = batchK.collect()
     val keys = probeRows.map(_.getString(0)).distinct
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*),
@@ -137,7 +174,7 @@ object Lsh {
         org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("batch_doc", org.apache.spark.sql.types.LongType))))
     // per-bkey batch population, counted driver-side from the already-
-    // collected probe rows (the batch is dimension-sized by contract)
+    // collected probe rows
     val batchN = probeRows.groupBy(_.getString(0)).map { case (k, rs) => (k, rs.length.toLong) }
     val bcounts = spark.createDataFrame(
       java.util.Arrays.asList(batchN.toSeq.map { case (k, n) =>
@@ -156,6 +193,34 @@ object Lsh {
     selected
       .join(coldKeys, Seq("bkey"), "left_semi")
       .join(broadcast(probes), Seq("bkey"))
+      .filter(col("doc_id") =!= col("batch_doc"))
+      .select(col("doc_id").as("corpus_doc"), col("batch_doc"))
+      .distinct()
+  }
+
+  /** Distributed tier: the batch never reaches the driver. The corpus
+    * restricts scan-side through a left-semi join on the batch's key
+    * set, combined bucket populations come from two map-side-combined
+    * counts, and the pair join runs bkey-keyed. Against a [[saveBands]]
+    * table the bucketing co-locates every bkey-keyed operator — the
+    * corpus side reads its buckets without any exchange (LshSpec's
+    * plan assertion); only batch-sized frames shuffle.
+    */
+  private def incrementalDistributedTier(
+      corpusBands: DataFrame,
+      batchK: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val keys = batchK.select(col("bkey")).distinct()
+    val selected = corpusBands.join(keys, Seq("bkey"), "left_semi")
+    val bcounts = batchK.groupBy(col("bkey")).agg(count(lit(1)).as("__bn"))
+    val coldKeys = selected.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("__n"))
+      .join(bcounts, Seq("bkey"))
+      .filter(col("__n") + col("__bn") <= maxBucket)
+      .select(col("bkey"))
+    selected
+      .join(coldKeys, Seq("bkey"), "left_semi")
+      .join(batchK, Seq("bkey"))
       .filter(col("doc_id") =!= col("batch_doc"))
       .select(col("doc_id").as("corpus_doc"), col("batch_doc"))
       .distinct()

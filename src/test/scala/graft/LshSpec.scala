@@ -103,6 +103,51 @@ class LshSpec extends SparkSuite {
     assert(sel.get.group(1).toInt < sel.get.group(2).toInt, sel.get.matched)
   }
 
+  test("incremental tiers agree at every cap; distributed tier never shuffles the corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.sql("DROP TABLE IF EXISTS corpus_bands_t")
+    val corpus = (0 until 80).map { i =>
+      (i.toLong, 0L, if (i < 3) "SIG-A" else if (i < 6) "SIG-B" else s"uniq-$i")
+    }.toDF("doc_id", "band", "bsig")
+    val batch = Seq(
+      (100L, 0L, "SIG-A"), (101L, 0L, "SIG-B"), (102L, 0L, "fresh-1"),
+      (103L, 0L, "fresh-2"), (104L, 0L, "fresh-3")
+    ).toDF("doc_id", "band", "bsig")
+    graft.ops.Lsh.saveBands(corpus, "corpus_bands_t", numBuckets = 16)
+
+    // tier equality: driverMaxRows = 0 forces the distributed tier on
+    // the same inputs — identical pairs at every cap, including the
+    // combined-population boundary cases the driver-tier test pins
+    for (cap <- Seq(2, 3, 4, 64)) {
+      def run(driverMax: Long) = graft.ops.Lsh
+        .incrementalCandidates(spark, "corpus_bands_t", batch,
+          maxBucket = cap, driverMaxRows = driverMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(run(graft.ops.Lsh.DriverBatchRows) === run(0L),
+        s"tiers disagree at maxBucket=$cap")
+    }
+
+    // the corpus side must only ever be SCANNED: the saved table's
+    // bucketing co-locates every bkey-keyed operator, so no shuffle
+    // exchange may have the corpus scan in its subtree (only
+    // batch-sized frames and the final pair distinct may shuffle)
+    val cand = graft.ops.Lsh.incrementalCandidates(
+      spark, "corpus_bands_t", batch, driverMaxRows = 0L)
+    def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table == "corpus_bands_t") => f
+    }
+    val plan = cand.queryExecution.sparkPlan
+    assert(corpusScans(plan).nonEmpty, s"fixture lost its corpus scan:\n$plan")
+    val shuffledCorpus = plan.collect {
+      case s: ShuffleExchangeLike if corpusScans(s.asInstanceOf[SparkPlan]).nonEmpty => s
+    }
+    assert(shuffledCorpus.isEmpty,
+      s"corpus scan under a shuffle exchange:\n$plan")
+  }
+
   test("simhash sub-banding is exact: capped candidates = brute-force hamming<=3") {
     import spark.implicits._
     // 400 sigs, all sharing band 0 (low byte = 0) → one hot bucket of
