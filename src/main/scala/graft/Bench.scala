@@ -97,7 +97,28 @@ object Bench {
     def codegenN(): Long =
       try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
       catch { case _: Throwable => 0L }
-    final case class Timing(sec: Double, gcMs: Long, jitMs: Long, codegenN: Long)
+    // Per-query shuffle read/write BYTES from task metrics — the
+    // plan-shape signal wall time on a ±25–40%-drifting box cannot
+    // give: an extra exchange shows up as a byte jump regardless of
+    // CPU contention, and a byte count that holds across rounds
+    // certifies the plan didn't regress (round-9 verdict ask #6).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    // task-end events arrive async; drain the bus before reading a
+    // delta or the tail of a query's tasks bills the next query
+    def drainBus(): Unit =
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+    final case class Timing(sec: Double, gcMs: Long, jitMs: Long, codegenN: Long,
+      shufReadB: Long, shufWriteB: Long)
     def settle(): Unit = {
       // evict anything a prior query left behind: persisted RDD blocks
       // (localCheckpoints whose release raced the query's own end) and
@@ -115,15 +136,20 @@ object Bench {
     }
     def pass(): Seq[(String, Timing)] = bench.map { q =>
       settle()
+      drainBus()
       val (gc0, jit0, cg0) = (gcMs(), jitMs(), codegenN())
+      val (sr0, sw0) = (shufRead.get(), shufWrite.get())
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch {
         case e: Throwable =>
           if (!failed.contains(q.name)) failed += q.name
           System.err.println(s"[bench] ${q.name} FAILED: $e")
       }
-      q.name -> Timing((System.nanoTime() - t0) / 1e9,
-        gcMs() - gc0, jitMs() - jit0, codegenN() - cg0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      q.name -> Timing(sec,
+        gcMs() - gc0, jitMs() - jit0, codegenN() - cg0,
+        shufRead.get() - sr0, shufWrite.get() - sw0)
     }
     // Three passes. "value" is the SINGLE-PASS (cold) total — the
     // driver's cross-round trend metric. NOTE a round-7 environment
@@ -176,6 +202,10 @@ object Bench {
         s""","gc_ms_warm":${objL(best.map(t => (t._1, t._2.gcMs)))}""" +
         s""","jit_ms_warm":${objL(best.map(t => (t._1, t._2.jitMs)))}""" +
         s""","codegen_n_warm":${objL(best.map(t => (t._1, t._2.codegenN)))}""" +
+        s""","shuffle_read_b":${objL(cold.map(t => (t._1, t._2.shufReadB)))}""" +
+        s""","shuffle_write_b":${objL(cold.map(t => (t._1, t._2.shufWriteB)))}""" +
+        s""","shuffle_read_b_warm":${objL(best.map(t => (t._1, t._2.shufReadB)))}""" +
+        s""","shuffle_write_b_warm":${objL(best.map(t => (t._1, t._2.shufWriteB)))}""" +
         s""","failed":$failedJson,"sf":"$sfDir"}"""
     // full artifact on disk — the complete per-query maps; best-effort
     // (an unwritable cwd must not fail a bench that already succeeded)
