@@ -446,6 +446,68 @@ object Curation {
             WHERE c.doc_id % 10 <> 3
               AND md5(substr(c.text, 1, 40)) = md5(substr(b.text, 1, 40))) AS BIGINT) AS hit
         FROM documents b WHERE b.doc_id % 10 = 3"""))
+  ,
+    // --------------------------------------------------------------- q137
+    // Benchmark DECONTAMINATION — the check every training pipeline
+    // runs before a corpus ships: which documents share a verbatim
+    // 8-token run with the held-out evaluation set (doc_id % 19 = 7
+    // stands in for the benchmark)? The GPT-3/PaLM-style n-gram
+    // collision rule: any shared W-gram flags the doc; reported per
+    // contaminated doc with the distinct colliding grams and the
+    // distinct benchmark docs touched (the triage columns: one shared
+    // boilerplate gram vs systematic leakage read very differently).
+    //
+    // Scale shape: the benchmark side is SMALL by definition
+    // (benchmarks are MB-scale) — its distinct gram table broadcasts.
+    // Corpus grams stream scan-side into the broadcast-hash join and
+    // NEVER shuffle (no distinct before the join — the per-doc
+    // counts are DISTINCT aggregates, so gram multiplicity cannot
+    // change the answer); the only exchange is the doc_id-keyed agg
+    // over rows that actually HIT, which is contamination-sized, not
+    // corpus-sized. The incremental at-rest twin is [[graft.ops
+    // .Decontam]]: eval grams persisted once, each drop probed at
+    // ingest (DecontamSpec pins probe ≡ this query).
+    Q(
+      "q137_decontam",
+      (s, dir) => {
+        import s.implicits._
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select($"doc_id", expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("toks"))
+          .filter(size($"toks") >= 8)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")).as("g"))
+          .select($"doc_id", expr(Selection.h60("g")).as("gh"))
+        val docs = Llm.docsSpread(s, dir)
+        val ev = grams(docs.filter($"doc_id" % 19 === 7))
+          .select($"doc_id".as("eval_doc"), $"gh").distinct()
+        grams(docs.filter($"doc_id" % 19 =!= 7))
+          .join(broadcast(ev), "gh")
+          .groupBy($"doc_id")
+          .agg(
+            countDistinct($"gh").cast("long").as("n_hit_grams"),
+            countDistinct($"eval_doc").cast("long").as("n_eval_docs"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+          FROM documents),
+        g AS (
+          -- constant series bound + WHERE (the minhashCandSql
+          -- pattern): DuckDB's generate_series cannot take a lateral
+          -- column bound; 1000 safely covers the corpus's token
+          -- counts (texts are ~50 tokens)
+          SELECT doc_id, ${Selection.h60Sql("array_to_string(t[i:i+7], ' ')")} AS gh
+          FROM toks CROSS JOIN generate_series(1, 1000) s(i)
+          WHERE s.i <= len(t) - 7),
+        ev AS (SELECT DISTINCT doc_id AS eval_doc, gh FROM g WHERE doc_id % 19 = 7),
+        co AS (SELECT doc_id, gh FROM g WHERE doc_id % 19 <> 7)
+        SELECT co.doc_id,
+          CAST(count(DISTINCT co.gh) AS BIGINT) AS n_hit_grams,
+          CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+        FROM co JOIN ev ON ev.gh = co.gh
+        GROUP BY co.doc_id"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

@@ -1505,7 +1505,9 @@ object Selection {
     * Package-visible so TripletSpec can replay it against a
     * first-principles replica and pin the exclusion invariants.
     */
-  private[graft] def contrastiveTriplets(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def contrastiveTriplets(
+      docs: org.apache.spark.sql.DataFrame,
+      hintBudgetRows: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1538,12 +1540,22 @@ object Selection {
       .withColumn("trk", row_number().over(aw))
       .filter($"trk" <= 5)
       .select($"anchor_id", $"w", $"df")
-    // NO broadcast hint: aterms is anchors×5 rows — |docs|/5 — which
-    // scales linearly with the corpus; a forced hint would override
-    // AQE and OOM at 100× (the round-9 verdict's finding, and the
-    // same reasoning as the dfq join above). AQE broadcasts it
-    // whenever it actually fits.
-    val cand = wc.join(aterms, "w")
+    // BUDGET-GATED broadcast hint: aterms is anchors×5 rows — |docs|/5
+    // — which scales linearly with the corpus, so an UNCONDITIONAL
+    // hint would override AQE and OOM at 100× (the round-9 verdict's
+    // finding, and the same reasoning as the dfq join above). But
+    // leaving the decision entirely to AQE costs a measured 1.9× at
+    // bench scale (the initial SMJ plan shuffle-writes the corpus-
+    // sized wc side and splits the pipeline into extra stage
+    // barriers before runtime stats arrive). So: materialize the
+    // anchor-bounded frame, COUNT it, and hint only when it is
+    // provably executor-safe (≤ hintBudgetRows ≈ tens of MB); above
+    // the budget the plain join stands and AQE decides. The count
+    // reads the materialized frame — no recompute.
+    val atermsM = aterms.localCheckpoint()
+    val atermsJ =
+      if (atermsM.count() <= hintBudgetRows) broadcast(atermsM) else atermsM
+    val cand = wc.join(atermsJ, "w")
       .filter($"doc_id" =!= $"anchor_id")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -1582,9 +1594,11 @@ object Selection {
       .withColumn("prk", row_number().over(wpo))
       .filter($"prk" === 1)
       .select($"anchor_id", $"partner".as("pos_id"), $"jac".as("pos_jac"))
-    // po is ≤1 row per anchor — also anchor-proportional, so no
-    // forced hint here either (AQE decides)
-    negs.join(po, Seq("anchor_id"), "left")
+    // po is ≤1 row per anchor — also anchor-proportional, same
+    // budget gate as aterms
+    val poM = po.localCheckpoint()
+    val poJ = if (poM.count() <= hintBudgetRows) broadcast(poM) else poM
+    negs.join(poJ, Seq("anchor_id"), "left")
       .select($"anchor_id", $"pos_id", $"pos_jac",
         $"neg_id", $"neg_score", $"neg_rk")
   }

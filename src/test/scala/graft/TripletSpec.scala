@@ -115,20 +115,28 @@ class TripletSpec extends SparkSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
 
-  test("no forced broadcast on anchor-proportional frames (hint audit)") {
+  test("anchor-proportional broadcasts are budget-gated, and both forms agree") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
     val df = fixture.toDF("doc_id", "text")
     // anchors scale as |docs|/25, so aterms and po scale linearly
-    // with the corpus — a mandatory broadcast hint on either would
-    // override AQE and OOM at 100× (round-9 verdict). The only hint
-    // allowed in the plan is the 1-row global-stats aggregate.
-    val hints = graft.queries.Selection.contrastiveTriplets(df)
-      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // with the corpus — an UNCONDITIONAL broadcast hint on either
+    // would override AQE and OOM at 100× (round-9 verdict). The hint
+    // is gated on a measured row count: with the budget forced to 0,
+    // the only hint left in the plan is the 1-row global-stats
+    // aggregate.
+    val over = graft.queries.Selection.contrastiveTriplets(df, hintBudgetRows = 0L)
+    val hints = over.queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.size == 1, s"expected only the stats hint, got ${hints.size}")
     val isGlobalAgg = hints.head.child.collectFirst {
       case a: Aggregate if a.groupingExpressions.isEmpty => a
     }.isDefined
     assert(isGlobalAgg, s"hinted subtree is not the 1-row stats frame:\n${hints.head}")
+    // within budget (the default) the hints apply — and the result is
+    // identical either way: the gate changes the plan, never the rows
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), r.getLong(5))).toSet
+    assert(rows(graft.queries.Selection.contrastiveTriplets(df)) == rows(over))
   }
 }
