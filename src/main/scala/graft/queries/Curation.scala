@@ -508,6 +508,58 @@ object Curation {
           CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
         FROM co JOIN ev ON ev.gh = co.gh
         GROUP BY co.doc_id"""))
+  ,
+    // --------------------------------------------------------------- q141
+    // NEAR-duplicate decontamination — q137 catches verbatim
+    // benchmark leakage; this catches the PARAPHRASED kind (the
+    // rewritten/reformatted benchmark copies a verbatim n-gram rule
+    // provably misses): q21's verified-LSH near-dup machinery, pair
+    // stream restricted to eval×corpus cross pairs (the q74 cross-set
+    // restriction with the eval set, doc_id % 19 = 7, as the probe
+    // side). Per contaminated corpus doc: how many eval docs it
+    // near-duplicates and the closest one (jac desc, eval_doc asc —
+    // deterministic).
+    //
+    // Scale shape: q21's — banded signatures shuffle, never text;
+    // hot buckets capped; the output windows partition per corpus
+    // doc over LSH-bounded partner lists. In the at-rest posture the
+    // eval set's bands persist via Lsh.saveBands and each drop
+    // probes them (Lsh.incrementalCandidates' two tiers) — the exact
+    // same machinery, so no separate state module is needed.
+    Q(
+      "q141_near_decontam",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Llm.minhashLshPairs(Llm.docsSpread(s, dir), Llm.lshMaxBucket)
+        val cross = pairs.filter(($"d1" % 19 === 7) =!= ($"d2" % 19 === 7))
+          .select(
+            when($"d1" % 19 === 7, $"d2").otherwise($"d1").as("doc_id"),
+            when($"d1" % 19 === 7, $"d1").otherwise($"d2").as("eval_doc"),
+            $"jac")
+        cross
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"jac".desc, $"eval_doc".asc)))
+          .withColumn("n_eval_partners",
+            count(lit(1)).over(Window.partitionBy($"doc_id")).cast("long"))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"n_eval_partners",
+            $"eval_doc".as("best_eval"), $"jac".as("best_jac"))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        cross_pairs AS (
+          SELECT CASE WHEN d1 % 19 = 7 THEN d2 ELSE d1 END AS doc_id,
+            CASE WHEN d1 % 19 = 7 THEN d1 ELSE d2 END AS eval_doc,
+            jac
+          FROM pairs
+          WHERE (d1 % 19 = 7) <> (d2 % 19 = 7)),
+        ranked AS (
+          SELECT doc_id, eval_doc, jac,
+            row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, eval_doc ASC) AS rk,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_eval_partners
+          FROM cross_pairs)
+        SELECT doc_id, n_eval_partners, eval_doc AS best_eval, jac AS best_jac
+        FROM ranked WHERE rk = 1"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

@@ -1328,5 +1328,145 @@ object Llm {
           CAST(sum(CASE WHEN ji.ni * 20 >= ji.un * 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_035
         FROM agr JOIN ji ON ji.d1 = agr.d1 AND ji.d2 = agr.d2
         GROUP BY agr.agree"""))
+  ,
+    // --------------------------------------------------------------- q140
+    // Repeated-token RUN detector — the degeneration gate beside
+    // q68's distinct-shingle ratio: model-generated and
+    // scraper-mangled text shows "the the the …" loops that n-gram
+    // ratios dilute away on long documents, but the LONGEST
+    // consecutive run of one token catches directly. Classic
+    // gaps-and-islands: island id = pos − rank-within-(doc, token),
+    // constant along a run; per doc the maximal run wins, tie-broken
+    // deterministically (token asc, start pos asc). Every doc
+    // reports (runs of length 1 are the clean-text baseline), so the
+    // output doubles as a threshold-tunable score column. All-BIGINT
+    // throughout — no float anywhere.
+    //
+    // Scale shape: windows partition by doc_id (then doc_id × token),
+    // so this is a per-document scan-throughput pass — the shuffle
+    // moves each token once, keyed by doc; no corpus-global window
+    // (the q81 GlobalRank anti-pattern) anywhere.
+    Q(
+      "q140_repeat_runs",
+      (s, dir) => {
+        import s.implicits._
+        val toks = docsSpread(s, dir)
+          .select($"doc_id", posexplode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")))
+          .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("w"))
+        val runs = toks
+          .withColumn("isl", $"pos" - row_number().over(
+            Window.partitionBy($"doc_id", $"w").orderBy($"pos".asc)))
+          .groupBy($"doc_id", $"w", $"isl")
+          .agg(count(lit(1)).cast("long").as("run_len"),
+            min($"pos").as("start_pos"))
+        runs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id")
+              .orderBy($"run_len".desc, $"w".asc, $"start_pos".asc)))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"w".as("tok"), $"run_len", $"start_pos")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+          FROM documents),
+        tk AS (
+          SELECT doc_id, CAST(s.i AS BIGINT) AS pos, t[s.i] AS w
+          FROM toks CROSS JOIN generate_series(1, 1000) s(i)
+          WHERE s.i <= len(t)),
+        isl AS (
+          SELECT doc_id, w, pos,
+            pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS isl
+          FROM tk),
+        runs AS (
+          SELECT doc_id, w, isl,
+            CAST(count(*) AS BIGINT) AS run_len,
+            CAST(min(pos) AS BIGINT) AS start_pos
+          FROM isl GROUP BY doc_id, w, isl),
+        best AS (
+          SELECT doc_id, w, run_len, start_pos,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY run_len DESC, w ASC, start_pos ASC) AS rk
+          FROM runs)
+        SELECT doc_id, w AS tok, run_len, start_pos FROM best WHERE rk = 1"""))
+  ,
+    // --------------------------------------------------------------- q143
+    // Length-distribution DRIFT (Kolmogorov–Smirnov) — the q136
+    // unigram-TV audit's shape-side sibling at the same ingestion
+    // boundary: does the incoming drop (doc_id % 10 = 3) have the
+    // same DOCUMENT-LENGTH distribution as the standing corpus, or
+    // did a feed start truncating/concatenating? KS statistic over
+    // 50-char n_chars buckets: per-side cumulative counts via one
+    // ordered window over the |buckets|-sized frame, D = max
+    // |F_drop − F_corpus|, reported with the bucket where the gap
+    // peaks (smallest such bucket — deterministic). Each per-bucket
+    // CDF term is one correctly-rounded double division of exact
+    // BIGINTs; max over doubles is order-independent, so the row
+    // hash-matches (no tvFold needed — max, unlike sum, commutes).
+    //
+    // Scale shape: ONE metadata-only corpus scan (n_chars, no text)
+    // map-side-combines to |buckets|×2 rows; everything after is
+    // bucket-sized. The n_chars column means the scan reads a
+    // 16-byte column stripe, not text — at 100 TB this audit runs
+    // from parquet statistics-adjacent data.
+    Q(
+      "q143_length_drift",
+      (s, dir) => {
+        import s.implicits._
+        // |buckets|-sized, consumed by the cumulative pass AND the
+        // totals — materialize so the corpus scan runs once (q133's
+        // counts discipline)
+        val sides = table(s, dir, "documents")
+          .select(($"doc_id" % 10 === 3).cast("int").as("side"),
+            expr("n_chars div 50").as("bkt"))
+          .groupBy($"bkt")
+          .agg(
+            sum(when($"side" === 1, 1L).otherwise(0L)).cast("long").as("cd"),
+            sum(when($"side" === 0, 1L).otherwise(0L)).cast("long").as("cc"))
+          .localCheckpoint()
+        val w = Window.orderBy($"bkt".asc)
+        val cum = sides
+          .withColumn("fd", sum($"cd").over(w))
+          .withColumn("fc", sum($"cc").over(w))
+          .crossJoin(broadcast(sides.agg(
+            sum($"cd").cast("long").as("nd"), sum($"cc").cast("long").as("nc"))))
+          .withColumn("gap", abs(
+            $"fd".cast("double") / $"nd".cast("double") -
+              $"fc".cast("double") / $"nc".cast("double")))
+        cum
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"gap".desc, $"bkt".asc)))
+          .filter($"rk" === 1)
+          .select($"bkt".as("ks_bucket"), $"nd".as("drop_docs"),
+            $"nc".as("corpus_docs"), $"gap".as("ks"))
+      },
+      Some("""
+        WITH sides AS (
+          SELECT n_chars // 50 AS bkt,
+            CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cd,
+            CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS cc
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(cd) AS BIGINT) AS nd, CAST(sum(cc) AS BIGINT) AS nc
+          FROM sides),
+        cum AS (
+          SELECT bkt,
+            CAST(sum(cd) OVER (ORDER BY bkt) AS BIGINT) AS fd,
+            CAST(sum(cc) OVER (ORDER BY bkt) AS BIGINT) AS fc,
+            tot.nd, tot.nc
+          FROM sides CROSS JOIN tot),
+        gaps AS (
+          SELECT bkt, nd, nc,
+            abs(CAST(fd AS DOUBLE) / CAST(nd AS DOUBLE) -
+                CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE)) AS gap
+          FROM cum),
+        best AS (
+          SELECT bkt, nd, nc, gap,
+            row_number() OVER (ORDER BY gap DESC, bkt ASC) AS rk
+          FROM gaps)
+        SELECT bkt AS ks_bucket, nd AS drop_docs, nc AS corpus_docs, gap AS ks
+        FROM best WHERE rk = 1"""))
   )
 }

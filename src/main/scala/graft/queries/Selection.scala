@@ -1306,6 +1306,93 @@ object Selection {
           CAST(sum(ev.sel) AS BIGINT) AS n_sel
         FROM ev JOIN gop ON ev.doc_id = gop.doc_id
         GROUP BY ev.band, gop.pass"""))
+  ,
+    // --------------------------------------------------------------- q138
+    // Held-out bigram-LM FIT — the perplexity-style in-domain score
+    // beside q88's unigram LM and q93's DSIR ratio: an add-one-
+    // smoothed bigram transition model trained on the corpus side
+    // (doc_id % 10 < 8) scores each held-out document by its MEAN
+    // transition probability Σ p(wᵢ|wᵢ₋₁)/n, p = (c(w₁w₂)+1)/(c(w₁·)+V).
+    // Mean transition prob instead of log-perplexity DELIBERATELY:
+    // it orders documents the same way per length class but uses no
+    // transcendental (ln differs between engines in the last ulp —
+    // the q78 ratio-idf precedent), so the score hash-matches. Each
+    // p is one correctly-rounded double division of exact BIGINTs;
+    // the per-doc sum folds in ascending position order on both
+    // engines (the tvFold discipline); one final /n.
+    //
+    // Scale shape: bigram counts c2 map-side-combine the train token
+    // stream to vocab²-bounded rows; c1 derives from c2's OUTPUT
+    // (never a second token-stream pass); V is a 1-row broadcast.
+    // The held-out side (a scoring batch — small by definition)
+    // shuffle-joins c2/c1 on bigram/prefix keys (the vocab² table is
+    // NOT broadcastable at corpus scale, q131's dfq reasoning) and
+    // the ordered fold shuffles held-out rows doc-keyed. The train
+    // stream is read once.
+    Q(
+      "q138_lm_fit",
+      (s, dir) => {
+        import s.implicits._
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+          .select($"doc_id", expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(i AS pos, toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+          .select($"doc_id", $"b.pos".cast("long").as("pos"), $"b.w1", $"b.w2")
+        val docs = Llm.docsSpread(s, dir)
+        val train = docs.filter($"doc_id" % 10 < 8)
+        val c2 = bigrams(train)
+          .groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("n2"))
+          .localCheckpoint() // feeds c1 AND the scoring join
+        val c1 = c2.groupBy($"w1").agg(sum($"n2").cast("long").as("n1"))
+        val v = train
+          .select(explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+          .agg(countDistinct($"w").cast("long").as("v"))
+        bigrams(docs.filter($"doc_id" % 10 >= 8))
+          .join(c2, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .crossJoin(broadcast(v))
+          .select($"doc_id", $"pos",
+            ((coalesce($"n2", lit(0L)) + lit(1L)).cast("double") /
+              (coalesce($"n1", lit(0L)) + $"v").cast("double")).as("p"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_bigrams"),
+            sort_array(collect_list(struct($"pos", $"p"))).as("ps"))
+          .select($"doc_id", $"n_bigrams",
+            (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p)") /
+              $"n_bigrams".cast("double")).as("fit"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, CAST(s.i AS BIGINT) AS pos, t[s.i] AS w1, t[s.i + 1] AS w2
+          FROM toks CROSS JOIN generate_series(1, 1000) s(i)
+          WHERE s.i <= len(t) - 1),
+        c2 AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+          FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+        v AS (
+          SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 < 8)),
+        ho AS (
+          SELECT b.doc_id, b.pos,
+            CAST(coalesce(c2.n2, 0) + 1 AS DOUBLE) /
+              CAST(coalesce(c1.n1, 0) + v.v AS DOUBLE) AS p
+          FROM bg b
+          LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+          LEFT JOIN c1 ON c1.w1 = b.w1
+          CROSS JOIN v
+          WHERE b.doc_id % 10 >= 8)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          sum(p ORDER BY pos) / CAST(count(*) AS DOUBLE) AS fit
+        FROM ho GROUP BY doc_id"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &

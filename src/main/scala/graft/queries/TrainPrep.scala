@@ -416,6 +416,87 @@ object TrainPrep {
         SELECT comps.doc_id, comps.i, comps.c,
           CAST(comps.c AS DOUBLE) / sqrt(CAST(norms.n2 AS DOUBLE)) AS x
         FROM comps JOIN norms ON comps.doc_id = norms.doc_id"""))
+  ,
+    // --------------------------------------------------------------- q139
+    // UniMax MIXTURE PLAN — the language-sampling allocation the
+    // multilingual-pretraining papers converged on (UniMax, Chung et
+    // al. 2023): split a token budget as EVENLY across languages as
+    // each language's supply allows. Waterfill: with per-language
+    // token counts sorted ascending, find the first rank k* where
+    // prefix(k*−1) + (n−k*+1)·c_k* ≥ B; languages below k* are
+    // supply-CAPPED (alloc = their full count), the rest share the
+    // water level t = (B − prefix(k*−1))/(n−k*+1) equally. B = ⌊total/5⌋
+    // here (a 1-epoch-over-20% budget). Everything is BIGINT window
+    // algebra — prefix sums, ranks, the feasibility flag — until the
+    // single division that produces t, so the plan hash-matches
+    // bit-for-bit (the q133 discipline).
+    //
+    // Scale shape: ONE corpus scan map-side-combines to |langs| rows;
+    // every window below runs on that |langs|-sized frame (global
+    // windows over a frame this small are driver-trivial — the
+    // opposite of a corpus rank window, q81's GlobalRank note).
+    Q(
+      "q139_unimax_plan",
+      (s, dir) => unimaxPlan(Llm.docsSpread(s, dir)),
+      Some(s"""
+        WITH $unimaxSqlCtes
+        SELECT lang, tokens, capped, alloc FROM plan"""))
+  ,
+    // --------------------------------------------------------------- q142
+    // Mixture plan APPLY — q139's allocation executed as a
+    // deterministic per-document draw (the q53/q80 content-addressed
+    // discipline: no random(), so the sample is reproducible and
+    // stable under re-runs): each doc keeps with probability
+    // alloc/tokens of its language, decided by comparing its 60-bit
+    // md5 draw against floor(f·2⁶⁰) — the threshold is ONE double
+    // multiply + floor on both engines, the comparison pure BIGINT.
+    // Output is the per-language audit: supply, allocation, and the
+    // REALIZED doc/token draw (the number a mixing run reports
+    // beside the plan — sampling docs against a token budget
+    // realizes the budget in expectation; the audit row is exactly
+    // the evidence that it did).
+    //
+    // Scale shape: the |langs|-sized plan broadcasts into a
+    // scan-side join; the draw is a per-doc hash compare at scan
+    // throughput; ONE lang-keyed rollup shuffles |langs|-sized
+    // partials. Languages whose every document is empty carry no
+    // plan row and drop out (inner join) — their supply is zero.
+    Q(
+      "q142_mixture_apply",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val dtok = docs.select($"doc_id", $"lang",
+          expr("CAST(size(filter(split(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT)").as("tl"))
+        val sel = dtok.join(broadcast(unimaxPlan(docs)), "lang")
+          .withColumn("thresh", expr(
+            "CAST(floor(alloc / CAST(tokens AS DOUBLE) * 1152921504606846976.0) AS BIGINT)"))
+          .withColumn("s",
+            (expr(Selection.h60("concat(CAST(doc_id AS STRING), '|mix')")) < $"thresh")
+              .cast("long"))
+        sel.groupBy($"lang", $"tokens", $"alloc")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum($"s").cast("long").as("n_sel"),
+            sum($"s" * $"tl").cast("long").as("sel_tokens"))
+      },
+      Some(s"""
+        WITH $unimaxSqlCtes,
+        dtok AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS tl
+          FROM documents),
+        sel AS (
+          SELECT d.lang, p.tokens, p.alloc, d.tl,
+            CASE WHEN ${Selection.h60Sql("CAST(d.doc_id AS VARCHAR) || '|mix'")} <
+              CAST(floor(p.alloc / CAST(p.tokens AS DOUBLE) * 1152921504606846976.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS s
+          FROM dtok d JOIN plan p ON p.lang = d.lang)
+        SELECT lang, tokens, alloc,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(s) AS BIGINT) AS n_sel,
+          CAST(sum(s * tl) AS BIGINT) AS sel_tokens
+        FROM sel GROUP BY lang, tokens, alloc"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
@@ -471,6 +552,76 @@ object TrainPrep {
       .withRank(h, Seq($"h".asc, $"doc_id".asc), "rk", numPartitions)
       .withColumn("shard", expr(s"(rk - 1) % $nShards"))
   }
+
+  /** q139's waterfill engine, shared with the q142 apply step: per
+    * language (lang, tokens, capped, alloc) under budget B = ⌊total/5⌋
+    * — pure BIGINT window algebra (ranks, prefix sums, feasibility)
+    * until the single division that produces the water level. See the
+    * q139 comment for the allocation semantics.
+    */
+  private[graft] def unimaxPlan(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counts = docs
+      .select($"lang", explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("tok"))
+      .groupBy($"lang").agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.orderBy($"c".asc, $"lang".asc)
+    val ranked = counts
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pre", sum($"c").over(w))
+      .crossJoin(broadcast(counts.agg(
+        count(lit(1)).cast("long").as("n"),
+        expr("sum(c) div 5").cast("long").as("b"))))
+    val kstar = ranked
+      .withColumn("feas",
+        when($"pre" - $"c" + ($"n" - $"k" + 1L) * $"c" >= $"b", $"k"))
+      .withColumn("kstar", min($"feas").over(Window.partitionBy(lit(1))))
+      .withColumn("pre_kstar",
+        max(when($"k" === $"kstar", $"pre" - $"c")).over(Window.partitionBy(lit(1))))
+    kstar.select($"lang", $"c".as("tokens"),
+      when($"kstar".isNull || $"k" < $"kstar", lit(1L)).otherwise(lit(0L)).as("capped"),
+      when($"kstar".isNull || $"k" < $"kstar", $"c".cast("double"))
+        .otherwise(($"b" - $"pre_kstar").cast("double") /
+          ($"n" - $"kstar" + 1L).cast("double")).as("alloc"))
+  }
+
+  /** [[unimaxPlan]]'s DuckDB twin, ending in a `plan` CTE with
+    * (lang, tokens, capped, alloc) — shared by the q139 and q142
+    * oracles. `lazy` deliberately: referenced from `all`'s
+    * construction, and a plain val would still be null there (object
+    * body init order — the q133 lesson).
+    */
+  private[queries] lazy val unimaxSqlCtes: String = """toks AS (
+          SELECT lang,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        counts AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) // 5 AS BIGINT) AS b
+          FROM counts),
+        ranked AS (
+          SELECT lang, c,
+            CAST(row_number() OVER (ORDER BY c, lang) AS BIGINT) AS k,
+            CAST(sum(c) OVER (ORDER BY c, lang) AS BIGINT) AS pre,
+            tot.n, tot.b
+          FROM counts CROSS JOIN tot),
+        feas AS (
+          SELECT *, CASE WHEN pre - c + (n - k + 1) * c >= b THEN k END AS f
+          FROM ranked),
+        kk1 AS (SELECT *, min(f) OVER () AS kstar FROM feas),
+        kk AS (
+          SELECT *, max(CASE WHEN k = kstar THEN pre - c END) OVER () AS pre_kstar
+          FROM kk1),
+        plan AS (
+          SELECT lang, c AS tokens,
+            CAST(CASE WHEN kstar IS NULL OR k < kstar THEN 1 ELSE 0 END AS BIGINT) AS capped,
+            CASE WHEN kstar IS NULL OR k < kstar THEN CAST(c AS DOUBLE)
+              ELSE CAST(b - pre_kstar AS DOUBLE) / CAST(n - kstar + 1 AS DOUBLE)
+            END AS alloc
+          FROM kk)"""
 
   /** Morton interleave of two `bits`-bit keys as portable integer
     * arithmetic: x's bit i lands at position 2i, y's at 2i+1. `div` is
