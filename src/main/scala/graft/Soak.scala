@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Soak data: [[buildScaled]] (`runMain graft.Soak build <srcSf>
   * <destDir> <k>`) replicates a driver-generated documents table k×
-  * with doc_id offsets that are multiples of 200 = lcm(4, 8, 10, 25)
-  * — every doc_id-modulus convention in the registry (drop side
-  * `% 10`, anchors `% 25`, batch splits `% 4` / `% 8`) keeps its
+  * with doc_id offsets that are multiples of 3800 =
+  * lcm(4, 8, 10, 19, 25) — every doc_id-modulus convention in the
+  * registry (drop side `% 10`, eval set `% 19`, anchors `% 25`,
+  * batch splits `% 4` / `% 8`) keeps its
   * proportions — and a per-replica text salt PREFIX so replicas are
   * near-dup-shaped rather than exact clones (an exact 10-way clone of
   * every document would flood the LSH buckets with degenerate
@@ -56,7 +57,11 @@ object Soak {
   def buildScaled(spark: SparkSession, srcSf: String, destDir: String, k: Int): Unit = {
     val docs = spark.read.parquet(s"$srcSf/documents.parquet")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val offset = ((maxId / 200) + 1) * 200
+    // lcm(4, 8, 10, 25, 19) = 3800: the 19 covers q137/q141's eval-set
+    // convention (doc_id % 19 = 7) — an offset that shifts residues
+    // mod 19 would turn salted replicas of eval docs into corpus docs
+    // and flood the decontam queries with artificial collisions
+    val offset = ((maxId / 3800) + 1) * 3800
     val scaled = (0 until k).map { r =>
       if (r == 0) docs
       else docs
@@ -115,6 +120,20 @@ object Soak {
         catch { case e: Throwable => Left(e.toString.take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
+      // full JSON string escaping: Spark exception messages routinely
+      // carry newlines and backslashes (multi-line plan fragments) —
+      // a raw embed would corrupt the artifact exactly when the error
+      // field matters
+      def jstr(s: String): String =
+        "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
       val m = Map(
         "sec" -> Bench.fmt(sec, "%.3f"),
         "shuffle_read_b" -> (shufRead.get() - sr0).toString,
@@ -122,14 +141,14 @@ object Soak {
         "mem_spill_b" -> (memSpill.get() - ms0).toString,
         "disk_spill_b" -> (diskSpill.get() - ds0).toString,
         "rows" -> outcome.fold(_ => "null", _.toString),
-        "error" -> outcome.fold(e => "\"" + e.replace("\"", "'") + "\"", _ => "null"))
+        "error" -> outcome.fold(e => jstr(e), _ => "null"))
       System.err.println(s"[soak] $n: ${m("sec")}s rows=${m("rows")} " +
         s"shufW=${m("shuffle_write_b")} spillD=${m("disk_spill_b")}")
       n -> m
     }
     val json = rows.map { case (n, m) =>
       "\"" + n + "\":{" + m.map { case (k, v) =>
-        "\"" + k + "\":" + (if (k == "sec") v else v)
+        "\"" + k + "\":" + v
       }.mkString(",") + "}"
     }.mkString(s"""{"sf":"$sfDir","queries":{""", ",", "}}")
     Files.writeString(Paths.get(outJson), json + "\n")

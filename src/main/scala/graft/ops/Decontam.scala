@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Distinct (doc_id, gh) W-gram hashes of a documents frame — the
-    * q137 gram pipeline verbatim (lowercased a–z tokens, stride-1
-    * sliding window, 60-bit md5 hash of the space-joined gram).
+  /** (doc_id, gh) W-gram hashes of a documents frame (lowercased a–z
+    * tokens, stride-1 sliding window, 60-bit md5 hash of the
+    * space-joined gram) — THE canonical gram generator: q137 calls
+    * this same method, so query and persisted state cannot drift.
     */
   private[graft] def gramHashes(docs: DataFrame, gramTokens: Int): DataFrame = {
     val w = gramTokens
@@ -46,7 +47,7 @@ object Decontam {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${w - 1}), i -> array_join(slice(toks, i, $w), ' '))")).as("g"))
       .select(col("doc_id"),
-        expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        expr(graft.queries.Selection.h60("g")).as("gh"))
   }
 
   /** Persist the benchmark's distinct (eval_doc, gh) gram table and

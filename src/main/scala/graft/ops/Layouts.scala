@@ -332,6 +332,15 @@ object Layouts {
     val out = fs.create(stage, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
+    // An orphaned `.tmp` with no target is COMMITTED state (a prior
+    // write crashed between its delete(p) and rename(tmp→p); readers
+    // have been using the fallback). Promote it before anything is
+    // destroyed — deleting it first would, on a crash right after,
+    // lose the marker entirely (committedBatch resets to −1 and a
+    // replayed batch double-appends).
+    if (!fs.exists(p) && fs.exists(tmp)) {
+      require(fs.rename(tmp, p), s"sidecar recovery failed: $tmp -> $p")
+    }
     if (fs.exists(tmp)) fs.delete(tmp, false)
     require(fs.rename(stage, tmp), s"sidecar stage failed: $stage -> $tmp")
     if (fs.exists(p)) fs.delete(p, false)

@@ -471,13 +471,11 @@ object Curation {
       "q137_decontam",
       (s, dir) => {
         import s.implicits._
-        def grams(df: org.apache.spark.sql.DataFrame) = df
-          .select($"doc_id", expr(
-            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("toks"))
-          .filter(size($"toks") >= 8)
-          .select($"doc_id", explode(expr(
-            "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")).as("g"))
-          .select($"doc_id", expr(Selection.h60("g")).as("gh"))
+        // ONE gram generator, shared with ops.Decontam's persisted
+        // state — twin pipelines drift (the shared-shingle-generator
+        // convention), and probe ≡ q137 must hold by construction
+        def grams(df: org.apache.spark.sql.DataFrame) =
+          graft.ops.Decontam.gramHashes(df, 8)
         val docs = Llm.docsSpread(s, dir)
         val ev = grams(docs.filter($"doc_id" % 19 === 7))
           .select($"doc_id".as("eval_doc"), $"gh").distinct()

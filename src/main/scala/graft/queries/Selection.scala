@@ -132,7 +132,7 @@ object Selection {
   /** Portable 60-bit hash: both engines read the first 15 hex chars of
     * md5 as an integer (the q86 idiom) — Spark side.
     */
-  private[queries] def h60(col: String): String =
+  private[graft] def h60(col: String): String =
     s"CAST(conv(substr(md5($col), 1, 15), 16, 10) AS BIGINT)"
 
   /** Same 60-bit md5 hash, DuckDB side. */
@@ -1321,9 +1321,11 @@ object Selection {
     // the per-doc sum folds in ascending position order on both
     // engines (the tvFold discipline); one final /n.
     //
-    // Scale shape: bigram counts c2 map-side-combine the train token
-    // stream to vocab²-bounded rows; c1 derives from c2's OUTPUT
-    // (never a second token-stream pass); V is a 1-row broadcast.
+    // Scale shape: the train side is tokenized ONCE (materialized;
+    // both consumers — the bigram counts and the vocabulary count —
+    // read the materialized arrays, never the text again); bigram
+    // counts c2 map-side-combine to vocab²-bounded rows; c1 derives
+    // from c2's OUTPUT; V is a 1-row broadcast.
     // The held-out side (a scoring batch — small by definition)
     // shuffle-joins c2/c1 on bigram/prefix keys (the vocab² table is
     // NOT broadcastable at corpus scale, q131's dfq reasoning) and
@@ -1333,24 +1335,28 @@ object Selection {
       "q138_lm_fit",
       (s, dir) => {
         import s.implicits._
-        def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        def toksOf(df: org.apache.spark.sql.DataFrame) = df
           .select($"doc_id", expr(
             "filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("toks"))
+        def bigrams(tk: org.apache.spark.sql.DataFrame) = tk
           .filter(size($"toks") >= 2)
           .select($"doc_id", explode(expr(
             "transform(sequence(1, size(toks) - 1), i -> struct(i AS pos, toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
           .select($"doc_id", $"b.pos".cast("long").as("pos"), $"b.w1", $"b.w2")
         val docs = Llm.docsSpread(s, dir)
-        val train = docs.filter($"doc_id" % 10 < 8)
-        val c2 = bigrams(train)
+        // train side tokenized ONCE, materialized for its two
+        // consumers (bigram counts AND the vocabulary count) — the
+        // q21 localCheckpoint discipline; without this the scale
+        // comment's "read once" would be false by a factor of two
+        val trainToks = toksOf(docs.filter($"doc_id" % 10 < 8)).localCheckpoint()
+        val c2 = bigrams(trainToks)
           .groupBy($"w1", $"w2").agg(count(lit(1)).cast("long").as("n2"))
           .localCheckpoint() // feeds c1 AND the scoring join
         val c1 = c2.groupBy($"w1").agg(sum($"n2").cast("long").as("n1"))
-        val v = train
-          .select(explode(expr(
-            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+        val v = trainToks
+          .select(explode($"toks").as("w"))
           .agg(countDistinct($"w").cast("long").as("v"))
-        bigrams(docs.filter($"doc_id" % 10 >= 8))
+        bigrams(toksOf(docs.filter($"doc_id" % 10 >= 8)))
           .join(c2, Seq("w1", "w2"), "left")
           .join(c1, Seq("w1"), "left")
           .crossJoin(broadcast(v))

@@ -66,6 +66,27 @@ class LayoutsSpec extends SparkSuite {
     assert(Layouts.readSidecar(fs, p).map(_.trim) == Some("9"))
   }
 
+  test("writeSidecar promotes an orphaned committed .tmp before destroying anything") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("layouts-orphan").toString
+    val p = new Path(s"$dir/_marker")
+    val fs = fsOf(dir)
+    // committed state lives ONLY in .tmp (a prior write crashed
+    // between delete(p) and rename): a subsequent write must not
+    // open a window where both are gone — if it crashed right after
+    // deleting the orphan, the marker would be lost and a commit
+    // guard would reset (the double-append hazard)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write("41\n".getBytes("UTF-8")); out.close()
+    assert(!fs.exists(p))
+    Layouts.writeSidecar(fs, p, "42\n")
+    assert(Layouts.readSidecar(fs, p).map(_.trim) == Some("42"))
+    // and the stage file never survives as debris the fallback
+    // could ever trust
+    assert(!fs.exists(new Path(p.getParent, p.getName + ".stage")))
+  }
+
   test("publish recovers a layout stranded between its two renames") {
     import spark.implicits._
     import java.nio.file.Files

@@ -132,20 +132,54 @@ class LshSpec extends SparkSuite {
     // the corpus side must only ever be SCANNED: the saved table's
     // bucketing co-locates every bkey-keyed operator, so no shuffle
     // exchange may have the corpus scan in its subtree (only
-    // batch-sized frames and the final pair distinct may shuffle)
+    // batch-sized frames and the final pair distinct may shuffle).
+    // The traversal must (a) run AFTER an action so AQE's plan is
+    // final, and (b) unwrap AQE wrapper nodes — a naive collect over
+    // sparkPlan sees NO exchanges at all (EnsureRequirements adds
+    // them later) and would pass vacuously.
     val cand = graft.ops.Lsh.incrementalCandidates(
       spark, "corpus_bands_t", batch, driverMaxRows = 0L)
-    def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case f: FileSourceScanExec
-        if f.tableIdentifier.exists(_.table == "corpus_bands_t") => f
+    cand.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
     }
-    val plan = cand.queryExecution.sparkPlan
-    assert(corpusScans(plan).nonEmpty, s"fixture lost its corpus scan:\n$plan")
-    val shuffledCorpus = plan.collect {
-      case s: ShuffleExchangeLike if corpusScans(s.asInstanceOf[SparkPlan]).nonEmpty => s
+    // the output distinct necessarily shuffles (corpus_doc, batch_doc)
+    // PAIR rows above everything — that exchange is hit-sized and
+    // fine. What must never exist is a bkey-keyed exchange with the
+    // corpus scan beneath it: that would mean corpus ROWS were
+    // repartitioned to meet a join/agg, i.e. the corpus shuffled.
+    def findCorpusScan(p: SparkPlan, underBkeyShuffle: Boolean): Seq[(FileSourceScanExec, Boolean)] = {
+      val nowUnder = underBkeyShuffle || (p match {
+        case s: ShuffleExchangeLike => s.outputPartitioning.toString.contains("bkey")
+        case _ => false
+      })
+      val here = p match {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "corpus_bands_t") =>
+          Seq((f, underBkeyShuffle))
+        case _ => Nil
+      }
+      here ++ kids(p).flatMap(findCorpusScan(_, nowUnder))
     }
-    assert(shuffledCorpus.isEmpty,
-      s"corpus scan under a shuffle exchange:\n$plan")
+    val scans = findCorpusScan(cand.queryExecution.executedPlan, underBkeyShuffle = false)
+    assert(scans.nonEmpty, "fixture lost its corpus scan:\n" +
+      cand.queryExecution.executedPlan.toString)
+    assert(scans.forall(!_._2), "corpus rows repartitioned by a bkey exchange:\n" +
+      cand.queryExecution.executedPlan.toString)
+    // sanity against vacuity: bkey-keyed exchanges DO exist (the
+    // batch-side aggregates) — they just never contain the corpus
+    val bkeyShuffles = {
+      def all(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(all)
+      all(cand.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike if s.outputPartitioning.toString.contains("bkey") => s
+      }
+    }
+    assert(bkeyShuffles.nonEmpty, "expected batch-side bkey exchanges in the fixture plan")
   }
 
   test("simhash sub-banding is exact: capped candidates = brute-force hamming<=3") {
