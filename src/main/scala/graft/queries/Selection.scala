@@ -1209,10 +1209,14 @@ object Selection {
         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY w),
         aterms AS (
           SELECT anchor_id, w, df FROM (
-            SELECT wc.doc_id AS anchor_id, wc.w, dfq.df,
-              row_number() OVER (PARTITION BY wc.doc_id ORDER BY dfq.df, wc.w) AS trk
-            FROM wc JOIN dfq USING (w) WHERE wc.doc_id % 25 = 7)
-          WHERE trk <= 5),
+            SELECT anchor_id, w, df, trk,
+              sum(df) OVER (PARTITION BY anchor_id ORDER BY df, w) AS cum
+            FROM (
+              SELECT wc.doc_id AS anchor_id, wc.w, dfq.df,
+                row_number() OVER (PARTITION BY wc.doc_id ORDER BY dfq.df, wc.w) AS trk
+              FROM wc JOIN dfq USING (w) WHERE wc.doc_id % 25 = 7)
+            WHERE trk <= 5)
+          WHERE cum - df < ${AnchorDfBudget} OR trk = 1),
         ts AS (
           SELECT aterms.anchor_id, wc.doc_id, wc.w,
             (CAST(wc.tf AS DOUBLE) * 2.2) /
@@ -1598,9 +1602,28 @@ object Selection {
     * Package-visible so TripletSpec can replay it against a
     * first-principles replica and pin the exclusion invariants.
     */
+  /** Per-anchor candidate budget: an anchor's query terms are kept
+    * (rarest first) only while the CUMULATIVE df of the previous
+    * terms stays under this bound — the per-term analog of the LSH
+    * hot-bucket cap, and the fix the sf1 soak prescribed
+    * (SOAK_r10/SCALING.md): on a vocabulary whose df scales linearly
+    * with the corpus, Σ df over 5 terms is Θ(corpus) per anchor and
+    * the candidate join goes quadratic; a CONSTANT budget bounds
+    * every anchor's candidate stream regardless of vocabulary shape.
+    * The first (rarest) term always survives, so no anchor ever goes
+    * candidate-less. On Zipfian text with rare terms the budget is
+    * slack and all 5 terms survive.
+    *
+    * `lazy` deliberately: the oracle SQL in `all` interpolates this
+    * value, and `all` initializes before later object-body vals — a
+    * plain val would interpolate 0 (the q133 init-order lesson).
+    */
+  private[graft] lazy val AnchorDfBudget: Long = 10000L
+
   private[graft] def contrastiveTriplets(
       docs: org.apache.spark.sql.DataFrame,
-      hintBudgetRows: Long = 1L << 20): org.apache.spark.sql.DataFrame = {
+      hintBudgetRows: Long = 1L << 20,
+      dfBudget: Long = AnchorDfBudget): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1618,10 +1641,13 @@ object Selection {
       count(lit(1)).cast("long").as("nd"))
     val dfq = wc.groupBy($"w").agg(count(lit(1)).cast("long").as("df"))
     // each anchor queries with its 5 most DISCRIMINATIVE terms
-    // (lowest df, tie word asc): bounds candidate fan-out to
-    // Σ df over 5 terms per anchor, and keeps stopword-shaped terms
-    // out whenever anything rarer exists; the window runs over the
-    // budget-bounded anchor term lists, never the corpus
+    // (lowest df, tie word asc), further clamped by the CONSTANT
+    // cumulative-df budget [[AnchorDfBudget]] (the sf1 soak's fix:
+    // Σ df over 5 terms is the candidate fan-out, and on a
+    // df-degenerate vocabulary it scales with the corpus — the
+    // budget bounds every anchor's candidate stream regardless);
+    // stopword-shaped terms lose to anything rarer; the window runs
+    // over the budget-bounded anchor term lists, never the corpus
     // plain shuffle join against the vocab-sized df table (the
     // anchor side is tiny, but dfq is NOT broadcastable at corpus
     // scale — a billion-term vocabulary must never ship to the
@@ -1632,6 +1658,11 @@ object Selection {
       .join(dfq, "w")
       .withColumn("trk", row_number().over(aw))
       .filter($"trk" <= 5)
+      // [[AnchorDfBudget]]: cumulative-df gate over the ≤5 survivors
+      // (window re-evaluates on the filtered frame; (df, w) is a
+      // unique order per anchor so RANGE ≡ ROWS on both engines)
+      .withColumn("cum", sum($"df").over(aw))
+      .filter($"cum" - $"df" < dfBudget || $"trk" === 1)
       .select($"anchor_id", $"w", $"df")
     // BUDGET-GATED broadcast hint: aterms is anchors×5 rows — |docs|/5
     // — which scales linearly with the corpus, so an UNCONDITIONAL

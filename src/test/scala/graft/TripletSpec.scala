@@ -139,4 +139,23 @@ class TripletSpec extends SparkSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(4)), r.getLong(5))).toSet
     assert(rows(graft.queries.Selection.contrastiveTriplets(df)) == rows(over))
   }
+
+  test("anchor df budget clamps terms but never starves an anchor") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)), r.getLong(5))).toSet
+    // slack budget ≡ default on this fixture (all 5 terms fit)
+    val slack = rows(graft.queries.Selection.contrastiveTriplets(
+      df, dfBudget = Long.MaxValue))
+    assert(slack == rows(graft.queries.Selection.contrastiveTriplets(df)))
+    // budget 1: cum − df < 1 fails for every term after the first, so
+    // each anchor keeps exactly its rarest term — and still produces
+    // negatives (the mandatory-first-term guarantee)
+    val clamped = graft.queries.Selection.contrastiveTriplets(df, dfBudget = 1L)
+      .collect()
+    assert(clamped.nonEmpty, "budget clamp starved the anchor")
+    assert(clamped.map(_.getLong(0)).toSet == Set(7L))
+  }
 }
