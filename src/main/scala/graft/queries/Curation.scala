@@ -558,6 +558,86 @@ object Curation {
           FROM cross_pairs)
         SELECT doc_id, n_eval_partners, eval_doc AS best_eval, jac AS best_jac
         FROM ranked WHERE rk = 1"""))
+  ,
+    // --------------------------------------------------------------- q144
+    // Dedup STRATEGY OVERLAP audit — the Venn a curation team reads
+    // before picking (or stacking) dedup passes: per document, does
+    // the EXACT rule flag it (md5 fingerprint, keep-lowest — q20/q100's
+    // rule), does the NEAR-dup rule drop it (q45's verified-LSH
+    // clusters, non-canonical members — q85's drop set), and does it
+    // carry shared BOILERPLATE passages (q110's aligned blocks in ≥3
+    // docs)? The three columns answer the standing questions: is
+    // near-dup earning its cost over exact (near \ exact), and is
+    // the boilerplate pass reaching docs neither dedup drops
+    // (boiler \ (exact ∪ near) — usually the bulk, since passages
+    // repeat across otherwise-distinct pages)? GROUP BY over the
+    // three flags IS the 8-cell Venn.
+    //
+    // Scale shape: three independent signature shuffles — 16-byte
+    // fps, banded minhash signatures, 8-byte block hashes — text
+    // never shuffles anywhere; the reconcile joins are doc-keyed
+    // with dup-sized sides. Strictly the union of machinery the
+    // engine already runs (q20 ∪ q45/q85 ∪ q110) reconciled in one
+    // pass.
+    Q(
+      "q144_dedup_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val fp = docs.select($"doc_id", md5($"text").as("fp"))
+        val exact = fp
+          .join(fp.groupBy($"fp").agg(min($"doc_id").as("keep")), "fp")
+          .select($"doc_id", ($"doc_id" =!= $"keep").cast("long").as("exact_dup"))
+        val nearDrops = Llm.all.find(_.name == "q45_dedup_clusters").get.run(s, dir)
+          .filter($"v" =!= $"cluster_id").select($"v".as("doc_id"))
+          .withColumn("near_dup", lit(1L))
+        val blocks = blockFrame(docs, 10).localCheckpoint()
+        val hot = blocks.groupBy($"bh").agg(countDistinct($"doc_id").as("ndocs"))
+          .filter($"ndocs" >= 3).select($"bh")
+        val boiler = blocks.join(hot, "bh").select($"doc_id").distinct()
+          .withColumn("has_boiler", lit(1L))
+        exact
+          .join(broadcast(nearDrops), Seq("doc_id"), "left")
+          .join(boiler, Seq("doc_id"), "left")
+          .select($"doc_id", $"exact_dup",
+            coalesce($"near_dup", lit(0L)).as("near_dup"),
+            coalesce($"has_boiler", lit(0L)).as("has_boiler"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS (${Llm.minhashPairsSql}),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+        ndrop AS (SELECT v FROM cc WHERE v <> cluster_id),
+        fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        keepf AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp),
+        tk AS (
+          SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE len(list_filter(str_split(text, ' '), x -> x <> '')) >= 1),
+        g AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS pos
+          FROM tk),
+        b2 AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(array_to_string(toks[CAST(pos * 10 + 1 AS INT):CAST(pos * 10 + 10 AS INT)], ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS bh
+          FROM g),
+        hot AS (
+          SELECT bh FROM (
+            SELECT bh, count(DISTINCT doc_id) AS nd FROM b2 GROUP BY bh)
+          WHERE nd >= 3),
+        boil AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN hot USING (bh))
+        SELECT f.doc_id,
+          CAST(f.doc_id <> k.keep AS BIGINT) AS exact_dup,
+          CAST(f.doc_id IN (SELECT v FROM ndrop) AS BIGINT) AS near_dup,
+          CAST(f.doc_id IN (SELECT doc_id FROM boil) AS BIGINT) AS has_boiler
+        FROM fp f JOIN keepf k USING (fp)"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
