@@ -562,8 +562,13 @@ object Curation {
     // --------------------------------------------------------------- q144
     // Dedup STRATEGY OVERLAP audit — the Venn a curation team reads
     // before picking (or stacking) dedup passes: per document, does
-    // the EXACT rule flag it (md5 fingerprint, keep-lowest — q20/q100's
-    // rule), does the NEAR-dup rule drop it (q45's verified-LSH
+    // the EXACT rule flag it (NORMALIZED md5 fingerprint, keep-lowest
+    // — q100/CurationPipeline's production rule, deliberately, not
+    // q20's raw-text md5: the audit's whole question is whether
+    // near-dup earns its cost over the exact pass the pipeline
+    // actually runs, and case/whitespace variants are exactly the
+    // docs the two rules disagree on), does the NEAR-dup rule drop
+    // it (q45's verified-LSH
     // clusters, non-canonical members — q85's drop set), and does it
     // carry shared BOILERPLATE passages (q110's aligned blocks in ≥3
     // docs)? The three columns answer the standing questions: is
@@ -584,7 +589,8 @@ object Curation {
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
-        val fp = docs.select($"doc_id", md5($"text").as("fp"))
+        val fp = docs.select($"doc_id",
+          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
         val exact = fp
           .join(fp.groupBy($"fp").agg(min($"doc_id").as("keep")), "fp")
           .select($"doc_id", ($"doc_id" =!= $"keep").cast("long").as("exact_dup"))
@@ -615,7 +621,9 @@ object Curation {
           SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
         cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
         ndrop AS (SELECT v FROM cc WHERE v <> cluster_id),
-        fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        fp AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
         keepf AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp),
         tk AS (
           SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks

@@ -1216,7 +1216,7 @@ object Selection {
                 row_number() OVER (PARTITION BY wc.doc_id ORDER BY dfq.df, wc.w) AS trk
               FROM wc JOIN dfq USING (w) WHERE wc.doc_id % 25 = 7)
             WHERE trk <= 5)
-          WHERE cum - df < ${AnchorDfBudget} OR trk = 1),
+          WHERE cum < ${AnchorDfBudget} OR trk = 1),
         ts AS (
           SELECT aterms.anchor_id, wc.doc_id, wc.w,
             (CAST(wc.tf AS DOUBLE) * 2.2) /
@@ -1596,23 +1596,23 @@ object Selection {
         sum($"sel").cast("long").as("n_sel"))
   }
 
-  /** Triplet-mining engine behind q131: input (doc_id, text, …);
-    * output (anchor_id, pos_id, pos_jac, neg_id, neg_score, neg_rk) —
-    * see the q131 comment for semantics and scale shape.
-    * Package-visible so TripletSpec can replay it against a
-    * first-principles replica and pin the exclusion invariants.
-    */
   /** Per-anchor candidate budget: an anchor's query terms are kept
-    * (rarest first) only while the CUMULATIVE df of the previous
-    * terms stays under this bound — the per-term analog of the LSH
-    * hot-bucket cap, and the fix the sf1 soak prescribed
+    * (rarest first) only while the cumulative df INCLUDING the
+    * current term stays under this bound — the per-term analog of
+    * the LSH hot-bucket cap, and the fix the sf1 soak prescribed
     * (SOAK_r10/SCALING.md): on a vocabulary whose df scales linearly
     * with the corpus, Σ df over 5 terms is Θ(corpus) per anchor and
     * the candidate join goes quadratic; a CONSTANT budget bounds
     * every anchor's candidate stream regardless of vocabulary shape.
-    * The first (rarest) term always survives, so no anchor ever goes
-    * candidate-less. On Zipfian text with rare terms the budget is
-    * slack and all 5 terms survive.
+    * The gate is INCLUSIVE (cum < budget, not cum − df < budget):
+    * an exclusive form would always admit one arbitrarily-hot term
+    * per anchor whenever the preceding cumulative were under budget
+    * — e.g. a df=1 tracker token followed by a df=Θ(N) stopword —
+    * re-opening the quadratic join the budget exists to close. The
+    * first (rarest) term always survives regardless (trk = 1), so
+    * no anchor ever goes candidate-less; the true bound is
+    * max(budget, df of the rarest term). On Zipfian text with rare
+    * terms the budget is slack and all 5 terms survive.
     *
     * `lazy` deliberately: the oracle SQL in `all` interpolates this
     * value, and `all` initializes before later object-body vals — a
@@ -1620,6 +1620,12 @@ object Selection {
     */
   private[graft] lazy val AnchorDfBudget: Long = 10000L
 
+  /** Triplet-mining engine behind q131: input (doc_id, text, …);
+    * output (anchor_id, pos_id, pos_jac, neg_id, neg_score, neg_rk) —
+    * see the q131 comment for semantics and scale shape.
+    * Package-visible so TripletSpec can replay it against a
+    * first-principles replica and pin the exclusion invariants.
+    */
   private[graft] def contrastiveTriplets(
       docs: org.apache.spark.sql.DataFrame,
       hintBudgetRows: Long = 1L << 20,
@@ -1658,11 +1664,11 @@ object Selection {
       .join(dfq, "w")
       .withColumn("trk", row_number().over(aw))
       .filter($"trk" <= 5)
-      // [[AnchorDfBudget]]: cumulative-df gate over the ≤5 survivors
-      // (window re-evaluates on the filtered frame; (df, w) is a
-      // unique order per anchor so RANGE ≡ ROWS on both engines)
+      // [[AnchorDfBudget]]: INCLUSIVE cumulative-df gate over the ≤5
+      // survivors (window re-evaluates on the filtered frame; (df, w)
+      // is a unique order per anchor so RANGE ≡ ROWS on both engines)
       .withColumn("cum", sum($"df").over(aw))
-      .filter($"cum" - $"df" < dfBudget || $"trk" === 1)
+      .filter($"cum" < dfBudget || $"trk" === 1)
       .select($"anchor_id", $"w", $"df")
     // BUDGET-GATED broadcast hint: aterms is anchors×5 rows — |docs|/5
     // — which scales linearly with the corpus, so an UNCONDITIONAL

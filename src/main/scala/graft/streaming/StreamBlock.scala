@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{BlockState, Checkpoints, Layouts}
+import graft.ops.{BlockState, Checkpoints}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery

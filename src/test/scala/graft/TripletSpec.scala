@@ -48,7 +48,8 @@ class TripletSpec extends SparkSuite {
   private def replicaNegs(
       docs: Seq[(Long, String)],
       anchor: Long,
-      excluded: Set[Long]): Seq[(Long, Double)] = {
+      excluded: Set[Long],
+      dfBudget: Long = Long.MaxValue): Seq[(Long, Double)] = {
     val wc = docs.map { case (id, t) =>
       id -> toks(t).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
     }.toMap
@@ -56,8 +57,15 @@ class TripletSpec extends SparkSuite {
     val nd = dl.size.toLong
     val sumDl = dl.values.sum
     val df = wc.values.flatMap(_.keys).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
-    val anchorTerms = wc(anchor).keys.toSeq
-      .sortBy(w => (df(w), w)).take(5)
+    // engine rule: 5 lowest-(df, w) terms, then the INCLUSIVE
+    // cumulative-df budget (first term mandatory)
+    val anchorTerms = {
+      var cum = 0L
+      wc(anchor).keys.toSeq.sortBy(w => (df(w), w)).take(5)
+        .zipWithIndex.filter { case (w, i) =>
+          cum += df(w); cum < dfBudget || i == 0
+        }.map(_._1)
+    }
     val scored = docs.collect { case (id, _) if id != anchor && !excluded.contains(id) =>
       val shared = anchorTerms.filter(wc(id).contains).sorted
       if (shared.isEmpty) None
@@ -150,12 +158,44 @@ class TripletSpec extends SparkSuite {
     val slack = rows(graft.queries.Selection.contrastiveTriplets(
       df, dfBudget = Long.MaxValue))
     assert(slack == rows(graft.queries.Selection.contrastiveTriplets(df)))
-    // budget 1: cum − df < 1 fails for every term after the first, so
-    // each anchor keeps exactly its rarest term — and still produces
+    // budget 1: cum < 1 fails for every term (cum ≥ df ≥ 1), so each
+    // anchor keeps exactly its rarest term — and still produces
     // negatives (the mandatory-first-term guarantee)
     val clamped = graft.queries.Selection.contrastiveTriplets(df, dfBudget = 1L)
       .collect()
     assert(clamped.nonEmpty, "budget clamp starved the anchor")
     assert(clamped.map(_.getLong(0)).toSet == Set(7L))
+  }
+
+  test("budget gate is INCLUSIVE: a hot term never rides in on a slack prefix") {
+    import spark.implicits._
+    val docs = fixture
+    val df = docs.toDF("doc_id", "text")
+    // Compute the anchor's sorted (df, w) term list replica-side and
+    // pick budget = cum(3 terms): the inclusive gate cuts term 3
+    // (cum = budget is NOT < budget) where an exclusive gate
+    // (cum − df < budget) would admit it — the hole the round-10
+    // review closed: with an exclusive gate, one arbitrarily-hot term
+    // always rides in whenever the PRECEDING cumulative is under
+    // budget (df=1 tracker token followed by a df=Θ(N) stopword),
+    // re-opening the quadratic candidate join.
+    val wc = docs.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    }.toMap
+    val dfm = wc.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val sorted = wc(7L).keys.toSeq.sortBy(w => (dfm(w), w)).take(5)
+    val budget = sorted.take(3).map(dfm).sum
+    // partners pinned by the first test: 12 (exact copy), 13 (near-dup)
+    val banned = Set(7L, 12L, 13L)
+    val rows = graft.queries.Selection.contrastiveTriplets(df, dfBudget = budget)
+      .collect().sortBy(_.getLong(5)).map(r => (r.getLong(3), r.getDouble(4))).toSeq
+    val wantIncl = replicaNegs(docs, 7L, banned, dfBudget = budget)
+    assert(rows == wantIncl, s"got $rows\nwant $wantIncl")
+    // non-vacuity: the third term's admission actually changes the
+    // scoring (otherwise this test could not tell the gates apart)
+    val wantExcl = replicaNegs(docs, 7L, banned, dfBudget = budget + sorted.drop(2).take(1).map(dfm).sum)
+    assert(wantIncl != wantExcl,
+      s"fixture cannot distinguish inclusive from exclusive gate: $wantIncl")
   }
 }
