@@ -1467,6 +1467,96 @@ object Llm {
             row_number() OVER (ORDER BY gap DESC, bkt ASC) AS rk
           FROM gaps)
         SELECT bkt AS ks_bucket, nd AS drop_docs, nc AS corpus_docs, gap AS ks
-        FROM best WHERE rk = 1"""))
+        FROM best WHERE rk = 1""")),
+
+    // ---------------------------------------------------------------- q145
+    // Cluster COHERENCE audit — q45's dedup clusters are the
+    // TRANSITIVE closure of the verified pair graph, and transitivity
+    // is exactly where near-dup dedup overreaches: A~B and B~C at
+    // jac 0.35 do not imply A~C, yet q85 keeps only the canonical doc
+    // of {A,B,C}. Per cluster: member/edge counts, the weakest and
+    // strongest verified edge, and how many non-canonical members
+    // hold a DIRECT verified edge to the canonical (the doc q85
+    // keeps) — members reachable only through chains (n_chained) are
+    // deleted without any verified similarity to the survivor.
+    // n_chained > 0 on a big cluster is the signal to tighten the
+    // threshold or re-verify members against the canonical before
+    // applying q85.
+    //
+    // Scale shape: strictly downstream of machinery that already runs
+    // at scale — q21's candidate-bounded pair stream (banded
+    // signatures shuffle, never text) and q45's CC labels; everything
+    // here is pair-stream-sized doc-id joins and cluster-sized
+    // aggregates. min/max over the jac doubles are order-free, so
+    // the output hash-matches without an ordered fold.
+    Q(
+      "q145_cluster_coherence",
+      (s, dir) => {
+        import s.implicits._
+        // consumed by CC, the edge-label join, and the direct-edge
+        // pass — materialize once (the q21 docSets discipline)
+        val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
+          .run(s, dir).localCheckpoint()
+        val labels = graft.ops.ConnectedComponents.auto(
+          pairs.select($"d1", $"d2"))
+        val e2 = pairs
+          .join(labels.select($"v".as("d1"), $"cluster_id"), "d1")
+          .localCheckpoint() // consumed by eagg AND direct
+        val memb = labels.groupBy($"cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+        val eagg = e2.groupBy($"cluster_id").agg(
+          count(lit(1)).cast("long").as("n_edges"),
+          min($"jac").as("min_jac"),
+          max($"jac").as("max_jac"))
+        // canonical = cluster_id (the min member, q45's convention);
+        // its direct partners are the other endpoint of every edge
+        // touching it (robust to either pair orientation)
+        val direct = e2
+          .filter($"d1" === $"cluster_id" || $"d2" === $"cluster_id")
+          .select($"cluster_id",
+            when($"d1" === $"cluster_id", $"d2").otherwise($"d1").as("m"))
+          .groupBy($"cluster_id")
+          .agg(countDistinct($"m").cast("long").as("n_direct"))
+        memb
+          .join(eagg, "cluster_id")
+          .join(direct, Seq("cluster_id"), "left")
+          .select($"cluster_id", $"n_members", $"n_edges",
+            $"min_jac", $"max_jac",
+            coalesce($"n_direct", lit(0L)).as("n_direct"),
+            ($"n_members" - lit(1L) - coalesce($"n_direct", lit(0L)))
+              .as("n_chained"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashPairsSql),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+        memb AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM cc GROUP BY cluster_id),
+        e2 AS (
+          SELECT cc.cluster_id, p.d1, p.d2, p.jac
+          FROM pairs p JOIN cc ON p.d1 = cc.v),
+        eagg AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+            min(jac) AS min_jac, max(jac) AS max_jac
+          FROM e2 GROUP BY cluster_id),
+        direct AS (
+          SELECT cluster_id,
+            CAST(count(DISTINCT CASE WHEN d1 = cluster_id THEN d2 ELSE d1 END) AS BIGINT) AS n_direct
+          FROM e2 WHERE d1 = cluster_id OR d2 = cluster_id
+          GROUP BY cluster_id)
+        SELECT m.cluster_id, m.n_members, e.n_edges, e.min_jac, e.max_jac,
+          CAST(COALESCE(d.n_direct, 0) AS BIGINT) AS n_direct,
+          CAST(m.n_members - 1 - COALESCE(d.n_direct, 0) AS BIGINT) AS n_chained
+        FROM memb m
+        JOIN eagg e USING (cluster_id)
+        LEFT JOIN direct d USING (cluster_id)"""))
   )
 }
