@@ -711,7 +711,96 @@ object Mining {
           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
           CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           sum(sb ORDER BY pos) / CAST(count(*) AS DOUBLE) AS sb_score
-        FROM sc GROUP BY doc_id"""))
+        FROM sc GROUP BY doc_id""")),
+
+    // ---------------------------------------------------------------- q146
+    // Quality-gate ABLATION — per-rule attribution for q87's
+    // conjunctive Gopher gate (the Gopher paper's appendix analysis,
+    // run as an operator): for each of the four rules, how many docs
+    // fail it at all (n_fail), how many fail ONLY it (n_fail_only —
+    // the docs that single rule alone costs the corpus), and the pass
+    // count if that one rule were dropped (pass_if_dropped =
+    // n_pass_base + n_fail_only). n_fail_only ≫ the other rules'
+    // marks the gate's binding constraint; n_fail_only = 0 with
+    // n_fail > 0 means the rule is redundant on this corpus (its
+    // failures all co-fail another rule) and can be dropped for free.
+    // The curation team reads this before re-tuning thresholds —
+    // q135 answers "does the gate agree with the classifier", this
+    // answers "which rule is doing the gating".
+    //
+    // Scale shape: the corpus-sized work is exactly q87's one
+    // tokenize+aggregate pass (shared [[gopherRules]] engine — the
+    // ablation can never desynchronize from the gate it audits);
+    // after it, one map-side-combined 1-row aggregate over the
+    // per-doc flag frame, unpivoted to 4 rows. All counts BIGINT;
+    // the rule comparisons are the gate's own (single divisions of
+    // exact BIGINTs against literals — q87's oracle already pins
+    // cross-engine equality of every boundary).
+    Q(
+      "q146_gate_ablation",
+      (s, dir) => {
+        import s.implicits._
+        val flags = gopherRules(Llm.docsSpread(s, dir)).select(
+          ($"n_words" >= 30 && $"n_words" <= 100000).cast("long").as("f_len"),
+          ($"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0).cast("long").as("f_wlen"),
+          ($"stop_frac" > 0.0).cast("long").as("f_stop"),
+          ($"top_frac" <= 0.15).cast("long").as("f_rep"))
+        val agg = flags.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(($"f_len" * $"f_wlen" * $"f_stop" * $"f_rep")).cast("long").as("n_pass"),
+          sum(lit(1L) - $"f_len").cast("long").as("fail_len"),
+          sum(lit(1L) - $"f_wlen").cast("long").as("fail_wlen"),
+          sum(lit(1L) - $"f_stop").cast("long").as("fail_stop"),
+          sum(lit(1L) - $"f_rep").cast("long").as("fail_rep"),
+          sum((lit(1L) - $"f_len") * $"f_wlen" * $"f_stop" * $"f_rep")
+            .cast("long").as("only_len"),
+          sum($"f_len" * (lit(1L) - $"f_wlen") * $"f_stop" * $"f_rep")
+            .cast("long").as("only_wlen"),
+          sum($"f_len" * $"f_wlen" * (lit(1L) - $"f_stop") * $"f_rep")
+            .cast("long").as("only_stop"),
+          sum($"f_len" * $"f_wlen" * $"f_stop" * (lit(1L) - $"f_rep"))
+            .cast("long").as("only_rep"))
+        agg.select(expr(
+          """stack(4,
+               'len',  fail_len,  only_len,
+               'wlen', fail_wlen, only_wlen,
+               'stop', fail_stop, only_stop,
+               'rep',  fail_rep,  only_rep) AS (rule, n_fail, n_fail_only)"""),
+          $"n_docs", $"n_pass")
+          .select($"rule", $"n_fail", $"n_fail_only", $"n_docs",
+            $"n_pass".as("n_pass_base"),
+            ($"n_pass" + $"n_fail_only").as("pass_if_dropped"))
+      },
+      Some(s"""
+        WITH $gopherSqlCtes,
+        fl AS (
+          SELECT
+            CAST(CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+            CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
+            CAST(CASE WHEN stop_frac > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+            CAST(CASE WHEN top_frac <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS f_rep
+          FROM gop),
+        ag AS (
+          SELECT
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(f_len * f_wlen * f_stop * f_rep) AS BIGINT) AS n_pass,
+            CAST(sum(1 - f_len) AS BIGINT) AS fail_len,
+            CAST(sum(1 - f_wlen) AS BIGINT) AS fail_wlen,
+            CAST(sum(1 - f_stop) AS BIGINT) AS fail_stop,
+            CAST(sum(1 - f_rep) AS BIGINT) AS fail_rep,
+            CAST(sum((1 - f_len) * f_wlen * f_stop * f_rep) AS BIGINT) AS only_len,
+            CAST(sum(f_len * (1 - f_wlen) * f_stop * f_rep) AS BIGINT) AS only_wlen,
+            CAST(sum(f_len * f_wlen * (1 - f_stop) * f_rep) AS BIGINT) AS only_stop,
+            CAST(sum(f_len * f_wlen * f_stop * (1 - f_rep)) AS BIGINT) AS only_rep
+          FROM fl)
+        SELECT u.rule, u.n_fail, u.n_fail_only, ag.n_docs,
+          ag.n_pass AS n_pass_base,
+          ag.n_pass + u.n_fail_only AS pass_if_dropped
+        FROM ag, LATERAL (
+          SELECT 'len' AS rule, fail_len AS n_fail, only_len AS n_fail_only
+          UNION ALL SELECT 'wlen', fail_wlen, only_wlen
+          UNION ALL SELECT 'stop', fail_stop, only_stop
+          UNION ALL SELECT 'rep', fail_rep, only_rep) u"""))
   )
 
   /** Span-removal engine behind q108. Input: (doc_id, t200). Excises
