@@ -645,7 +645,136 @@ object Curation {
           CAST(f.doc_id <> k.keep AS BIGINT) AS exact_dup,
           CAST(f.doc_id IN (SELECT v FROM ndrop) AS BIGINT) AS near_dup,
           CAST(f.doc_id IN (SELECT doc_id FROM boil) AS BIGINT) AS has_boiler
-        FROM fp f JOIN keepf k USING (fp)"""))
+        FROM fp f JOIN keepf k USING (fp)""")),
+
+    // --------------------------------------------------------------- q147
+    // Token FUNNEL — the attrition table a training-data run report
+    // leads with: docs AND tokens remaining after each stage of the
+    // production stack, in q100/q118's stage order (input → quality
+    // gate → exact dedup → near dedup), plus the boilerplate pass
+    // (q110's ≥3-doc blocks removed from the SURVIVORS — a within-doc
+    // token loss, so its doc count matches the previous stage). Doc
+    // counts alone mislead: near-dup drops skew long (boilerplate
+    // mirrors), gate drops skew short — only the token column says
+    // what the run actually costs in training mass. Verdicts come
+    // from the SAME [[curationAudit]] engine as q118 (funnel and
+    // manifest can never disagree) and the clean token mass from the
+    // SAME [[removeBoilerplateBlocks]] engine as q110.
+    //
+    // Scale shape: q118's machinery (gate scan, gated fingerprints,
+    // capped LSH pairs) + one whitespace-token count in the same
+    // scan, all map-side-combined into a 1-row aggregate; the block
+    // pass runs q110's shape on the kept slice. Output: 5 rows, all
+    // BIGINT.
+    Q(
+      "q147_token_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val audit = curationAudit(docs,
+          Llm.minhashLshPairs(docs, Llm.lshMaxBucket).select($"d1", $"d2"))
+          .localCheckpoint() // consumed by the stage agg AND the kept slice
+        val nt = docs.select($"doc_id",
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("nt"))
+        val st = audit.join(nt, "doc_id").select(
+          $"nt",
+          $"gate_pass".as("g"),
+          ($"gate_pass" === 1L && $"exact_dup_of".isNull).cast("long").as("e"),
+          $"keep".as("k"))
+        val kept = docs.join(
+          audit.filter($"keep" === 1L).select($"doc_id"), "doc_id")
+        val cleanTok = removeBoilerplateBlocks(kept)
+          .select(size(expr("filter(split(clean_text, ' '), x -> x <> '')"))
+            .cast("long").as("ct"))
+          .agg(coalesce(sum($"ct"), lit(0L)).cast("long").as("b_tok"))
+        st.agg(
+            count(lit(1)).cast("long").as("in_docs"),
+            coalesce(sum($"nt"), lit(0L)).cast("long").as("in_tok"),
+            coalesce(sum($"g"), lit(0L)).cast("long").as("g_docs"),
+            coalesce(sum($"g" * $"nt"), lit(0L)).cast("long").as("g_tok"),
+            coalesce(sum($"e"), lit(0L)).cast("long").as("e_docs"),
+            coalesce(sum($"e" * $"nt"), lit(0L)).cast("long").as("e_tok"),
+            coalesce(sum($"k"), lit(0L)).cast("long").as("k_docs"),
+            coalesce(sum($"k" * $"nt"), lit(0L)).cast("long").as("k_tok"))
+          .crossJoin(cleanTok)
+          .select(expr("""stack(5,
+              CAST(0 AS BIGINT), 'input',        in_docs, in_tok,
+              CAST(1 AS BIGINT), 'quality_gate', g_docs,  g_tok,
+              CAST(2 AS BIGINT), 'exact_dedup',  e_docs,  e_tok,
+              CAST(3 AS BIGINT), 'near_dedup',   k_docs,  k_tok,
+              CAST(4 AS BIGINT), 'boilerplate',  k_docs,  b_tok)
+            AS (stage_id, stage, n_docs, n_tokens)"""))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        g AS (
+          SELECT doc_id,
+            (length(text) >= 30
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+          FROM documents),
+        fpx AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
+        eo AS (
+          SELECT f.doc_id, c.canon AS exact_dup_of
+          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        nt AS (
+          SELECT doc_id,
+            CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+          FROM documents),
+        st AS (
+          SELECT g.doc_id, g.gate,
+            (eo.exact_dup_of IS NULL) AS no_exact,
+            (g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS keep,
+            nt.nt
+          FROM g
+          LEFT JOIN eo ON g.doc_id = eo.doc_id
+          LEFT JOIN no ON g.doc_id = no.doc_id
+          JOIN nt ON g.doc_id = nt.doc_id),
+        ag AS (
+          SELECT
+            CAST(count(*) AS BIGINT) AS in_docs,
+            CAST(coalesce(sum(nt), 0) AS BIGINT) AS in_tok,
+            CAST(coalesce(sum(CASE WHEN gate THEN 1 ELSE 0 END), 0) AS BIGINT) AS g_docs,
+            CAST(coalesce(sum(CASE WHEN gate THEN nt ELSE 0 END), 0) AS BIGINT) AS g_tok,
+            CAST(coalesce(sum(CASE WHEN gate AND no_exact THEN 1 ELSE 0 END), 0) AS BIGINT) AS e_docs,
+            CAST(coalesce(sum(CASE WHEN gate AND no_exact THEN nt ELSE 0 END), 0) AS BIGINT) AS e_tok,
+            CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_docs,
+            CAST(coalesce(sum(CASE WHEN keep THEN nt ELSE 0 END), 0) AS BIGINT) AS k_tok
+          FROM st),
+        ktk AS (
+          SELECT d.doc_id, list_filter(str_split(d.text, ' '), x -> x <> '') AS toks
+          FROM documents d JOIN st ON st.doc_id = d.doc_id AND st.keep
+          WHERE len(list_filter(str_split(d.text, ' '), x -> x <> '')) >= 1),
+        kg AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS pos
+          FROM ktk),
+        kb AS (
+          SELECT doc_id, pos,
+            toks[CAST(pos * 10 + 1 AS INT):CAST(pos * 10 + 10 AS INT)] AS bt
+          FROM kg),
+        kb2 AS (
+          SELECT doc_id, pos, CAST(len(bt) AS BIGINT) AS btn,
+            CAST(CAST(concat('0x', substr(md5(array_to_string(bt, ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS bh
+          FROM kb),
+        kc AS (SELECT bh, count(DISTINCT doc_id) AS ndocs FROM kb2 GROUP BY bh),
+        btk AS (
+          SELECT CAST(coalesce(sum(CASE WHEN ndocs < 3 THEN btn ELSE 0 END), 0) AS BIGINT) AS b_tok
+          FROM kb2 JOIN kc USING (bh))
+        SELECT u.stage_id, u.stage, u.n_docs, u.n_tokens
+        FROM ag, btk, LATERAL (
+          SELECT CAST(0 AS BIGINT) AS stage_id, 'input' AS stage,
+            ag.in_docs AS n_docs, ag.in_tok AS n_tokens
+          UNION ALL SELECT CAST(1 AS BIGINT), 'quality_gate', ag.g_docs, ag.g_tok
+          UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', ag.e_docs, ag.e_tok
+          UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup', ag.k_docs, ag.k_tok
+          UNION ALL SELECT CAST(4 AS BIGINT), 'boilerplate', ag.k_docs, btk.b_tok) u"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
