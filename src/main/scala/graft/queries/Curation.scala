@@ -774,7 +774,90 @@ object Curation {
           UNION ALL SELECT CAST(1 AS BIGINT), 'quality_gate', ag.g_docs, ag.g_tok
           UNION ALL SELECT CAST(2 AS BIGINT), 'exact_dedup', ag.e_docs, ag.e_tok
           UNION ALL SELECT CAST(3 AS BIGINT), 'near_dedup', ag.k_docs, ag.k_tok
-          UNION ALL SELECT CAST(4 AS BIGINT), 'boilerplate', ag.k_docs, btk.b_tok) u"""))
+          UNION ALL SELECT CAST(4 AS BIGINT), 'boilerplate', ag.k_docs, btk.b_tok) u""")),
+
+    // --------------------------------------------------------------- q148
+    // Cross-source SUBSTRING-flow matrix — q125's sibling one level
+    // down: q125 counts whole near-dup DOCS per source pair; q148
+    // counts shared PASSAGE mass (q110's aligned 10-token blocks)
+    // between each unordered source pair — which "independent"
+    // sources are actually serving the same boilerplate/syndicated
+    // passages even where no whole document duplicates. Per pair:
+    // distinct shared block hashes, and how many docs on each side
+    // carry at least one of them (the blast radius if the pair were
+    // reconciled). The review surface before mixing sources a
+    // doc-level dup matrix calls clean.
+    //
+    // Scale shape: text never shuffles — the 8-byte block-hash
+    // stream (the SAME [[blockFrame]] as q110/q144, so flow and
+    // removal can never disagree on alignment) reduces to a distinct
+    // (bh, source, doc) frame; the per-block self-join is bounded by
+    // |sources| per block (the matrix is |sources|²-sized), and the
+    // carrier counts are doc-keyed joins against the same frame.
+    Q(
+      "q148_substring_flow",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val bsd = blockFrame(docs, 10)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .select($"bh", $"source", $"doc_id")
+          .distinct()
+          .localCheckpoint() // consumed by the pair join AND both carrier passes
+        val bsrc = bsd.select($"bh", $"source").distinct()
+          .localCheckpoint() // both sides of the per-block self-join
+        val prs = bsrc.as("x")
+          .join(bsrc.as("y"),
+            col("x.bh") === col("y.bh") && col("x.source") < col("y.source"))
+          .select(col("x.bh").as("bh"),
+            col("x.source").as("sa"), col("y.source").as("sb"))
+          .localCheckpoint() // consumed by nsh + two carrier joins
+        val nsh = prs.groupBy($"sa", $"sb")
+          .agg(count(lit(1)).cast("long").as("n_shared"))
+        val ca = prs
+          .join(bsd.select($"bh", $"source".as("sa"), $"doc_id"), Seq("bh", "sa"))
+          .groupBy($"sa", $"sb")
+          .agg(countDistinct($"doc_id").cast("long").as("n_docs_a"))
+        val cb = prs
+          .join(bsd.select($"bh", $"source".as("sb"), $"doc_id"), Seq("bh", "sb"))
+          .groupBy($"sa", $"sb")
+          .agg(countDistinct($"doc_id").cast("long").as("n_docs_b"))
+        nsh.join(ca, Seq("sa", "sb")).join(cb, Seq("sa", "sb"))
+      },
+      Some("""
+        WITH tk AS (
+          SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE len(list_filter(str_split(text, ' '), x -> x <> '')) >= 1),
+        g AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS pos
+          FROM tk),
+        b2 AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(array_to_string(toks[CAST(pos * 10 + 1 AS INT):CAST(pos * 10 + 10 AS INT)], ' ')), 1, 15)) AS UBIGINT) AS BIGINT) AS bh
+          FROM g),
+        bsd AS (
+          SELECT DISTINCT b2.bh, d.source, b2.doc_id
+          FROM b2 JOIN documents d ON b2.doc_id = d.doc_id),
+        bsrc AS (SELECT DISTINCT bh, source FROM bsd),
+        prs AS (
+          SELECT x.bh, x.source AS sa, y.source AS sb
+          FROM bsrc x JOIN bsrc y ON x.bh = y.bh AND x.source < y.source),
+        nsh AS (
+          SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared
+          FROM prs GROUP BY sa, sb),
+        ca AS (
+          SELECT p.sa, p.sb, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_a
+          FROM prs p JOIN bsd b ON b.bh = p.bh AND b.source = p.sa
+          GROUP BY p.sa, p.sb),
+        cb AS (
+          SELECT p.sa, p.sb, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
+          FROM prs p JOIN bsd b ON b.bh = p.bh AND b.source = p.sb
+          GROUP BY p.sa, p.sb)
+        SELECT nsh.sa, nsh.sb, nsh.n_shared, ca.n_docs_a, cb.n_docs_b
+        FROM nsh
+        JOIN ca USING (sa, sb)
+        JOIN cb USING (sa, sb)"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
