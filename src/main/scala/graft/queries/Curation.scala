@@ -857,7 +857,90 @@ object Curation {
         SELECT nsh.sa, nsh.sb, nsh.n_shared, ca.n_docs_a, cb.n_docs_b
         FROM nsh
         JOIN ca USING (sa, sb)
-        JOIN cb USING (sa, sb)"""))
+        JOIN cb USING (sa, sb)""")),
+
+    // --------------------------------------------------------------- q149
+    // Drop QUALITY audit — what quality mass is each curation stage
+    // deleting? Per drop bucket (q118's drop_reason, plus 'kept'):
+    // doc count, docs passing the INDEPENDENT Gopher quality verdict
+    // (q87's rules — deliberately not the pipeline's own gate, which
+    // by construction fails exactly the quality_gate bucket), token
+    // mass, and gopher-passing token mass. The question it answers:
+    // is near-dup dedup deleting good documents (mirrors of quality
+    // pages — fine, the canonical survives) or documents the quality
+    // bar would have killed anyway (then the dedup pass is doing the
+    // gate's job at LSH prices)? High pass-rate in 'near_dup' with a
+    // low rate in 'kept' would instead flag canonical-selection bias.
+    //
+    // Scale shape: q118's audit machinery + q87's one tokenize+agg
+    // pass + a token count in the audit scan; the reconcile is two
+    // doc-keyed joins and one map-side-combined |buckets|-row agg.
+    // All counts BIGINT.
+    Q(
+      "q149_drop_quality",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val audit = curationAudit(docs,
+          Llm.minhashLshPairs(docs, Llm.lshMaxBucket).select($"d1", $"d2"))
+        // gopherRules only emits docs with ≥1 a-z word; absent docs
+        // cannot pass (coalesce 0) — same convention as q135
+        val gq = Mining.gopherRules(docs).select($"doc_id", $"pass")
+        val nt = docs.select($"doc_id",
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("nt"))
+        audit
+          .select($"doc_id", coalesce($"drop_reason", lit("kept")).as("bucket"))
+          .join(nt, "doc_id")
+          .join(gq, Seq("doc_id"), "left")
+          .select($"bucket", $"nt", coalesce($"pass", lit(0L)).as("p"))
+          .groupBy($"bucket")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum($"p").cast("long").as("n_gopher_pass"),
+            sum($"nt").cast("long").as("n_tokens"),
+            sum($"p" * $"nt").cast("long").as("gopher_pass_tokens"))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        ${Mining.gopherSqlCtes},
+        gt AS (
+          SELECT doc_id,
+            (length(text) >= 30
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+          FROM documents),
+        fpx AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
+        eo AS (
+          SELECT f.doc_id, c.canon AS exact_dup_of
+          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        bk AS (
+          SELECT gt.doc_id,
+            CASE WHEN NOT gt.gate THEN 'quality_gate'
+                 WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                 WHEN no.near_dup_of IS NOT NULL THEN 'near_dup'
+                 ELSE 'kept' END AS bucket
+          FROM gt
+          LEFT JOIN eo ON gt.doc_id = eo.doc_id
+          LEFT JOIN no ON gt.doc_id = no.doc_id),
+        nt AS (
+          SELECT doc_id,
+            CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+          FROM documents)
+        SELECT bk.bucket,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(coalesce(gop.pass, 0)), 0) AS BIGINT) AS n_gopher_pass,
+          CAST(coalesce(sum(nt.nt), 0) AS BIGINT) AS n_tokens,
+          CAST(coalesce(sum(coalesce(gop.pass, 0) * nt.nt), 0) AS BIGINT) AS gopher_pass_tokens
+        FROM bk
+        JOIN nt ON bk.doc_id = nt.doc_id
+        LEFT JOIN gop ON bk.doc_id = gop.doc_id
+        GROUP BY bk.bucket"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

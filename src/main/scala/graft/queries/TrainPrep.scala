@@ -496,7 +496,68 @@ object TrainPrep {
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(s) AS BIGINT) AS n_sel,
           CAST(sum(s * tl) AS BIGINT) AS sel_tokens
-        FROM sel GROUP BY lang, tokens, alloc"""))
+        FROM sel GROUP BY lang, tokens, alloc""")),
+
+    // ---------------------------------------------------------------- q150
+    // Context-length AUDIT — the table read before choosing a training
+    // sequence length: for each candidate context L (512/1k/2k/8k),
+    // what the two standard document policies cost on THIS corpus.
+    // Truncate-to-L loses the tail of every over-length doc
+    // (trunc_lost_tokens, with n_over docs affected); split-into-
+    // chunks keeps everything but pads the last chunk of every doc
+    // (split_seqs sequences, split_pad_tokens of padding — utilization
+    // = tokens/(split_seqs·L)); concat-packing (q54's policy) wastes
+    // nothing but crosses document boundaries — its sequence count
+    // ⌈Σtokens/L⌉ is the floor the other policies chase. Short-doc
+    // corpora bleed utilization at large L under split (a 60-token
+    // doc pads 8132 of 8192); long-doc corpora bleed truncation at
+    // small L. All integer arithmetic — ⌈n/L⌉ = (n + L − 1) div L.
+    //
+    // Scale shape: ONE metadata-light scan (token count only, text
+    // never shuffles) exploded ×|L| candidates (4 rows per doc, two
+    // longs each), map-side-combined to |L| rows.
+    Q(
+      "q150_context_audit",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select(size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("n"))
+          .select($"n", explode(expr(
+            "array(CAST(512 AS BIGINT), CAST(1024 AS BIGINT), " +
+              "CAST(2048 AS BIGINT), CAST(8192 AS BIGINT))")).as("l"))
+          .groupBy($"l")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum($"n").cast("long").as("n_tokens"),
+            sum(($"n" > $"l").cast("long")).cast("long").as("n_over"),
+            sum(greatest($"n" - $"l", lit(0L))).cast("long").as("trunc_lost_tokens"),
+            sum(expr("(n + l - 1) div l")).cast("long").as("split_seqs"))
+          .select($"l", $"n_docs", $"n_tokens", $"n_over",
+            $"trunc_lost_tokens", $"split_seqs",
+            ($"split_seqs" * $"l" - $"n_tokens").as("split_pad_tokens"),
+            expr("(n_tokens + l - 1) div l").as("concat_seqs"))
+      },
+      Some("""
+        WITH nt AS (
+          SELECT CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+          FROM documents),
+        x AS (
+          SELECT n, l
+          FROM nt CROSS JOIN (
+            SELECT CAST(unnest([512, 1024, 2048, 8192]) AS BIGINT) AS l)),
+        ag AS (
+          SELECT l,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN n > l THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+            CAST(sum(greatest(n - l, 0)) AS BIGINT) AS trunc_lost_tokens,
+            CAST(sum((n + l - 1) // l) AS BIGINT) AS split_seqs
+          FROM x GROUP BY l)
+        SELECT l, n_docs, n_tokens, n_over, trunc_lost_tokens, split_seqs,
+          split_seqs * l - n_tokens AS split_pad_tokens,
+          (n_tokens + l - 1) // l AS concat_seqs
+        FROM ag"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
