@@ -33,7 +33,13 @@ final case class Q(
   *     → pandas float);
   *  5. timestamps in output → ISO strings (pandas datetime64[us] vs [ns]
   *     dtype skew between the two load paths);
-  *  6. untouched double columns pass through bit-identical — safe.
+  *  6. untouched double columns pass through bit-identical — safe;
+  *  7. NEVER `\s` in an oracle-paired regex: Java's \s includes \x0B
+  *     (vertical tab), RE2's (DuckDB) does not — a doc containing \x0B
+  *     would fingerprint/tokenize differently per engine. Write the
+  *     class explicitly as `[ \t\n\x0B\f\r]` on BOTH sides (every
+  *     normalization/tokenization site does; reference-parity byte
+  *     workloads that never face DuckDB are exempt).
   */
 object Sql {
   val D18_4 = DataTypes.createDecimalType(18, 4)

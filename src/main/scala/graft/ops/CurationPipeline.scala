@@ -26,7 +26,7 @@ object CurationPipeline {
   /** Exact dedup: keep the lowest doc_id per normalized fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {
     val fp = docs.withColumn("fp",
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))))
     val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     fp.join(keep, Seq("fp", "doc_id"), "left_semi").drop("fp")
   }
@@ -47,7 +47,7 @@ object CurationPipeline {
     near.select(
       col("doc_id"), col("lang"), col("source"),
       length(col("text")).cast("long").as("n_chars"),
-      size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
+      size(filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")).cast("long").as("n_tokens"),
       col("text"))
   }
 }

@@ -294,7 +294,7 @@ object Curation {
           WHERE length(text) >= 30
             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
         fp AS (
-          SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          SELECT *, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM gated),
         keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
         exact AS (
@@ -304,7 +304,7 @@ object Curation {
           WHERE e.doc_id NOT IN (SELECT d2 FROM pairs))
         SELECT doc_id, lang, source,
           CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
           text
         FROM near""")),
 
@@ -385,7 +385,7 @@ object Curation {
              AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
           FROM documents),
         fp AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents
           WHERE length(text) >= 30
             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
@@ -590,7 +590,7 @@ object Curation {
         import s.implicits._
         val docs = table(s, dir, "documents")
         val fp = docs.select($"doc_id",
-          md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+          md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).as("fp"))
         val exact = fp
           .join(fp.groupBy($"fp").agg(min($"doc_id").as("keep")), "fp")
           .select($"doc_id", ($"doc_id" =!= $"keep").cast("long").as("exact_dup"))
@@ -622,7 +622,7 @@ object Curation {
         cc AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
         ndrop AS (SELECT v FROM cc WHERE v <> cluster_id),
         fp AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents),
         keepf AS (SELECT fp, min(doc_id) AS keep FROM fp GROUP BY fp),
         tk AS (
@@ -714,7 +714,7 @@ object Curation {
              AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
           FROM documents),
         fpx AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents
           WHERE length(text) >= 30
             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
@@ -811,18 +811,28 @@ object Curation {
             col("x.bh") === col("y.bh") && col("x.source") < col("y.source"))
           .select(col("x.bh").as("bh"),
             col("x.source").as("sa"), col("y.source").as("sb"))
-          .localCheckpoint() // consumed by nsh + two carrier joins
+          .localCheckpoint() // consumed by nsh + the carrier join
         val nsh = prs.groupBy($"sa", $"sb")
           .agg(count(lit(1)).cast("long").as("n_shared"))
-        val ca = prs
-          .join(bsd.select($"bh", $"source".as("sa"), $"doc_id"), Seq("bh", "sa"))
+        // ONE melt join for both carrier counts (side = which end of
+        // the pair the carrier sits on, residual disjunction inside
+        // the bh hash join) instead of two copy-paste join+agg passes
+        // — halves the carrier-pass shuffle at the billion-block
+        // scale this query is pitched at
+        val carriers = prs.as("p")
+          .join(bsd.as("c"),
+            col("p.bh") === col("c.bh") &&
+              (col("c.source") === col("p.sa") || col("c.source") === col("p.sb")))
+          .select(col("p.sa").as("sa"), col("p.sb").as("sb"),
+            when(col("c.source") === col("p.sa"), lit("a")).otherwise(lit("b")).as("side"),
+            col("c.doc_id").as("doc_id"))
           .groupBy($"sa", $"sb")
-          .agg(countDistinct($"doc_id").cast("long").as("n_docs_a"))
-        val cb = prs
-          .join(bsd.select($"bh", $"source".as("sb"), $"doc_id"), Seq("bh", "sb"))
-          .groupBy($"sa", $"sb")
-          .agg(countDistinct($"doc_id").cast("long").as("n_docs_b"))
-        nsh.join(ca, Seq("sa", "sb")).join(cb, Seq("sa", "sb"))
+          .agg(
+            expr("count(DISTINCT CASE WHEN side = 'a' THEN doc_id END)")
+              .cast("long").as("n_docs_a"),
+            expr("count(DISTINCT CASE WHEN side = 'b' THEN doc_id END)")
+              .cast("long").as("n_docs_b"))
+        nsh.join(carriers, Seq("sa", "sb"))
       },
       Some("""
         WITH tk AS (
@@ -846,18 +856,16 @@ object Curation {
         nsh AS (
           SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_shared
           FROM prs GROUP BY sa, sb),
-        ca AS (
-          SELECT p.sa, p.sb, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_a
-          FROM prs p JOIN bsd b ON b.bh = p.bh AND b.source = p.sa
-          GROUP BY p.sa, p.sb),
-        cb AS (
-          SELECT p.sa, p.sb, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
-          FROM prs p JOIN bsd b ON b.bh = p.bh AND b.source = p.sb
+        carriers AS (
+          SELECT p.sa, p.sb,
+            CAST(count(DISTINCT CASE WHEN c.source = p.sa THEN c.doc_id END) AS BIGINT) AS n_docs_a,
+            CAST(count(DISTINCT CASE WHEN c.source = p.sb THEN c.doc_id END) AS BIGINT) AS n_docs_b
+          FROM prs p JOIN bsd c
+            ON c.bh = p.bh AND (c.source = p.sa OR c.source = p.sb)
           GROUP BY p.sa, p.sb)
-        SELECT nsh.sa, nsh.sb, nsh.n_shared, ca.n_docs_a, cb.n_docs_b
+        SELECT nsh.sa, nsh.sb, nsh.n_shared, carriers.n_docs_a, carriers.n_docs_b
         FROM nsh
-        JOIN ca USING (sa, sb)
-        JOIN cb USING (sa, sb)""")),
+        JOIN carriers USING (sa, sb)""")),
 
     // --------------------------------------------------------------- q149
     // Drop QUALITY audit — what quality mass is each curation stage
@@ -910,7 +918,7 @@ object Curation {
              AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
           FROM documents),
         fpx AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents
           WHERE length(text) >= 30
             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
@@ -1002,7 +1010,7 @@ object Curation {
         .as("gate"))
     val fp = graft.ops.CurationPipeline.qualityGate(docs)
       .select($"doc_id",
-        md5(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+        md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).as("fp"))
     val canon = fp.groupBy($"fp").agg(min($"doc_id").as("canon"))
     val exactOf = fp.join(canon, "fp")
       .filter($"canon" < $"doc_id")

@@ -606,7 +606,7 @@ object Llm {
         table(s, dir, "documents").select(
           $"doc_id",
           length($"text").cast("long").as("len_chars"),
-          size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_ws_tokens"),
+          size(filter(split($"text", "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")).cast("long").as("n_ws_tokens"),
           size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).cast("long").as("n_re_tokens"),
           size(array_distinct(filter(split(lower($"text"), "[^a-z]+"), x => x =!= "")))
             .cast("long").as("n_unique_words"))
@@ -614,7 +614,7 @@ object Llm {
       Some("""
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS len_chars,
-          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+          CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens,
           CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS BIGINT) AS n_unique_words
         FROM documents""")),
@@ -705,15 +705,15 @@ object Llm {
         import s.implicits._
         table(s, dir, "documents")
           .select($"doc_id",
-            trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+            trim(regexp_replace(lower($"text"), "[ \\t\\n\\x0B\\f\\r]+", " ")).as("norm"))
           .select($"doc_id",
             substring(md5($"norm"), 1, 16).as("fp"),
             expr("length(norm) div 100").as("len_bucket"))
       },
       Some("""
         SELECT doc_id,
-          substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp,
-          length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) // 100 AS len_bucket
+          substr(md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16) AS fp,
+          length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) // 100 AS len_bucket
         FROM documents""")),
 
     // ---------------------------------------------------------------- q30

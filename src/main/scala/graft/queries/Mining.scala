@@ -729,22 +729,22 @@ object Mining {
     // answers "which rule is doing the gating".
     //
     // Scale shape: the corpus-sized work is exactly q87's one
-    // tokenize+aggregate pass (shared [[gopherRules]] engine — the
-    // ablation can never desynchronize from the gate it audits);
-    // after it, one map-side-combined 1-row aggregate over the
-    // per-doc flag frame, unpivoted to 4 rows. All counts BIGINT;
-    // the rule comparisons are the gate's own (single divisions of
-    // exact BIGINTs against literals — q87's oracle already pins
-    // cross-engine equality of every boundary).
+    // tokenize+aggregate pass; after it, one map-side-combined 1-row
+    // aggregate over the per-doc flag frame, unpivoted to 4 rows.
+    // All counts BIGINT. The flags come from [[gopherFlags]] — the
+    // ONE place the gate's thresholds live (pass is their product on
+    // both engines), so the ablation structurally cannot
+    // desynchronize from the gate it audits. Domain: gopherFlags'
+    // (q87's rule, only docs with ≥ 1 a-z word appear; an all-digit/
+    // non-Latin doc fails the gate by the absent-cannot-pass
+    // convention but belongs to no per-rule row, so n_docs here is
+    // the rule engine's domain, not the corpus size).
     Q(
       "q146_gate_ablation",
       (s, dir) => {
         import s.implicits._
-        val flags = gopherRules(Llm.docsSpread(s, dir)).select(
-          ($"n_words" >= 30 && $"n_words" <= 100000).cast("long").as("f_len"),
-          ($"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0).cast("long").as("f_wlen"),
-          ($"stop_frac" > 0.0).cast("long").as("f_stop"),
-          ($"top_frac" <= 0.15).cast("long").as("f_rep"))
+        val flags = gopherFlags(Llm.docsSpread(s, dir))
+          .select($"f_len", $"f_wlen", $"f_stop", $"f_rep")
         val agg = flags.agg(
           count(lit(1)).cast("long").as("n_docs"),
           sum(($"f_len" * $"f_wlen" * $"f_stop" * $"f_rep")).cast("long").as("n_pass"),
@@ -773,13 +773,7 @@ object Mining {
       },
       Some(s"""
         WITH $gopherSqlCtes,
-        fl AS (
-          SELECT
-            CAST(CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
-            CAST(CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
-            CAST(CASE WHEN stop_frac > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
-            CAST(CASE WHEN top_frac <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS f_rep
-          FROM gop),
+        fl AS (SELECT f_len, f_wlen, f_stop, f_rep FROM gfl),
         ag AS (
           SELECT
             CAST(count(*) AS BIGINT) AS n_docs,
@@ -982,24 +976,38 @@ object Mining {
             CAST(coalesce(sum(c) FILTER (w IN (${stopwords.map("'" + _ + "'").mkString(",")})), 0) AS BIGINT) AS n_stop,
             CAST(sum(length(w) * c) AS BIGINT) AS char_sum
           FROM gwc GROUP BY doc_id),
-        gop AS (
+        gfl AS (
           SELECT doc_id, n_words, n_distinct,
             CAST(char_sum AS DOUBLE) / n_words AS mean_wlen,
             CAST(n_stop AS DOUBLE) / n_words AS stop_frac,
             CAST(top_c AS DOUBLE) / n_words AS top_frac,
-            CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
-              AND CAST(char_sum AS DOUBLE) / n_words >= 3.0
-              AND CAST(char_sum AS DOUBLE) / n_words <= 5.0
-              AND CAST(n_stop AS DOUBLE) / n_words > 0.0
-              AND CAST(top_c AS DOUBLE) / n_words <= 0.15
-              THEN 1 ELSE 0 END AS BIGINT) AS pass
-          FROM ga)"""
+            CAST(CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+            CAST(CASE WHEN CAST(char_sum AS DOUBLE) / n_words >= 3.0
+              AND CAST(char_sum AS DOUBLE) / n_words <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS f_wlen,
+            CAST(CASE WHEN CAST(n_stop AS DOUBLE) / n_words > 0.0 THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+            CAST(CASE WHEN CAST(top_c AS DOUBLE) / n_words <= 0.15 THEN 1 ELSE 0 END AS BIGINT) AS f_rep
+          FROM ga),
+        gop AS (
+          SELECT doc_id, n_words, n_distinct, mean_wlen, stop_frac, top_frac,
+            f_len * f_wlen * f_stop * f_rep AS pass
+          FROM gfl)"""
 
   /** Gopher rule engine behind q87 (and the q135 calibration's gate
     * side): input (doc_id, text, …); output one row per document with
     * the rule statistics and the conjunctive `pass` bit.
     */
-  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** [[gopherRules]] with the four per-rule flag columns exposed
+    * (f_len, f_wlen, f_stop, f_rep) — the SINGLE place the gate's
+    * thresholds live: `pass` is derived as the product of the flags,
+    * and q146's ablation consumes the same flags, so retuning a
+    * threshold here retunes the gate, the q135 calibration, and the
+    * ablation together (they structurally cannot desynchronize).
+    * Domain note: only documents with ≥ 1 a–z word appear (the
+    * tokenize-aggregate emits nothing for an all-digit/non-Latin
+    * doc); consumers treat absent as cannot-pass (q135/q149's
+    * coalesce-0 convention).
+    */
+  private[graft] def gopherFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val words = docs.select($"doc_id",
@@ -1017,9 +1025,13 @@ object Mining {
         ($"char_sum".cast("double") / $"n_words").as("mean_wlen"),
         ($"n_stop".cast("double") / $"n_words").as("stop_frac"),
         ($"top_c".cast("double") / $"n_words").as("top_frac"))
-      .withColumn("pass",
-        ($"n_words" >= 30 && $"n_words" <= 100000 &&
-          $"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0 &&
-          $"stop_frac" > 0.0 && $"top_frac" <= 0.15).cast("long"))
+      .withColumn("f_len", ($"n_words" >= 30 && $"n_words" <= 100000).cast("long"))
+      .withColumn("f_wlen", ($"mean_wlen" >= 3.0 && $"mean_wlen" <= 5.0).cast("long"))
+      .withColumn("f_stop", ($"stop_frac" > 0.0).cast("long"))
+      .withColumn("f_rep", ($"top_frac" <= 0.15).cast("long"))
+      .withColumn("pass", $"f_len" * $"f_wlen" * $"f_stop" * $"f_rep")
   }
+
+  private[graft] def gopherRules(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    gopherFlags(docs).drop("f_len", "f_wlen", "f_stop", "f_rep")
 }

@@ -58,7 +58,7 @@ object TrainPrep {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         table(s, dir, "documents")
           .select($"doc_id", $"lang",
-            size(filter(split($"text", "\\s+"), x => x =!= "")).cast("long").as("n_tokens"))
+            size(filter(split($"text", "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")).cast("long").as("n_tokens"))
           .withColumn("cum_tokens", sum($"n_tokens").over(w))
           // `div`, not `/`: Column./ on longs is DOUBLE division
           .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 8192"))
@@ -67,7 +67,7 @@ object TrainPrep {
       Some("""
         WITH t AS (
           SELECT doc_id, lang,
-            CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+            CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
           FROM documents),
         c AS (
           SELECT doc_id, lang, n_tokens,

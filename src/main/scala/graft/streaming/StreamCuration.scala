@@ -118,7 +118,7 @@ object StreamCuration {
 
     // 1. gate → fingerprint → exact dedup (batch-local min + state)
     val fp = CurationPipeline.qualityGate(docs)
-      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))))
       .localCheckpoint()
     val seenFps = readState(spark, s"$stateDir/fps", "fp STRING", batchId)
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
@@ -149,7 +149,7 @@ object StreamCuration {
     val survivors = exact.join(dropSet, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"),
-        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")).cast("long").as("n_tokens"),
         col("text"))
     survivors.write.mode("overwrite").parquet(s"$outDir/b$batchId")
 
