@@ -313,6 +313,119 @@ object Relational {
           event_type, count(*) AS n,
           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM events
-        GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type"""))
+        GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), event_type""")),
+
+    // ---------------------------------------------------------------- q151
+    // ORDERED event funnel — the product-analytics staple the events
+    // family lacked: view → click → purchase, where each step counts
+    // only if it happens STRICTLY AFTER the user's previous step (a
+    // click before the first view is not funnel progress — the
+    // ordering constraint is what separates a funnel from three
+    // count-distincts). Per step: users reaching it and the summed
+    // conversion lag from the previous step in exact microseconds
+    // (BIGINT — mean lag is one division away, and sums of exact μs
+    // hash-match where interval/double arithmetic would not).
+    //
+    // Scale shape: three filtered scans of the events table, each
+    // aggregated map-side to |users| rows, chained by user-keyed
+    // joins of user-sized frames; no window over the event stream.
+    // At 100 TB events this is 3 scan+agg passes (AQE broadcasts the
+    // shrinking step frames) — never a per-user sort.
+    Q(
+      "q151_event_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+          .select($"user_id", $"event_type", $"ts")
+        val s1 = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = ev.filter($"event_type" === "click")
+          .join(s1, "user_id").filter($"ts" > $"t1")
+          .groupBy($"user_id")
+          .agg(min($"ts").as("t2"), min($"t1").as("t1m"))
+        val s3 = ev.filter($"event_type" === "purchase")
+          .join(s2.select($"user_id", $"t2"), "user_id").filter($"ts" > $"t2")
+          .groupBy($"user_id")
+          .agg(min($"ts").as("t3"), min($"t2").as("t2m"))
+        val c1 = s1.agg(count(lit(1)).cast("long").as("n1"))
+        val c2 = s2.agg(count(lit(1)).cast("long").as("n2"),
+          coalesce(sum(expr("unix_micros(t2) - unix_micros(t1m)")), lit(0L))
+            .cast("long").as("l2"))
+        val c3 = s3.agg(count(lit(1)).cast("long").as("n3"),
+          coalesce(sum(expr("unix_micros(t3) - unix_micros(t2m)")), lit(0L))
+            .cast("long").as("l3"))
+        c1.crossJoin(c2).crossJoin(c3)
+          .select(expr("""stack(3,
+              CAST(1 AS BIGINT), 'view',     n1, CAST(0 AS BIGINT),
+              CAST(2 AS BIGINT), 'click',    n2, l2,
+              CAST(3 AS BIGINT), 'purchase', n3, l3)
+            AS (step_id, step, n_users, sum_lag_us)"""))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1m
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2m
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id),
+        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1),
+        c2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n2,
+            CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1m)), 0) AS BIGINT) AS l2
+          FROM s2),
+        c3 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n3,
+            CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2m)), 0) AS BIGINT) AS l3
+          FROM s3)
+        SELECT u.step_id, u.step, u.n_users, u.sum_lag_us
+        FROM c1, c2, c3, LATERAL (
+          SELECT CAST(1 AS BIGINT) AS step_id, 'view' AS step,
+            c1.n1 AS n_users, CAST(0 AS BIGINT) AS sum_lag_us
+          UNION ALL SELECT CAST(2 AS BIGINT), 'click', c2.n2, c2.l2
+          UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', c3.n3, c3.l3) u""")),
+
+    // ---------------------------------------------------------------- q152
+    // RETENTION COHORT matrix — the other product-analytics staple:
+    // users cohorted by their FIRST-activity day, each cohort's
+    // active-user count at every day offset since. Day arithmetic in
+    // pure integers (epoch_us div μs-per-day — engine date functions
+    // disagree on nothing when there are no date functions), so the
+    // matrix hash-matches exactly.
+    //
+    // Scale shape: the event stream collapses map-side to distinct
+    // (user, day) pairs — the only corpus-sized shuffle, ~16 bytes a
+    // row; first-day is a |users|-row agg of that frame, the matrix
+    // a |days|²-bounded agg of the user-keyed join. Nothing scans
+    // events twice.
+    Q(
+      "q152_retention_cohorts",
+      (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "events")
+          .select($"user_id",
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+          .localCheckpoint() // consumed by first-day AND the matrix join
+        val first = d.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        d.join(first, "user_id")
+          .groupBy($"cohort_day", ($"day" - $"cohort_day").as("offset_days"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT f.cohort_day, d.day - f.cohort_day AS offset_days,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY f.cohort_day, d.day - f.cohort_day"""))
   )
 }
