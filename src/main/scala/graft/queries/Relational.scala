@@ -427,5 +427,127 @@ object Relational {
           CAST(count(*) AS BIGINT) AS n_users
         FROM d JOIN f USING (user_id)
         GROUP BY f.cohort_day, d.day - f.cohort_day"""))
+  ,
+
+    // ---------------------------------------------------------------- q153
+    // Hourly RATE-ANOMALY detection — the ops-dashboard spike alarm
+    // (error-rate bursts, click floods), as an EXACT integer test:
+    // per event type, an observed hour h is flagged when its count
+    // sits more than 3σ from the type's mean hourly count. The z²
+    // test cross-multiplies to pure BIGINTs — with H observed hours,
+    // S = Σc and Q = Σc², flag iff (H·c − S)² > 9·(H·Q − S²) —
+    // because (c−μ)² > 9·σ² with μ = S/H, σ² = (H·Q−S²)/H² clears
+    // both denominators. No doubles, no sqrt, so the alarm table
+    // hash-matches bit-free. (Magnitude note: H·Q bounds at
+    // ~hours²·peak² — BIGINT-safe to ~3·10⁹ events/hour over a year;
+    // past that, lift the three products to DECIMAL(38,0), the q109
+    // discipline.) Output is every (type, hour) cell with its counts
+    // and flag — the alarm query is `WHERE flagged = 1`.
+    //
+    // Scale shape: ONE events scan map-side-combined to
+    // |types|×|hours| cells; the per-type moments are a second agg
+    // of that tiny frame, broadcast back. Nothing scans events
+    // twice.
+    Q(
+      "q153_rate_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val c = table(s, dir, "events")
+          .groupBy($"event_type", tsStr(date_trunc("hour", $"ts")).as("h"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .localCheckpoint() // consumed by the moments agg AND the test
+        val m = c.groupBy($"event_type").agg(
+          count(lit(1)).cast("long").as("hh"),
+          sum($"n").cast("long").as("ss"),
+          sum($"n" * $"n").cast("long").as("qq"))
+        c.join(broadcast(m), "event_type")
+          .select($"event_type", $"h", $"n",
+            (($"hh" * $"n" - $"ss") * ($"hh" * $"n" - $"ss")).as("lhs"),
+            (lit(9L) * ($"hh" * $"qq" - $"ss" * $"ss")).as("rhs"))
+          .withColumn("flagged", ($"lhs" > $"rhs").cast("long"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type,
+            CAST(count(*) AS BIGINT) AS hh,
+            CAST(sum(n) AS BIGINT) AS ss,
+            CAST(sum(n * n) AS BIGINT) AS qq
+          FROM c GROUP BY event_type)
+        SELECT c.event_type, c.h, c.n,
+          (m.hh * c.n - m.ss) * (m.hh * c.n - m.ss) AS lhs,
+          9 * (m.hh * m.qq - m.ss * m.ss) AS rhs,
+          CAST((m.hh * c.n - m.ss) * (m.hh * c.n - m.ss) >
+               9 * (m.hh * m.qq - m.ss * m.ss) AS BIGINT) AS flagged
+        FROM c JOIN m USING (event_type)""")),
+
+    // ---------------------------------------------------------------- q154
+    // RFM SEGMENTATION — the classic user-value quartile table:
+    // recency (days since the user's last event, against the
+    // corpus-wide last day — integer day algebra, q152's), frequency
+    // (event count), monetary (exact DECIMAL sum of value, q14's
+    // discipline), each quartiled by ntile(4) under a DETERMINISTIC
+    // total order (metric, then user_id — rand-free, so the buckets
+    // hash-match; best bucket = 1: most recent / most frequent /
+    // highest spend). The composite `segment` concatenates the three
+    // digits — '111' is the champion cell, '444' the churned tail.
+    //
+    // Scale shape: one events scan map-side-combined to |users|
+    // rows; the quartile windows run over the user frame, not the
+    // event stream. (At 10⁹ users replace ntile with a percentile
+    // cut against broadcast quantile bounds — the q83 GlobalRank
+    // treatment; at this registry's scale the window is the honest
+    // plan.)
+    Q(
+      "q154_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val u = table(s, dir, "events")
+          .select($"user_id",
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            $"value")
+          .groupBy($"user_id")
+          .agg(
+            max($"day").as("last_day"),
+            count(lit(1)).cast("long").as("n_events"),
+            sum(dec($"value")).as("mon"))
+        val mx = u.agg(max($"last_day").as("max_day"))
+        u.crossJoin(broadcast(mx))
+          .select($"user_id",
+            ($"max_day" - $"last_day").as("r_days"),
+            $"n_events", out($"mon").as("monetary"), $"mon")
+          .withColumn("rb", ntile(4).over(
+            Window.orderBy($"r_days".asc, $"user_id".asc)).cast("long"))
+          .withColumn("fb", ntile(4).over(
+            Window.orderBy($"n_events".desc, $"user_id".asc)).cast("long"))
+          .withColumn("mb", ntile(4).over(
+            Window.orderBy($"mon".desc, $"user_id".asc)).cast("long"))
+          .select($"user_id", $"r_days", $"n_events", $"monetary",
+            $"rb", $"fb", $"mb",
+            concat($"rb", $"fb", $"mb").as("segment"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+            max(epoch_us(ts) // 86400000000) AS last_day,
+            CAST(count(*) AS BIGINT) AS n_events,
+            sum(CAST(value AS DECIMAL(18,4))) AS mon
+          FROM events GROUP BY user_id),
+        mx AS (SELECT max(last_day) AS max_day FROM u),
+        b AS (
+          SELECT user_id, max_day - last_day AS r_days, n_events,
+            CAST(mon AS DOUBLE) AS monetary, mon,
+            CAST(ntile(4) OVER (ORDER BY max_day - last_day ASC, user_id ASC) AS BIGINT) AS rb,
+            CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS fb,
+            CAST(ntile(4) OVER (ORDER BY mon DESC, user_id ASC) AS BIGINT) AS mb
+          FROM u CROSS JOIN mx)
+        SELECT user_id, r_days, n_events, monetary, rb, fb, mb,
+          concat(CAST(rb AS VARCHAR), CAST(fb AS VARCHAR), CAST(mb AS VARCHAR)) AS segment
+        FROM b"""))
   )
 }
