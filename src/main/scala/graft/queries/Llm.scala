@@ -1557,6 +1557,61 @@ object Llm {
           CAST(m.n_members - 1 - COALESCE(d.n_direct, 0) AS BIGINT) AS n_chained
         FROM memb m
         JOIN eagg e USING (cluster_id)
-        LEFT JOIN direct d USING (cluster_id)"""))
+        LEFT JOIN direct d USING (cluster_id)""")),
+
+    // ---------------------------------------------------------------- q155
+    // FLESCH READING-EASE scoring — the classic readability signal
+    // beside the Gopher shape rules (q87) and the learned classifier
+    // (q109): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    // words), with syllables approximated as vowel groups per word
+    // (the standard heuristic) and a ≥1 floor per word and per doc's
+    // sentence count. Every count is an exact BIGINT from one scan;
+    // the score is three IEEE ops on two exact ratios in a fixed
+    // left-associated chain, so it hash-matches bit-for-bit (the q88
+    // no-transcendentals discipline — no log, no pow).
+    //
+    // Scale shape: pure scan projection — the nested lambdas
+    // (per-word vowel-group counts) run inside the row, nothing
+    // explodes and nothing shuffles; the output is |docs| narrow
+    // rows. The cheapest kind of operator at 100 TB.
+    Q(
+      "q155_readability",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .select($"doc_id",
+            greatest(size(expr(
+              "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x <> '')")),
+              lit(1)).cast("long").as("n_sentences"),
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ws"))
+          .filter(size($"ws") >= 1)
+          .select($"doc_id", $"n_sentences",
+            size($"ws").cast("long").as("n_words"),
+            expr("""aggregate(
+                transform(ws, w -> greatest(size(filter(split(w, '[^aeiou]+'), p -> p <> '')), 1)),
+                CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))""")
+              .as("n_syllables"))
+          .withColumn("flesch",
+            lit(206.835) -
+              lit(1.015) * ($"n_words".cast("double") / $"n_sentences".cast("double")) -
+              lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            greatest(CAST(len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> x <> '')) AS BIGINT), 1) AS n_sentences,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_sentences,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(list_sum(list_transform(ws,
+              w -> greatest(len(list_filter(regexp_split_to_array(w, '[^aeiou]+'), p -> p <> '')), 1))) AS BIGINT) AS n_syllables
+          FROM t WHERE len(ws) >= 1)
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+          206.835 -
+            1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+            84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        FROM c"""))
   )
 }

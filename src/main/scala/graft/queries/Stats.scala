@@ -371,7 +371,70 @@ object Stats {
           CAST(count(*) AS BIGINT) AS n_regs,
           CAST(4096 - count(*) AS BIGINT) AS v,
           CAST(sum(CAST(1 AS BIGINT) << (49 - rho)) AS BIGINT) AS sumint
-        FROM regs GROUP BY lang"""))
+        FROM regs GROUP BY lang""")),
+
+    // ---------------------------------------------------------------- q156
+    // BENFORD first-digit audit over event values — the classic
+    // data-forensics screen (fabricated or unit-mixed numeric columns
+    // betray themselves in the leading-digit distribution): observed
+    // count per first significant digit vs Benford's log10(1+1/d)
+    // expectation, with the per-digit χ² term. No transcendentals at
+    // runtime: the nine Benford probabilities are LITERALS (they are
+    // constants of mathematics, not of the data), and the first
+    // digit is extracted EXACTLY — value → DECIMAL(18,4) → ×10⁴ →
+    // BIGINT (exact, scaling never changes the leading digit) →
+    // first character of the INTEGER's string form (integer-to-string
+    // is locale-free and identical cross-engine, unlike double
+    // formatting). χ² terms are single IEEE ops on (BIGINT, literal)
+    // pairs in a fixed chain, so the audit hash-matches.
+    //
+    // Scale shape: one scan map-side-combined to ≤9 rows; the
+    // expected side is a 9-row literal table broadcast by
+    // construction. Zero/negative values are excluded by contract
+    // (they have no Benford digit) and reported via n_total vs Σobs.
+    Q(
+      "q156_benford",
+      (s, dir) => {
+        import s.implicits._
+        val bp = Seq(
+          (1L, 0.3010299957), (2L, 0.1760912591), (3L, 0.1249387366),
+          (4L, 0.0969100130), (5L, 0.0791812460), (6L, 0.0669467896),
+          (7L, 0.0579919470), (8L, 0.0511525224), (9L, 0.0457574906))
+          .toDF("digit", "p")
+        val u = table(s, dir, "events")
+          .filter($"value" > 0.0)
+          .select(substring(dec($"value").*(lit(10000)).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+        val obs = u.groupBy($"digit")
+          .agg(count(lit(1)).cast("long").as("observed"))
+        val tot = obs.agg(sum($"observed").cast("long").as("n"))
+        broadcast(bp).join(obs, Seq("digit"), "left")
+          .crossJoin(broadcast(tot))
+          .select($"digit", coalesce($"observed", lit(0L)).as("observed"),
+            $"n", $"p".as("benford_p"))
+          .withColumn("chisq_term",
+            (($"observed".cast("double") - $"n".cast("double") * $"benford_p") *
+              ($"observed".cast("double") - $"n".cast("double") * $"benford_p")) /
+              ($"n".cast("double") * $"benford_p"))
+      },
+      Some("""
+        WITH bp(digit, p) AS (VALUES
+          (CAST(1 AS BIGINT), 0.3010299957), (CAST(2 AS BIGINT), 0.1760912591),
+          (CAST(3 AS BIGINT), 0.1249387366), (CAST(4 AS BIGINT), 0.0969100130),
+          (CAST(5 AS BIGINT), 0.0791812460), (CAST(6 AS BIGINT), 0.0669467896),
+          (CAST(7 AS BIGINT), 0.0579919470), (CAST(8 AS BIGINT), 0.0511525224),
+          (CAST(9 AS BIGINT), 0.0457574906)),
+        u AS (
+          SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM events WHERE value > 0.0),
+        obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM u GROUP BY digit),
+        tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+        SELECT bp.digit, CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
+          tot.n, CAST(bp.p AS DOUBLE) AS benford_p,
+          ((CAST(coalesce(obs.observed, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE)) *
+           (CAST(coalesce(obs.observed, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE))) /
+          (CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE)) AS chisq_term
+        FROM bp LEFT JOIN obs USING (digit) CROSS JOIN tot"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
