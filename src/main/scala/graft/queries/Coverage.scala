@@ -459,6 +459,49 @@ object Coverage {
                CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         FROM d
-        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())"""))
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""")),
+
+    // ---------------------------------------------------------------- q159
+    // Analytic RANK-function suite — the §2.9 window rows not yet
+    // exercised on one oracle: dense_rank, percent_rank, cume_dist,
+    // ntile(5), and lag/lead WITH explicit defaults, all over one
+    // deterministic total order (price desc, orderkey asc — the
+    // unique tie-break that makes every rank reproducible).
+    // percent_rank = (rank−1)/(N−1) and cume_dist = rows≤/N are
+    // single divisions of exact integers — identical doubles both
+    // engines; the lag/lead defaults prove the boundary semantics
+    // (first row's lag and last row's lead take the sentinel, not
+    // NULL). o_totalprice passes through untouched (Sql rule 6).
+    //
+    // Scale shape: one shuffle on the partition key (order
+    // priority); every function shares the single sort — Spark plans
+    // ONE Window node for the five same-spec functions, and the
+    // lag/lead pair adds its own frame on the same exchange.
+    Q(
+      "q159_rank_suite",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        table(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+          .withColumn("drk", dense_rank().over(w).cast("long"))
+          .withColumn("prk", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("nt5", ntile(5).over(w).cast("long"))
+          .withColumn("prev_price", lag($"o_totalprice", 1, -1.0).over(w))
+          .withColumn("next_price", lead($"o_totalprice", 1, -1.0).over(w))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+          CAST(dense_rank() OVER w AS BIGINT) AS drk,
+          percent_rank() OVER w AS prk,
+          cume_dist() OVER w AS cd,
+          CAST(ntile(5) OVER w AS BIGINT) AS nt5,
+          lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+          lead(o_totalprice, 1, -1.0) OVER w AS next_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)"""))
   )
 }

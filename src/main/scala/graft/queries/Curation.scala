@@ -949,6 +949,89 @@ object Curation {
         JOIN nt ON bk.doc_id = nt.doc_id
         LEFT JOIN gop ON bk.doc_id = gop.doc_id
         GROUP BY bk.bucket"""))
+  ,
+
+    // --------------------------------------------------------------- q157
+    // Per-SOURCE curation report card — the q149/q147 numbers sliced
+    // by provenance: for each source, input docs and tokens, drops by
+    // stage (q118's verdicts — gate / exact / near), survivors, and
+    // surviving token mass. The first table a curation run report
+    // shows per supplier: which source is gate-fodder, which is
+    // mirror-heavy (high exact/near share), which delivers the kept
+    // mass. Same [[curationAudit]] engine as q118/q147/q149 — the
+    // per-source card cannot disagree with the global funnel.
+    //
+    // Scale shape: q118's machinery + the token count in the same
+    // scan, one doc-keyed join to attach source, map-side-combined
+    // to |sources| rows.
+    Q(
+      "q157_source_report",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val audit = curationAudit(docs,
+          Llm.minhashLshPairs(docs, Llm.lshMaxBucket).select($"d1", $"d2"))
+        val meta = docs.select($"doc_id", $"source",
+          size(expr("filter(split(text, ' '), x -> x <> '')"))
+            .cast("long").as("nt"))
+        audit.join(meta, "doc_id")
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            // when/otherwise, not a bare comparison cast: drop_reason
+            // is NULL for kept docs, and a source with ZERO drops
+            // would otherwise sum all-NULLs to NULL (caught by
+            // SourceReportSpec's clean source)
+            sum(when($"drop_reason" === "quality_gate", 1L).otherwise(0L))
+              .cast("long").as("n_gate_drop"),
+            sum(when($"drop_reason" === "exact_dup", 1L).otherwise(0L))
+              .cast("long").as("n_exact_drop"),
+            sum(when($"drop_reason" === "near_dup", 1L).otherwise(0L))
+              .cast("long").as("n_near_drop"),
+            sum($"keep").cast("long").as("n_kept"),
+            sum($"nt").cast("long").as("tokens_total"),
+            sum($"keep" * $"nt").cast("long").as("tokens_kept"))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        gt AS (
+          SELECT doc_id,
+            (length(text) >= 30
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+          FROM documents),
+        fpx AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
+        eo AS (
+          SELECT f.doc_id, c.canon AS exact_dup_of
+          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        a AS (
+          SELECT gt.doc_id,
+            CASE WHEN NOT gt.gate THEN 'quality_gate'
+                 WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                 WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
+            CAST((gt.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
+          FROM gt
+          LEFT JOIN eo ON gt.doc_id = eo.doc_id
+          LEFT JOIN no ON gt.doc_id = no.doc_id),
+        m AS (
+          SELECT doc_id, source,
+            CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+          FROM documents)
+        SELECT m.source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(CASE WHEN a.drop_reason = 'quality_gate' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gate_drop,
+          CAST(coalesce(sum(CASE WHEN a.drop_reason = 'exact_dup' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact_drop,
+          CAST(coalesce(sum(CASE WHEN a.drop_reason = 'near_dup' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_drop,
+          CAST(coalesce(sum(a.keep), 0) AS BIGINT) AS n_kept,
+          CAST(coalesce(sum(m.nt), 0) AS BIGINT) AS tokens_total,
+          CAST(coalesce(sum(a.keep * m.nt), 0) AS BIGINT) AS tokens_kept
+        FROM a JOIN m ON a.doc_id = m.doc_id
+        GROUP BY m.source"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

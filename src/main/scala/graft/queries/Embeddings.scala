@@ -159,7 +159,52 @@ object Embeddings {
              ON a.label = b.label AND a.vec_id <> b.vec_id""",
         "")}) sims)
         SELECT v1 AS vec_id, v2 AS nbr, sim, CAST(rk AS BIGINT) AS rk
-        FROM ranked WHERE rk <= 5"""))
+        FROM ranked WHERE rk <= 5""")),
+
+    // ---------------------------------------------------------------- q158
+    // Embedding GEOMETRY audit — the data-quality screen run before
+    // any ANN index or similarity job trusts an embedding column:
+    // per (dimension, squared-norm decile bucket), how many vectors —
+    // mixed dims (a concatenation bug), zero vectors (failed encodes,
+    // bucket 0 at dim d), and norm drift (an unnormalized model
+    // slipped into a normalized corpus) all surface as off-profile
+    // cells. Σx² is the per-vector ORDERED array fold (the q115 dot
+    // discipline — same IEEE sequence both engines), bucketed by
+    // floor(·10): identical doubles floor identically, so the
+    // histogram hash-matches. No sqrt anywhere.
+    //
+    // Scale shape: pure scan — the fold runs inside the row, the
+    // only shuffle is the map-side-combined (dim, bucket) cell agg.
+    Q(
+      "q158_embedding_geometry",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "embeddings")
+          // length ≥ 1 on BOTH engines: unnest of an empty list emits
+          // no row in DuckDB while Spark's fold would yield sq = 0 —
+          // a zero-LENGTH vector is out of domain by contract (an
+          // all-zero VALUED vector is in: sq = 0, bucket 0)
+          .filter(size($"embedding") >= 1)
+          .select(size($"embedding").cast("long").as("dim"),
+            expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+                 (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""").as("sq"))
+          .select($"dim",
+            expr("CAST(floor(sq * 10) AS BIGINT)").as("sq_bucket"))
+          .groupBy($"dim", $"sq_bucket")
+          .agg(count(lit(1)).cast("long").as("n_vecs"))
+      },
+      Some("""
+        WITH el AS (
+          SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+            unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE len(embedding) >= 1),
+        sq AS (
+          SELECT vec_id, dim,
+            sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i) AS sq
+          FROM el GROUP BY vec_id, dim)
+        SELECT dim, CAST(floor(sq * 10) AS BIGINT) AS sq_bucket,
+          CAST(count(*) AS BIGINT) AS n_vecs
+        FROM sq GROUP BY dim, CAST(floor(sq * 10) AS BIGINT)"""))
   )
 
   /** Shared DuckDB CTE chain for q84's fixed-depth-3 centroid tree
