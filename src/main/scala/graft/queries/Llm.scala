@@ -1612,6 +1612,72 @@ object Llm {
           206.835 -
             1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
             84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
-        FROM c"""))
+        FROM c""")),
+
+    // ---------------------------------------------------------------- q160
+    // Shingle CONTAINMENT scoring — the asymmetric-dup detector
+    // Jaccard structurally misses: a short doc quoted whole inside a
+    // long one has c1 = |A∩B|/|A| ≈ 1 while jac = |A∩B|/|A∪B| stays
+    // far below any dedup threshold (the quote-expansion /
+    // article-plus-commentary case). Over q21's capped candidate
+    // stream: both directed containments, Jaccard, and the asym flag
+    // (containment ≥ 0.8 while jac < 0.35 — exactly the pairs every
+    // Jaccard-gated pass lets through). Candidate recall caveat,
+    // documented honestly: symmetric minhash bands under-candidate
+    // extreme-containment pairs (band collision tracks jac, not
+    // containment) — within the 200-char prefix window the sets are
+    // size-bounded so the gap is modest, and the EXACT-recall path
+    // for substring containment is the q86/q108 gram machinery; this
+    // operator prices the candidates the near-dup pass already has.
+    //
+    // Scale shape: identical to q21 — banded signatures shuffle,
+    // verification touches candidates only, text never moves; the
+    // two extra divisions are free.
+    Q(
+      "q160_containment",
+      (s, dir) => {
+        import s.implicits._
+        val docSets = shingleSets(docsSpread(s, dir)).localCheckpoint()
+        val cand = graft.ops.Lsh.expandPairsCapped(
+          bandsOf(docSets), Seq("band", "bsig"), "doc_id", lshMaxBucket)
+        cand
+          .join(docSets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+          .join(docSets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+          .select($"d1", $"d2",
+            size(array_intersect($"gs1", $"gs2")).as("inter"),
+            size($"gs1").as("na"), size($"gs2").as("nb"))
+          .withColumn("jac",
+            $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+          .withColumn("c1", $"inter".cast("double") / $"na")
+          .withColumn("c2", $"inter".cast("double") / $"nb")
+          .filter(greatest($"c1", $"c2") >= 0.5)
+          .select($"d1", $"d2",
+            $"inter".cast("long").as("n_inter"),
+            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+            $"jac", $"c1", $"c2",
+            (greatest($"c1", $"c2") >= 0.8 && $"jac" < 0.35)
+              .cast("long").as("asym"))
+      },
+      Some(s"""
+        WITH $minhashCandSql,
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS ni
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY c.d1, c.d2),
+        t AS (
+          SELECT i.d1, i.d2,
+            CAST(i.ni AS BIGINT) AS n_inter,
+            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+            CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jac,
+            CAST(i.ni AS DOUBLE) / sa.n AS c1,
+            CAST(i.ni AS DOUBLE) / sb.n AS c2
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.d1
+          JOIN sizes sb ON sb.doc_id = i.d2)
+        SELECT d1, d2, n_inter, n_a, n_b, jac, c1, c2,
+          CAST(greatest(c1, c2) >= 0.8 AND jac < 0.35 AS BIGINT) AS asym
+        FROM t WHERE greatest(c1, c2) >= 0.5"""))
   )
 }
