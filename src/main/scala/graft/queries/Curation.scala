@@ -27,6 +27,40 @@ object Curation {
   private val PhoneRe = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
   private val TermRe = """\bcustomer\b"""
 
+  /** DuckDB CTE chain replicating [[curationAudit]]'s verdicts —
+    * terminal CTE `audit` (doc_id, gate BOOLEAN, exact_dup_of,
+    * near_dup_of, drop_reason, keep BIGINT). Expects a `pairs` CTE
+    * already in scope. ONE copy spliced into the q118/q147/q149/q157
+    * oracles, so the four audit consumers structurally cannot drift
+    * from one another — the SQL twin of sharing `curationAudit` on
+    * the Spark side. `lazy` deliberately: `all` interpolates it and
+    * initializes first (the q133 init-order lesson).
+    */
+  private[queries] lazy val auditSqlCtes: String = s"""aud_gt AS (
+          SELECT doc_id,
+            (length(text) >= 30
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+          FROM documents),
+        aud_fpx AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
+          FROM documents
+          WHERE length(text) >= 30
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
+        aud_canon AS (SELECT fp, min(doc_id) AS canon FROM aud_fpx GROUP BY fp),
+        aud_eo AS (
+          SELECT f.doc_id, c.canon AS exact_dup_of
+          FROM aud_fpx f JOIN aud_canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        aud_no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        audit AS (
+          SELECT g.doc_id, g.gate, eo.exact_dup_of, no.near_dup_of,
+            CASE WHEN NOT g.gate THEN 'quality_gate'
+                 WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
+                 WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
+            CAST((g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
+          FROM aud_gt g
+          LEFT JOIN aud_eo eo ON g.doc_id = eo.doc_id
+          LEFT JOIN aud_no no ON g.doc_id = no.doc_id)"""
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q78
     // TF-IDF relevance scoring, ratio-idf variant: score = tf * (N/df).
@@ -379,31 +413,11 @@ object Curation {
       },
       Some(s"""
         WITH pairs AS (${Llm.minhashPairsSql}),
-        g AS (
-          SELECT doc_id,
-            (length(text) >= 30
-             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
-          FROM documents),
-        fp AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
-          FROM documents
-          WHERE length(text) >= 30
-            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
-        canon AS (SELECT fp, min(doc_id) AS canon FROM fp GROUP BY fp),
-        eo AS (
-          SELECT f.doc_id, c.canon AS exact_dup_of
-          FROM fp f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
-        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2)
-        SELECT g.doc_id,
-          CAST(g.gate AS BIGINT) AS gate_pass,
-          eo.exact_dup_of, no.near_dup_of,
-          CASE WHEN NOT g.gate THEN 'quality_gate'
-               WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
-               WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
-          CAST((g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
-        FROM g
-        LEFT JOIN eo ON g.doc_id = eo.doc_id
-        LEFT JOIN no ON g.doc_id = no.doc_id""")),
+        $auditSqlCtes
+        SELECT doc_id,
+          CAST(gate AS BIGINT) AS gate_pass,
+          exact_dup_of, near_dup_of, drop_reason, keep
+        FROM audit""")),
 
     // --------------------------------------------------------------- q122
     // Bloom-gated batch-vs-corpus membership (ops.BloomGate) — "which
@@ -708,34 +722,18 @@ object Curation {
       },
       Some(s"""
         WITH pairs AS (${Llm.minhashPairsSql}),
-        g AS (
-          SELECT doc_id,
-            (length(text) >= 30
-             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
-          FROM documents),
-        fpx AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
-          FROM documents
-          WHERE length(text) >= 30
-            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
-        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
-        eo AS (
-          SELECT f.doc_id, c.canon AS exact_dup_of
-          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
-        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        $auditSqlCtes,
         nt AS (
           SELECT doc_id,
             CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
           FROM documents),
         st AS (
-          SELECT g.doc_id, g.gate,
-            (eo.exact_dup_of IS NULL) AS no_exact,
-            (g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS keep,
+          SELECT a.doc_id, a.gate,
+            (a.exact_dup_of IS NULL) AS no_exact,
+            (a.keep = 1) AS keep,
             nt.nt
-          FROM g
-          LEFT JOIN eo ON g.doc_id = eo.doc_id
-          LEFT JOIN no ON g.doc_id = no.doc_id
-          JOIN nt ON g.doc_id = nt.doc_id),
+          FROM audit a
+          JOIN nt ON a.doc_id = nt.doc_id),
         ag AS (
           SELECT
             CAST(count(*) AS BIGINT) AS in_docs,
@@ -912,30 +910,10 @@ object Curation {
       Some(s"""
         WITH pairs AS (${Llm.minhashPairsSql}),
         ${Mining.gopherSqlCtes},
-        gt AS (
-          SELECT doc_id,
-            (length(text) >= 30
-             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
-          FROM documents),
-        fpx AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
-          FROM documents
-          WHERE length(text) >= 30
-            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
-        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
-        eo AS (
-          SELECT f.doc_id, c.canon AS exact_dup_of
-          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
-        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
+        $auditSqlCtes,
         bk AS (
-          SELECT gt.doc_id,
-            CASE WHEN NOT gt.gate THEN 'quality_gate'
-                 WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
-                 WHEN no.near_dup_of IS NOT NULL THEN 'near_dup'
-                 ELSE 'kept' END AS bucket
-          FROM gt
-          LEFT JOIN eo ON gt.doc_id = eo.doc_id
-          LEFT JOIN no ON gt.doc_id = no.doc_id),
+          SELECT doc_id, coalesce(drop_reason, 'kept') AS bucket
+          FROM audit),
         nt AS (
           SELECT doc_id,
             CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
@@ -994,30 +972,8 @@ object Curation {
       },
       Some(s"""
         WITH pairs AS (${Llm.minhashPairsSql}),
-        gt AS (
-          SELECT doc_id,
-            (length(text) >= 30
-             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
-          FROM documents),
-        fpx AS (
-          SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
-          FROM documents
-          WHERE length(text) >= 30
-            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
-        canon AS (SELECT fp, min(doc_id) AS canon FROM fpx GROUP BY fp),
-        eo AS (
-          SELECT f.doc_id, c.canon AS exact_dup_of
-          FROM fpx f JOIN canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
-        no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
-        a AS (
-          SELECT gt.doc_id,
-            CASE WHEN NOT gt.gate THEN 'quality_gate'
-                 WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
-                 WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
-            CAST((gt.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
-          FROM gt
-          LEFT JOIN eo ON gt.doc_id = eo.doc_id
-          LEFT JOIN no ON gt.doc_id = no.doc_id),
+        $auditSqlCtes,
+        a AS (SELECT doc_id, drop_reason, keep FROM audit),
         m AS (
           SELECT doc_id, source,
             CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt

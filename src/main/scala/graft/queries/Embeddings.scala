@@ -186,25 +186,41 @@ object Embeddings {
           // all-zero VALUED vector is in: sq = 0, bucket 0)
           .filter(size($"embedding") >= 1)
           .select(size($"embedding").cast("long").as("dim"),
+            // NULL ELEMENTS are themselves a data-quality defect the
+            // audit must SURFACE, not fold over — and the engines
+            // disagree on folding them (Spark's aggregate propagates
+            // NULL, DuckDB's sum skips it), so such vectors take the
+            // dedicated sentinel bucket −1 on both engines
+            expr("exists(embedding, x -> x IS NULL)").as("has_null"),
             expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
                  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""").as("sq"))
           .select($"dim",
-            expr("CAST(floor(sq * 10) AS BIGINT)").as("sq_bucket"))
+            when($"has_null", lit(-1L))
+              .otherwise(expr("CAST(floor(sq * 10) AS BIGINT)"))
+              .as("sq_bucket"))
           .groupBy($"dim", $"sq_bucket")
           .agg(count(lit(1)).cast("long").as("n_vecs"))
       },
       Some("""
-        WITH el AS (
+        WITH hn AS (
           SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+            len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null
+          FROM embeddings WHERE len(embedding) >= 1),
+        el AS (
+          SELECT vec_id,
             unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
           FROM embeddings WHERE len(embedding) >= 1),
         sq AS (
-          SELECT vec_id, dim,
+          SELECT vec_id,
             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) ORDER BY i) AS sq
-          FROM el GROUP BY vec_id, dim)
-        SELECT dim, CAST(floor(sq * 10) AS BIGINT) AS sq_bucket,
-          CAST(count(*) AS BIGINT) AS n_vecs
-        FROM sq GROUP BY dim, CAST(floor(sq * 10) AS BIGINT)"""))
+          FROM el GROUP BY vec_id),
+        b AS (
+          SELECT hn.dim,
+            CASE WHEN hn.has_null THEN CAST(-1 AS BIGINT)
+                 ELSE CAST(floor(sq.sq * 10) AS BIGINT) END AS sq_bucket
+          FROM hn JOIN sq ON hn.vec_id = sq.vec_id)
+        SELECT dim, sq_bucket, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM b GROUP BY dim, sq_bucket"""))
   )
 
   /** Shared DuckDB CTE chain for q84's fixed-depth-3 centroid tree

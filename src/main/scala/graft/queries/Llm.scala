@@ -219,7 +219,14 @@ object Llm {
     * Package-visible so LshSpec can drive the SHIPPED path on a skewed
     * fixture (one boilerplate prefix shared by 20% of docs).
     */
-  private[graft] def minhashLshPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+  /** The candidate-verify core shared by [[minhashLshPairs]] (q21's
+    * Jaccard gate) and q160's containment scorer: capped LSH
+    * candidates with exact set-overlap counts (d1, d2, inter, na,
+    * nb). ONE implementation so a fix to the verify join or the cap
+    * can never desynchronize the dedup pass from the scorers built
+    * on its candidate stream.
+    */
+  private[graft] def scoredCandidates(docs: DataFrame, maxBucket: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // localCheckpoint: the set frame is consumed three times (hash
@@ -243,6 +250,12 @@ object Llm {
       .select($"d1", $"d2",
         size(array_intersect($"gs1", $"gs2")).as("inter"),
         size($"gs1").as("na"), size($"gs2").as("nb"))
+  }
+
+  private[graft] def minhashLshPairs(docs: DataFrame, maxBucket: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    scoredCandidates(docs, maxBucket)
       .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jac" >= 0.35)
       .select($"d1", $"d2", $"jac")
@@ -1637,15 +1650,7 @@ object Llm {
       "q160_containment",
       (s, dir) => {
         import s.implicits._
-        val docSets = shingleSets(docsSpread(s, dir)).localCheckpoint()
-        val cand = graft.ops.Lsh.expandPairsCapped(
-          bandsOf(docSets), Seq("band", "bsig"), "doc_id", lshMaxBucket)
-        cand
-          .join(docSets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
-          .join(docSets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
-          .select($"d1", $"d2",
-            size(array_intersect($"gs1", $"gs2")).as("inter"),
-            size($"gs1").as("na"), size($"gs2").as("nb"))
+        scoredCandidates(docsSpread(s, dir), lshMaxBucket)
           .withColumn("jac",
             $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
           .withColumn("c1", $"inter".cast("double") / $"na")

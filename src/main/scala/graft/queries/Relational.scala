@@ -516,6 +516,10 @@ object Relational {
             max($"day").as("last_day"),
             count(lit(1)).cast("long").as("n_events"),
             sum(dec($"value")).as("mon"))
+          // consumed by the max-day aggregate AND the crossJoin —
+          // materialize or the events scan+agg runs twice (the
+          // q152/q153 discipline)
+          .localCheckpoint()
         val mx = u.agg(max($"last_day").as("max_day"))
         u.crossJoin(broadcast(mx))
           .select($"user_id",

@@ -401,10 +401,20 @@ object Stats {
           (4L, 0.0969100130), (5L, 0.0791812460), (6L, 0.0669467896),
           (7L, 0.0579919470), (8L, 0.0511525224), (9L, 0.0457574906))
           .toDF("digit", "p")
+        // Domain contract: the audit runs on the DECIMAL(18,4)-
+        // QUANTIZED value (the table's stated money/qty precision,
+        // Sql rule 1) — the gate is scaled >= 1, so a value that
+        // quantizes to 0.0000 is OUT (it has no digit; gating on the
+        // raw double would count it in n yet land it on a hidden
+        // digit '0' row, distorting every expected count), and a
+        // value within half an ulp of a decade boundary takes the
+        // digit of its QUANTIZED form (9.99999 → 10.0000 → digit 1)
+        // — consistently on both engines.
         val u = table(s, dir, "events")
-          .filter($"value" > 0.0)
-          .select(substring(dec($"value").*(lit(10000)).cast("long")
-            .cast("string"), 1, 1).cast("long").as("digit"))
+          .select(dec($"value").*(lit(10000)).cast("long").as("scaled"))
+          .filter($"scaled" >= 1L)
+          .select(substring($"scaled".cast("string"), 1, 1)
+            .cast("long").as("digit"))
         val obs = u.groupBy($"digit")
           .agg(count(lit(1)).cast("long").as("observed"))
         val tot = obs.agg(sum($"observed").cast("long").as("n"))
@@ -424,9 +434,12 @@ object Stats {
           (CAST(5 AS BIGINT), 0.0791812460), (CAST(6 AS BIGINT), 0.0669467896),
           (CAST(7 AS BIGINT), 0.0579919470), (CAST(8 AS BIGINT), 0.0511525224),
           (CAST(9 AS BIGINT), 0.0457574906)),
+        sc AS (
+          SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS scaled
+          FROM events),
         u AS (
-          SELECT CAST(substr(CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-          FROM events WHERE value > 0.0),
+          SELECT CAST(substr(CAST(scaled AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM sc WHERE scaled >= 1),
         obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM u GROUP BY digit),
         tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
         SELECT bp.digit, CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,

@@ -14,13 +14,17 @@ class BenfordSpec extends SparkSuite {
     4L -> 0.0969100130, 5L -> 0.0791812460, 6L -> 0.0669467896,
     7L -> 0.0579919470, 8L -> 0.0511525224, 9L -> 0.0457574906)
 
-  /** digits: 1×4 (incl. sub-1 0.19 and 1000.0), 9×2 (incl. 0.9),
-    * 5×1; one zero and one negative excluded. */
+  /** digits: 1×5 (incl. sub-1 0.19, 1000.0, and 9.99999 — which
+    * quantizes to 10.0000 and takes digit 1 by the DECIMAL(18,4)
+    * contract), 9×2 (incl. 0.9), 5×1; a zero, a negative, AND a
+    * sub-quantization value (0.00004 → 0.0000: no digit, excluded
+    * from n — the hidden-digit-0 distortion the round-10 review
+    * caught) all excluded. */
   private def fixture: Seq[(Long, Double)] = Seq(
-    (0L, 1.0), (1L, 10.5), (2L, 0.19), (3L, 1000.0),
+    (0L, 1.0), (1L, 10.5), (2L, 0.19), (3L, 1000.0), (9L, 9.99999),
     (4L, 0.9), (5L, 95.5),
     (6L, 5.25),
-    (7L, 0.0), (8L, -3.2))
+    (7L, 0.0), (8L, -3.2), (10L, 0.00004))
 
   test("digit extraction exact, exclusions honored, χ² ≡ replica") {
     import spark.implicits._
@@ -36,8 +40,8 @@ class BenfordSpec extends SparkSuite {
         r.getDouble(4))))
       .toMap
     assert(got.keySet == (1L to 9L).toSet, "all nine digits must report")
-    val wantObs = Map(1L -> 4L, 9L -> 2L, 5L -> 1L).withDefaultValue(0L)
-    val n = 7L
+    val wantObs = Map(1L -> 5L, 9L -> 2L, 5L -> 1L).withDefaultValue(0L)
+    val n = 8L
     (1L to 9L).foreach { d =>
       val (obs, tot, p, chi) = got(d)
       assert(obs == wantObs(d), s"digit $d observed $obs != ${wantObs(d)}")
