@@ -1683,6 +1683,123 @@ object Llm {
           JOIN sizes sb ON sb.doc_id = i.d2)
         SELECT d1, d2, n_inter, n_a, n_b, jac, c1, c2,
           CAST(greatest(c1, c2) >= 0.8 AND jac < 0.35 AS BIGINT) AS asym
-        FROM t WHERE greatest(c1, c2) >= 0.5"""))
+        FROM t WHERE greatest(c1, c2) >= 0.5""")),
+
+    // ---------------------------------------------------------------- q161
+    // EXACT threshold set-similarity self-join via prefix + positional
+    // filtering (the All-Pairs / PPJoin family: Bayardo et al. WWW'07,
+    // Xiao et al. WWW'08) — the deterministic, NO-false-negative
+    // counterpart of q21's MinHash-LSH: every pair with word-trigram
+    // Jaccard ≥ 1/2 is found, with a proof-carrying candidate set
+    // instead of a collision probability. Tokens are ordered by
+    // ascending global df (rarest first, token string as tiebreak);
+    // a doc of n trigrams indexes only its PREFIX of n - ⌈n/2⌉ + 1
+    // rarest trigrams (any pair with Jaccard ≥ t must share a prefix
+    // token — pigeonhole on the ⌈t·n⌉ overlap the threshold forces),
+    // candidates need ≥1 prefix-token collision plus the size filter
+    // (2·n1 ≥ n2 ∧ 2·n2 ≥ n1), and the POSITIONAL filter tightens it:
+    // for the globally-rarest shared prefix token (per-pair min rank
+    // on BOTH sides — ranks are monotone in the shared global order,
+    // so min(r1) and min(r2) come from the same token; tokens ranked
+    // before it on either side are provably unshared), the overlap
+    // upper bound 1 + min(n1−r1, n2−r2) must reach the equivalent
+    // intersection bound α = ⌈(n1+n2)/3⌉ (jac ≥ 1/2 ⟺ 3·inter ≥
+    // n1+n2). t = 1/2 keeps EVERY gate in pure integer arithmetic —
+    // the one double is the final reported jaccard.
+    //
+    // Word TRIGRAMS, not the q21 family's 5-char shingles: prefix
+    // filtering keys on rarity, and this corpus's character-shingle
+    // space is tiny (~2k distinct, median df ~3.5% of docs — measured;
+    // prefixes pruned only 2× there) while trigrams over the 31-word
+    // vocabulary span ~31³ (max df 25 at sf0.1, 40× pruning before
+    // the positional gate, another 2.5× after).
+    //
+    // Scale shape: df and ranks are token-keyed aggs/joins of the
+    // trigram stream; the candidate join keys on prefix tokens whose
+    // per-token fanout is bounded by df of the RAREST trigrams;
+    // verification joins the |cand| pair frame back to the per-doc
+    // set arrays (doc-keyed, AQE-broadcast when small). No LSH banding
+    // to tune, no cap to document — exactness is the contract.
+    Q(
+      "q161_setsim_join",
+      (s, dir) => {
+        import s.implicits._
+        // localCheckpoint: consumed by the trigram stream (df + ranks)
+        // and both sides of the verify join (cf. scoredCandidates).
+        val sets = docsSpread(s, dir)
+          .select($"doc_id",
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ta"))
+          .filter(size($"ta") >= 3)
+          .select($"doc_id", expr(
+            """array_distinct(transform(sequence(1, size(ta)-2),
+               i -> concat_ws(' ', ta[i-1], ta[i], ta[i+1])))""").as("gs"))
+          .localCheckpoint()
+        val sh = sets.select($"doc_id", size($"gs").cast("long").as("n"),
+          explode($"gs").as("g"))
+        val dfreq = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+        val pref = sh.join(dfreq, "g")
+          .withColumn("r", row_number()
+            .over(Window.partitionBy($"doc_id").orderBy($"df", $"g"))
+            .cast("long"))
+          .filter($"r" <= $"n" - expr("(n + 1) DIV 2") + 1)
+        val cand = pref.as("x").join(pref.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+              col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(min(col("x.r")).as("r1"), min(col("y.r")).as("r2"),
+            min(col("x.n")).as("n1"), min(col("y.n")).as("n2"))
+          .filter(expr("1 + least(n1 - r1, n2 - r2) >= (n1 + n2 + 2) DIV 3"))
+        cand
+          .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+          .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+          .select($"d1", $"d2",
+            size(array_intersect($"gs1", $"gs2")).cast("long").as("n_inter"),
+            $"n1".as("n_a"), $"n2".as("n_b"))
+          .filter($"n_inter" * 3 >= $"n_a" + $"n_b")
+          .withColumn("jac",
+            $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                        x -> x <> '') AS ta
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            ta[s.i] || ' ' || ta[s.i+1] || ' ' || ta[s.i+2] AS g
+          FROM toks CROSS JOIN generate_series(1, 100000) s(i)
+          WHERE s.i <= len(ta) - 2),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh GROUP BY doc_id),
+        dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        ranked AS (
+          SELECT sh.doc_id, sh.g, sizes.n,
+            CAST(row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY dfreq.df, sh.g) AS BIGINT) AS r
+          FROM sh JOIN dfreq ON sh.g = dfreq.g
+                  JOIN sizes ON sizes.doc_id = sh.doc_id),
+        pref AS (
+          SELECT doc_id, g, r, n FROM ranked
+          WHERE r <= n - (n + 1) // 2 + 1),
+        cand AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2,
+            min(x.r) AS r1, min(y.r) AS r2, min(x.n) AS n1, min(y.n) AS n2
+          FROM pref x JOIN pref y
+            ON x.g = y.g AND x.doc_id < y.doc_id
+           AND x.n * 2 >= y.n AND y.n * 2 >= x.n
+          GROUP BY x.doc_id, y.doc_id
+          HAVING 1 + least(min(x.n) - min(x.r), min(y.n) - min(y.r))
+                 >= (min(x.n) + min(y.n) + 2) // 3),
+        inter AS (
+          SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS ni
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY c.d1, c.d2, c.n1, c.n2)
+        SELECT d1, d2, CAST(ni AS BIGINT) AS n_inter,
+          n1 AS n_a, n2 AS n_b,
+          CAST(ni AS DOUBLE) / (n1 + n2 - ni) AS jac
+        FROM inter WHERE ni * 3 >= n1 + n2"""))
   )
 }
