@@ -552,6 +552,121 @@ object Relational {
           FROM u CROSS JOIN mx)
         SELECT user_id, r_days, n_events, monetary, rb, fb, mb,
           concat(CAST(rb AS VARCHAR), CAST(fb AS VARCHAR), CAST(mb AS VARCHAR)) AS segment
-        FROM b"""))
+        FROM b""")),
+
+    // ---------------------------------------------------------------- q162
+    // ASSOCIATION RULES (market-basket): pairwise co-occurrence over
+    // the order→part bipartite graph with support, both directed
+    // confidences, and lift — the Apriori k=2 pass, which at corpus
+    // scale is the one that matters (higher-k rule mining prunes from
+    // exactly this pair table). All counts are exact BIGINTs; the
+    // three ratios are single IEEE divisions of integer-valued
+    // operands (lift's numerator n_ab·N stays in exact Long — max
+    // ~10⁵·10⁶ here, range-guarded by the support gate at any scale
+    // since n_ab·N ≤ N² needs N < 3·10⁹; beyond that, pre-divide).
+    //
+    // Scale shape: the basket stream collapses map-side to DISTINCT
+    // (order, part) — the only lineitem-sized shuffle. The pair
+    // expansion self-joins on the ORDER key, so fanout is bounded by
+    // basket size k (TPC-H ~4: k²/2 ≈ 8 rows/order), never |parts|²;
+    // the pair table aggregates map-side-combined, item marginals are
+    // a |parts|-row agg joined back pair-keyed (AQE broadcasts), and
+    // the support gate (n_ab ≥ 2) prunes before the marginal joins.
+    Q(
+      "q162_assoc_rules",
+      (s, dir) => {
+        import s.implicits._
+        val items = table(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+          // consumed by pairs (both sides), marginals, and the order
+          // count — one distinct shuffle, four consumers
+          .localCheckpoint()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).cast("long").as("n_ab"))
+          .filter($"n_ab" >= 2)
+        val marg = items.groupBy($"p")
+          .agg(count(lit(1)).cast("long").as("n_p"))
+        val total = items.agg(countDistinct($"o").cast("long").as("n_orders"))
+        pairs
+          .join(marg.select($"p".as("p1"), $"n_p".as("n_a")), "p1")
+          .join(marg.select($"p".as("p2"), $"n_p".as("n_b")), "p2")
+          .crossJoin(broadcast(total))
+          .select($"p1", $"p2", $"n_ab", $"n_a", $"n_b", $"n_orders",
+            ($"n_ab".cast("double") / $"n_a").as("conf_ab"),
+            ($"n_ab".cast("double") / $"n_b").as("conf_ba"),
+            (($"n_ab" * $"n_orders").cast("double") / ($"n_a" * $"n_b"))
+              .as("lift"))
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pairs AS (
+          SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_ab
+          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p
+          HAVING count(*) >= 2),
+        marg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p
+                 FROM items GROUP BY p),
+        total AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+                  FROM items)
+        SELECT pr.p1, pr.p2, pr.n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+          t.n_orders,
+          CAST(pr.n_ab AS DOUBLE) / ma.n_p AS conf_ab,
+          CAST(pr.n_ab AS DOUBLE) / mb.n_p AS conf_ba,
+          CAST(pr.n_ab * t.n_orders AS DOUBLE) / (ma.n_p * mb.n_p) AS lift
+        FROM pairs pr
+        JOIN marg ma ON ma.p = pr.p1
+        JOIN marg mb ON mb.p = pr.p2
+        CROSS JOIN total t""")),
+
+    // ---------------------------------------------------------------- q163
+    // FIRST-ORDER MARKOV TRANSITIONS over per-user event streams:
+    // the behavioral fingerprint behind "what happens after an
+    // error?" — counts and row-normalized probabilities of each
+    // (event_type → next event_type) step. The per-user order is
+    // (ts, event_id): the id tiebreak makes the successor function
+    // TOTAL and deterministic, so counts (and the one division each)
+    // hash-match across engines — lag/lead over a tie is exactly the
+    // kind of nondeterminism the oracle would catch.
+    //
+    // Scale shape: ONE user-keyed shuffle of 4 narrow columns into
+    // the lead() window (the sessionize/q32 cost shape — per-user
+    // sorts, never a global one); transitions collapse map-side to
+    // the |types|² matrix (25 rows here), and the row marginal is a
+    // window over THAT matrix — no second pass over events.
+    Q(
+      "q163_event_transitions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        table(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("to_type", lead($"event_type", 1).over(w))
+          .filter($"to_type".isNotNull)
+          .groupBy($"event_type".as("from_type"), $"to_type")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .withColumn("n_from",
+            sum($"n").over(Window.partitionBy($"from_type")).cast("long"))
+          .withColumn("p", $"n".cast("double") / $"n_from")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        tr AS (
+          SELECT event_type AS from_type, to_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_type IS NOT NULL
+          GROUP BY event_type, to_type)
+        SELECT from_type, to_type, n,
+          CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+          CAST(n AS DOUBLE)
+            / sum(n) OVER (PARTITION BY from_type) AS p
+        FROM tr"""))
   )
 }

@@ -557,7 +557,61 @@ object TrainPrep {
         SELECT l, n_docs, n_tokens, n_over, trunc_lost_tokens, split_seqs,
           split_seqs * l - n_tokens AS split_pad_tokens,
           (n_tokens + l - 1) // l AS concat_seqs
-        FROM ag"""))
+        FROM ag""")),
+
+    // ---------------------------------------------------------------- q164
+    // WEIGHTED sample without replacement, deterministic and
+    // integer-exact: each doc holds w integer tickets (w = 1 +
+    // min(n_chars/100, 7) — the upsample-long-docs policy), ticket i
+    // hashes to the seeded-md5 60-bit key the whole repo samples
+    // with, the doc's key is its MIN ticket, and the sample is the
+    // global bottom-100 keys. Ticket replication is the
+    // integer-arithmetic form of weighted sampling: the globally
+    // smallest ticket is a uniform pick over Σw atomic tickets, so
+    // the first selection lands on a doc with probability exactly
+    // w/Σw (Efraimidis–Spirtes keys U^(1/w) would need pow/ln —
+    // transcendentals whose last-ulp behavior differs across
+    // engines; graft.Sql's determinism rules ban them, and integer
+    // tickets make the whole pipeline hash-matchable).
+    //
+    // Scale shape: the w ≤ 8 ticket hashes fold MAP-SIDE inside one
+    // projection (array_min over a transform — no explode, no
+    // ticket-level shuffle), so the corpus pass emits |docs| (id, w,
+    // key) rows into a TakeOrderedAndProject top-k: per-partition
+    // heaps, k rows to the driver. The rank window runs over the 100
+    // selected rows, never the corpus.
+    Q(
+      "q164_weighted_sample",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val keyed = table(s, dir, "documents")
+          .select($"doc_id",
+            expr("CAST(1 + least(n_chars div 100, 7) AS BIGINT)").as("w"))
+          .withColumn("min_key", expr(
+            """array_min(transform(sequence(1, CAST(w AS INT)),
+               i -> CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#',
+                 CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)))"""))
+          .orderBy($"min_key").limit(100)
+        keyed.withColumn("rank",
+          row_number().over(Window.orderBy($"min_key")).cast("long"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+            CAST(1 + least(n_chars // 100, 7) AS BIGINT) AS w
+          FROM documents),
+        k AS (
+          SELECT doc_id, w,
+            list_min(list_transform(generate_series(1, CAST(w AS INT)),
+              i -> CAST(CAST(concat('0x', substr(md5(concat(
+                CAST(doc_id AS VARCHAR), '#', CAST(i AS VARCHAR))),
+                1, 15)) AS UBIGINT) AS BIGINT))) AS min_key
+          FROM w),
+        s AS (SELECT doc_id, w, min_key FROM k ORDER BY min_key LIMIT 100)
+        SELECT doc_id, w, min_key,
+          CAST(row_number() OVER (ORDER BY min_key) AS BIGINT) AS rank
+        FROM s"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
