@@ -268,6 +268,11 @@ object Layouts {
     * partitioning/ordering intact (for roots whose probe contract
     * depends on clustering, e.g. [[LexIndex]]'s token-sorted
     * postings); the default round-robins to the session parallelism.
+    *
+    * `force = true` folds even a SINGLE live child — for callers
+    * whose `transform` must rewrite content (e.g. [[Forget.compact]]
+    * physically dropping tombstoned rows from a root that holds only
+    * `base`); the default skips the no-op single-child fold.
     */
   def foldChildren(
       spark: SparkSession,
@@ -275,7 +280,8 @@ object Layouts {
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         identity,
       beforeBatch: Option[Long] = None,
-      repartitionOutput: Boolean = true): Unit = {
+      repartitionOutput: Boolean = true,
+      force: Boolean = false): Unit = {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return
@@ -287,7 +293,7 @@ object Layouts {
       fs.delete(foldPending(root), false)
     }
     val live = liveChildrenBefore(spark, root, beforeBatch)
-    if (live.length <= 1) return
+    if (live.isEmpty || (live.length <= 1 && !force)) return
     val token = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(rootP, "__stage")
     val folded = transform(spark.read.parquet(live.map(_.toString): _*))

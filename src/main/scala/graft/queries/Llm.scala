@@ -1800,6 +1800,73 @@ object Llm {
         SELECT d1, d2, CAST(ni AS BIGINT) AS n_inter,
           n1 AS n_a, n2 AS n_b,
           CAST(ni AS DOUBLE) / (n1 + n2 - ni) AS jac
-        FROM inter WHERE ni * 3 >= n1 + n2"""))
+        FROM inter WHERE ni * 3 >= n1 + n2""")),
+
+    // ---------------------------------------------------------------- q165
+    // RIGHT-TO-BE-FORGOTTEN probe (ops.Forget): the q74 incremental-
+    // dedup posture AFTER a deletion request — corpus band/set state
+    // persists at rest (the StreamCuration layout), doc_id % 19 == 3
+    // docs are tombstoned, and a batch probes the EXCLUDED state
+    // through the real incremental path (Lsh.incrementalCandidatesFrom
+    // over Forget.exclude'd frames). The oracle is the full LSH
+    // pipeline over the corpus WITHOUT the forgotten docs — i.e. the
+    // query asserts forget ≡ rebuild-without, hash-checked end to end
+    // (probe-time exclusion must neither match against a forgotten
+    // doc nor change any surviving pair's jaccard). Physical removal
+    // (Forget.compact — the crash-safe fold with an anti-join
+    // transform) is pinned by ForgetSpec; this query pins the
+    // decision algebra the compaction must preserve.
+    //
+    // Scale shape: tombstones are request-sized → broadcast anti-
+    // joins; state is scanned, never shuffled (the incremental path's
+    // existing contract); the cap measures the EXCLUDED bucket
+    // population, exactly what a rebuild would see (cap never fires
+    // on these corpora — the lshMaxBucket note — so the oracle's
+    // capped form stays exact).
+    Q(
+      "q165_forget_probe",
+      (s, dir) => {
+        import s.implicits._
+        val docs = docsSpread(s, dir)
+        val corpus = docs.filter($"doc_id" % 10 < 8)
+        val batch = docs.filter($"doc_id" % 10 >= 8)
+        val state = java.nio.file.Files
+          .createTempDirectory("forget-state").toString
+        val csets = shingleSets(corpus).localCheckpoint()
+        bandsOf(csets)
+          .withColumn("bkey", concat_ws("|", $"band", $"bsig"))
+          .select($"bkey", $"doc_id")
+          .write.mode("overwrite").parquet(s"$state/bands/base")
+        csets.write.mode("overwrite").parquet(s"$state/sets/base")
+        graft.ops.Forget.tombstone(s, state,
+          corpus.filter($"doc_id" % 19 === 3).select($"doc_id"), 0L)
+        val bsets = shingleSets(batch).localCheckpoint()
+        val seenBands = graft.ops.Forget.exclude(
+          graft.ops.Layouts.readChildren(s, s"$state/bands",
+            "bkey STRING, doc_id BIGINT"), s, state)
+        val cand = graft.ops.Lsh.incrementalCandidatesFrom(
+          s, seenBands, bandsOf(bsets), lshMaxBucket)
+        val seenSets = graft.ops.Forget.exclude(
+          graft.ops.Layouts.readChildren(s, s"$state/sets",
+            "doc_id BIGINT, gs ARRAY<STRING>"), s, state)
+        cand
+          .join(seenSets.select($"doc_id".as("corpus_doc"), $"gs".as("gs1")),
+            "corpus_doc")
+          .join(bsets.select($"doc_id".as("batch_doc"), $"gs".as("gs2")),
+            "batch_doc")
+          .withColumn("inter", size(array_intersect($"gs1", $"gs2")))
+          .withColumn("jac", $"inter".cast("double")
+            / (size($"gs1") + size($"gs2") - $"inter"))
+          .filter($"jac" >= 0.35)
+          .select($"batch_doc", $"corpus_doc", $"jac")
+      },
+      Some(s"""
+        WITH pairs AS ($minhashPairsSql)
+        SELECT CASE WHEN d1 % 10 < 8 THEN d2 ELSE d1 END AS batch_doc,
+               CASE WHEN d1 % 10 < 8 THEN d1 ELSE d2 END AS corpus_doc,
+               jac
+        FROM pairs
+        WHERE (d1 % 10 < 8) <> (d2 % 10 < 8)
+          AND (CASE WHEN d1 % 10 < 8 THEN d1 ELSE d2 END) % 19 <> 3"""))
   )
 }

@@ -129,12 +129,21 @@ object StreamCuration {
     // 2. near-dup: candidates from both sides, then exact verify
     val inBatch = Lsh.expandPairsCapped(bands, Seq("band", "bsig"), "doc_id", maxBucket)
       .select($"d1", $"d2")
-    val seenBands = readState(spark, s"$stateDir/bands",
-      "bkey STRING, doc_id BIGINT", batchId)
+    // forget tombstones are honored AT PROBE TIME: a deletion request
+    // (ops.Forget.tombstone) stops the near-dup pass from matching
+    // against the forgotten docs immediately — physical removal waits
+    // for Forget.compact's cadence. fps is a distinct-set state with
+    // no doc provenance, so it is NOT in Forget's scope (documented
+    // there): a forgotten doc's fingerprint lingers until the rebuild
+    // cadence, which can only FALSE-DROP a bit-identical future dup.
+    val seenBands = graft.ops.Forget.exclude(
+      readState(spark, s"$stateDir/bands",
+        "bkey STRING, doc_id BIGINT", batchId), spark, stateDir)
     val cross = Lsh.incrementalCandidatesFrom(spark, seenBands, bands, maxBucket)
       .select(col("corpus_doc").as("d1"), col("batch_doc").as("d2"))
-    val seenSets = readState(spark, s"$stateDir/sets",
-      "doc_id BIGINT, gs ARRAY<STRING>", batchId)
+    val seenSets = graft.ops.Forget.exclude(
+      readState(spark, s"$stateDir/sets",
+        "doc_id BIGINT, gs ARRAY<STRING>", batchId), spark, stateDir)
     val verified = inBatch.union(cross).distinct()
       .join(seenSets.union(sets).select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
       .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")

@@ -1,0 +1,143 @@
+package graft
+
+import graft.ops.{Forget, Layouts, Lsh}
+import graft.queries.Llm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ops.Forget (right-to-be-forgotten propagation): probe-time
+  * exclusion must equal a state rebuilt without the forgotten docs;
+  * compaction must PHYSICALLY remove their rows (raw reads, not
+  * excluded ones), clear exactly the applied tombstones, and leave
+  * probes unchanged; and the streaming curation path must stop
+  * dropping near-dups of a forgotten document immediately.
+  */
+class ForgetSpec extends SparkSuite {
+
+  /** Corpus with two planted cross-set near-dup anchors (c1, c2) and
+    * batch twins (b1, b2) sharing their 200-char prefixes; filler
+    * docs are random (no accidental pairs at jac ≥ 0.35).
+    */
+  private def fixture: (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val r = new scala.util.Random(5)
+    def seg(n: Int): String =
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    val a1 = seg(220); val a2 = seg(220)
+    val corpus = Seq((10L, a1), (20L, a2)) ++
+      (0 until 40).map(i => (100L + i, seg(220)))
+    val batch = Seq((1010L, a1 + seg(30)), (1020L, a2 + seg(30))) ++
+      (0 until 10).map(i => (2000L + i, seg(220)))
+    (corpus, batch)
+  }
+
+  private def buildState(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, state: String): Unit = {
+    val csets = Llm.shingleSets(corpus)
+    Llm.bandsOf(csets)
+      .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
+      .select(col("bkey"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$state/bands/base")
+    csets.write.mode("overwrite").parquet(s"$state/sets/base")
+  }
+
+  private def probe(spark: org.apache.spark.sql.SparkSession,
+      state: String, batch: DataFrame,
+      excluded: Boolean): Set[(Long, Long)] = {
+    import spark.implicits._
+    def maybeEx(df: DataFrame) =
+      if (excluded) Forget.exclude(df, spark, state) else df
+    val bsets = Llm.shingleSets(batch).localCheckpoint()
+    val seenBands = maybeEx(Layouts.readChildren(spark, s"$state/bands",
+      "bkey STRING, doc_id BIGINT"))
+    val cand = Lsh.incrementalCandidatesFrom(
+      spark, seenBands, Llm.bandsOf(bsets), Llm.lshMaxBucket)
+    val seenSets = maybeEx(Layouts.readChildren(spark, s"$state/sets",
+      "doc_id BIGINT, gs ARRAY<STRING>"))
+    cand
+      .join(seenSets.select($"doc_id".as("corpus_doc"), $"gs".as("gs1")),
+        "corpus_doc")
+      .join(bsets.select($"doc_id".as("batch_doc"), $"gs".as("gs2")),
+        "batch_doc")
+      .withColumn("inter", size(array_intersect($"gs1", $"gs2")))
+      .withColumn("jac", $"inter".cast("double")
+        / (size($"gs1") + size($"gs2") - $"inter"))
+      .filter($"jac" >= 0.35)
+      .select($"batch_doc", $"corpus_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("exclude ≡ rebuild-without; compact removes physically and idempotently") {
+    import spark.implicits._
+    val (c, b) = fixture
+    val corpus = c.toDF("doc_id", "text")
+    val batch = b.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("forget1").toString
+
+    buildState(spark, corpus, state)
+    // before any tombstone: both planted pairs candidate and verify
+    assert(probe(spark, state, batch, excluded = true) ==
+      Set((1010L, 10L), (1020L, 20L)))
+    // compact with no tombstones is a no-op
+    assert(Forget.compact(spark, state, Seq("bands", "sets")) == 0L)
+
+    // forget anchor 10 (twice — replayed request converges)
+    Forget.tombstone(spark, state, Seq(10L).toDF("doc_id"), 0L)
+    Forget.tombstone(spark, state, Seq(10L).toDF("doc_id"), 0L)
+    val afterForget = probe(spark, state, batch, excluded = true)
+    assert(afterForget == Set((1020L, 20L)),
+      s"excluded probe still matches the forgotten doc: $afterForget")
+
+    // rebuild-without equality
+    val rebuilt = java.nio.file.Files.createTempDirectory("forget2").toString
+    buildState(spark, corpus.filter($"doc_id" =!= 10L), rebuilt)
+    assert(probe(spark, rebuilt, batch, excluded = true) == afterForget)
+
+    // physical removal: raw (UNexcluded) reads must lose doc 10,
+    // tombstone children must clear, probes must not change
+    assert(Forget.compact(spark, state, Seq("bands", "sets")) == 1L)
+    val rawBands = Layouts.readChildren(spark, s"$state/bands",
+      "bkey STRING, doc_id BIGINT")
+    val rawSets = Layouts.readChildren(spark, s"$state/sets",
+      "doc_id BIGINT, gs ARRAY<STRING>")
+    assert(rawBands.filter($"doc_id" === 10L).count() == 0)
+    assert(rawSets.filter($"doc_id" === 10L).count() == 0)
+    assert(rawBands.count() > 0 && rawSets.count() > 0)
+    assert(Layouts.liveChildren(spark, s"$state/forget").isEmpty,
+      "applied tombstone children were not cleared")
+    assert(probe(spark, state, batch, excluded = false) == afterForget)
+    // second compact: nothing left to apply
+    assert(Forget.compact(spark, state, Seq("bands", "sets")) == 0L)
+  }
+
+  test("streaming curation stops dropping near-dups of a forgotten doc") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+    // a long survivor of batch 0 — its near-dup (same 200-char
+    // prefix, new tail, so a DIFFERENT exact fp) must drop in the
+    // control run and survive once the anchor is forgotten
+    val anchor = docs.filter(length($"text") >= 200)
+      .orderBy($"doc_id").limit(1).collect()(0)
+    val dupRow = Seq((999999L, anchor.getString(1), anchor.getString(2),
+      anchor.getString(3) + " graft forget spec suffix"))
+      .toDF("doc_id", "lang", "source", "text")
+
+    def run(forget: Boolean): Boolean = {
+      val stateDir = java.nio.file.Files.createTempDirectory("fstate").toString
+      val outDir = java.nio.file.Files.createTempDirectory("fout").toString + "/d"
+      assert(graft.streaming.StreamCuration.processBatch(
+        spark, docs, stateDir, outDir, batchId = 0L))
+      if (forget)
+        Forget.tombstone(spark, stateDir,
+          Seq(anchor.getLong(0)).toDF("doc_id"), 0L)
+      graft.streaming.StreamCuration.processBatch(
+        spark, dupRow, stateDir, outDir, batchId = 1L)
+      spark.read.parquet(s"$outDir/b1")
+        .filter($"doc_id" === 999999L).count() == 1
+    }
+    assert(!run(forget = false),
+      "control: the near-dup was NOT dropped — anchor choice broken")
+    assert(run(forget = true),
+      "near-dup of a forgotten doc was still dropped at probe time")
+  }
+}
