@@ -1844,8 +1844,12 @@ object Llm {
         val seenBands = graft.ops.Forget.exclude(
           graft.ops.Layouts.readChildren(s, s"$state/bands",
             "bkey STRING, doc_id BIGINT"), s, state)
+        // the incremental path's caller contract: the batch band frame
+        // is consumed once per tier decision plus once per tier —
+        // materialize it (the StreamCuration discipline)
+        val bbands = bandsOf(bsets).localCheckpoint()
         val cand = graft.ops.Lsh.incrementalCandidatesFrom(
-          s, seenBands, bandsOf(bsets), lshMaxBucket)
+          s, seenBands, bbands, lshMaxBucket)
         val seenSets = graft.ops.Forget.exclude(
           graft.ops.Layouts.readChildren(s, s"$state/sets",
             "doc_id BIGINT, gs ARRAY<STRING>"), s, state)
