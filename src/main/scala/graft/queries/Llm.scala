@@ -1871,6 +1871,77 @@ object Llm {
                jac
         FROM pairs
         WHERE (d1 % 10 < 8) <> (d2 % 10 < 8)
-          AND (CASE WHEN d1 % 10 < 8 THEN d1 ELSE d2 END) % 19 <> 3"""))
+          AND (CASE WHEN d1 % 10 < 8 THEN d1 ELSE d2 END) % 19 <> 3""")),
+
+    // ---------------------------------------------------------------- q168
+    // QUALITY-AWARE canonical selection — dedup that keeps the BEST
+    // document, not the first: per q45 near-dup cluster, the canonical
+    // is the member maximizing an integer quality key (stop-hits
+    // dominant, length tiebreak, min doc_id as the final tiebreak —
+    // the dedup literature keeps the highest-quality copy; min-id
+    // keep, q85's rule, is the order-dependent default this query
+    // audits). `differs` counts the clusters where the two policies
+    // disagree — the docs min-id dedup throws away that a quality
+    // bar would have kept.
+    //
+    // The argmax is a single max(struct(quality, -doc_id)) partial
+    // agg — deterministic (lexicographic struct order, total because
+    // doc_id is unique), map-side combinable, no window over members.
+    //
+    // Scale shape: q45's cluster labels (CC over the LSH pair graph,
+    // two-tier) joined doc-keyed to a scan-side quality projection;
+    // one |clustered-docs|-row shuffle into the per-cluster agg.
+    Q(
+      "q168_quality_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Llm.all.find(_.name == "q21_minhash_lsh").get
+          .run(s, dir).select($"d1", $"d2")
+        val labels = graft.ops.ConnectedComponents.auto(pairs)
+        val qual = docsSpread(s, dir).select($"doc_id",
+          (size(expr(
+            "regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)"))
+            .cast("long") * 1000000L + length($"text").cast("long"))
+            .as("quality"))
+        labels.join(qual, labels("v") === qual("doc_id"))
+          .groupBy($"cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            max(struct($"quality", (-$"doc_id").as("nid"))).as("mx"))
+          .select($"cluster_id", $"n_members",
+            (-$"mx.nid").as("canon_doc"),
+            $"mx.quality".as("canon_quality"),
+            ($"mx.nid" =!= -$"cluster_id").cast("long").as("differs"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashPairsSql),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION
+          SELECT d2, d1 FROM pairs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+        qual AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b')) AS BIGINT) * 1000000
+              + CAST(length(text) AS BIGINT) AS quality
+          FROM documents),
+        j AS (
+          SELECT l.cluster_id, l.v AS doc_id, q.quality
+          FROM labels l JOIN qual q ON q.doc_id = l.v),
+        m AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+            max(quality) AS mq
+          FROM j GROUP BY cluster_id),
+        c AS (
+          SELECT j.cluster_id, min(m.n_members) AS n_members,
+            min(j.doc_id) AS canon_doc, min(m.mq) AS canon_quality
+          FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.quality = m.mq
+          GROUP BY j.cluster_id)
+        SELECT cluster_id, n_members, canon_doc, canon_quality,
+          CAST(canon_doc <> cluster_id AS BIGINT) AS differs
+        FROM c"""))
   )
 }

@@ -667,6 +667,106 @@ object Relational {
           CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
           CAST(n AS DOUBLE)
             / sum(n) OVER (PARTITION BY from_type) AS p
-        FROM tr"""))
+        FROM tr""")),
+
+    // ---------------------------------------------------------------- q166
+    // EVENT PATH MINING — the sequence patterns q163's first-order
+    // matrix cannot see: the top-20 event-type TRIGRAMS across user
+    // streams (view→view→purchase and view→purchase→view have the
+    // same transition counts but very different products). Same
+    // (ts, event_id) total order as q163; rank tiebreak on the path
+    // string itself, share = one division by the total trigram count.
+    //
+    // Scale shape: the same single user-keyed window shuffle as
+    // q163 (two lead()s ride the one sort); paths collapse map-side
+    // to ≤ |types|³ rows (125 here), and the rank/total windows run
+    // over THAT frame. Top-20 of a 125-row frame is free; at a
+    // larger type alphabet it becomes TakeOrderedAndProject.
+    Q(
+      "q166_event_paths",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val tri = table(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type".as("s1"))
+          .withColumn("s2", lead($"s1", 1).over(w))
+          .withColumn("s3", lead($"s1", 2).over(w))
+          .filter($"s2".isNotNull && $"s3".isNotNull)
+          .groupBy($"s1", $"s2", $"s3")
+          .agg(count(lit(1)).cast("long").as("n"))
+        tri
+          .withColumn("total", sum($"n").over(Window.partitionBy()).cast("long"))
+          .withColumn("rk", row_number().over(
+              Window.orderBy($"n".desc, $"s1".asc, $"s2".asc, $"s3".asc))
+            .cast("long"))
+          .filter($"rk" <= 20)
+          .select($"rk", $"s1", $"s2", $"s3", $"n",
+            ($"n".cast("double") / $"total").as("share"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type AS s1,
+            lead(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS s2,
+            lead(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS s3
+          FROM events),
+        tri AS (
+          SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+          GROUP BY s1, s2, s3),
+        r AS (
+          SELECT s1, s2, s3, n,
+            CAST(sum(n) OVER () AS BIGINT) AS total,
+            CAST(row_number() OVER (ORDER BY n DESC, s1, s2, s3) AS BIGINT) AS rk
+          FROM tri)
+        SELECT rk, s1, s2, s3, n, CAST(n AS DOUBLE) / total AS share
+        FROM r WHERE rk <= 20""")),
+
+    // ---------------------------------------------------------------- q167
+    // REVENUE PARETO (the 80/20 table): customers ranked by exact
+    // DECIMAL revenue into deciles, each decile's customer count,
+    // revenue mass and share — the concentration read behind every
+    // "top decile drives X% of revenue" claim. Deterministic ntile
+    // order (revenue DESC, custkey ASC); shares are single divisions
+    // of exact decimal sums cast to double.
+    //
+    // Scale shape: orders collapse map-side to |customers| rows; the
+    // decile window runs over the customer frame (the q154 posture —
+    // at 10⁹ customers it becomes percentile cuts against broadcast
+    // bounds, q83's GlobalRank treatment); the decile agg is 10 rows.
+    Q(
+      "q167_revenue_pareto",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cust = table(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(dec($"o_totalprice")).as("rev"))
+        val d = cust.withColumn("decile", ntile(10).over(
+          Window.orderBy($"rev".desc, $"o_custkey".asc)).cast("long"))
+        d.groupBy($"decile")
+          .agg(count(lit(1)).cast("long").as("n_cust"),
+            sum($"rev").as("drev"))
+          .withColumn("total", sum($"drev").over(Window.partitionBy()))
+          .select($"decile", $"n_cust", out($"drev").as("revenue"),
+            ($"drev".cast("double") / $"total".cast("double")).as("share"))
+      },
+      Some("""
+        WITH cust AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+          FROM orders GROUP BY o_custkey),
+        d AS (
+          SELECT o_custkey, rev,
+            CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS BIGINT) AS decile
+          FROM cust),
+        a AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+            sum(rev) AS drev
+          FROM d GROUP BY decile)
+        SELECT decile, n_cust, CAST(drev AS DOUBLE) AS revenue,
+          CAST(drev AS DOUBLE) / CAST(sum(drev) OVER () AS DOUBLE) AS share
+        FROM a"""))
   )
 }
