@@ -987,7 +987,53 @@ object Curation {
           CAST(coalesce(sum(m.nt), 0) AS BIGINT) AS tokens_total,
           CAST(coalesce(sum(a.keep * m.nt), 0) AS BIGINT) AS tokens_kept
         FROM a JOIN m ON a.doc_id = m.doc_id
-        GROUP BY m.source"""))
+        GROUP BY m.source""")),
+
+    // ---------------------------------------------------------------- q169
+    // EXACT equi-depth histogram — the optimizer-statistics staple
+    // (DB NDV histograms, eval-set balance checks) done the
+    // distributed-exact way: 10 buckets of equal ROW count over
+    // lineitem prices, boundaries from the true global order, not a
+    // sample. The rank comes from ops.GlobalRank (range-partition +
+    // per-partition offsets — q83's machinery), so no empty-
+    // partition-spec window ever concentrates the sort on one task;
+    // bucket assignment is pure integer arithmetic ((rk−1)·10 div n)
+    // and the per-bucket min/max/mass aggregate map-side. Ties split
+    // across boundaries deterministically via the (price, orderkey,
+    // linenumber) total key — equi-DEPTH is exact by construction
+    // (bucket sizes differ by ≤ 1), which a value-quantile sketch
+    // (q72) only approximates.
+    Q(
+      "q169_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+          .select(dec($"l_extendedprice").as("v"),
+            $"l_orderkey", $"l_linenumber")
+        val ranked = graft.ops.GlobalRank.withRank(
+          li, Seq($"v".asc, $"l_orderkey".asc, $"l_linenumber".asc),
+          "rk", s.sparkContext.defaultParallelism)
+        val total = li.agg(count(lit(1)).cast("long").as("n"))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("bucket", expr("(rk - 1) * 10 div n"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            out(min($"v")).as("lo"), out(max($"v")).as("hi"),
+            out(sum($"v")).as("mass"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+            CAST(row_number() OVER (
+              ORDER BY CAST(l_extendedprice AS DECIMAL(18,4)),
+                       l_orderkey, l_linenumber) AS BIGINT) AS rk,
+            CAST(count(*) OVER () AS BIGINT) AS n
+          FROM lineitem)
+        SELECT (rk - 1) * 10 // n AS bucket,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
+          CAST(sum(v) AS DOUBLE) AS mass
+        FROM r GROUP BY (rk - 1) * 10 // n"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

@@ -447,7 +447,76 @@ object Stats {
           ((CAST(coalesce(obs.observed, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE)) *
            (CAST(coalesce(obs.observed, 0) AS DOUBLE) - CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE))) /
           (CAST(tot.n AS DOUBLE) * CAST(bp.p AS DOUBLE)) AS chisq_term
-        FROM bp LEFT JOIN obs USING (digit) CROSS JOIN tot"""))
+        FROM bp LEFT JOIN obs USING (digit) CROSS JOIN tot""")),
+
+    // ---------------------------------------------------------------- q170
+    // SHUFFLE-SKEW AUDIT — the number that decides when q57's salting
+    // (or AQE skew-join splitting) is worth it: for each candidate
+    // partition count P ∈ {16, 64, 256}, hash lineitem's supplier key
+    // into P buckets (engine-neutral md5 hash — Spark's internal
+    // Murmur3 would not replay in the oracle) and report the exact
+    // max-bucket/mean-bucket imbalance plus the heaviest single key's
+    // row share. skew ≈ 1 ⇒ hash partitioning balances; skew ≫ 1 at
+    // every P ⇒ the key histogram itself is the problem and salting
+    // is the fix. All counts exact BIGINTs; two divisions per row.
+    //
+    // Scale shape: ONE key-count aggregation (map-side combined —
+    // |keys| partials, the corpus never shuffles for the audit),
+    // exploded ×3 over the P ladder to |keys|×3 bucket rows, then a
+    // ≤ P·3-row bucket agg and a 3-row report. The heaviest key is a
+    // max over the same key-count frame.
+    Q(
+      "q170_shuffle_skew",
+      (s, dir) => {
+        import s.implicits._
+        val keys = table(s, dir, "lineitem")
+          .groupBy($"l_suppkey").agg(count(lit(1)).cast("long").as("kn"))
+          .localCheckpoint()
+        val hashed = keys.withColumn("h", expr(
+          "CAST(conv(substr(md5(CAST(l_suppkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .select($"kn", $"h",
+            explode(expr("array(CAST(16 AS BIGINT), CAST(64 AS BIGINT), " +
+              "CAST(256 AS BIGINT))")).as("p"))
+          .withColumn("bucket", $"h" % $"p")
+        val buckets = hashed.groupBy($"p", $"bucket")
+          .agg(sum($"kn").cast("long").as("bn"))
+        val tot = keys.agg(sum($"kn").cast("long").as("n"),
+          count(lit(1)).cast("long").as("n_keys"),
+          max($"kn").cast("long").as("top_key_rows"))
+        buckets.groupBy($"p")
+          .agg(count(lit(1)).cast("long").as("n_used_buckets"),
+            max($"bn").cast("long").as("max_bucket_rows"))
+          .crossJoin(broadcast(tot))
+          .select($"p", $"n_keys", $"n_used_buckets", $"max_bucket_rows",
+            $"n", $"top_key_rows",
+            (($"max_bucket_rows" * $"p").cast("double") / $"n").as("skew"),
+            ($"top_key_rows".cast("double") / $"n").as("top_key_share"))
+      },
+      Some("""
+        WITH keys AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS kn
+          FROM lineitem GROUP BY l_suppkey),
+        hashed AS (
+          SELECT kn,
+            CAST(CAST(concat('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h,
+            CAST(pp.p AS BIGINT) AS p
+          FROM keys CROSS JOIN (SELECT unnest([16, 64, 256]) AS p) pp),
+        buckets AS (
+          SELECT p, h % p AS bucket, CAST(sum(kn) AS BIGINT) AS bn
+          FROM hashed GROUP BY p, h % p),
+        tot AS (
+          SELECT CAST(sum(kn) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(max(kn) AS BIGINT) AS top_key_rows
+          FROM keys)
+        SELECT b.p, t.n_keys,
+          CAST(count(*) AS BIGINT) AS n_used_buckets,
+          CAST(max(b.bn) AS BIGINT) AS max_bucket_rows,
+          t.n, t.top_key_rows,
+          CAST(max(b.bn) * b.p AS DOUBLE) / t.n AS skew,
+          CAST(t.top_key_rows AS DOUBLE) / t.n AS top_key_share
+        FROM buckets b CROSS JOIN tot t
+        GROUP BY b.p, t.n_keys, t.n, t.top_key_rows"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
