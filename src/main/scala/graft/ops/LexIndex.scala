@@ -104,19 +104,91 @@ object LexIndex {
   private def chunks(spark: SparkSession, path: String): DataFrame =
     Layouts.readChildren(spark, s"$path/chunks", chunkDdl)
 
+  /** Record a deletion request against the index ([[Forget]]'s LSM
+    * pattern, specialized because BM25 needs more than row exclusion:
+    * df, nd and sum_dl must all read as if the docs were never
+    * indexed). Each forgotten doc's dl is captured FROM ITS POSTINGS
+    * once, here — so every subsequent [[search]] corrects the corpus
+    * stats with an O(|requests|) broadcast instead of rescanning the
+    * index per query. Idempotent child overwrite per `markId`; docs
+    * absent from the index contribute no row and no correction.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame, markId: Long): Unit =
+    chunks(spark, path).filter(col("kind") === "p")
+      .join(ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/forget/b$markId")
+
+  /** The live tombstone frame (doc_id, dl) — None when no request is
+    * pending, so the no-forget [[search]] plan is untouched. Repeated
+    * requests for the same doc collapse (max over identical dls).
+    */
+  private def tombs(spark: SparkSession, path: String): Option[DataFrame] =
+    if (Layouts.liveChildren(spark, s"$path/forget").isEmpty) None
+    else Some(Layouts.readChildren(spark, s"$path/forget",
+        "doc_id BIGINT, dl BIGINT")
+      .groupBy(col("doc_id")).agg(max(col("dl")).cast("long").as("dl")))
+
+  /** Physically drop forgotten postings and REBUILD the stats row
+    * from the survivors (the fold's [[withStatsRow]] recompute —
+    * forget ≡ rebuild-without at rest, not just at probe), then clear
+    * exactly the applied tombstone children. Same crash ordering as
+    * [[Forget.compact]]: data folds publish first, a crash leaves
+    * tombstones live and probes correct.
+    */
+  def forgetCompact(spark: SparkSession, path: String,
+      beforeBatch: Option[Long] = None): Unit = {
+    val applied = Layouts.liveChildren(spark, s"$path/forget").map(_.getName)
+    if (applied.isEmpty) return
+    val t = Layouts.readChildren(spark, s"$path/forget",
+        "doc_id BIGINT, dl BIGINT")
+      .select(col("doc_id")).distinct().localCheckpoint()
+    try {
+      Layouts.foldChildren(spark, s"$path/chunks",
+        all => withStatsRow(
+          all.filter(col("kind") === "p")
+            .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+            .join(t, Seq("doc_id"), "left_anti")),
+        beforeBatch = beforeBatch, repartitionOutput = false, force = true)
+      val fs = new org.apache.hadoop.fs.Path(s"$path/forget")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      applied.foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/forget/$name"), true)
+      }
+    } finally Checkpoints.release(t)
+  }
+
   /** BM25 scores for `terms` served from the index — output
     * (doc_id, dl, n_qterms, score), bit-identical to q95's corpus
     * scan. `k > 0` keeps the global top-k (TakeOrderedAndProject);
     * `k = 0` returns every matching document (q95's shape).
+    *
+    * Pending [[forget]] tombstones are honored TRANSPARENTLY (callers
+    * must not have to remember deletion): postings anti-joined, df
+    * re-derived from the surviving postings for free, and the corpus
+    * stats corrected by the captured (Σdl, count) delta — bit-exact
+    * with an index rebuilt without the forgotten docs, because every
+    * BM25 input (tf, df, dl, sum_dl, nd) is then identical. With no
+    * pending request the plan is byte-for-byte the old one.
     */
   def search(spark: SparkSession, path: String, terms: Seq[String], k: Int = 0): DataFrame = {
     val all = chunks(spark, path)
-    val post = all.filter(col("kind") === "p" && col("tok").isin(terms: _*))
+    val tomb = tombs(spark, path)
+    val post0 = all.filter(col("kind") === "p" && col("tok").isin(terms: _*))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val post = tomb.fold(post0)(t =>
+      post0.join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_anti"))
     val df = post.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
-    val stats = all.filter(col("kind") === "s")
+    val stats0 = all.filter(col("kind") === "s")
       .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
         sum(col("nd")).cast("long").as("nd"))
+    val stats = tomb.fold(stats0)(t =>
+      stats0.crossJoin(broadcast(
+          t.agg(sum(col("dl")).cast("long").as("t_dl"),
+            count(lit(1)).cast("long").as("t_nd"))))
+        .select((col("sum_dl") - col("t_dl")).as("sum_dl"),
+          (col("nd") - col("t_nd")).as("nd")))
     val scored = post.join(broadcast(df), "tok")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok").as("w"), col("dl"),

@@ -1402,7 +1402,99 @@ object Selection {
           WHERE b.doc_id % 10 >= 8)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           sum(p ORDER BY pos) / CAST(count(*) AS DOUBLE) AS fit
-        FROM ho GROUP BY doc_id"""))
+        FROM ho GROUP BY doc_id""")),
+
+    // --------------------------------------------------------------- q171
+    // CLASSIFIER LIFT / GAINS TABLE — the model-eval read behind "is
+    // q109's classifier worth its threshold": docs ranked into deciles
+    // by the classifier's INTEGER margin (deterministic ntile order —
+    // margin desc, doc_id asc), scored against the INDEPENDENT Gopher
+    // verdict (q135's calibration convention: flags consumed from
+    // Mining.gopherRules, absent docs cannot pass). Per decile: docs,
+    // gopher-passers, pass rate, lift vs the base rate (n_pass·N /
+    // (n_docs·N_pass) — exact Long products, one division) and the
+    // cumulative gains curve a selection budget reads directly.
+    //
+    // Scale shape: the classifier and the verdict are each one
+    // token-hash scan (their own cost notes); the lift table ranks
+    // the |docs|-row margin frame (q154's ntile posture — GlobalRank
+    // percentile cuts at 10⁹ docs), aggregates to 10 rows, and the
+    // cumulative window runs over those 10.
+    Q(
+      "q171_classifier_lift",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Llm.docsSpread(s, dir)
+        val cls = qualityClassifier(docs).select($"doc_id", $"margin")
+        val gq = Mining.gopherRules(docs).select($"doc_id", $"pass")
+        // consumed by the decile frame AND the totals
+        val j = cls.join(gq, Seq("doc_id"), "left")
+          .select($"doc_id", $"margin", coalesce($"pass", lit(0L)).as("p"))
+          .localCheckpoint()
+        val d = j.withColumn("decile", ntile(10).over(
+          Window.orderBy($"margin".desc, $"doc_id".asc)).cast("long"))
+        val t = j.agg(count(lit(1)).cast("long").as("n"),
+          sum($"p").cast("long").as("np"))
+        d.groupBy($"decile")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"p").cast("long").as("n_pass"))
+          .crossJoin(broadcast(t))
+          .withColumn("cum_pass", sum($"n_pass").over(
+              Window.orderBy($"decile")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+          .select($"decile", $"n_docs", $"n_pass",
+            ($"n_pass".cast("double") / $"n_docs").as("pass_rate"),
+            (($"n_pass" * $"n").cast("double") / ($"n_docs" * $"np"))
+              .as("lift"),
+            ($"cum_pass".cast("double") / $"np").as("cum_gain"))
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang, ${h60Sql("tok")} % 256 AS bh FROM ws),
+        counts AS (
+          SELECT bh, CAST(count(*) AS BIGINT) AS c,
+            CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp
+          FROM toks GROUP BY bh),
+        totals AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_all, CAST(sum(cp) AS BIGINT) AS n_pos
+          FROM counts),
+        lm AS (
+          SELECT bh, (cp + 1) * 1000000 // (c + 2) AS w,
+            (n_pos + 1) * 1000000 // (n_all + 2) AS prior
+          FROM counts CROSS JOIN totals),
+        sc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(w) AS BIGINT) AS sw, max(prior) AS prior
+          FROM toks JOIN lm USING (bh) GROUP BY doc_id),
+        ${Mining.gopherSqlCtes},
+        j AS (
+          SELECT sc.doc_id,
+            CAST(sc.sw - sc.n_tokens * sc.prior AS BIGINT) AS margin,
+            CAST(coalesce(gop.pass, 0) AS BIGINT) AS p
+          FROM sc LEFT JOIN gop ON gop.doc_id = sc.doc_id),
+        d AS (
+          SELECT doc_id, margin, p,
+            CAST(ntile(10) OVER (ORDER BY margin DESC, doc_id ASC) AS BIGINT) AS decile
+          FROM j),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np
+          FROM j),
+        a AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(p) AS BIGINT) AS n_pass
+          FROM d GROUP BY decile)
+        SELECT a.decile, a.n_docs, a.n_pass,
+          CAST(a.n_pass AS DOUBLE) / a.n_docs AS pass_rate,
+          CAST(a.n_pass * t.n AS DOUBLE) / (a.n_docs * t.np) AS lift,
+          CAST(sum(a.n_pass) OVER (ORDER BY a.decile
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.np AS cum_gain
+        FROM a CROSS JOIN t"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &

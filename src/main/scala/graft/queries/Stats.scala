@@ -516,7 +516,64 @@ object Stats {
           CAST(max(b.bn) * b.p AS DOUBLE) / t.n AS skew,
           CAST(t.top_key_rows AS DOUBLE) / t.n AS top_key_share
         FROM buckets b CROSS JOIN tot t
-        GROUP BY b.p, t.n_keys, t.n, t.top_key_rows"""))
+        GROUP BY b.p, t.n_keys, t.n, t.top_key_rows""")),
+
+    // ---------------------------------------------------------------- q172
+    // GINI CONCENTRATION of token mass per source — the inequality
+    // number beside q167's decile table (a Pareto table shows WHERE
+    // mass concentrates; Gini is the single scalar dashboards trend).
+    // Computed exactly from the rank form G = (2·Σi·xᵢ − (n+1)·Σx) /
+    // (n·Σx) over ascending token counts: ranks are per-source
+    // windows under a (tokens, doc_id) total order, both sides of
+    // the division exact BIGINTs, one IEEE division per source. Ties
+    // are harmless here beyond determinism: equal x under any
+    // permutation of consecutive ranks leaves Σi·xᵢ unchanged.
+    //
+    // Scale shape: one scan collapses docs to (source, doc, tokens);
+    // the rank windows partition BY SOURCE (parallel across sources —
+    // never a global sort; a mega-source gets q83's GlobalRank
+    // treatment); the fold to numerators is map-side-combined to
+    // |sources| rows.
+    Q(
+      "q172_token_gini",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val nt = table(s, dir, "documents")
+          .select($"source", $"doc_id",
+            size(expr("filter(split(text, ' '), x -> x <> '')"))
+              .cast("long").as("x"))
+        nt.withColumn("i", row_number().over(
+            Window.partitionBy($"source").orderBy($"x".asc, $"doc_id".asc))
+            .cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"x").cast("long").as("sum_tokens"),
+            sum($"i" * $"x").cast("long").as("six"))
+          .select($"source", $"n_docs", $"sum_tokens",
+            ((lit(2L) * $"six" - ($"n_docs" + 1L) * $"sum_tokens")
+              .cast("double")
+              / ($"n_docs" * $"sum_tokens").cast("double")).as("gini"))
+      },
+      Some("""
+        WITH nt AS (
+          SELECT source, doc_id,
+            CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS x
+          FROM documents),
+        r AS (
+          SELECT source, x,
+            CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY x ASC, doc_id ASC) AS BIGINT) AS i
+          FROM nt),
+        a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(x) AS BIGINT) AS sum_tokens,
+            CAST(sum(i * x) AS BIGINT) AS six
+          FROM r GROUP BY source)
+        SELECT source, n_docs, sum_tokens,
+          CAST(2 * six - (n_docs + 1) * sum_tokens AS DOUBLE)
+            / CAST(n_docs * sum_tokens AS DOUBLE) AS gini
+        FROM a"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
