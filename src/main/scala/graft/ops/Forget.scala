@@ -71,12 +71,14 @@ object Forget {
     state.join(ids(spark, stateDir), Seq("doc_id"), "left_anti")
 
   /** Physically remove tombstoned rows from each doc_id-keyed state
-    * root under `stateDir`, then clear exactly the tombstone children
-    * that were applied. `beforeBatch` is the maintainer's committed
-    * bound (the [[Layouts.foldChildren]] replay-hygiene contract) —
-    * an uncommitted trigger child keeps its rows until the next
-    * cadence, which is safe because [[exclude]] still hides them.
-    * Returns the number of tombstoned ids applied.
+    * root under `stateDir`, then clear the applied tombstone children
+    * — but ONLY when the fold covered every live data child. With a
+    * `beforeBatch` bound (the [[Layouts.foldChildren]] replay-hygiene
+    * contract) an uncommitted trigger child keeps its rows; clearing
+    * the tombstones then would let those rows resurface with nothing
+    * left to hide them, so the tombstones SURVIVE the cadence and
+    * apply (and clear) on the next one, [[exclude]] hiding the rows
+    * throughout. Returns the number of tombstoned ids applied.
     */
   def compact(
       spark: SparkSession,
@@ -84,13 +86,21 @@ object Forget {
       dataRoots: Seq[String],
       beforeBatch: Option[Long] = None): Long = {
     // list BEFORE reading: children tombstoned mid-compact must
-    // survive the clear (their ids were not applied to every root)
+    // survive the clear (their ids were not applied to every root);
+    // ids arriving between list and read fold in early, harmlessly —
+    // the anti-join is idempotent and their children re-apply next
+    // cadence
     val applied = Layouts.liveChildren(spark, root(stateDir)).map(_.getName)
     if (applied.isEmpty) return 0L
+    val fs = new org.apache.hadoop.fs.Path(root(stateDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def clearApplied(): Unit = applied.foreach { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${root(stateDir)}/$name"), true)
+    }
     val t = ids(spark, stateDir).localCheckpoint()
     try {
       val n = t.count()
-      if (n == 0) return 0L
+      if (n == 0) { clearApplied(); return 0L } // empty requests: reap
       dataRoots.foreach { r =>
         Layouts.foldChildren(spark, s"$stateDir/$r",
           transform = _.join(t, Seq("doc_id"), "left_anti"),
@@ -98,13 +108,17 @@ object Forget {
       }
       // the commit order IS the safety argument: data rewrites are
       // each individually published (crash ⇒ tombstones still live,
-      // exclude() still correct, re-run converges); only then drop
-      // the applied request children
-      val fs = new org.apache.hadoop.fs.Path(root(stateDir))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      applied.foreach { name =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"${root(stateDir)}/$name"), true)
+      // exclude() still correct, re-run converges); the clear comes
+      // last and ONLY if no data child was excluded from the fold —
+      // a skipped (at-or-above-bound) child may hold tombstoned rows
+      // that nothing would hide once the tombstones are gone
+      val skippedAny = dataRoots.exists { r =>
+        val all = Layouts.liveChildren(spark, s"$stateDir/$r").map(_.getName)
+        val folded = Layouts.liveChildrenBefore(
+          spark, s"$stateDir/$r", beforeBatch).map(_.getName)
+        (all.toSet -- folded.toSet).nonEmpty
       }
+      if (!skippedAny) clearApplied()
       n
     } finally Checkpoints.release(t)
   }

@@ -133,16 +133,39 @@ object LexIndex {
   /** Physically drop forgotten postings and REBUILD the stats row
     * from the survivors (the fold's [[withStatsRow]] recompute —
     * forget ≡ rebuild-without at rest, not just at probe), then clear
-    * exactly the applied tombstone children. Same crash ordering as
+    * the applied tombstone children. Same crash ordering as
     * [[Forget.compact]]: data folds publish first, a crash leaves
-    * tombstones live and probes correct.
+    * tombstones live and probes correct. Crash WINDOW, documented:
+    * between the fold's publish and the tombstone clear, searches
+    * double-subtract the folded docs' stats delta — the DELETION
+    * guarantee holds throughout (forgotten docs are physically gone
+    * and still tombstoned), survivor scores under-read avgdl until
+    * the standard crash protocol (re-run the maintenance job)
+    * completes the clear; the re-run's anti-join is a no-op and its
+    * fold re-publishes an identical child. Two sharp edges, both from
+    * review: the tombstone set is read from EXACTLY the `applied`
+    * children (a request landing mid-compact must not be folded in
+    * and then survive the clear — the probe-time stats delta is not
+    * idempotent, it would double-subtract); and with a `beforeBatch`
+    * bound that would SKIP a chunk child, the whole physical
+    * application is DEFERRED to the next (quiescent) cadence —
+    * unlike [[Forget.compact]]'s roots, a partial fold here is not
+    * safe to combine with surviving tombstones (the folded stats
+    * rows would already exclude the docs the live delta keeps
+    * subtracting); probe-time correction covers the interim.
     */
   def forgetCompact(spark: SparkSession, path: String,
       beforeBatch: Option[Long] = None): Unit = {
     val applied = Layouts.liveChildren(spark, s"$path/forget").map(_.getName)
     if (applied.isEmpty) return
-    val t = Layouts.readChildren(spark, s"$path/forget",
-        "doc_id BIGINT, dl BIGINT")
+    val all0 = Layouts.liveChildren(spark, s"$path/chunks").map(_.getName)
+    val inFold = Layouts.liveChildrenBefore(
+      spark, s"$path/chunks", beforeBatch).map(_.getName)
+    if ((all0.toSet -- inFold.toSet).nonEmpty) return // defer whole
+    val t = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, dl BIGINT"))
+      .parquet(applied.map(n => s"$path/forget/$n"): _*)
       .select(col("doc_id")).distinct().localCheckpoint()
     try {
       Layouts.foldChildren(spark, s"$path/chunks",
@@ -183,9 +206,12 @@ object LexIndex {
     val stats0 = all.filter(col("kind") === "s")
       .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
         sum(col("nd")).cast("long").as("nd"))
+    // coalesce: a request whose ids were all absent from the index
+    // leaves an EMPTY tombstone child, and sum() over zero rows is
+    // NULL — which would null sum_dl and every score downstream
     val stats = tomb.fold(stats0)(t =>
       stats0.crossJoin(broadcast(
-          t.agg(sum(col("dl")).cast("long").as("t_dl"),
+          t.agg(coalesce(sum(col("dl")), lit(0L)).cast("long").as("t_dl"),
             count(lit(1)).cast("long").as("t_nd"))))
         .select((col("sum_dl") - col("t_dl")).as("sum_dl"),
           (col("nd") - col("t_nd")).as("nd")))

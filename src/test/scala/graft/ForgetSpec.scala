@@ -109,6 +109,52 @@ class ForgetSpec extends SparkSuite {
     assert(Forget.compact(spark, state, Seq("bands", "sets")) == 0L)
   }
 
+  test("bounded compact keeps tombstones alive for skipped children") {
+    import spark.implicits._
+    val (c, b) = fixture
+    val corpus = c.toDF("doc_id", "text")
+    val batch = b.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("forget3").toString
+    // anchor 10's rows land in an UNCOMMITTED trigger child b5, the
+    // rest in base — the review scenario: a bounded compact must not
+    // clear tombstones whose rows it could not touch
+    buildState(spark, corpus.filter($"doc_id" =!= 10L), state)
+    val a10 = corpus.filter($"doc_id" === 10L)
+    val s10 = graft.queries.Llm.shingleSets(a10)
+    graft.queries.Llm.bandsOf(s10)
+      .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
+      .select(col("bkey"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$state/bands/b5")
+    s10.write.mode("overwrite").parquet(s"$state/sets/b5")
+    Forget.tombstone(spark, state, Seq(10L).toDF("doc_id"), 0L)
+
+    assert(Forget.compact(spark, state, Seq("bands", "sets"),
+      beforeBatch = Some(5L)) == 1L)
+    // tombstones survived (b5 was skipped) and still hide doc 10
+    assert(Layouts.liveChildren(spark, s"$state/forget").nonEmpty,
+      "tombstones cleared despite a skipped child — forgotten doc would resurface")
+    assert(probe(spark, state, batch, excluded = true) == Set((1020L, 20L)))
+    // the quiescent cadence (no bound) finishes the job
+    assert(Forget.compact(spark, state, Seq("bands", "sets")) == 1L)
+    assert(Layouts.liveChildren(spark, s"$state/forget").isEmpty)
+    assert(Layouts.readChildren(spark, s"$state/bands",
+      "bkey STRING, doc_id BIGINT").filter($"doc_id" === 10L).count() == 0)
+    assert(probe(spark, state, batch, excluded = false) == Set((1020L, 20L)))
+  }
+
+  test("empty deletion requests are reaped, not leaked") {
+    import spark.implicits._
+    val (c, _) = fixture
+    val state = java.nio.file.Files.createTempDirectory("forget4").toString
+    buildState(spark, c.toDF("doc_id", "text"), state)
+    Forget.tombstone(spark, state,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).filter(lit(false)), 0L)
+    assert(Layouts.liveChildren(spark, s"$state/forget").nonEmpty)
+    assert(Forget.compact(spark, state, Seq("bands", "sets")) == 0L)
+    assert(Layouts.liveChildren(spark, s"$state/forget").isEmpty,
+      "empty tombstone children leaked")
+  }
+
   test("streaming curation stops dropping near-dups of a forgotten doc") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

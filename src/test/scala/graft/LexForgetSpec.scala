@@ -71,4 +71,49 @@ class LexForgetSpec extends SparkSuite {
     LexIndex.forgetCompact(spark, dir)
     assert(rows(LexIndex.search(spark, dir, terms)) == want)
   }
+
+  test("absent-only requests leave scores intact (no NULL correction)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexe").toString
+    LexIndex.save(docs.toDF("doc_id", "text"), dir)
+    val before = rows(LexIndex.search(spark, dir, terms))
+    // every id absent from the index → empty tombstone child; the
+    // stats correction must be a zero delta, not NULL
+    LexIndex.forget(spark, dir, Seq(90001L, 90002L).toDF("doc_id"), 0L)
+    val after = rows(LexIndex.search(spark, dir, terms))
+    assert(after == before, s"zero-delta request moved scores")
+    LexIndex.forgetCompact(spark, dir)
+    assert(Layouts.liveChildren(spark, s"$dir/forget").isEmpty)
+  }
+
+  test("bounded forgetCompact defers wholesale when a chunk child is skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexb").toString
+    LexIndex.save(docs.toDF("doc_id", "text"), dir)
+    // doc 1's postings arrive in trigger child b5 — a bound at 5
+    // must defer the WHOLE physical application (a partial fold plus
+    // surviving tombstones would double-subtract the stats delta)
+    LexIndex.append(Seq((100L, "alpha beta fresh content here"))
+      .toDF("doc_id", "text"), dir, batchId = 5L)
+    val want = {
+      val refDir = java.nio.file.Files.createTempDirectory("lexbr").toString
+      LexIndex.save(docs.filter(_._1 != 1L).toDF("doc_id", "text")
+        .unionAll(Seq((100L, "alpha beta fresh content here"))
+          .toDF("doc_id", "text")), refDir)
+      rows(LexIndex.search(spark, refDir, terms))
+    }
+    LexIndex.forget(spark, dir, Seq(1L).toDF("doc_id"), 0L)
+    assert(rows(LexIndex.search(spark, dir, terms)) == want)
+    LexIndex.forgetCompact(spark, dir, beforeBatch = Some(5L))
+    // deferred: tombstones AND doc 1's raw postings both still there
+    assert(Layouts.liveChildren(spark, s"$dir/forget").nonEmpty)
+    assert(Layouts.readChildren(spark, s"$dir/chunks",
+        "kind STRING, tok STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, sum_dl BIGINT, nd BIGINT")
+      .filter($"kind" === "p" && $"doc_id" === 1L).count() > 0)
+    assert(rows(LexIndex.search(spark, dir, terms)) == want)
+    // quiescent cadence applies and clears; searches bit-stable
+    LexIndex.forgetCompact(spark, dir)
+    assert(Layouts.liveChildren(spark, s"$dir/forget").isEmpty)
+    assert(rows(LexIndex.search(spark, dir, terms)) == want)
+  }
 }
