@@ -1737,11 +1737,16 @@ object Llm {
         val sh = sets.select($"doc_id", size($"gs").cast("long").as("n"),
           explode($"gs").as("g"))
         val dfreq = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+        // localCheckpoint: both sides of the candidate self-join
+        // consume the prefix frame — without it each side re-runs
+        // the df join + rank window (exchange reuse only covers the
+        // window's INPUT, visible as twin Window nodes in the plan)
         val pref = sh.join(dfreq, "g")
           .withColumn("r", row_number()
             .over(Window.partitionBy($"doc_id").orderBy($"df", $"g"))
             .cast("long"))
           .filter($"r" <= $"n" - expr("(n + 1) DIV 2") + 1)
+          .localCheckpoint()
         val cand = pref.as("x").join(pref.as("y"),
             col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
               col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))

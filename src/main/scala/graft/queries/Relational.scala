@@ -767,6 +767,100 @@ object Relational {
           FROM d GROUP BY decile)
         SELECT decile, n_cust, CAST(drev AS DOUBLE) AS revenue,
           CAST(drev AS DOUBLE) / CAST(sum(drev) OVER () AS DOUBLE) AS share
-        FROM a"""))
+        FROM a""")),
+
+    // ---------------------------------------------------------------- q173
+    // COHORT LTV MATRIX — q152's retention grid with money in it:
+    // users cohorted by first-activity day, each cohort's purchase
+    // count, exact DECIMAL revenue, and CUMULATIVE revenue at every
+    // day offset (the lifetime-value curve a growth team reads
+    // against acquisition cost). Same integer day algebra as q152
+    // (epoch_us div μs/day — no engine date functions); the running
+    // sum is a window over the |days|²-bounded matrix, exact in
+    // decimals, cast to double only at output.
+    //
+    // Scale shape: purchases collapse map-side to (cohort, offset)
+    // cells after a |users|-row first-day join (AQE broadcasts the
+    // user frame side that fits); the cumulative window partitions
+    // by cohort over the tiny matrix. Nothing scans events twice.
+    Q(
+      "q173_cohort_ltv",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = table(s, dir, "events")
+          .select($"user_id",
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            $"event_type", $"value")
+        val fd = ev.groupBy($"user_id").agg(min($"day").as("d0"))
+        val cells = ev.filter($"event_type" === "purchase")
+          .join(fd, "user_id")
+          .groupBy($"d0".as("cohort_day"), ($"day" - $"d0").as("offset"))
+          .agg(count(lit(1)).cast("long").as("n_purchases"),
+            countDistinct($"user_id").cast("long").as("n_buyers"),
+            sum(dec($"value")).as("rev"))
+        cells
+          .withColumn("cum_rev", sum($"rev").over(
+            Window.partitionBy($"cohort_day").orderBy($"offset")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"cohort_day", $"offset", $"n_purchases", $"n_buyers",
+            out($"rev").as("revenue"), out($"cum_rev").as("cum_revenue"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            event_type, value
+          FROM events),
+        fd AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),
+        cells AS (
+          SELECT fd.d0 AS cohort_day, ev.day - fd.d0 AS "offset",
+            CAST(count(*) AS BIGINT) AS n_purchases,
+            CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+            sum(CAST(ev.value AS DECIMAL(18,4))) AS rev
+          FROM ev JOIN fd ON ev.user_id = fd.user_id
+          WHERE ev.event_type = 'purchase'
+          GROUP BY fd.d0, ev.day - fd.d0)
+        SELECT cohort_day, "offset", n_purchases, n_buyers,
+          CAST(rev AS DOUBLE) AS revenue,
+          CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY "offset"
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        FROM cells""")),
+
+    // ---------------------------------------------------------------- q174
+    // SEASONALITY HEATMAP — the (weekday × hour) activity profile
+    // with a uniform-baseline lift: weekday from PURE INTEGER day
+    // algebra ((epoch_day + 4) % 7 — 1970-01-01 was a Thursday; no
+    // engine weekday function, whose numbering conventions disagree,
+    // ever runs), hour from the shared ts extraction (q14's
+    // date_trunc discipline). 168 cells, counts exact, lift = one
+    // division against n/168.
+    //
+    // Scale shape: one scan map-side-combined to ≤ 168 × |types|
+    // cells; the total is a window over those cells.
+    Q(
+      "q174_seasonality",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cells = table(s, dir, "events")
+          .select(
+            expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+            hour($"ts").cast("long").as("hr"))
+          .groupBy($"dow", $"hr")
+          .agg(count(lit(1)).cast("long").as("n"))
+        cells
+          .withColumn("total", sum($"n").over(Window.partitionBy()).cast("long"))
+          .select($"dow", $"hr", $"n",
+            (($"n" * 168).cast("double") / $"total").as("lift"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+            CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT dow, hr, n,
+          CAST(n * 168 AS DOUBLE) / sum(n) OVER () AS lift
+        FROM cells"""))
   )
 }
