@@ -68,6 +68,14 @@ object Decontam {
     * schema (doc_id, n_hit_grams, n_eval_docs), flagged batch docs
     * only.
     */
+  /** Broadcast the persisted gram table only below this row count —
+    * the q131 lesson: an unconditional hint on a frame that can
+    * outgrow executor memory OOMs instead of degrading; above the
+    * budget the plain join stands and AQE decides (parquet row-count
+    * metadata makes the gate a footer read, not a scan).
+    */
+  val BroadcastGramRows: Long = 1L << 22
+
   def probe(batch: DataFrame, dir: String, gramTokens: Int = 8): DataFrame = {
     val spark = batch.sparkSession
     val frozen = readGeometry(spark, dir)
@@ -76,8 +84,9 @@ object Decontam {
         "a different width hashes different runs and silently misses " +
         "contamination; rebuild with Decontam.save or probe at the frozen width")
     val ev = spark.read.parquet(s"$dir/grams")
+    val evJ = if (ev.count() <= BroadcastGramRows) broadcast(ev) else ev
     gramHashes(batch, gramTokens)
-      .join(broadcast(ev), "gh")
+      .join(evJ, "gh")
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("gh")).cast("long").as("n_hit_grams"),

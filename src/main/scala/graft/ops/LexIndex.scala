@@ -174,10 +174,25 @@ object LexIndex {
             .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
             .join(t, Seq("doc_id"), "left_anti")),
         beforeBatch = beforeBatch, repartitionOutput = false, force = true)
-      val fs = new org.apache.hadoop.fs.Path(s"$path/forget")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      applied.foreach { name =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/forget/$name"), true)
+      // TOCTOU re-check (the post-fold twin of [[Forget.compact]]'s
+      // skippedAny): a chunk child committed between the pre-fold
+      // defer check and the fold's own listing is EXCLUDED from the
+      // fold when a beforeBatch bound is set — clearing tombstones
+      // then would unhide its forgotten postings. Withholding the
+      // clear keeps the documented crash-window state (probes
+      // double-subtract the folded docs' stats delta, survivor
+      // scores under-read avgdl) until the next quiescent cadence
+      // re-runs; the DELETION guarantee holds throughout.
+      val allAfter = Layouts.liveChildren(spark, s"$path/chunks")
+        .map(_.getName)
+      val inFoldAfter = Layouts.liveChildrenBefore(
+        spark, s"$path/chunks", beforeBatch).map(_.getName)
+      if ((allAfter.toSet -- inFoldAfter.toSet).isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(s"$path/forget")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        applied.foreach { name =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/forget/$name"), true)
+        }
       }
     } finally Checkpoints.release(t)
   }

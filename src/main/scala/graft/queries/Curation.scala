@@ -502,14 +502,18 @@ object Curation {
       },
       Some(s"""
         WITH toks AS (
+          -- constant series bound (the minhashCandSql pattern:
+          -- DuckDB's generate_series cannot take a lateral column
+          -- bound) — the CASE makes a corpus outgrowing the bound a
+          -- LOUD oracle error, never a silent divergence
           SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-          FROM documents),
+            CASE WHEN len(t0) > 1000
+                 THEN error('oracle token bound 1000 exceeded — raise the series bound')
+                 ELSE t0 END AS t
+          FROM (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t0
+          FROM documents)),
         g AS (
-          -- constant series bound + WHERE (the minhashCandSql
-          -- pattern): DuckDB's generate_series cannot take a lateral
-          -- column bound; 1000 safely covers the corpus's token
-          -- counts (texts are ~50 tokens)
           SELECT doc_id, ${Selection.h60Sql("array_to_string(t[i:i+7], ' ')")} AS gh
           FROM toks CROSS JOIN generate_series(1, 1000) s(i)
           WHERE s.i <= len(t) - 7),

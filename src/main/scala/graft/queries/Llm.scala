@@ -1382,9 +1382,14 @@ object Llm {
       },
       Some("""
         WITH toks AS (
+          -- loud-failure bound guard (see q137's toks CTE)
           SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-          FROM documents),
+            CASE WHEN len(t0) > 1000
+                 THEN error('oracle token bound 1000 exceeded — raise the series bound')
+                 ELSE t0 END AS t
+          FROM (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t0
+          FROM documents)),
         tk AS (
           SELECT doc_id, CAST(s.i AS BIGINT) AS pos, t[s.i] AS w
           FROM toks CROSS JOIN generate_series(1, 1000) s(i)
@@ -1766,10 +1771,15 @@ object Llm {
       },
       Some("""
         WITH toks AS (
+          -- loud-failure bound guard (see q137's toks CTE)
           SELECT doc_id,
+            CASE WHEN len(t0) > 100000
+                 THEN error('oracle token bound 100000 exceeded — raise the series bound')
+                 ELSE t0 END AS ta
+          FROM (SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                        x -> x <> '') AS ta
-          FROM documents),
+                        x -> x <> '') AS t0
+          FROM documents)),
         sh AS (
           SELECT DISTINCT doc_id,
             ta[s.i] || ' ' || ta[s.i+1] || ' ' || ta[s.i+2] AS g

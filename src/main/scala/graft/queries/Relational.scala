@@ -490,18 +490,19 @@ object Relational {
     // recency (days since the user's last event, against the
     // corpus-wide last day — integer day algebra, q152's), frequency
     // (event count), monetary (exact DECIMAL sum of value, q14's
-    // discipline), each quartiled by ntile(4) under a DETERMINISTIC
-    // total order (metric, then user_id — rand-free, so the buckets
-    // hash-match; best bucket = 1: most recent / most frequent /
-    // highest spend). The composite `segment` concatenates the three
-    // digits — '111' is the champion cell, '444' the churned tail.
+    // discipline), each quartiled under a DETERMINISTIC total order
+    // (metric, then user_id — rand-free, so the buckets hash-match;
+    // best bucket = 1: most recent / most frequent / highest spend).
+    // The composite `segment` concatenates the three digits — '111'
+    // is the champion cell, '444' the churned tail.
     //
     // Scale shape: one events scan map-side-combined to |users|
-    // rows; the quartile windows run over the user frame, not the
-    // event stream. (At 10⁹ users replace ntile with a percentile
-    // cut against broadcast quantile bounds — the q83 GlobalRank
-    // treatment; at this registry's scale the window is the honest
-    // plan.)
+    // rows; each quartile is ops.GlobalRank (range-partition +
+    // per-partition offsets — q169's machinery, no empty-partition-
+    // spec window ever concentrates the |users| sort on one task)
+    // plus the integer cut (rk−1)·4 div n — bucket sizes differ by
+    // ≤ 1, exactly q169's equi-depth algebra, replicated verbatim in
+    // the oracle so the cut is engine-independent.
     Q(
       "q154_rfm_segments",
       (s, dir) => {
@@ -521,16 +522,22 @@ object Relational {
           // q152/q153 discipline)
           .localCheckpoint()
         val mx = u.agg(max($"last_day").as("max_day"))
-        u.crossJoin(broadcast(mx))
+        val nT = u.agg(count(lit(1)).cast("long").as("n"))
+        val base = u.crossJoin(broadcast(mx))
           .select($"user_id",
             ($"max_day" - $"last_day").as("r_days"),
             $"n_events", out($"mon").as("monetary"), $"mon")
-          .withColumn("rb", ntile(4).over(
-            Window.orderBy($"r_days".asc, $"user_id".asc)).cast("long"))
-          .withColumn("fb", ntile(4).over(
-            Window.orderBy($"n_events".desc, $"user_id".asc)).cast("long"))
-          .withColumn("mb", ntile(4).over(
-            Window.orderBy($"mon".desc, $"user_id".asc)).cast("long"))
+        val p = s.sparkContext.defaultParallelism
+        val ranked = graft.ops.GlobalRank.withRank(
+          graft.ops.GlobalRank.withRank(
+            graft.ops.GlobalRank.withRank(
+              base, Seq($"r_days".asc, $"user_id".asc), "rrk", p),
+            Seq($"n_events".desc, $"user_id".asc), "frk", p),
+          Seq($"mon".desc, $"user_id".asc), "mrk", p)
+        ranked.crossJoin(broadcast(nT))
+          .withColumn("rb", expr("(rrk - 1) * 4 div n + 1"))
+          .withColumn("fb", expr("(frk - 1) * 4 div n + 1"))
+          .withColumn("mb", expr("(mrk - 1) * 4 div n + 1"))
           .select($"user_id", $"r_days", $"n_events", $"monetary",
             $"rb", $"fb", $"mb",
             concat($"rb", $"fb", $"mb").as("segment"))
@@ -546,9 +553,12 @@ object Relational {
         b AS (
           SELECT user_id, max_day - last_day AS r_days, n_events,
             CAST(mon AS DOUBLE) AS monetary, mon,
-            CAST(ntile(4) OVER (ORDER BY max_day - last_day ASC, user_id ASC) AS BIGINT) AS rb,
-            CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS fb,
-            CAST(ntile(4) OVER (ORDER BY mon DESC, user_id ASC) AS BIGINT) AS mb
+            (CAST(row_number() OVER (ORDER BY max_day - last_day ASC, user_id ASC) AS BIGINT) - 1)
+              * 4 // CAST(count(*) OVER () AS BIGINT) + 1 AS rb,
+            (CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT) - 1)
+              * 4 // CAST(count(*) OVER () AS BIGINT) + 1 AS fb,
+            (CAST(row_number() OVER (ORDER BY mon DESC, user_id ASC) AS BIGINT) - 1)
+              * 4 // CAST(count(*) OVER () AS BIGINT) + 1 AS mb
           FROM u CROSS JOIN mx)
         SELECT user_id, r_days, n_events, monetary, rb, fb, mb,
           concat(CAST(rb AS VARCHAR), CAST(fb AS VARCHAR), CAST(mb AS VARCHAR)) AS segment
@@ -728,14 +738,15 @@ object Relational {
     // REVENUE PARETO (the 80/20 table): customers ranked by exact
     // DECIMAL revenue into deciles, each decile's customer count,
     // revenue mass and share — the concentration read behind every
-    // "top decile drives X% of revenue" claim. Deterministic ntile
+    // "top decile drives X% of revenue" claim. Deterministic rank
     // order (revenue DESC, custkey ASC); shares are single divisions
     // of exact decimal sums cast to double.
     //
     // Scale shape: orders collapse map-side to |customers| rows; the
-    // decile window runs over the customer frame (the q154 posture —
-    // at 10⁹ customers it becomes percentile cuts against broadcast
-    // bounds, q83's GlobalRank treatment); the decile agg is 10 rows.
+    // decile cut is ops.GlobalRank + (rk−1)·10 div n (q169's exact
+    // equi-depth algebra — no single-task window over the customer
+    // frame at ANY |customers|); the decile agg is 10 rows and the
+    // share window runs over those 10.
     Q(
       "q167_revenue_pareto",
       (s, dir) => {
@@ -744,8 +755,14 @@ object Relational {
         val cust = table(s, dir, "orders")
           .groupBy($"o_custkey")
           .agg(sum(dec($"o_totalprice")).as("rev"))
-        val d = cust.withColumn("decile", ntile(10).over(
-          Window.orderBy($"rev".desc, $"o_custkey".asc)).cast("long"))
+          // consumed by the count AND the rank — materialize once
+          .localCheckpoint()
+        val nT = cust.agg(count(lit(1)).cast("long").as("n"))
+        val d = graft.ops.GlobalRank.withRank(
+            cust, Seq($"rev".desc, $"o_custkey".asc), "rk",
+            s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(nT))
+          .withColumn("decile", expr("(rk - 1) * 10 div n + 1"))
         d.groupBy($"decile")
           .agg(count(lit(1)).cast("long").as("n_cust"),
             sum($"rev").as("drev"))
@@ -759,7 +776,8 @@ object Relational {
           FROM orders GROUP BY o_custkey),
         d AS (
           SELECT o_custkey, rev,
-            CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS BIGINT) AS decile
+            (CAST(row_number() OVER (ORDER BY rev DESC, o_custkey ASC) AS BIGINT) - 1)
+              * 10 // CAST(count(*) OVER () AS BIGINT) + 1 AS decile
           FROM cust),
         a AS (
           SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,

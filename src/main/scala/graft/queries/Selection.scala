@@ -1377,9 +1377,14 @@ object Selection {
       },
       Some("""
         WITH toks AS (
+          -- loud-failure bound guard (see q137's toks CTE)
           SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-          FROM documents),
+            CASE WHEN len(t0) > 1000
+                 THEN error('oracle token bound 1000 exceeded — raise the series bound')
+                 ELSE t0 END AS t
+          FROM (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t0
+          FROM documents)),
         bg AS (
           SELECT doc_id, CAST(s.i AS BIGINT) AS pos, t[s.i] AS w1, t[s.i + 1] AS w2
           FROM toks CROSS JOIN generate_series(1, 1000) s(i)
@@ -1407,7 +1412,7 @@ object Selection {
     // --------------------------------------------------------------- q171
     // CLASSIFIER LIFT / GAINS TABLE — the model-eval read behind "is
     // q109's classifier worth its threshold": docs ranked into deciles
-    // by the classifier's INTEGER margin (deterministic ntile order —
+    // by the classifier's INTEGER margin (deterministic total order —
     // margin desc, doc_id asc), scored against the INDEPENDENT Gopher
     // verdict (q135's calibration convention: flags consumed from
     // Mining.gopherRules, absent docs cannot pass). Per decile: docs,
@@ -1416,9 +1421,10 @@ object Selection {
     // cumulative gains curve a selection budget reads directly.
     //
     // Scale shape: the classifier and the verdict are each one
-    // token-hash scan (their own cost notes); the lift table ranks
-    // the |docs|-row margin frame (q154's ntile posture — GlobalRank
-    // percentile cuts at 10⁹ docs), aggregates to 10 rows, and the
+    // token-hash scan (their own cost notes); the decile cut over
+    // the |docs|-row margin frame is ops.GlobalRank + the
+    // (rk−1)·10 div n integer algebra (q169's — no single-task
+    // window at any |docs|), the decile agg is 10 rows, and the
     // cumulative window runs over those 10.
     Q(
       "q171_classifier_lift",
@@ -1432,10 +1438,14 @@ object Selection {
         val j = cls.join(gq, Seq("doc_id"), "left")
           .select($"doc_id", $"margin", coalesce($"pass", lit(0L)).as("p"))
           .localCheckpoint()
-        val d = j.withColumn("decile", ntile(10).over(
-          Window.orderBy($"margin".desc, $"doc_id".asc)).cast("long"))
         val t = j.agg(count(lit(1)).cast("long").as("n"),
           sum($"p").cast("long").as("np"))
+        val d = graft.ops.GlobalRank.withRank(
+            j, Seq($"margin".desc, $"doc_id".asc), "rk",
+            s.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(t))
+          .withColumn("decile", expr("(rk - 1) * 10 div n + 1"))
+          .select($"doc_id", $"p", $"decile")
         d.groupBy($"decile")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum($"p").cast("long").as("n_pass"))
@@ -1480,7 +1490,8 @@ object Selection {
           FROM sc LEFT JOIN gop ON gop.doc_id = sc.doc_id),
         d AS (
           SELECT doc_id, margin, p,
-            CAST(ntile(10) OVER (ORDER BY margin DESC, doc_id ASC) AS BIGINT) AS decile
+            (CAST(row_number() OVER (ORDER BY margin DESC, doc_id ASC) AS BIGINT) - 1)
+              * 10 // CAST(count(*) OVER () AS BIGINT) + 1 AS decile
           FROM j),
         t AS (
           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS np

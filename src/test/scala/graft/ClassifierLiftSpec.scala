@@ -24,13 +24,14 @@ class ClassifierLiftSpec extends SparkSuite {
       .select($"doc_id", $"pass")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    // Spark/DuckDB ntile: first (n mod 10) buckets get one extra row
+    // q169's equi-depth integer cut: rank rk (1-based) → decile
+    // (rk−1)·10 div n + 1 (bucket sizes differ by ≤ 1)
     val ordered = margins.sortBy { case (id, m) => (-m, id) }
     val n = ordered.length
-    val sizes = (0 until 10).map(b => n / 10 + (if (b < n % 10) 1 else 0))
-    val deciles = sizes.scanLeft(0)(_ + _).sliding(2).toSeq.zipWithIndex
-      .map { case (Seq(a, b), i) =>
-        (i + 1L, ordered.slice(a, b).map(_._1)) }
+    val deciles = ordered.zipWithIndex
+      .map { case ((id, _), i) => (i.toLong * 10 / n + 1, id) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) => (d, xs.map(_._2)) }
     val np = margins.map { case (id, _) => pass.getOrElse(id, 0L) }.sum
     val want = deciles.map { case (d, ids) =>
       val nPass = ids.map(pass.getOrElse(_, 0L)).sum

@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 
 /** q154_rfm_segments (deterministic quartile segmentation): 8 users
   * engineered so recency, frequency and monetary all rank them
-  * identically — ntile(4) must cut them 2-per-bucket into matching
-  * digit triples, with exact day recency and exactly-representable
-  * decimal sums.
+  * identically — the (rk−1)·4 div n cut must bucket them 2-per-
+  * quartile into matching digit triples, with exact day recency and
+  * exactly-representable decimal sums.
   */
 class RfmSpec extends SparkSuite {
 
