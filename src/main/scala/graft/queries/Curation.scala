@@ -1037,7 +1037,86 @@ object Curation {
           CAST(count(*) AS BIGINT) AS n_rows,
           CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi,
           CAST(sum(v) AS DOUBLE) AS mass
-        FROM r GROUP BY (rk - 1) * 10 // n"""))
+        FROM r GROUP BY (rk - 1) * 10 // n""")),
+
+    // ---------------------------------------------------------------- q178
+    // COLUMN-LEVEL CHANGE ATTRIBUTION — the field q112's whole-row
+    // fingerprint diff cannot answer: WHICH column changed. q112
+    // tells the pipeline "doc 42 changed"; this emits the per-column
+    // change mask (text / lang / source) that decides what actually
+    // re-triggers — a text change re-shingles and re-indexes, a
+    // source-only migration touches provenance tables and nothing
+    // else. Versions are carved deterministically from the one
+    // documents table (v1 drops doc_id%11=3; v2 drops %13=5, appends
+    // a revision marker to text on %9=2 and migrates source on
+    // %17=1), so the oracle replays the exact same construction.
+    // Unchanged docs are FILTERED OUT: the output is delta-sized,
+    // never corpus-sized.
+    //
+    // Scale shape: each version projects to (doc_id, 16-byte md5 per
+    // tracked column) IN THE SCAN — wide text never shuffles, the
+    // full-outer join moves |docs| × ~52-byte rows hash-partitioned
+    // on the key, and the change mask is pure digest comparison. At
+    // 100 TB this is one narrow co-partitioned join; with both
+    // versions bucketed on doc_id it degrades to a zero-shuffle
+    // sort-merge.
+    Q(
+      "q178_column_diff",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        def digests(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.select($"doc_id", md5($"text").as(s"${tag}_text"),
+            md5($"lang").as(s"${tag}_lang"), md5($"source").as(s"${tag}_source"))
+        val v1 = digests(docs.filter($"doc_id" % 11 =!= 3), "a")
+        val v2 = digests(
+          docs.filter($"doc_id" % 13 =!= 5)
+            .select($"doc_id",
+              when($"doc_id" % 9 === 2, concat($"text", lit(" [rev2]")))
+                .otherwise($"text").as("text"),
+              $"lang",
+              when($"doc_id" % 17 === 1, lit("migrated")).otherwise($"source").as("source")),
+          "b")
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"a_text".isNull, "added")
+              .when($"b_text".isNull, "removed")
+              .when($"a_text" =!= $"b_text" || $"a_lang" =!= $"b_lang" ||
+                $"a_source" =!= $"b_source", "changed"))
+          .filter($"status".isNotNull)
+          .select($"doc_id", $"status",
+            when($"status" === "changed" && $"a_text" =!= $"b_text", 1L)
+              .otherwise(0L).as("chg_text"),
+            when($"status" === "changed" && $"a_lang" =!= $"b_lang", 1L)
+              .otherwise(0L).as("chg_lang"),
+            when($"status" === "changed" && $"a_source" =!= $"b_source", 1L)
+              .otherwise(0L).as("chg_source"))
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, md5(text) AS a_text, md5(lang) AS a_lang,
+            md5(source) AS a_source
+          FROM documents WHERE doc_id % 11 <> 3),
+        v2 AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 9 = 2 THEN text || ' [rev2]' ELSE text END) AS b_text,
+            md5(lang) AS b_lang,
+            md5(CASE WHEN doc_id % 17 = 1 THEN 'migrated' ELSE source END) AS b_source
+          FROM documents WHERE doc_id % 13 <> 5),
+        j AS (
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            a_text, a_lang, a_source, b_text, b_lang, b_source,
+            CASE WHEN a_text IS NULL THEN 'added'
+                 WHEN b_text IS NULL THEN 'removed'
+                 WHEN a_text <> b_text OR a_lang <> b_lang
+                      OR a_source <> b_source THEN 'changed'
+            END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT doc_id, status,
+          CAST(CASE WHEN status = 'changed' AND a_text <> b_text THEN 1 ELSE 0 END AS BIGINT) AS chg_text,
+          CAST(CASE WHEN status = 'changed' AND a_lang <> b_lang THEN 1 ELSE 0 END AS BIGINT) AS chg_lang,
+          CAST(CASE WHEN status = 'changed' AND a_source <> b_source THEN 1 ELSE 0 END AS BIGINT) AS chg_source
+        FROM j WHERE status IS NOT NULL"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).

@@ -220,8 +220,138 @@ object Embeddings {
                  ELSE CAST(floor(sq.sq * 10) AS BIGINT) END AS sq_bucket
           FROM hn JOIN sq ON hn.vec_id = sq.vec_id)
         SELECT dim, sq_bucket, CAST(count(*) AS BIGINT) AS n_vecs
-        FROM b GROUP BY dim, sq_bucket"""))
+        FROM b GROUP BY dim, sq_bucket""")),
+
+    // ---------------------------------------------------------------- q175
+    // MMR DIVERSIFIED RE-RANK (maximal marginal relevance, Carbonell
+    // & Goldstein 1998) — the retrieval stack's last stage after
+    // q115's RRF fusion: from the exact top-20 cosine candidates of
+    // one query vector, greedily select 5 maximizing
+    // λ·rel − (1−λ)·max_{s∈Selected} sim(c, s) at λ = 0.7 — high
+    // relevance, penalized for redundancy with what's already picked.
+    // The greedy is UNROLLED as 5 declarative stages (no driver loop,
+    // no collect): each stage is an anti-join + argmax over the
+    // k-bounded candidate frame, and the ORACLE is the same unrolled
+    // chain as generated CTEs — greedy selection, usually dismissed
+    // as "not SQL-expressible", hash-matches end to end because k is
+    // a query constant.
+    //
+    // Scale shape: the corpus is touched ONCE (the top-20 take via
+    // per-partition heaps — TakeOrderedAndProject, no global sort);
+    // everything after operates on k rows / k² candidate-pair sims.
+    // Doubles: CosineSim's in-row ordered fold (q25's bit-equality),
+    // one fixed λ-affine per score, max over bit-identical sims.
+    Q(
+      "q175_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val e = table(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+        val q0 = table(s, dir, "embeddings").filter($"vec_id" === 0)
+          .select($"embedding".as("ea"))
+        // consumed by the greedy's 5 stages AND the pair sims —
+        // materialize the k-bounded frame once
+        val cand = e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(q0))
+          .select($"vec_id", expr("cosine_sim(ea, embedding)").as("rel"),
+            $"embedding")
+          .orderBy($"rel".desc, $"vec_id".asc).limit(20)
+          .localCheckpoint()
+        val sims = cand.as("a").join(cand.as("b"),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("c1"), col("b.vec_id").as("c2"),
+            expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
+          .localCheckpoint()
+        mmrGreedy(cand.select($"vec_id", $"rel"), sims, 5)
+      },
+      Some(mmrOracleSql))
   )
+
+  /** The unrolled MMR greedy behind q175: `cand` = (vec_id, rel)
+    * k-bounded candidates, `sims` = (c1, c2, sim) directed candidate
+    * pairs; selects `k` rows, step t's score = 0.7·rel − 0.3·max sim
+    * to the t−1 already selected. Declarative: each stage is a
+    * left_anti + argmax (TakeOrderedAndProject) over the tiny frame,
+    * checkpointed so stage t's plan doesn't re-derive stages 1..t−1.
+    * MmrSpec pins it against a sequential JVM replica.
+    */
+  private[graft] def mmrGreedy(
+      cand: org.apache.spark.sql.DataFrame,
+      sims: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    var sel = cand
+      .orderBy($"rel".desc, $"vec_id".asc).limit(1)
+      .select($"vec_id", $"rel", lit(1L).as("step"),
+        (lit(0.7) * $"rel").as("mmr_score"))
+      .localCheckpoint()
+    (2 to k).foreach { t =>
+      val ms = sims.join(sel.select($"vec_id".as("c2")), "c2")
+        .groupBy($"c1").agg(max($"sim").as("ms"))
+        .select($"c1".as("vec_id"), $"ms")
+      val next = cand
+        .join(sel.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .join(ms, Seq("vec_id"), "left")
+        .select($"vec_id", $"rel", lit(t.toLong).as("step"),
+          (lit(0.7) * $"rel" -
+            lit(0.3) * coalesce($"ms", lit(0.0))).as("mmr_score"))
+        .orderBy($"mmr_score".desc, $"vec_id".asc).limit(1)
+      sel = sel.unionAll(next).localCheckpoint()
+    }
+    sel.select($"step", $"vec_id", $"rel", $"mmr_score")
+  }
+
+  /** q175's oracle: the same unrolled greedy as generated DuckDB
+    * CTEs — selu_t accumulates the selection, sel_t is stage t's
+    * anti-join + argmax, scores the identical λ-affine.
+    */
+  private def mmrOracleSql: String = {
+    val candSql = Llm.cosineSql(
+      """SELECT q.vec_id v1, e.vec_id v2, q.embedding ea, e.embedding eb
+         FROM embeddings q JOIN embeddings e ON q.vec_id = 0 AND e.vec_id <> 0""",
+      "")
+    // candidate embeddings materialize FIRST (20 rows), then the
+    // k² pair join — an IN-subquery on the raw self-join left DuckDB
+    // building corpus² pairs before filtering (OOM at sf0.1)
+    val simsSql = Llm.cosineSql(
+      """SELECT a.vec_id v1, b.vec_id v2, a.embedding ea, b.embedding eb
+         FROM ce a JOIN ce b ON a.vec_id <> b.vec_id""",
+      "")
+    val steps = (2 to 5).map { t =>
+      s"""sel$t AS MATERIALIZED (
+          SELECT c.vec_id, c.rel, CAST($t AS BIGINT) AS step,
+            CAST(0.7 AS DOUBLE) * c.rel -
+              CAST(0.3 AS DOUBLE) * coalesce(m.ms, CAST(0.0 AS DOUBLE)) AS mmr_score
+          FROM cand c
+          LEFT JOIN (SELECT s.c1 AS vec_id, max(s.sim) AS ms
+                     FROM simsq s JOIN selu${t - 1} u ON s.c2 = u.vec_id
+                     GROUP BY s.c1) m USING (vec_id)
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM selu${t - 1})
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        selu$t AS MATERIALIZED (
+          SELECT vec_id, rel, step, mmr_score FROM selu${t - 1}
+          UNION ALL
+          SELECT vec_id, rel, step, mmr_score FROM sel$t)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cand AS MATERIALIZED (
+          SELECT v2 AS vec_id, sim AS rel
+          FROM ($candSql) cs
+          ORDER BY sim DESC, v2 LIMIT 20),
+        ce AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id),
+        simsq AS MATERIALIZED (
+          SELECT v1 AS c1, v2 AS c2, sim FROM ($simsSql) ss),
+        selu1 AS MATERIALIZED (
+          SELECT vec_id, rel, CAST(1 AS BIGINT) AS step,
+            CAST(0.7 AS DOUBLE) * rel AS mmr_score
+          FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        $steps
+        SELECT step, vec_id, rel, mmr_score FROM selu5"""
+  }
 
   /** Shared DuckDB CTE chain for q84's fixed-depth-3 centroid tree
     * (terminal CTE `c` = (label, i, vsum, n)) — spliced into the q84

@@ -879,6 +879,211 @@ object Relational {
           FROM events GROUP BY 1, 2)
         SELECT dow, hr, n,
           CAST(n * 168 AS DOUBLE) / sum(n) OVER () AS lift
-        FROM cells"""))
+        FROM cells""")),
+
+    // ---------------------------------------------------------------- q177
+    // DATA-QUALITY CONSTRAINT SUITE (the Deequ/Great-Expectations
+    // pattern): a declarative battery of checks — primary-key
+    // uniqueness, domain membership, range bounds, completeness,
+    // cross-table referential integrity — evaluated in bulk and
+    // emitted as one (table, check, n_rows, n_violations, pass)
+    // verdict frame, the gate a pipeline consults before trusting a
+    // new drop. Every metric is an exact BIGINT; pass = violations=0.
+    //
+    // Scale shape: all same-table predicate checks share ONE scan as
+    // sum(CASE) columns of a single map-side-combined agg (never one
+    // pass per check); the two PK-uniqueness checks are each one
+    // distinct-count agg on narrow key columns (their own shuffle —
+    // the honest cost of exact uniqueness; HLL approximates it when
+    // exactness is negotiable, q37); referential integrity is a
+    // left_anti count on the key columns only (AQE broadcasts the
+    // smaller distinct-key side). The verdict union is ~10 rows.
+    Q(
+      "q177_quality_checks",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val cust = table(s, dir, "customer")
+        // one scan, five predicate checks
+        val liP = li.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L)
+            .otherwise(0L)).cast("long").as("v_qty"),
+          sum(when($"l_extendedprice" <= 0.0, 1L).otherwise(0L))
+            .cast("long").as("v_price"),
+          sum(when($"l_discount" < 0.0 || $"l_discount" > 0.1, 1L)
+            .otherwise(0L)).cast("long").as("v_disc"),
+          sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L).otherwise(0L))
+            .cast("long").as("v_rflag"),
+          sum(when($"l_shipdate".isNull, 1L).otherwise(0L))
+            .cast("long").as("v_ship"))
+        val liChecks = liP.select(expr(
+          """stack(5,
+             'lineitem', 'quantity_in_1_50',      n, v_qty,
+             'lineitem', 'price_positive',        n, v_price,
+             'lineitem', 'discount_in_0_0.1',     n, v_disc,
+             'lineitem', 'returnflag_domain',     n, v_rflag,
+             'lineitem', 'shipdate_complete',     n, v_ship)
+             AS (tbl, chk, n_rows, n_violations)"""))
+        val ordP = ord.agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+            .cast("long").as("v_status"),
+          sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L))
+            .cast("long").as("v_total"))
+        val ordChecks = ordP.select(expr(
+          """stack(2,
+             'orders', 'orderstatus_domain', n, v_status,
+             'orders', 'totalprice_positive', n, v_total)
+             AS (tbl, chk, n_rows, n_violations)"""))
+        def pkCheck(df: org.apache.spark.sql.DataFrame, tbl: String,
+            keys: Seq[String]) = {
+          val k = keys.map(col)
+          df.select(k: _*).groupBy(k: _*)
+            .agg(count(lit(1)).cast("long").as("c"))
+            .agg(sum($"c").cast("long").as("n_rows"),
+              sum($"c" - 1L).cast("long").as("n_violations"))
+            .select(lit(tbl).as("tbl"), lit("pk_unique").as("chk"),
+              $"n_rows", $"n_violations")
+        }
+        def fkCheck(child: org.apache.spark.sql.DataFrame, childTbl: String,
+            childKey: String, parent: org.apache.spark.sql.DataFrame,
+            parentKey: String) =
+          child.select(col(childKey))
+            .join(parent.select(col(parentKey).as(childKey)).distinct(),
+              Seq(childKey), "left_anti")
+            .agg(count(lit(1)).cast("long").as("n_violations"))
+            .crossJoin(broadcast(
+              child.agg(count(lit(1)).cast("long").as("n_rows"))))
+            .select(lit(childTbl).as("tbl"),
+              lit(s"fk_$childKey").as("chk"), $"n_rows", $"n_violations")
+        liChecks
+          .unionAll(ordChecks)
+          .unionAll(pkCheck(li, "lineitem", Seq("l_orderkey", "l_linenumber")))
+          .unionAll(pkCheck(ord, "orders", Seq("o_orderkey")))
+          .unionAll(fkCheck(li, "lineitem", "l_orderkey", ord, "o_orderkey"))
+          .unionAll(fkCheck(ord, "orders", "o_custkey", cust, "c_custkey"))
+          .withColumn("pass", when($"n_violations" === 0L, 1L).otherwise(0L))
+      },
+      Some("""
+        WITH lip AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+            CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+            CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+            CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rflag,
+            CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+          FROM lineitem),
+        ordp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+            CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_total
+          FROM orders),
+        lipk AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(c - 1) AS BIGINT) AS n_violations
+          FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+        opk AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(c - 1) AS BIGINT) AS n_violations
+          FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+        lifk AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_violations
+          FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        ofk AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+            CAST(count(*) AS BIGINT) AS n_violations
+          FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        v AS (
+          SELECT 'lineitem' AS tbl, 'quantity_in_1_50' AS chk, n AS n_rows, v_qty AS n_violations FROM lip
+          UNION ALL SELECT 'lineitem', 'price_positive', n, v_price FROM lip
+          UNION ALL SELECT 'lineitem', 'discount_in_0_0.1', n, v_disc FROM lip
+          UNION ALL SELECT 'lineitem', 'returnflag_domain', n, v_rflag FROM lip
+          UNION ALL SELECT 'lineitem', 'shipdate_complete', n, v_ship FROM lip
+          UNION ALL SELECT 'orders', 'orderstatus_domain', n, v_status FROM ordp
+          UNION ALL SELECT 'orders', 'totalprice_positive', n, v_total FROM ordp
+          UNION ALL SELECT 'lineitem', 'pk_unique', n_rows, n_violations FROM lipk
+          UNION ALL SELECT 'orders', 'pk_unique', n_rows, n_violations FROM opk
+          UNION ALL SELECT 'lineitem', 'fk_l_orderkey', n_rows, n_violations FROM lifk
+          UNION ALL SELECT 'orders', 'fk_o_custkey', n_rows, n_violations FROM ofk)
+        SELECT tbl, chk, n_rows, n_violations,
+          CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        FROM v""")),
+
+    // ---------------------------------------------------------------- q180
+    // CONVERSION ATTRIBUTION — the marketing-analytics read over the
+    // event stream: for every purchase, the FIRST and LAST touch
+    // (click/view/signup) that preceded it in the user's (ts,
+    // event_id)-total-ordered history, aggregated to the
+    // (first_touch, last_touch) matrix with conversion counts, prior-
+    // touch volumes and exact μs lag sums (purchase − last touch).
+    // Purchases with no prior touch land in the 'none' cell. The
+    // (ts, event_id) tiebreak is load-bearing, as in q163: without it
+    // the IGNORE-NULLS navigation over equal timestamps is partition-
+    // order-dependent and the matrix stops being reproducible.
+    //
+    // Scale shape: ONE user-keyed shuffle of 4 narrow columns; the
+    // first/last/count/lag windows are all per-user frames riding the
+    // SAME partitioned sort (one WindowExec), and the matrix collapse
+    // is map-side-combined to ≤ (|touch types|+1)² cells. Integer μs
+    // algebra throughout; the average is one division of exact Longs.
+    Q(
+      "q180_attribution",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val touchTypes = Seq("click", "view", "signup")
+        val ev = table(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type",
+            expr("unix_micros(ts)").as("us"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"us".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when($"event_type".isin(touchTypes: _*), $"event_type")
+        val touchUs = when($"event_type".isin(touchTypes: _*), $"us")
+        ev
+          .withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+          .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+          .withColumn("last_us", last(touchUs, ignoreNulls = true).over(w))
+          .withColumn("n_prior", count(touch).over(w).cast("long"))
+          .filter($"event_type" === "purchase")
+          .groupBy(
+            coalesce($"first_t", lit("none")).as("first_touch"),
+            coalesce($"last_t", lit("none")).as("last_touch"))
+          .agg(
+            count(lit(1)).cast("long").as("n_conv"),
+            sum($"n_prior").cast("long").as("n_prior_touches"),
+            sum(coalesce($"us" - $"last_us", lit(0L))).cast("long")
+              .as("total_lag_us"))
+          .withColumn("avg_lag_us",
+            $"total_lag_us".cast("double") / $"n_conv".cast("double"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        t AS (
+          SELECT user_id, event_type, us,
+            first_value(CASE WHEN event_type IN ('click','view','signup')
+                             THEN event_type END IGNORE NULLS) OVER w AS first_t,
+            last_value(CASE WHEN event_type IN ('click','view','signup')
+                            THEN event_type END IGNORE NULLS) OVER w AS last_t,
+            last_value(CASE WHEN event_type IN ('click','view','signup')
+                            THEN us END IGNORE NULLS) OVER w AS last_us,
+            count(CASE WHEN event_type IN ('click','view','signup')
+                       THEN 1 END) OVER w AS n_prior
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        SELECT coalesce(first_t, 'none') AS first_touch,
+          coalesce(last_t, 'none') AS last_touch,
+          CAST(count(*) AS BIGINT) AS n_conv,
+          CAST(sum(n_prior) AS BIGINT) AS n_prior_touches,
+          CAST(sum(coalesce(us - last_us, 0)) AS BIGINT) AS total_lag_us,
+          CAST(sum(coalesce(us - last_us, 0)) AS DOUBLE) / count(*) AS avg_lag_us
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1, 2"""))
   )
 }

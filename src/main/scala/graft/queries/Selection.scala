@@ -1505,7 +1505,51 @@ object Selection {
           CAST(a.n_pass * t.n AS DOUBLE) / (a.n_docs * t.np) AS lift,
           CAST(sum(a.n_pass) OVER (ORDER BY a.decile
             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.np AS cum_gain
-        FROM a CROSS JOIN t"""))
+        FROM a CROSS JOIN t""")),
+
+    // ---------------------------------------------------------------- q176
+    // PARETO-OPTIMAL DOCUMENT SKYLINE — multi-objective selection
+    // without scalarizing: the docs for which NO other doc is at
+    // least as good on every objective and strictly better on one
+    // (here: vocabulary ↑, length ↓ — the information-density
+    // frontier; any weighted quality score must pick its optimum
+    // from exactly this set, which is why the skyline is the
+    // selection primitive, not one more score). Objectives are exact
+    // BIGINTs computed IN THE SCAN (in-row array_distinct — no
+    // per-token explode, no shuffle for the metrics).
+    //
+    // Scale shape: ops.Skyline — partition-local block-nested prune
+    // (a global skyline member is undominated in every subset, so
+    // phase 1 is lossless), then a candidate×candidate anti-join on
+    // the domination predicate with the build side broadcast only
+    // under a measured row budget. The corpus is touched exactly
+    // once; the quadratic runs over the candidate set only.
+    Q(
+      "q176_doc_skyline",
+      (s, dir) => {
+        import s.implicits._
+        val m = Llm.docsSpread(s, dir)
+          .select($"doc_id",
+            expr("CAST(size(array_distinct(filter(split(lower(text), '[^a-z]+'), x -> x <> ''))) AS BIGINT)")
+              .as("n_uniq"),
+            length($"text").cast("long").as("n_chars"))
+          .withColumn("neg_chars", -$"n_chars")
+        graft.ops.Skyline.of(m, Seq("n_uniq", "neg_chars"))
+          .select($"doc_id", $"n_uniq", $"n_chars")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+            CAST(len(list_distinct(list_filter(
+              regexp_split_to_array(lower(text), '[^a-z]+'),
+              x -> x <> ''))) AS BIGINT) AS n_uniq,
+            CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents)
+        SELECT a.doc_id, a.n_uniq, a.n_chars
+        FROM m a WHERE NOT EXISTS (
+          SELECT 1 FROM m b
+          WHERE b.n_uniq >= a.n_uniq AND b.n_chars <= a.n_chars
+            AND (b.n_uniq > a.n_uniq OR b.n_chars < a.n_chars))"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &

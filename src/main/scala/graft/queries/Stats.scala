@@ -573,7 +573,84 @@ object Stats {
         SELECT source, n_docs, sum_tokens,
           CAST(2 * six - (n_docs + 1) * sum_tokens AS DOUBLE)
             / CAST(n_docs * sum_tokens AS DOUBLE) AS gini
-        FROM a"""))
+        FROM a""")),
+
+    // ---------------------------------------------------------------- q181
+    // WINSORIZED ROBUST MOMENTS — outlier-clamped statistics (the
+    // robust-preprocessing staple: cap each value at the exact p01 /
+    // p99 order statistics before aggregating, so a fat tail cannot
+    // drag the mean). The cut points are TRUE order statistics from
+    // the global rank — ops.GlobalRank + ceil-rank integer algebra,
+    // never a single-task sort and never a sketch (q72 is the sketch
+    // form) — broadcast back as 2 scalars; the winsorized sum is
+    // exact DECIMAL.
+    //
+    // Scale shape: one range exchange for the rank (which an exact
+    // order statistic needs), the 2-row bound frame broadcasts, and
+    // the clamp+agg pass is map-side-combined scan work. Output: one
+    // row of exact-integer-derived doubles plus the clamp counts.
+    Q(
+      "q181_winsorized_stats",
+      (s, dir) => {
+        import s.implicits._
+        val v = table(s, dir, "lineitem")
+          .select(dec($"l_extendedprice").as("v"),
+            $"l_orderkey", $"l_linenumber")
+          .localCheckpoint()
+        val ranked = graft.ops.GlobalRank.withRank(
+          v, Seq($"v".asc, $"l_orderkey".asc, $"l_linenumber".asc),
+          "rk", s.sparkContext.defaultParallelism)
+        val nT = v.agg(count(lit(1)).cast("long").as("n"))
+        // p-th percentile as the ceil(p·n) order statistic (the
+        // classic nearest-rank definition — pure integer arithmetic)
+        val bounds = ranked.crossJoin(broadcast(nT))
+          .filter($"rk" === expr("CAST(ceil(n * 0.01) AS BIGINT)") ||
+            $"rk" === expr("CAST(ceil(n * 0.99) AS BIGINT)"))
+          .agg(min($"v").as("lo"), max($"v").as("hi"))
+        v.crossJoin(broadcast(bounds))
+          .select(
+            when($"v" < $"lo", $"lo").when($"v" > $"hi", $"hi")
+              .otherwise($"v").as("w"),
+            ($"v" < $"lo").cast("long").as("c_lo"),
+            ($"v" > $"hi").cast("long").as("c_hi"),
+            $"lo", $"hi")
+          .groupBy($"lo", $"hi")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum($"c_lo").cast("long").as("n_clamped_lo"),
+            sum($"c_hi").cast("long").as("n_clamped_hi"),
+            sum($"w").as("wsum"))
+          .select(out($"lo").as("p01"), out($"hi").as("p99"),
+            $"n", $"n_clamped_lo", $"n_clamped_hi",
+            out($"wsum").as("winsorized_sum"),
+            ($"wsum".cast("double") / $"n".cast("double"))
+              .as("winsorized_mean"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(l_extendedprice AS DECIMAL(18,4)) AS v,
+            CAST(row_number() OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(18,4)),
+                 l_orderkey, l_linenumber) AS BIGINT) AS rk,
+            CAST(count(*) OVER () AS BIGINT) AS n
+          FROM lineitem),
+        b AS (
+          SELECT min(v) AS lo, max(v) AS hi
+          FROM v WHERE rk = CAST(ceil(n * 0.01) AS BIGINT)
+             OR rk = CAST(ceil(n * 0.99) AS BIGINT)),
+        w AS (
+          SELECT CASE WHEN v.v < b.lo THEN b.lo
+                      WHEN v.v > b.hi THEN b.hi ELSE v.v END AS w,
+            CAST(v.v < b.lo AS BIGINT) AS c_lo,
+            CAST(v.v > b.hi AS BIGINT) AS c_hi,
+            b.lo, b.hi
+          FROM v CROSS JOIN b)
+        SELECT CAST(lo AS DOUBLE) AS p01, CAST(hi AS DOUBLE) AS p99,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(c_lo) AS BIGINT) AS n_clamped_lo,
+          CAST(sum(c_hi) AS BIGINT) AS n_clamped_hi,
+          CAST(sum(w) AS DOUBLE) AS winsorized_sum,
+          CAST(sum(w) AS DOUBLE) / count(*) AS winsorized_mean
+        FROM w GROUP BY lo, hi"""))
+
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG

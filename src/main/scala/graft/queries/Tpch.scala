@@ -116,6 +116,56 @@ object Tpch {
           AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         GROUP BY c_custkey, c_name, n_name
-        ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q182
+    // SORT-MERGE-BUCKET JOIN AT REST (ops.Smb) — the co-located-join
+    // lever itself: orders and lineitem are first WRITTEN
+    // bucketBy(8, orderkey).sortBy(orderkey) as managed tables, then
+    // the per-order revenue join+agg runs against the bucketed
+    // layouts with ZERO exchange and ZERO sort in the executed plan
+    // (SmbSpec asserts both, non-vacuously) — the shuffle is paid
+    // once at layout-build time and amortized over every later join
+    // keyed on orderkey. This is the at-rest answer to the q03-style
+    // fact-fact join that otherwise shuffles both sides every run.
+    //
+    // Scale shape: at 100 TB the bucketed write is the one-time
+    // backfill; every downstream join/groupBy on the bucket key is
+    // scan-local per bucket pair. Bucket counts must match across
+    // the subject area (Spark only aligns equal counts shuffle-free).
+    // Output kept delta-sized by the %50 key filter, which prunes in
+    // BOTH bucketed scans before the merge.
+    Q(
+      "q182_smb_join",
+      (s, dir) => {
+        import s.implicits._
+        val loc = java.nio.file.Files.createTempDirectory("smb-wh").toString
+        graft.ops.Smb.saveBucketed(
+          table(s, dir, "orders")
+            .select($"o_orderkey", $"o_custkey", dec($"o_totalprice").as("o_total")),
+          "graft_smb", loc, "orders_b", "o_orderkey", 8)
+        graft.ops.Smb.saveBucketed(
+          table(s, dir, "lineitem")
+            .select($"l_orderkey".as("o_orderkey"),
+              discPrice($"l_extendedprice", $"l_discount").as("rev")),
+          "graft_smb", loc, "lineitem_b", "o_orderkey", 8)
+        graft.ops.Smb.read(s, "graft_smb", "lineitem_b")
+          .join(graft.ops.Smb.read(s, "graft_smb", "orders_b"), "o_orderkey")
+          .filter($"o_orderkey" % 50 === 0)
+          .groupBy($"o_orderkey")
+          .agg(count(lit(1)).cast("long").as("n_items"),
+            max($"o_custkey").as("o_custkey"),
+            out(max($"o_total")).as("o_total"),
+            out(sum($"rev")).as("revenue"))
+      },
+      Some(s"""
+        SELECT l_orderkey AS o_orderkey,
+          CAST(count(*) AS BIGINT) AS n_items,
+          max(o_custkey) AS o_custkey,
+          CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS o_total,
+          CAST(sum($revSql) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey"""))
   )
 }

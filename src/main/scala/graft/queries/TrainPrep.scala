@@ -611,7 +611,81 @@ object TrainPrep {
         s AS (SELECT doc_id, w, min_key FROM k ORDER BY min_key LIMIT 100)
         SELECT doc_id, w, min_key,
           CAST(row_number() OVER (ORDER BY min_key) AS BIGINT) AS rank
-        FROM s"""))
+        FROM s""")),
+
+    // ---------------------------------------------------------------- q179
+    // MIXTURE APPLY — q90's temperature plan actually MATERIALIZED:
+    // per document, the exact integer copy count that realizes the
+    // per-source quota (w_s ∝ √n_s, quota = floor(w/z·N + 0.5) —
+    // q90's formula verbatim, so plan and apply cannot disagree).
+    // Allocation within a source is deterministic hash order (the
+    // content-addressed discipline every TrainPrep op uses): doc at
+    // hash-rank r gets ⌊quota/n⌋ copies plus one extra iff
+    // r ≤ quota mod n — Σ copies ≡ quota EXACTLY per source, no
+    // sampling noise, replayable bit-for-bit. This is the epoch
+    // manifest a trainer consumes: tails upsample (n_copies ≥ 2),
+    // heads downsample (n_copies = 0 rows are real and kept — the
+    // doc is OUT this epoch).
+    //
+    // Scale shape: quotas are a |sources|-row broadcast; the rank is
+    // a per-source window over a hash-shuffled scan (one exchange;
+    // a 10⁹-doc source would switch to the q121 GlobalRank form);
+    // copy counts are pure integer arithmetic in the scan. Output is
+    // manifest-sized by design — it IS the epoch's dataset.
+    Q(
+      "q179_mixture_apply",
+      (s, dir) => {
+        import s.implicits._
+        val counts = table(s, dir, "documents")
+          .groupBy($"source").agg(count(lit(1)).cast("long").as("n_docs"))
+        val raw = counts.withColumn("w_raw", sqrt($"n_docs".cast("double")))
+        val tot = raw.agg(
+          sort_array(collect_list(struct($"source", $"w_raw"))).as("xs"),
+          sum($"n_docs").cast("long").as("total_docs"))
+          .select(
+            expr("aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.w_raw)").as("z"),
+            $"total_docs")
+        val quota = raw.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            floor(($"w_raw" / $"z") * $"total_docs".cast("double") + lit(0.5))
+              .cast("long").as("quota"))
+        val w = Window.partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
+        table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|mix')), 1, 15), 16, 10) AS BIGINT)")
+              .as("h"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(quota), "source")
+          .select($"doc_id", $"source", $"rk",
+            (expr("quota div n_docs") +
+              when($"rk" <= $"quota" % $"n_docs", 1L).otherwise(0L))
+              .cast("long").as("n_copies"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        r AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw FROM c),
+        t AS (
+          SELECT sum(w_raw ORDER BY source) AS z,
+            CAST(sum(n_docs) AS BIGINT) AS total_docs
+          FROM r),
+        q AS (
+          SELECT source, n_docs,
+            CAST(floor(w_raw / z * CAST(total_docs AS DOUBLE) + 0.5) AS BIGINT) AS quota
+          FROM r CROSS JOIN t),
+        d AS (
+          SELECT doc_id, source,
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|mix')), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+          FROM documents),
+        rk AS (
+          SELECT doc_id, source, h,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+          FROM d)
+        SELECT rk.doc_id, rk.source, rk.rk,
+          CAST(q.quota // q.n_docs +
+            CASE WHEN rk.rk <= q.quota % q.n_docs THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM rk JOIN q USING (source)"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
