@@ -59,32 +59,39 @@ object Decontam {
     gramHashes(evalDocs, gramTokens)
       .select(col("doc_id").as("eval_doc"), col("gh")).distinct()
       .write.mode("overwrite").parquet(s"$dir/grams")
+    // the gram table is immutable after save, so its row count is
+    // geometry too: probe's broadcast gate reads it from the sidecar
+    // instead of launching a count job PER PROBE (per trigger under
+    // StreamDecontam — round-11 review finding)
+    val nGrams = spark.read.parquet(s"$dir/grams").count()
     val p = new Path(s"$dir/_geometry")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Layouts.writeSidecar(fs, p, s"$gramTokens\n")
+    Layouts.writeSidecar(fs, p, s"$gramTokens\n$nGrams\n")
   }
+
+  /** Broadcast the persisted gram table only below this row count —
+    * the q131 lesson: an unconditional hint on a frame that can
+    * outgrow executor memory OOMs instead of degrading; above the
+    * budget the plain join stands and AQE decides. The count comes
+    * from the geometry sidecar (frozen at save), not a per-probe job.
+    */
+  val BroadcastGramRows: Long = 1L << 22
 
   /** Screen a batch against the persisted benchmark: q137's output
     * schema (doc_id, n_hit_grams, n_eval_docs), flagged batch docs
     * only.
     */
-  /** Broadcast the persisted gram table only below this row count —
-    * the q131 lesson: an unconditional hint on a frame that can
-    * outgrow executor memory OOMs instead of degrading; above the
-    * budget the plain join stands and AQE decides (parquet row-count
-    * metadata makes the gate a footer read, not a scan).
-    */
-  val BroadcastGramRows: Long = 1L << 22
-
   def probe(batch: DataFrame, dir: String, gramTokens: Int = 8): DataFrame = {
     val spark = batch.sparkSession
-    val frozen = readGeometry(spark, dir)
+    val (frozen, nGrams) = readGeometry(spark, dir)
     require(frozen == gramTokens,
       s"probe at gramTokens=$gramTokens against state frozen at $frozen — " +
         "a different width hashes different runs and silently misses " +
         "contamination; rebuild with Decontam.save or probe at the frozen width")
     val ev = spark.read.parquet(s"$dir/grams")
-    val evJ = if (ev.count() <= BroadcastGramRows) broadcast(ev) else ev
+    // pre-sidecar states (no count line) pay the one count job
+    val n = nGrams.getOrElse(ev.count())
+    val evJ = if (n <= BroadcastGramRows) broadcast(ev) else ev
     gramHashes(batch, gramTokens)
       .join(evJ, "gh")
       .groupBy(col("doc_id"))
@@ -93,11 +100,17 @@ object Decontam {
         countDistinct(col("eval_doc")).cast("long").as("n_eval_docs"))
   }
 
-  private[graft] def readGeometry(spark: SparkSession, dir: String): Int = {
+  /** (frozen gram width, gram-table row count) — the count is absent
+    * on states saved before it joined the sidecar.
+    */
+  private[graft] def readGeometry(
+      spark: SparkSession, dir: String): (Int, Option[Long]) = {
     val p = new Path(s"$dir/_geometry")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Layouts.readSidecar(fs, p).getOrElse(
+    val lines = Layouts.readSidecar(fs, p).getOrElse(
       throw new IllegalArgumentException(
-        s"no decontam state at $dir — run Decontam.save first")).trim.toInt
+        s"no decontam state at $dir — run Decontam.save first"))
+      .trim.split('\n').toSeq
+    (lines.head.trim.toInt, lines.drop(1).headOption.map(_.trim.toLong))
   }
 }

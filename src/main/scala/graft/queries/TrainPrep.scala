@@ -614,10 +614,15 @@ object TrainPrep {
         FROM s""")),
 
     // ---------------------------------------------------------------- q179
-    // MIXTURE APPLY — q90's temperature plan actually MATERIALIZED:
-    // per document, the exact integer copy count that realizes the
-    // per-source quota (w_s ∝ √n_s, quota = floor(w/z·N + 0.5) —
-    // q90's formula verbatim, so plan and apply cannot disagree).
+    // EPOCH MANIFEST — q90's temperature plan MATERIALIZED as exact
+    // per-doc integer copy counts realizing each source's quota
+    // (w_s ∝ √n_s, quota = floor(w/z·N + 0.5) — q90's formula
+    // verbatim, so plan and apply cannot disagree). Distinct from
+    // q142's draw-based apply BY CONTRACT: q142 THINS (a Bernoulli
+    // content-addressed keep/drop — copy count ≤ 1, realized mass
+    // approximates the allocation), while an epoch manifest must hit
+    // the quota EXACTLY and UPSAMPLE tails (n_copies ≥ 2) — the
+    // repetition-factor table a trainer's data loader consumes.
     // Allocation within a source is deterministic hash order (the
     // content-addressed discipline every TrainPrep op uses): doc at
     // hash-rank r gets ⌊quota/n⌋ copies plus one extra iff
@@ -633,7 +638,7 @@ object TrainPrep {
     // copy counts are pure integer arithmetic in the scan. Output is
     // manifest-sized by design — it IS the epoch's dataset.
     Q(
-      "q179_mixture_apply",
+      "q179_epoch_manifest",
       (s, dir) => {
         import s.implicits._
         val counts = table(s, dir, "documents")

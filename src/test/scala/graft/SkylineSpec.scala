@@ -47,4 +47,20 @@ class SkylineSpec extends SparkSuite {
       assert(got == want, s"partitions=$p")
     }
   }
+
+  test("over-budget shrink rounds converge to the exact skyline") {
+    import spark.implicits._
+    // ANTI-CORRELATED tail forces a large candidate set: x + y = const
+    // makes every point mutually undominated in 2-D, but the z spread
+    // still prunes; budget 1 forces shrink rounds all the way to the
+    // single-partition exact pass on every fixture
+    val anti = (500L to 560L).map(id => (id, id - 400L, 260L - id, 1L))
+    val all = rows ++ anti
+    val (sky, cleanup) = graft.ops.Skyline.ofManaged(
+      all.toDF("id", "x", "y", "z").repartition(16),
+      Seq("x", "y", "z"), budgetRows = 1L)
+    val got = sky.select($"id").collect().map(_.getLong(0)).toSet
+    cleanup()
+    assert(got == brute(all), s"shrink path diverged")
+  }
 }
