@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Quality gate: length + stopword evidence (cf. q27). */
-  def qualityGate(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 30 &&
-      size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)")) >= 1)
+  /** Quality gate: length + stopword evidence (cf. q27). Thresholds
+    * are parameters so config-comparison audits (q183) can run two
+    * gates through the ONE implementation — defaults are the q100
+    * production config.
+    */
+  def qualityGate(docs: DataFrame, minChars: Int = 30, minStops: Int = 1): DataFrame =
+    docs.filter(length(col("text")) >= minChars &&
+      size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)")) >= minStops)
 
   /** Exact dedup: keep the lowest doc_id per normalized fingerprint. */
   def exactDedup(docs: DataFrame): DataFrame = {

@@ -36,30 +36,40 @@ object Curation {
     * the Spark side. `lazy` deliberately: `all` interpolates it and
     * initializes first (the q133 init-order lesson).
     */
-  private[queries] lazy val auditSqlCtes: String = s"""aud_gt AS (
+  /** The audit CTE chain (terminal CTE `<p>audit`) parameterized by
+    * gate thresholds and the pairs CTE name — ONE SQL generator so
+    * q118's single-config oracle and q183's A/B oracle cannot drift.
+    */
+  private[queries] def auditSqlCtesFor(
+      p: String, minChars: Int, minStops: Int, pairsCte: String): String =
+    s"""${p}gt AS (
           SELECT doc_id,
-            (length(text) >= 30
-             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1) AS gate
+            (length(text) >= $minChars
+             AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= $minStops) AS gate
           FROM documents),
-        aud_fpx AS (
+        ${p}fpx AS (
           SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
           FROM documents
-          WHERE length(text) >= 30
-            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= 1),
-        aud_canon AS (SELECT fp, min(doc_id) AS canon FROM aud_fpx GROUP BY fp),
-        aud_eo AS (
+          WHERE length(text) >= $minChars
+            AND len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in)\\b', 0)) >= $minStops),
+        ${p}canon AS (SELECT fp, min(doc_id) AS canon FROM ${p}fpx GROUP BY fp),
+        ${p}eo AS (
           SELECT f.doc_id, c.canon AS exact_dup_of
-          FROM aud_fpx f JOIN aud_canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
-        aud_no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM pairs GROUP BY d2),
-        audit AS (
+          FROM ${p}fpx f JOIN ${p}canon c ON f.fp = c.fp WHERE c.canon < f.doc_id),
+        ${p}no AS (SELECT d2 AS doc_id, min(d1) AS near_dup_of FROM $pairsCte GROUP BY d2),
+        ${p}audit AS (
           SELECT g.doc_id, g.gate, eo.exact_dup_of, no.near_dup_of,
             CASE WHEN NOT g.gate THEN 'quality_gate'
                  WHEN eo.exact_dup_of IS NOT NULL THEN 'exact_dup'
                  WHEN no.near_dup_of IS NOT NULL THEN 'near_dup' END AS drop_reason,
             CAST((g.gate AND eo.exact_dup_of IS NULL AND no.near_dup_of IS NULL) AS BIGINT) AS keep
-          FROM aud_gt g
-          LEFT JOIN aud_eo eo ON g.doc_id = eo.doc_id
-          LEFT JOIN aud_no no ON g.doc_id = no.doc_id)"""
+          FROM ${p}gt g
+          LEFT JOIN ${p}eo eo ON g.doc_id = eo.doc_id
+          LEFT JOIN ${p}no no ON g.doc_id = no.doc_id)"""
+
+  private[queries] lazy val auditSqlCtes: String =
+    auditSqlCtesFor("aud_", 30, 1, "pairs")
+      .replace("aud_audit AS (", "audit AS (")
 
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q78
@@ -1116,7 +1126,73 @@ object Curation {
           CAST(CASE WHEN status = 'changed' AND a_text <> b_text THEN 1 ELSE 0 END AS BIGINT) AS chg_text,
           CAST(CASE WHEN status = 'changed' AND a_lang <> b_lang THEN 1 ELSE 0 END AS BIGINT) AS chg_lang,
           CAST(CASE WHEN status = 'changed' AND a_source <> b_source THEN 1 ELSE 0 END AS BIGINT) AS chg_source
-        FROM j WHERE status IS NOT NULL"""))
+        FROM j WHERE status IS NOT NULL""")),
+
+    // ---------------------------------------------------------------- q183
+    // CURATION CONFIG A/B DIFF — the question a data team actually
+    // asks before tightening a pipeline: "if we raise the gate to 60
+    // chars / 2 stopwords and the near-dup bar to jac ≥ 0.5, WHICH
+    // documents flip, and at which stage?" Both configs run through
+    // the ONE q118 audit engine (parameterized this round, so A/B and
+    // production cannot drift), joined per doc; output only the docs
+    // whose keep bit or drop reason changes, with the FIRST diverging
+    // stage. The subtlety this surfaces that no per-config report
+    // can: config changes CASCADE — a doc gated out under B changes
+    // its fp-group's canonical min(doc_id), which flips OTHER docs'
+    // exact-dup verdicts ('exact_dup' divergences on docs that pass
+    // both gates).
+    //
+    // Scale shape: two audit plans over one scan each (the gate is
+    // scan-side, fp/canon group on 16-byte digests, near drops reuse
+    // the SAME materialized pair frame — the LSH machinery runs
+    // ONCE); the diff join is doc-keyed and the output is
+    // flip-sized. At 100 TB this is how a config change is costed
+    // BEFORE a full re-run: flip counts by stage, not a second
+    // corpus pass per candidate config.
+    Q(
+      "q183_config_ab",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        // one LSH pass serves both configs (B filters by jac)
+        val pairs = Llm.minhashLshPairs(docs, Llm.lshMaxBucket)
+          .localCheckpoint()
+        val a = curationAudit(docs, pairs.select($"d1", $"d2"), 30, 1)
+          .select($"doc_id", $"gate_pass".as("gate_a"),
+            $"exact_dup_of".as("exa"), $"near_dup_of".as("nra"),
+            $"drop_reason".as("reason_a"), $"keep".as("in_a"))
+        val b = curationAudit(docs,
+            pairs.filter($"jac" >= 0.5).select($"d1", $"d2"), 60, 2)
+          .select($"doc_id", $"gate_pass".as("gate_b"),
+            $"exact_dup_of".as("exb"), $"near_dup_of".as("nrb"),
+            $"drop_reason".as("reason_b"), $"keep".as("in_b"))
+        a.join(b, "doc_id")
+          .filter($"in_a" =!= $"in_b" ||
+            coalesce($"reason_a", lit("")) =!= coalesce($"reason_b", lit("")))
+          .select($"doc_id", $"in_a", $"in_b",
+            coalesce($"reason_a", lit("kept")).as("reason_a"),
+            coalesce($"reason_b", lit("kept")).as("reason_b"),
+            when($"gate_a" =!= $"gate_b", "quality_gate")
+              .when(coalesce($"exa", lit(-1L)) =!= coalesce($"exb", lit(-1L)),
+                "exact_dup")
+              .otherwise("near_dup").as("diverged_stage"))
+      },
+      Some(s"""
+        WITH pairs AS (${Llm.minhashPairsSql}),
+        pairs_b AS (SELECT d1, d2 FROM pairs WHERE jac >= 0.5),
+        ${auditSqlCtesFor("a_", 30, 1, "pairs")},
+        ${auditSqlCtesFor("b_", 60, 2, "pairs_b")}
+        SELECT a.doc_id,
+          a.keep AS in_a, b.keep AS in_b,
+          coalesce(a.drop_reason, 'kept') AS reason_a,
+          coalesce(b.drop_reason, 'kept') AS reason_b,
+          CASE WHEN a.gate <> b.gate THEN 'quality_gate'
+               WHEN coalesce(a.exact_dup_of, -1) <> coalesce(b.exact_dup_of, -1)
+                 THEN 'exact_dup'
+               ELSE 'near_dup' END AS diverged_stage
+        FROM a_audit a JOIN b_audit b ON a.doc_id = b.doc_id
+        WHERE a.keep <> b.keep
+           OR coalesce(a.drop_reason, '') <> coalesce(b.drop_reason, '')"""))
   )
 
   /** Passage-removal engine behind q110. Input: (doc_id, text, ...).
@@ -1169,14 +1245,16 @@ object Curation {
     */
   private[graft] def curationAudit(
       docs: org.apache.spark.sql.DataFrame,
-      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      pairs: org.apache.spark.sql.DataFrame,
+      minChars: Int = 30,
+      minStops: Int = 1): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val gate = docs.select($"doc_id",
-      (length($"text") >= 30 &&
-        size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)")) >= 1)
+      (length($"text") >= minChars &&
+        size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|and|of|to|in)\\\\b', 0)")) >= minStops)
         .as("gate"))
-    val fp = graft.ops.CurationPipeline.qualityGate(docs)
+    val fp = graft.ops.CurationPipeline.qualityGate(docs, minChars, minStops)
       .select($"doc_id",
         md5(trim(regexp_replace(lower($"text"), "[ \\t\\n\\x0B\\f\\r]+", " "))).as("fp"))
     val canon = fp.groupBy($"fp").agg(min($"doc_id").as("canon"))
