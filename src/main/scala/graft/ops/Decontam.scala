@@ -73,7 +73,13 @@ object Decontam {
     * the q131 lesson: an unconditional hint on a frame that can
     * outgrow executor memory OOMs instead of degrading; above the
     * budget the plain join stands and AQE decides. The count comes
-    * from the geometry sidecar (frozen at save), not a per-probe job.
+    * from the geometry sidecar (frozen at save), not a per-probe job
+    * — which makes gate consistency part of [[save]]'s single-writer
+    * contract: a probe racing a concurrent re-save could read the OLD
+    * count against the NEW grams table, but that probe is already
+    * unsafe (it can read a half-overwritten grams directory) — a
+    * benchmark version swap quiesces probes, same as every other
+    * rebuild-class state here (ANN retrain, BlockState geometry).
     */
   val BroadcastGramRows: Long = 1L << 22
 

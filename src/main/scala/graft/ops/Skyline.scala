@@ -66,26 +66,37 @@ object Skyline {
     require(dims.nonEmpty, "skyline needs at least one objective")
     val schema = df.schema
     val idx = dims.map(schema.fieldIndex)
-    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var cand = localPrune(df, idx).localCheckpoint()
-    staged += cand
-    var n = cand.count()
-    var parts = cand.rdd.getNumPartitions
-    while (n > budgetRows && parts > 1) {
-      parts = math.max(1, parts / 8)
-      cand = localPrune(cand.coalesce(parts), idx).localCheckpoint()
-      staged += cand
-      n = cand.count()
-    }
-    val out =
-      if (n > budgetRows) cand // pruned at ONE partition: exact
-      else {
-        val other = cand.select(dims.map(d => col(d).as(s"__sky_$d")): _*)
-        val geAll = dims.map(d => col(s"__sky_$d") >= col(d)).reduce(_ && _)
-        val gtAny = dims.map(d => col(s"__sky_$d") > col(d)).reduce(_ || _)
-        cand.join(broadcast(other), geAll && gtAny, "left_anti")
+    // crash hygiene: if anything below throws (a prune task failure,
+    // a count job loss), the frames checkpointed so far must not
+    // strand until a driver GC — release and rethrow
+    try {
+      var n = cand.count()
+      var parts = cand.rdd.getNumPartitions
+      while (n > budgetRows && parts > 1) {
+        parts = math.max(1, parts / 8)
+        val next = localPrune(cand.coalesce(parts), idx).localCheckpoint()
+        // the next checkpoint is EAGER, so the previous round's
+        // blocks are dead the moment it exists — release round by
+        // round instead of pinning sum-of-rounds copies of an
+        // over-budget candidate set through the final write
+        Checkpoints.release(cand)
+        cand = next
+        n = cand.count()
       }
-    (out, () => staged.foreach(Checkpoints.release))
+      val out =
+        if (n > budgetRows) cand // pruned at ONE partition: exact
+        else {
+          val other = cand.select(dims.map(d => col(d).as(s"__sky_$d")): _*)
+          val geAll = dims.map(d => col(s"__sky_$d") >= col(d)).reduce(_ && _)
+          val gtAny = dims.map(d => col(s"__sky_$d") > col(d)).reduce(_ || _)
+          cand.join(broadcast(other), geAll && gtAny, "left_anti")
+        }
+      val last = cand
+      (out, () => Checkpoints.release(last))
+    } catch {
+      case t: Throwable => Checkpoints.release(cand); throw t
+    }
   }
 
   /** Block-nested local skyline, O(rows · |local skyline|) per

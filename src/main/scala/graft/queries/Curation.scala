@@ -27,18 +27,14 @@ object Curation {
   private val PhoneRe = """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"""
   private val TermRe = """\bcustomer\b"""
 
-  /** DuckDB CTE chain replicating [[curationAudit]]'s verdicts —
-    * terminal CTE `audit` (doc_id, gate BOOLEAN, exact_dup_of,
-    * near_dup_of, drop_reason, keep BIGINT). Expects a `pairs` CTE
-    * already in scope. ONE copy spliced into the q118/q147/q149/q157
-    * oracles, so the four audit consumers structurally cannot drift
-    * from one another — the SQL twin of sharing `curationAudit` on
-    * the Spark side. `lazy` deliberately: `all` interpolates it and
-    * initializes first (the q133 init-order lesson).
-    */
-  /** The audit CTE chain (terminal CTE `<p>audit`) parameterized by
-    * gate thresholds and the pairs CTE name — ONE SQL generator so
-    * q118's single-config oracle and q183's A/B oracle cannot drift.
+  /** The audit CTE chain replicating [[curationAudit]]'s verdicts
+    * (terminal CTE `<p>audit`: doc_id, gate BOOLEAN, exact_dup_of,
+    * near_dup_of, drop_reason, keep BIGINT), parameterized by gate
+    * thresholds and the pairs CTE name — ONE SQL generator behind
+    * every audit oracle (q118/q147/q149/q157 through
+    * [[auditSqlCtes]], q183's two configs directly), so no audit
+    * consumer can structurally drift from another — the SQL twin of
+    * sharing `curationAudit` on the Spark side.
     */
   private[queries] def auditSqlCtesFor(
       p: String, minChars: Int, minStops: Int, pairsCte: String): String =
@@ -67,6 +63,13 @@ object Curation {
           LEFT JOIN ${p}eo eo ON g.doc_id = eo.doc_id
           LEFT JOIN ${p}no no ON g.doc_id = no.doc_id)"""
 
+  /** The production-config (30, 1, `pairs`) instance with its
+    * terminal CTE renamed to the bare `audit` the q118/q147/q149/q157
+    * oracles select from (only the terminal name is surgered — the
+    * internal aud_-prefixed CTEs are referenced nowhere else).
+    * `lazy` deliberately: `all` interpolates it and initializes first
+    * (the q133 init-order lesson).
+    */
   private[queries] lazy val auditSqlCtes: String =
     auditSqlCtesFor("aud_", 30, 1, "pairs")
       .replace("aud_audit AS (", "audit AS (")
