@@ -265,7 +265,118 @@ object Embeddings {
           .localCheckpoint()
         mmrGreedy(cand.select($"vec_id", $"rel"), sims, 5)
       },
-      Some(mmrOracleSql))
+      Some(mmrOracleSql)),
+
+    // ---------------------------------------------------------------- q184
+    // RETRIEVAL EVALUATION SUITE — the harness that scores the
+    // engine's own retrieval stack (q25 exact / q33–q99 ANN / q115
+    // hybrid) instead of trusting it: per query vector, MRR,
+    // precision@10, recall@10 and AP@20 against label-match ground
+    // truth (corpus vectors sharing the query's label — the standard
+    // proxy relevance of ANN benchmarks). Every metric is a division
+    // of exact integers; AP's sum of precision-at-hit terms is an
+    // ORDERED rank fold (sort_array + aggregate ≡ the oracle's
+    // sum(x ORDER BY rk)), so all doubles hash-match. nDCG is
+    // deliberately absent: its log2 discount is transcendental and
+    // engines disagree in the last ulp — AP carries the same
+    // position-sensitivity with exact rational arithmetic.
+    //
+    // Scale shape: q25's — the query side broadcasts, the corpus
+    // scan stays partition-parallel, the per-query rank window runs
+    // over |queries| bounded partitions, and everything after the
+    // top-20 take is 5×20 rows. Ground-truth totals are one
+    // label-histogram agg joined back by label.
+    Q(
+      "q184_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.CosineSim.register(s)
+        val e = table(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+        val qs = table(s, dir, "embeddings").filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"embedding".as("qe"))
+        val labelCounts = table(s, dir, "embeddings")
+          .groupBy($"label").agg(count(lit(1)).cast("long").as("n_label"))
+        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+        val ranked = e.crossJoin(broadcast(qs))
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"qlabel", $"vec_id", $"label",
+            expr("cosine_sim(qe, embedding)").as("sim"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 20)
+          .withColumn("rel", ($"label" === $"qlabel").cast("long"))
+          .withColumn("cum_rel", sum($"rel").over(
+            Window.partitionBy($"qid").orderBy($"rk")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+        ranked
+          .groupBy($"qid", $"qlabel")
+          .agg(
+            min(when($"rel" === 1L, $"rk")).as("first_rel_rank0"),
+            sum(when($"rk" <= 10L, $"rel").otherwise(0L)).cast("long")
+              .as("hits_at_10"),
+            sort_array(collect_list(when($"rel" === 1L,
+              struct($"rk", ($"cum_rel".cast("double") / $"rk".cast("double"))
+                .as("p"))))).as("ps"))
+          .join(broadcast(labelCounts.select($"label".as("qlabel"),
+            $"n_label")), "qlabel")
+          // the query itself is excluded from the candidate corpus,
+          // so its own label row overcounts relevant by one
+          .withColumn("n_rel_total", ($"n_label" - 1L).cast("long"))
+          .select($"qid", $"n_rel_total",
+            coalesce($"first_rel_rank0", lit(0L)).as("first_rel_rank"),
+            coalesce(lit(1.0) / $"first_rel_rank0".cast("double"), lit(0.0))
+              .as("rr"),
+            ($"hits_at_10".cast("double") / lit(10.0)).as("p_at_10"),
+            ($"hits_at_10".cast("double") / $"n_rel_total".cast("double"))
+              .as("r_at_10"),
+            (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p)") /
+              least($"n_rel_total", lit(20L)).cast("double")).as("ap_at_20"))
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id, e.label,
+            s.sim,
+            CAST(row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY s.sim DESC, e.vec_id) AS BIGINT) AS rk
+          FROM embeddings q
+          JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+          JOIN (${Llm.cosineSql(
+        """SELECT q.vec_id v1, e.vec_id v2, q.embedding ea, e.embedding eb
+           FROM embeddings q JOIN embeddings e
+             ON q.vec_id < 5 AND e.vec_id <> q.vec_id""",
+        "")}) s ON s.v1 = q.vec_id AND s.v2 = e.vec_id),
+        top AS (
+          SELECT qid, qlabel, vec_id, label, rk,
+            CAST(label = qlabel AS BIGINT) AS rel,
+            CAST(sum(CAST(label = qlabel AS BIGINT)) OVER (
+              PARTITION BY qid ORDER BY rk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum_rel
+          FROM ranked WHERE rk <= 20),
+        lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+               FROM embeddings GROUP BY label),
+        agg AS (
+          SELECT qid, qlabel,
+            min(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank0,
+            CAST(coalesce(sum(CASE WHEN rk <= 10 THEN rel ELSE 0 END), 0)
+              AS BIGINT) AS hits_at_10,
+            sum(CASE WHEN rel = 1
+                     THEN CAST(cum_rel AS DOUBLE) / CAST(rk AS DOUBLE)
+                END ORDER BY rk) AS ap_num
+          FROM top GROUP BY qid, qlabel)
+        SELECT a.qid,
+          CAST(lc.n_label - 1 AS BIGINT) AS n_rel_total,
+          CAST(coalesce(a.first_rel_rank0, 0) AS BIGINT) AS first_rel_rank,
+          coalesce(1.0 / CAST(a.first_rel_rank0 AS DOUBLE), 0.0) AS rr,
+          CAST(a.hits_at_10 AS DOUBLE) / 10.0 AS p_at_10,
+          CAST(a.hits_at_10 AS DOUBLE) / CAST(lc.n_label - 1 AS DOUBLE)
+            AS r_at_10,
+          coalesce(a.ap_num, 0.0) /
+            CAST(least(lc.n_label - 1, 20) AS DOUBLE) AS ap_at_20
+        FROM agg a JOIN lc ON lc.label = a.qlabel"""))
   )
 
   /** The unrolled MMR greedy behind q175: `cand` = (vec_id, rel)

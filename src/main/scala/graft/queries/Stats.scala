@@ -649,7 +649,90 @@ object Stats {
           CAST(sum(c_hi) AS BIGINT) AS n_clamped_hi,
           CAST(sum(w) AS DOUBLE) AS winsorized_sum,
           CAST(sum(w) AS DOUBLE) / count(*) AS winsorized_mean
-        FROM w GROUP BY lo, hi"""))
+        FROM w GROUP BY lo, hi""")),
+
+    // ---------------------------------------------------------------- q185
+    // JOIN CARDINALITY PROFILER — the optimizer-statistics pass that
+    // prices a join WITHOUT running it: for an inner equi-join,
+    // |A ⋈ B| = Σ_k cA(k)·cB(k) exactly, so the per-key histograms
+    // (which cost two map-side-combined aggs over the KEY COLUMNS
+    // only) yield the exact output cardinality, the matching-key
+    // count, and the skew read (the hottest key's share of the
+    // output — the salting decision input, q170's shuffle-skew audit
+    // at the planning stage instead of post-mortem). Profiled for
+    // the three fact joins of this schema. All counts exact BIGINTs
+    // (Σ cA·cB over this data is ≤ |A|·max cB ≪ 2⁶³); the share is
+    // one division.
+    //
+    // Scale shape: nothing here touches a payload column or runs the
+    // join — two key-histogram aggs per pair and a |matching keys|-
+    // sized histogram join (AQE broadcasts the smaller histogram);
+    // the top-key argmax is one max(struct) partial agg, never a
+    // window.
+    Q(
+      "q185_join_cardinality",
+      (s, dir) => {
+        import s.implicits._
+        def profile(name: String, left: org.apache.spark.sql.DataFrame,
+            lk: String, right: org.apache.spark.sql.DataFrame, rk: String) = {
+          val ca = left.select(col(lk).as("k"))
+            .groupBy($"k").agg(count(lit(1)).cast("long").as("ca"))
+          val cb = right.select(col(rk).as("k"))
+            .groupBy($"k").agg(count(lit(1)).cast("long").as("cb"))
+          ca.join(cb, "k")
+            .select($"k", ($"ca" * $"cb").as("contrib"))
+            .agg(
+              count(lit(1)).cast("long").as("n_match_keys"),
+              sum($"contrib").cast("long").as("predicted_rows"),
+              max(struct($"contrib", $"k")).as("top"))
+            .select(lit(name).as("join_name"), $"n_match_keys",
+              $"predicted_rows",
+              $"top.k".as("top_key"),
+              $"top.contrib".cast("long").as("top_rows"),
+              ($"top.contrib".cast("double") /
+                $"predicted_rows".cast("double")).as("top_share"))
+        }
+        val li = table(s, dir, "lineitem")
+        profile("orders_lineitem", table(s, dir, "orders"), "o_orderkey",
+            li, "l_orderkey")
+          .unionAll(profile("part_lineitem", table(s, dir, "part"),
+            "p_partkey", li, "l_partkey"))
+          .unionAll(profile("customer_orders", table(s, dir, "customer"),
+            "c_custkey", table(s, dir, "orders"), "o_custkey"))
+      },
+      Some("""
+        WITH pr AS (
+          SELECT 'orders_lineitem' AS join_name, o_orderkey AS k,
+            CAST(count(*) AS BIGINT) AS ca FROM orders GROUP BY 1, 2
+          UNION ALL
+          SELECT 'part_lineitem', p_partkey, CAST(count(*) AS BIGINT)
+          FROM part GROUP BY 1, 2
+          UNION ALL
+          SELECT 'customer_orders', c_custkey, CAST(count(*) AS BIGINT)
+          FROM customer GROUP BY 1, 2),
+        pb AS (
+          SELECT 'orders_lineitem' AS join_name, l_orderkey AS k,
+            CAST(count(*) AS BIGINT) AS cb FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'part_lineitem', l_partkey, CAST(count(*) AS BIGINT)
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT 'customer_orders', o_custkey, CAST(count(*) AS BIGINT)
+          FROM orders GROUP BY 1, 2),
+        j AS (
+          SELECT pr.join_name, pr.k, pr.ca * pb.cb AS contrib
+          FROM pr JOIN pb ON pr.join_name = pb.join_name AND pr.k = pb.k),
+        a AS (
+          SELECT join_name,
+            CAST(count(*) AS BIGINT) AS n_match_keys,
+            CAST(sum(contrib) AS BIGINT) AS predicted_rows,
+            max(struct_pack(contrib := contrib, k := k)) AS top
+          FROM j GROUP BY join_name)
+        SELECT join_name, n_match_keys, predicted_rows,
+          top.k AS top_key, CAST(top.contrib AS BIGINT) AS top_rows,
+          CAST(top.contrib AS DOUBLE) / CAST(predicted_rows AS DOUBLE)
+            AS top_share
+        FROM a"""))
 
   )
 
