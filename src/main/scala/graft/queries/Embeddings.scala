@@ -330,10 +330,17 @@ object Embeddings {
             coalesce(lit(1.0) / $"first_rel_rank0".cast("double"), lit(0.0))
               .as("rr"),
             ($"hits_at_10".cast("double") / lit(10.0)).as("p_at_10"),
-            ($"hits_at_10".cast("double") / $"n_rel_total".cast("double"))
-              .as("r_at_10"),
-            (expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p)") /
-              least($"n_rel_total", lit(20L)).cast("double")).as("ap_at_20"))
+            // a label-unique query has no ground truth: define its
+            // recall/AP as 0 on BOTH engines (unguarded, Spark's
+            // 0/0 is NULL while DuckDB's is NaN — a latent oracle
+            // divergence on corpora with singleton labels)
+            when($"n_rel_total" > 0L,
+              $"hits_at_10".cast("double") / $"n_rel_total".cast("double"))
+              .otherwise(0.0).as("r_at_10"),
+            when($"n_rel_total" > 0L,
+              expr("aggregate(ps, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p)") /
+                least($"n_rel_total", lit(20L)).cast("double"))
+              .otherwise(0.0).as("ap_at_20"))
       },
       Some(s"""
         WITH ranked AS (
@@ -372,10 +379,13 @@ object Embeddings {
           CAST(coalesce(a.first_rel_rank0, 0) AS BIGINT) AS first_rel_rank,
           coalesce(1.0 / CAST(a.first_rel_rank0 AS DOUBLE), 0.0) AS rr,
           CAST(a.hits_at_10 AS DOUBLE) / 10.0 AS p_at_10,
-          CAST(a.hits_at_10 AS DOUBLE) / CAST(lc.n_label - 1 AS DOUBLE)
-            AS r_at_10,
-          coalesce(a.ap_num, 0.0) /
-            CAST(least(lc.n_label - 1, 20) AS DOUBLE) AS ap_at_20
+          CASE WHEN lc.n_label > 1
+               THEN CAST(a.hits_at_10 AS DOUBLE) / CAST(lc.n_label - 1 AS DOUBLE)
+               ELSE 0.0 END AS r_at_10,
+          CASE WHEN lc.n_label > 1
+               THEN coalesce(a.ap_num, 0.0) /
+                 CAST(least(lc.n_label - 1, 20) AS DOUBLE)
+               ELSE 0.0 END AS ap_at_20
         FROM agg a JOIN lc ON lc.label = a.qlabel"""))
   )
 

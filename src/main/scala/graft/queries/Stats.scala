@@ -681,11 +681,16 @@ object Stats {
             .groupBy($"k").agg(count(lit(1)).cast("long").as("cb"))
           ca.join(cb, "k")
             .select($"k", ($"ca" * $"cb").as("contrib"))
+            // groupBy on the literal name (not a global agg): a pair
+            // with ZERO matching keys must emit ZERO rows, exactly as
+            // the oracle's GROUP BY over the empty join does — a
+            // bare .agg() would emit one null-filled row and diverge
+            .groupBy(lit(name).as("join_name"))
             .agg(
               count(lit(1)).cast("long").as("n_match_keys"),
               sum($"contrib").cast("long").as("predicted_rows"),
               max(struct($"contrib", $"k")).as("top"))
-            .select(lit(name).as("join_name"), $"n_match_keys",
+            .select($"join_name", $"n_match_keys",
               $"predicted_rows",
               $"top.k".as("top_key"),
               $"top.contrib".cast("long").as("top_rows"),
