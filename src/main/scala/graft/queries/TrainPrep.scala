@@ -632,11 +632,16 @@ object TrainPrep {
     // heads downsample (n_copies = 0 rows are real and kept — the
     // doc is OUT this epoch).
     //
-    // Scale shape: quotas are a |sources|-row broadcast; the rank is
-    // a per-source window over a hash-shuffled scan (one exchange;
-    // a 10⁹-doc source would switch to the q121 GlobalRank form);
-    // copy counts are pure integer arithmetic in the scan. Output is
-    // manifest-sized by design — it IS the epoch's dataset.
+    // Scale shape: quotas are a |sources|-row broadcast; the
+    // per-source rank is ops.GlobalRank over (source, h, doc_id) —
+    // NOT a `partition by source` window, whose partitions are
+    // O(corpus/|sources|) rows each sorted in ONE task when |sources|
+    // is a bounded handful (the q154/q167/q171 single-task-sort class).
+    // Ranks within a source are contiguous in the global (source, h,
+    // doc_id) order, so rk_in_source = grk − min_grk(source) + 1 —
+    // a broadcast |sources|-row min-rank join plus pure integer
+    // algebra; copy counts are integer arithmetic in the scan. Output
+    // is manifest-sized by design — it IS the epoch's dataset.
     Q(
       "q179_epoch_manifest",
       (s, dir) => {
@@ -654,12 +659,20 @@ object TrainPrep {
           .select($"source", $"n_docs",
             floor(($"w_raw" / $"z") * $"total_docs".cast("double") + lit(0.5))
               .cast("long").as("quota"))
-        val w = Window.partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
-        table(s, dir, "documents")
-          .select($"doc_id", $"source",
-            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|mix')), 1, 15), 16, 10) AS BIGINT)")
-              .as("h"))
-          .withColumn("rk", row_number().over(w).cast("long"))
+        // global rank in (source, h, doc_id) order: every range
+        // partition ranks independently (GlobalRank localCheckpoints,
+        // so the min-rank agg and the final pass read the same blocks)
+        val ranked = graft.ops.GlobalRank.withRank(
+          table(s, dir, "documents")
+            .select($"doc_id", $"source",
+              expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|mix')), 1, 15), 16, 10) AS BIGINT)")
+                .as("h")),
+          Seq($"source".asc, $"h".asc, $"doc_id".asc), "grk",
+          s.sparkContext.defaultParallelism)
+        val minRk = ranked.groupBy($"source").agg(min($"grk").as("min_grk"))
+        ranked
+          .join(broadcast(minRk), "source")
+          .withColumn("rk", ($"grk" - $"min_grk" + lit(1L)).cast("long"))
           .join(broadcast(quota), "source")
           .select($"doc_id", $"source", $"rk",
             (expr("quota div n_docs") +

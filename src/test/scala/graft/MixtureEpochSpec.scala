@@ -48,4 +48,32 @@ class MixtureEpochSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("plan: no corpus frame under a bounded-partition window") {
+    import spark.implicits._
+    // parquet-backed (LocalRelation fixtures constant-fold plan-shape
+    // checks away); the per-source rank must come from GlobalRank's
+    // range-partition pass, never a `partition by source` WindowExec
+    // whose partition count is the bounded |sources| handful
+    val dir = java.nio.file.Files.createTempDirectory("mixplan").toString
+    (0L until 200L).map(i => (i, "t", "en", s"s${i % 3}", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("q179_epoch_manifest")(spark, dir)
+    assert(df.count() == 200L) // action first: assert the EXECUTED plan
+    def kids(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: kids(p).flatMap(all)
+    assert(!all(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "corpus-proportional window survived the GlobalRank migration:\n" +
+        df.queryExecution.executedPlan)
+  }
 }
