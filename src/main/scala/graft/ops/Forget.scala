@@ -34,11 +34,19 @@ import org.apache.spark.sql.functions._
   *
   * Scope is doc_id-KEYED roots (bands, shingle sets, postings,
   * fingerprint-per-doc layouts). A DISTINCT-set state with no
-  * provenance (StreamCuration's `fps`: md5(normalized text), doc_id
-  * dropped) cannot be selectively forgotten — removing a shared fp
-  * would re-admit duplicates of LIVING documents — so it is excluded
-  * here and falls to the rebuild cadence; a refcounted (fp, ndocs)
-  * layout is the upgrade path if that cadence is too slow.
+  * provenance cannot be selectively forgotten — removing a shared fp
+  * would re-admit duplicates of LIVING documents. That is why
+  * [[graft.streaming.StreamCuration]]'s exact-dup `fps` root carries
+  * doc-level provenance (one (fp, doc_id) row per gated doc): it puts
+  * the fingerprint state in this object's scope — [[exclude]] stops a
+  * forgotten doc's fp from suppressing future identical text
+  * immediately while a living doc sharing the fp keeps suppressing
+  * through its own row, and [[compact]] removes the rows physically.
+  * Provenance was chosen over a refcounted (fp, ndocs) layout because
+  * anti-joins are idempotent under replayed or duplicated forget
+  * requests where refcount decrements double-apply, and the live set
+  * needs no per-read sum-per-fp aggregation (ForgetSpec proves
+  * forget ≡ rebuild-without-forgotten including the shared-fp case).
   */
 object Forget {
 

@@ -42,8 +42,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[EventStream.dedupNearDup]]'s documented operating point.
   *
   * Scale shape: state is signatures only (bands: 2 rows/doc; sets: one
-  * prefix-shingle array/doc; fps: one 32-char hash/doc) — text never
-  * enters the state; the state probes are bucket-keyed equi-joins with
+  * prefix-shingle array/doc; fps: one (32-char hash, doc_id) row per
+  * GATED doc) — text never enters the state; the state probes are
+  * bucket-keyed equi-joins with
   * the batch side broadcast; per-drop cost is O(|batch|) like
   * [[graft.ops.IvfIndex.appendSaved]]. The hot-bucket cap applies to
   * the population VISIBLE at each drop (corpus-so-far + batch, exactly
@@ -116,26 +117,41 @@ object StreamCuration {
       .withColumn("bkey", concat_ws("|", col("band"), col("bsig")))
       .localCheckpoint()
 
-    // 1. gate → fingerprint → exact dedup (batch-local min + state)
+    // 1. gate → fingerprint → exact dedup (batch-local min + state).
+    // The fps state carries DOC-LEVEL PROVENANCE — one (fp, doc_id)
+    // row per gated doc, including docs the batch itself drops as
+    // exact dups — so a deletion request propagates with the same
+    // idempotent doc_id anti-join as every other root (Forget.exclude
+    // here, Forget.compact physically), and a forgotten doc's
+    // fingerprint stops suppressing future identical text IMMEDIATELY
+    // while a LIVING doc sharing the fp keeps suppressing through its
+    // own row. The refcounted (fp, ndocs) alternative was rejected:
+    // negative-delta decrements double-apply under a replayed or
+    // duplicated forget request (provenance anti-joins are idempotent
+    // by construction) and the live set would need a corpus-wide
+    // sum-per-fp aggregation on EVERY batch read, where the
+    // provenance rows feed the existing anti-join unchanged — at
+    // ~1/(1−duprate)× the rows, signature-sized either way.
     val fp = CurationPipeline.qualityGate(docs)
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))))
       .localCheckpoint()
-    val seenFps = readState(spark, s"$stateDir/fps", "fp STRING", batchId)
+    val seenFps = graft.ops.Forget.exclude(
+      readState(spark, s"$stateDir/fps", "fp STRING, doc_id BIGINT", batchId),
+      spark, stateDir)
     val keep = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = fp
       .join(keep, Seq("fp", "doc_id"), "left_semi")
-      .join(seenFps, Seq("fp"), "left_anti")
+      .join(seenFps.select($"fp"), Seq("fp"), "left_anti")
 
     // 2. near-dup: candidates from both sides, then exact verify
     val inBatch = Lsh.expandPairsCapped(bands, Seq("band", "bsig"), "doc_id", maxBucket)
       .select($"d1", $"d2")
     // forget tombstones are honored AT PROBE TIME: a deletion request
-    // (ops.Forget.tombstone) stops the near-dup pass from matching
-    // against the forgotten docs immediately — physical removal waits
-    // for Forget.compact's cadence. fps is a distinct-set state with
-    // no doc provenance, so it is NOT in Forget's scope (documented
-    // there): a forgotten doc's fingerprint lingers until the rebuild
-    // cadence, which can only FALSE-DROP a bit-identical future dup.
+    // (ops.Forget.tombstone) stops the near-dup pass — and, via the
+    // provenance-carrying fps layout above, the exact-dup pass — from
+    // matching against the forgotten docs immediately; physical
+    // removal waits for Forget.compact's cadence over all THREE roots
+    // (bands, sets, fps).
     val seenBands = graft.ops.Forget.exclude(
       readState(spark, s"$stateDir/bands",
         "bkey STRING, doc_id BIGINT", batchId), spark, stateDir)
@@ -169,7 +185,7 @@ object StreamCuration {
     bands.select($"bkey", $"doc_id")
       .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     sets.write.mode("overwrite").parquet(s"$stateDir/sets/b$batchId")
-    fp.select($"fp").distinct()
+    fp.select($"fp", $"doc_id")
       .write.mode("overwrite").parquet(s"$stateDir/fps/b$batchId")
     StreamIndex.writeCommitted(spark, guard, batchId)
     Seq(docs, sets, bands, fp).foreach(graft.ops.Checkpoints.release)

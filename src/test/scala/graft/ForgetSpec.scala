@@ -155,6 +155,76 @@ class ForgetSpec extends SparkSuite {
       "empty tombstone children leaked")
   }
 
+  test("exact-dup fps state: forget ≡ rebuild-without, shared fp stays live") {
+    import spark.implicits._
+    // two living docs A(10) and B(20) share one normalized text (the
+    // shared-fp case); C(30) is unique. All pass the quality gate
+    // (≥ 30 chars, ≥ 1 stopword).
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val unique = "a completely different document about the price of tea in china"
+    def docsOf(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, "en", "s", t) }
+        .toDF("doc_id", "lang", "source", "text")
+    val corpus = docsOf(Seq((10L, shared), (20L, shared + " "), (30L, unique)))
+
+    // probe: does a batch doc with `text` survive the exact-dup pass?
+    def survives(stateDir: String, outDir: String, id: Long, text: String,
+        batchId: Long): Boolean = {
+      assert(graft.streaming.StreamCuration.processBatch(
+        spark, docsOf(Seq((id, text))), stateDir, outDir, batchId))
+      spark.read.parquet(s"$outDir/b$batchId")
+        .filter($"doc_id" === id).count() == 1
+    }
+
+    // --- leg 1 (shared fp + duplicated request): forgetting A — via
+    // TWO distinct request ids, the replay/duplicate case that
+    // double-decrements a refcount — must leave B's provenance row
+    // suppressing identical text, exactly like a rebuild without A
+    val stateA = java.nio.file.Files.createTempDirectory("fpforgetA").toString
+    val outA = java.nio.file.Files.createTempDirectory("fpoutA").toString + "/d"
+    assert(graft.streaming.StreamCuration.processBatch(
+      spark, corpus, stateA, outA, batchId = 0L))
+    Forget.tombstone(spark, stateA, Seq(10L).toDF("doc_id"), 0L)
+    Forget.tombstone(spark, stateA, Seq(10L).toDF("doc_id"), 1L)
+    assert(!survives(stateA, outA, 1000L, shared, batchId = 1L),
+      "shared fp: living doc 20's duplicate was re-admitted after forgetting 10")
+
+    // --- leg 2 (no living contributor): on a fresh state, forgetting
+    // BOTH holders makes identical text fresh again — and once a new
+    // holder survives, it suppresses the next one (≡ rebuild-without)
+    val stateB = java.nio.file.Files.createTempDirectory("fpforgetB").toString
+    val outB = java.nio.file.Files.createTempDirectory("fpoutB").toString + "/d"
+    assert(graft.streaming.StreamCuration.processBatch(
+      spark, corpus, stateB, outB, batchId = 0L))
+    Forget.tombstone(spark, stateB, Seq(10L, 20L).toDF("doc_id"), 0L)
+    assert(survives(stateB, outB, 1001L, shared, batchId = 1L),
+      "forgotten fp still suppressing with no living contributor")
+    assert(!survives(stateB, outB, 2000L, shared, batchId = 2L),
+      "batch-1 survivor 1001 must suppress the next identical doc (rebuild parity)")
+    assert(!survives(stateB, outB, 1002L, unique, batchId = 3L),
+      "unique living doc 30's duplicate must stay suppressed throughout")
+
+    // rebuild-without equality: a state built over corpus − {10, 20}
+    // makes the identical calls
+    val rState = java.nio.file.Files.createTempDirectory("fpr").toString
+    val rOut = java.nio.file.Files.createTempDirectory("fpro").toString + "/d"
+    assert(graft.streaming.StreamCuration.processBatch(
+      spark, docsOf(Seq((30L, unique))), rState, rOut, 0L))
+    assert(survives(rState, rOut, 1001L, shared, batchId = 1L))
+    assert(!survives(rState, rOut, 2000L, shared, batchId = 2L))
+    assert(!survives(rState, rOut, 1002L, unique, batchId = 3L))
+
+    // physical removal: compact over all three roots drops the
+    // forgotten rows from the raw fps layout; decisions unchanged
+    assert(Forget.compact(spark, stateB, Seq("bands", "sets", "fps")) == 2L)
+    val rawFps = Layouts.readChildren(spark, s"$stateB/fps",
+      "fp STRING, doc_id BIGINT")
+    assert(rawFps.filter($"doc_id".isin(10L, 20L)).count() == 0,
+      "compact left forgotten fps rows at rest")
+    assert(rawFps.filter($"doc_id" === 1001L).count() == 1)
+    assert(!survives(stateB, outB, 3000L, shared, batchId = 5L))
+  }
+
   test("streaming curation stops dropping near-dups of a forgotten doc") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
