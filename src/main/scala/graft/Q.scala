@@ -87,6 +87,46 @@ object Sql {
       case _ => df
     }
 
+  /** Measured-rowcount broadcast gate — ONE implementation of the
+    * pattern three call sites grew independently (q131's two per-run
+    * counts, Decontam's sidecar-frozen count, ad-hoc AQE reliance):
+    * hint `broadcast` only when the frame is PROVABLY executor-safe.
+    *
+    * Why not always hint: an unconditional hint on a frame that
+    * scales with the corpus overrides AQE and OOMs at 100× (round-9
+    * finding). Why not never hint: leaving it to AQE costs a measured
+    * 1.9× at bench scale — the initial SMJ plan shuffle-writes the
+    * big side and adds stage barriers before runtime stats arrive
+    * (round-10 finding). So: decide on a REAL row count.
+    *
+    *  - `knownCount` supplied (a frozen-layout sidecar count, the
+    *    Decontam form — zero jobs): gate on it directly; the frame is
+    *    returned as-is (re-scannable at-rest data needs no pinning).
+    *  - no count: localCheckpoint + count — the count reads the
+    *    materialized blocks, the downstream join reuses them, nothing
+    *    recomputes. One-shot queries let the ContextCleaner reap the
+    *    blocks; PER-TRIGGER callers must use [[broadcastIfSmallManaged]]
+    *    and release after materializing (the ofManaged convention).
+    */
+  def broadcastIfSmall(
+      df: DataFrame, budgetRows: Long, knownCount: Option[Long] = None): DataFrame =
+    broadcastIfSmallManaged(df, budgetRows, knownCount)._1
+
+  /** [[broadcastIfSmall]] plus the cleanup hook for per-trigger
+    * callers; a no-op hook when `knownCount` skipped the checkpoint.
+    */
+  def broadcastIfSmallManaged(
+      df: DataFrame, budgetRows: Long, knownCount: Option[Long] = None)
+      : (DataFrame, () => Unit) =
+    knownCount match {
+      case Some(n) =>
+        (if (n <= budgetRows) broadcast(df) else df, () => ())
+      case None =>
+        val m = df.localCheckpoint()
+        (if (m.count() <= budgetRows) broadcast(m) else m,
+          () => graft.ops.Checkpoints.release(m))
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // A TIMESTAMP(NANOS) column would make Spark's parquet schema

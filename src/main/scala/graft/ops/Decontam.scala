@@ -95,9 +95,10 @@ object Decontam {
         "a different width hashes different runs and silently misses " +
         "contamination; rebuild with Decontam.save or probe at the frozen width")
     val ev = spark.read.parquet(s"$dir/grams")
-    // pre-sidecar states (no count line) pay the one count job
-    val n = nGrams.getOrElse(ev.count())
-    val evJ = if (n <= BroadcastGramRows) broadcast(ev) else ev
+    // pre-sidecar states (no count line) pay the one count job;
+    // either way the decision goes through the one shared gate
+    val evJ = graft.Sql.broadcastIfSmall(ev, BroadcastGramRows,
+      knownCount = Some(nGrams.getOrElse(ev.count())))
     gramHashes(batch, gramTokens)
       .join(evJ, "gh")
       .groupBy(col("doc_id"))

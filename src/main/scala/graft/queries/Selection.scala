@@ -1817,21 +1817,14 @@ object Selection {
       .withColumn("cum", sum($"df").over(aw))
       .filter($"cum" < dfBudget || $"trk" === 1)
       .select($"anchor_id", $"w", $"df")
-    // BUDGET-GATED broadcast hint: aterms is anchors×5 rows — |docs|/5
-    // — which scales linearly with the corpus, so an UNCONDITIONAL
-    // hint would override AQE and OOM at 100× (the round-9 verdict's
-    // finding, and the same reasoning as the dfq join above). But
-    // leaving the decision entirely to AQE costs a measured 1.9× at
-    // bench scale (the initial SMJ plan shuffle-writes the corpus-
-    // sized wc side and splits the pipeline into extra stage
-    // barriers before runtime stats arrive). So: materialize the
-    // anchor-bounded frame, COUNT it, and hint only when it is
-    // provably executor-safe (≤ hintBudgetRows ≈ tens of MB); above
-    // the budget the plain join stands and AQE decides. The count
-    // reads the materialized frame — no recompute.
-    val atermsM = aterms.localCheckpoint()
-    val atermsJ =
-      if (atermsM.count() <= hintBudgetRows) broadcast(atermsM) else atermsM
+    // BUDGET-GATED broadcast hint (graft.Sql.broadcastIfSmall — the
+    // one shared gate): aterms is anchors×5 rows — |docs|/5 — which
+    // scales linearly with the corpus, so an UNCONDITIONAL hint would
+    // override AQE and OOM at 100×, while leaving it entirely to AQE
+    // costs a measured 1.9× at bench scale; the helper materializes,
+    // counts, and hints only when provably executor-safe
+    // (≤ hintBudgetRows ≈ tens of MB).
+    val atermsJ = graft.Sql.broadcastIfSmall(aterms, hintBudgetRows)
     val cand = wc.join(atermsJ, "w")
       .filter($"doc_id" =!= $"anchor_id")
       .join(dl, "doc_id")
@@ -1873,8 +1866,7 @@ object Selection {
       .select($"anchor_id", $"partner".as("pos_id"), $"jac".as("pos_jac"))
     // po is ≤1 row per anchor — also anchor-proportional, same
     // budget gate as aterms
-    val poM = po.localCheckpoint()
-    val poJ = if (poM.count() <= hintBudgetRows) broadcast(poM) else poM
+    val poJ = graft.Sql.broadcastIfSmall(po, hintBudgetRows)
     negs.join(poJ, Seq("anchor_id"), "left")
       .select($"anchor_id", $"pos_id", $"pos_jac",
         $"neg_id", $"neg_score", $"neg_rk")
