@@ -20,9 +20,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Smb {
 
+  private def validIdent(s: String, what: String): Unit =
+    require(s.nonEmpty && s.forall(c => c.isLetterOrDigit || c == '_'),
+      s"$what '$s' is interpolated into SQL/catalog calls — " +
+        "letters, digits and underscore only")
+
   /** Write `df` as a managed bucketed+sorted parquet table inside
     * database `db` (created at `location` on first use — keeps table
-    * data out of the default warehouse under the repo cwd).
+    * data out of the default warehouse under the repo cwd). If the
+    * database already exists at a DIFFERENT location this fails
+    * loudly: `CREATE DATABASE IF NOT EXISTS` silently ignores a new
+    * location, so repeated saves would keep landing under the first
+    * call's (possibly long-deleted temp) directory.
     */
   def saveBucketed(
       df: DataFrame,
@@ -32,7 +41,20 @@ object Smb {
       key: String,
       buckets: Int): Unit = {
     val s = df.sparkSession
-    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$location'")
+    validIdent(db, "database name")
+    validIdent(name, "table name")
+    if (s.catalog.databaseExists(db)) {
+      val existing = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.getDatabaseMetadata(db).locationUri).toUri.getPath
+      val wanted = new org.apache.hadoop.fs.Path(location).toUri.getPath
+      require(existing == wanted,
+        s"database $db already exists at $existing; CREATE DATABASE IF NOT " +
+          s"EXISTS would silently ignore the new location $wanted and this " +
+          "table would land under the old one — use a different db name or " +
+          "the existing location")
+    } else {
+      s.sql(s"CREATE DATABASE $db LOCATION '$location'")
+    }
     // ONE file per bucket is load-bearing: the scan only reports
     // sorted output (letting the merge join elide its Sort) when a
     // bucket is a single file, and each write task emits one file per
@@ -45,15 +67,65 @@ object Smb {
       .saveAsTable(s"$db.$name")
   }
 
+  private val ensureLock = new Object
+  private lazy val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-smb-wh").toString
+
+  /** Build-once-per-JVM bucketed layout under the one shared graft
+    * SMB warehouse directory: the (expensive, amortizable) bucketed
+    * write runs only when the catalog doesn't already hold the table,
+    * so bench reruns and repeated pipeline invocations pay the
+    * layout's shuffle ONCE — `SMB_BENCH.json` prices the break-even
+    * at ~3 joins, and rebuilding per run would throw that away (and
+    * leak a temp warehouse per invocation). Callers embed a source
+    * fingerprint (e.g. a data-dir hash) in `name` so distinct sources
+    * get distinct layouts; `build` is by-name and never evaluated on
+    * a cache hit.
+    */
+  def ensureBucketed(
+      s: SparkSession,
+      db: String,
+      name: String,
+      key: String,
+      buckets: Int)(build: => DataFrame): Unit = ensureLock.synchronized {
+    if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.$name")))
+      saveBucketed(build, db, warehouse, name, key, buckets)
+  }
+
   def read(s: SparkSession, db: String, name: String): DataFrame = {
     // Spark ≥3.0 stopped reporting the sortBy order from bucketed
-    // scans by default (SPARK-28595: ordering inspection can be
-    // costly on many-files-per-bucket tables); [[saveBucketed]]
-    // guarantees one file per bucket, where the report is free and
-    // the merge join's per-bucket Sort elides. Session-sticky on
-    // purpose — the conf is consulted at plan time (the Sql.table
-    // nanosAsLong precedent).
+    // scans by default (SPARK-28595: ordering inspection lists files
+    // at planning time, expensive on many-files-per-bucket tables);
+    // [[saveBucketed]] guarantees one file per bucket, where the
+    // report is free and the merge join's per-bucket Sort elides.
+    // Session-sticky OF NECESSITY, not convenience: the conf is
+    // consulted when the physical scan node is built — at ACTION
+    // time, not here (measured: scoping a save/restore around this
+    // method reintroduced both Sorts in the executed plan), and this
+    // method's contract is a lazy frame whose action belongs to the
+    // caller. The cost lands only on OTHER bucketed-table scans in
+    // the same session, which pay a file listing during planning;
+    // callers that own their actions and want strict scoping should
+    // use [[sortedScans]] instead.
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s.table(s"$db.$name")
+  }
+
+  /** Scoped alternative to [[read]]'s sticky conf for callers that
+    * own BOTH plan construction and the action: the ordering report
+    * is enabled only while `body` runs, and `body` must materialize
+    * its frames before returning (the conf is read at action time —
+    * a frame returned lazily out of the scope re-plans with the
+    * restored value and silently regains its Sorts).
+    */
+  def sortedScans[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 }

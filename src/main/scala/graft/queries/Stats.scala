@@ -660,9 +660,12 @@ object Stats {
     // count, and the skew read (the hottest key's share of the
     // output — the salting decision input, q170's shuffle-skew audit
     // at the planning stage instead of post-mortem). Profiled for
-    // the three fact joins of this schema. All counts exact BIGINTs
-    // (Σ cA·cB over this data is ≤ |A|·max cB ≪ 2⁶³); the share is
-    // one division.
+    // the three fact joins of this schema. All counts exact BIGINTs;
+    // both the per-key product and the sum carry LOUD overflow guards
+    // (raise_error) because a sufficiently skewed key CAN push
+    // Σ cA·cB past 2⁶³, where Spark would wrap silently while DuckDB
+    // errors — the guard makes both engines fail identically instead
+    // of silently diverging. The share is one division.
     //
     // Scale shape: nothing here touches a payload column or runs the
     // join — two key-histogram aggs per pair and a |matching keys|-
@@ -680,7 +683,17 @@ object Stats {
           val cb = right.select(col(rk).as("k"))
             .groupBy($"k").agg(count(lit(1)).cast("long").as("cb"))
           ca.join(cb, "k")
-            .select($"k", ($"ca" * $"cb").as("contrib"))
+            // loud overflow guards, both stages: Spark's non-ANSI Long
+            // arithmetic WRAPS silently on heavily skewed keys while
+            // DuckDB's BIGINT multiply (and HUGEINT-sum → BIGINT cast)
+            // error natively — without the guard the engines would
+            // silently diverge AND predicted_rows would be silently
+            // wrong. ca, cb ≥ 1 by construction (groupBy counts), so
+            // the division gate is total.
+            .select($"k", expr(
+              "CASE WHEN ca > CAST(9223372036854775807 AS BIGINT) div cb " +
+                "THEN CAST(raise_error('q185: ca*cb overflows BIGINT') AS BIGINT) " +
+                "ELSE ca * cb END").as("contrib"))
             // groupBy on the literal name (not a global agg): a pair
             // with ZERO matching keys must emit ZERO rows, exactly as
             // the oracle's GROUP BY over the empty join does — a
@@ -688,14 +701,20 @@ object Stats {
             .groupBy(lit(name).as("join_name"))
             .agg(
               count(lit(1)).cast("long").as("n_match_keys"),
-              sum($"contrib").cast("long").as("predicted_rows"),
+              sum($"contrib").cast("long").as("sum_l"),
+              // exact shadow sum: DECIMAL(38,0) cannot wrap where a
+              // Long sum can — inequality below IS the overflow signal
+              sum($"contrib".cast("decimal(38,0)")).as("sum_d"),
               max(struct($"contrib", $"k")).as("top"))
             .select($"join_name", $"n_match_keys",
-              $"predicted_rows",
+              expr(
+                "CASE WHEN CAST(sum_l AS DECIMAL(38,0)) <> sum_d " +
+                  "THEN CAST(raise_error('q185: predicted_rows overflows BIGINT') AS BIGINT) " +
+                  "ELSE sum_l END").as("predicted_rows"),
               $"top.k".as("top_key"),
               $"top.contrib".cast("long").as("top_rows"),
               ($"top.contrib".cast("double") /
-                $"predicted_rows".cast("double")).as("top_share"))
+                $"sum_l".cast("double")).as("top_share"))
         }
         val li = table(s, dir, "lineitem")
         profile("orders_lineitem", table(s, dir, "orders"), "o_orderkey",

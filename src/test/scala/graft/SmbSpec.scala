@@ -60,4 +60,52 @@ class SmbSpec extends SparkSuite {
           joined.queryExecution.executedPlan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("q186 consumer: the full-outer reconcile runs exchange- and sort-free") {
+    import spark.implicits._
+    // broadcast would dodge the assertion AND full-outer can't
+    // broadcast anyway — but force the merge path explicitly so the
+    // check stays non-vacuous if the query ever changes join type
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q186_smb_column_diff")(
+        spark, "/root/testdata/sf0.001")
+      // identical answer to the live-frame q178
+      val want = SparkEntry.queries("q178_column_diff")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toSeq).toSet
+      val got = df.collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+      val nodes = all(df.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "no merge join — vacuous:\n" + df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "bucketed column-diff reconcile shuffled:\n" +
+          df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[SortExec]),
+        "bucketed sortBy layout re-sorted:\n" + df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("saveBucketed rejects a db relocation and bad identifiers") {
+    import spark.implicits._
+    val df = (1L to 4L).toDF("k")
+    val loc = java.nio.file.Files.createTempDirectory("smb-guard").toString
+    graft.ops.Smb.saveBucketed(df, "graft_smb_guard", loc, "t1", "k", 2)
+    // same db, same location: fine
+    graft.ops.Smb.saveBucketed(df, "graft_smb_guard", loc, "t2", "k", 2)
+    // same db, DIFFERENT location: CREATE DATABASE IF NOT EXISTS would
+    // silently keep the old one — must fail loudly instead
+    val other = java.nio.file.Files.createTempDirectory("smb-guard2").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Smb.saveBucketed(df, "graft_smb_guard", other, "t3", "k", 2)
+    }
+    assert(e.getMessage.contains("already exists"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Smb.saveBucketed(df, "bad-db;drop", loc, "t", "k", 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Smb.saveBucketed(df, "graft_smb_guard", loc, "t'x", "k", 2)
+    }
+  }
 }
