@@ -43,6 +43,123 @@ object Llm {
     df.withColumn("sim", expr("cosine_sim(ea, eb)"))
   }
 
+  /** The exact threshold set-similarity self-join engine behind
+    * q161/q187 (All-Pairs/PPJoin family — Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08), parameterized on a RATIONAL threshold
+    * t = p/q so every gate stays in pure integer arithmetic at any
+    * operating point (no cross-engine float threshold drift):
+    *
+    *  - prefix length: r ≤ n − ⌈p·n/q⌉ + 1 (pigeonhole on the ⌈t·n⌉
+    *    overlap the threshold forces against ANY partner);
+    *  - size filter: q·n1 ≥ p·n2 ∧ q·n2 ≥ p·n1 (jac ≥ t bounds the
+    *    size ratio by t);
+    *  - positional filter: for the rarest shared prefix token the
+    *    overlap upper bound 1 + min(n1−r1, n2−r2) must reach the
+    *    equivalent intersection bound α = ⌈p(n1+n2)/(p+q)⌉
+    *    (jac ≥ p/q ⟺ (p+q)·inter ≥ p·(n1+n2));
+    *  - verification on full sets with the same integer gate.
+    *
+    * Output schema: (d1, d2, n_inter, n_a, n_b, jac) — the one double
+    * is the final reported jaccard. SetSimSpec pins output ≡ a brute
+    * O(n²) replica at BOTH shipped thresholds.
+    */
+  private[graft] def setSimJoin(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
+    val s = docs.sparkSession
+    import s.implicits._
+    // localCheckpoint: consumed by the trigram stream (df + ranks)
+    // and both sides of the verify join (cf. scoredCandidates).
+    val sets = docs
+      .select($"doc_id",
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ta"))
+      .filter(size($"ta") >= 3)
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(1, size(ta)-2),
+           i -> concat_ws(' ', ta[i-1], ta[i], ta[i+1])))""").as("gs"))
+      .localCheckpoint()
+    val sh = sets.select($"doc_id", size($"gs").cast("long").as("n"),
+      explode($"gs").as("g"))
+    val dfreq = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+    // localCheckpoint: both sides of the candidate self-join
+    // consume the prefix frame — without it each side re-runs
+    // the df join + rank window (exchange reuse only covers the
+    // window's INPUT, visible as twin Window nodes in the plan)
+    val pref = sh.join(dfreq, "g")
+      .withColumn("r", row_number()
+        .over(Window.partitionBy($"doc_id").orderBy($"df", $"g"))
+        .cast("long"))
+      .filter($"r" <= $"n" - expr(s"($p * n + $q - 1) DIV $q") + 1)
+      .localCheckpoint()
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * q >= col("y.n") * p && col("y.n") * q >= col("x.n") * p)
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(min(col("x.r")).as("r1"), min(col("y.r")).as("r2"),
+        min(col("x.n")).as("n1"), min(col("y.n")).as("n2"))
+      .filter(expr(
+        s"1 + least(n1 - r1, n2 - r2) >= ($p * (n1 + n2) + ${p + q} - 1) DIV ${p + q}"))
+    cand
+      .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
+      .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
+      .select($"d1", $"d2",
+        size(array_intersect($"gs1", $"gs2")).cast("long").as("n_inter"),
+        $"n1".as("n_a"), $"n2".as("n_b"))
+      .filter($"n_inter" * (p + q) >= ($"n_a" + $"n_b") * p)
+      .withColumn("jac",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+  }
+
+  /** [[setSimJoin]]'s DuckDB oracle at the same rational threshold —
+    * generated from (p, q) so engine and oracle gates cannot drift.
+    */
+  private[graft] def setSimSql(p: Int, q: Int): String = s"""
+        WITH toks AS (
+          -- loud-failure bound guard (see q137's toks CTE)
+          SELECT doc_id,
+            CASE WHEN len(t0) > 100000
+                 THEN error('oracle token bound 100000 exceeded — raise the series bound')
+                 ELSE t0 END AS ta
+          FROM (SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                        x -> x <> '') AS t0
+          FROM documents)),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            ta[s.i] || ' ' || ta[s.i+1] || ' ' || ta[s.i+2] AS g
+          FROM toks CROSS JOIN generate_series(1, 100000) s(i)
+          WHERE s.i <= len(ta) - 2),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh GROUP BY doc_id),
+        dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+        ranked AS (
+          SELECT sh.doc_id, sh.g, sizes.n,
+            CAST(row_number() OVER (PARTITION BY sh.doc_id
+                                    ORDER BY dfreq.df, sh.g) AS BIGINT) AS r
+          FROM sh JOIN dfreq ON sh.g = dfreq.g
+                  JOIN sizes ON sizes.doc_id = sh.doc_id),
+        pref AS (
+          SELECT doc_id, g, r, n FROM ranked
+          WHERE r <= n - ($p * n + $q - 1) // $q + 1),
+        cand AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2,
+            min(x.r) AS r1, min(y.r) AS r2, min(x.n) AS n1, min(y.n) AS n2
+          FROM pref x JOIN pref y
+            ON x.g = y.g AND x.doc_id < y.doc_id
+           AND x.n * $q >= y.n * $p AND y.n * $q >= x.n * $p
+          GROUP BY x.doc_id, y.doc_id
+          HAVING 1 + least(min(x.n) - min(x.r), min(y.n) - min(y.r))
+                 >= ($p * (min(x.n) + min(y.n)) + ${p + q} - 1) // ${p + q}),
+        inter AS (
+          SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS ni
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+          GROUP BY c.d1, c.d2, c.n1, c.n2)
+        SELECT d1, d2, CAST(ni AS BIGINT) AS n_inter,
+          n1 AS n_a, n2 AS n_b,
+          CAST(ni AS DOUBLE) / (n1 + n2 - ni) AS jac
+        FROM inter WHERE ni * ${p + q} >= (n1 + n2) * $p"""
+
   /** documents table spread across all cores. The driver's parquet is a
     * single row group, so the scan is ONE input partition — and these
     * pipelines do heavy per-doc compute (shingling, 8×md5, 32-way bit
@@ -1727,95 +1844,28 @@ object Llm {
     // to tune, no cap to document — exactness is the contract.
     Q(
       "q161_setsim_join",
-      (s, dir) => {
-        import s.implicits._
-        // localCheckpoint: consumed by the trigram stream (df + ranks)
-        // and both sides of the verify join (cf. scoredCandidates).
-        val sets = docsSpread(s, dir)
-          .select($"doc_id",
-            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ta"))
-          .filter(size($"ta") >= 3)
-          .select($"doc_id", expr(
-            """array_distinct(transform(sequence(1, size(ta)-2),
-               i -> concat_ws(' ', ta[i-1], ta[i], ta[i+1])))""").as("gs"))
-          .localCheckpoint()
-        val sh = sets.select($"doc_id", size($"gs").cast("long").as("n"),
-          explode($"gs").as("g"))
-        val dfreq = sh.groupBy($"g").agg(count(lit(1)).as("df"))
-        // localCheckpoint: both sides of the candidate self-join
-        // consume the prefix frame — without it each side re-runs
-        // the df join + rank window (exchange reuse only covers the
-        // window's INPUT, visible as twin Window nodes in the plan)
-        val pref = sh.join(dfreq, "g")
-          .withColumn("r", row_number()
-            .over(Window.partitionBy($"doc_id").orderBy($"df", $"g"))
-            .cast("long"))
-          .filter($"r" <= $"n" - expr("(n + 1) DIV 2") + 1)
-          .localCheckpoint()
-        val cand = pref.as("x").join(pref.as("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-              col("x.n") * 2 >= col("y.n") && col("y.n") * 2 >= col("x.n"))
-          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .agg(min(col("x.r")).as("r1"), min(col("y.r")).as("r2"),
-            min(col("x.n")).as("n1"), min(col("y.n")).as("n2"))
-          .filter(expr("1 + least(n1 - r1, n2 - r2) >= (n1 + n2 + 2) DIV 3"))
-        cand
-          .join(sets.select($"doc_id".as("d1"), $"gs".as("gs1")), "d1")
-          .join(sets.select($"doc_id".as("d2"), $"gs".as("gs2")), "d2")
-          .select($"d1", $"d2",
-            size(array_intersect($"gs1", $"gs2")).cast("long").as("n_inter"),
-            $"n1".as("n_a"), $"n2".as("n_b"))
-          .filter($"n_inter" * 3 >= $"n_a" + $"n_b")
-          .withColumn("jac",
-            $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
-      },
-      Some("""
-        WITH toks AS (
-          -- loud-failure bound guard (see q137's toks CTE)
-          SELECT doc_id,
-            CASE WHEN len(t0) > 100000
-                 THEN error('oracle token bound 100000 exceeded — raise the series bound')
-                 ELSE t0 END AS ta
-          FROM (SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                        x -> x <> '') AS t0
-          FROM documents)),
-        sh AS (
-          SELECT DISTINCT doc_id,
-            ta[s.i] || ' ' || ta[s.i+1] || ' ' || ta[s.i+2] AS g
-          FROM toks CROSS JOIN generate_series(1, 100000) s(i)
-          WHERE s.i <= len(ta) - 2),
-        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                  FROM sh GROUP BY doc_id),
-        dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
-        ranked AS (
-          SELECT sh.doc_id, sh.g, sizes.n,
-            CAST(row_number() OVER (PARTITION BY sh.doc_id
-                                    ORDER BY dfreq.df, sh.g) AS BIGINT) AS r
-          FROM sh JOIN dfreq ON sh.g = dfreq.g
-                  JOIN sizes ON sizes.doc_id = sh.doc_id),
-        pref AS (
-          SELECT doc_id, g, r, n FROM ranked
-          WHERE r <= n - (n + 1) // 2 + 1),
-        cand AS (
-          SELECT x.doc_id AS d1, y.doc_id AS d2,
-            min(x.r) AS r1, min(y.r) AS r2, min(x.n) AS n1, min(y.n) AS n2
-          FROM pref x JOIN pref y
-            ON x.g = y.g AND x.doc_id < y.doc_id
-           AND x.n * 2 >= y.n AND y.n * 2 >= x.n
-          GROUP BY x.doc_id, y.doc_id
-          HAVING 1 + least(min(x.n) - min(x.r), min(y.n) - min(y.r))
-                 >= (min(x.n) + min(y.n) + 2) // 3),
-        inter AS (
-          SELECT c.d1, c.d2, c.n1, c.n2, count(*) AS ni
-          FROM cand c
-          JOIN sh s1 ON s1.doc_id = c.d1
-          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-          GROUP BY c.d1, c.d2, c.n1, c.n2)
-        SELECT d1, d2, CAST(ni AS BIGINT) AS n_inter,
-          n1 AS n_a, n2 AS n_b,
-          CAST(ni AS DOUBLE) / (n1 + n2 - ni) AS jac
-        FROM inter WHERE ni * 3 >= n1 + n2""")),
+      (s, dir) => setSimJoin(docsSpread(s, dir), 1, 2),
+      Some(setSimSql(1, 2))),
+
+    // ---------------------------------------------------------------- q187
+    // SECOND PPJOIN OPERATING POINT — the same exact prefix+positional
+    // engine at t = 7/10, covering the LSH family's operating
+    // thresholds (q21 verifies at jac ≥ 0.35; dedup configs commonly
+    // run 0.7–0.8): [[setSimJoin]] generalizes every gate to the
+    // rational p/q — prefix length n − ⌈p·n/q⌉ + 1, size filter
+    // q·n1 ≥ p·n2 (both ways), positional bound vs the equivalent
+    // intersection α = ⌈p(n1+n2)/(p+q)⌉, and verification
+    // (p+q)·inter ≥ p·(n1+n2) — so EVERY gate stays in pure integer
+    // arithmetic at ANY rational threshold (no float threshold drift
+    // between engines), exactly the q161 discipline. Higher t means a
+    // SHORTER prefix (n − ⌈0.7n⌉ + 1 vs n − ⌈0.5n⌉ + 1): the candidate
+    // join gets cheaper as the bar rises, the opposite of LSH (which
+    // would need more bands) — the reason an exact join is the right
+    // tool at high thresholds.
+    Q(
+      "q187_setsim_t07",
+      (s, dir) => setSimJoin(docsSpread(s, dir), 7, 10),
+      Some(setSimSql(7, 10))),
 
     // ---------------------------------------------------------------- q165
     // RIGHT-TO-BE-FORGOTTEN probe (ops.Forget): the q74 incremental-

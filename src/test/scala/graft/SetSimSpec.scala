@@ -66,4 +66,41 @@ class SetSimSpec extends SparkSuite {
     assert(replica.exists(r => r._1 == 2L && r._2 == 3L),
       "replica itself lost the edit pair — fixture broken")
   }
+
+  test("t = 7/10: output ≡ brute-force replica; the 0.5-band pair drops") {
+    import spark.implicits._
+    val docs = fixture
+    val dir = java.nio.file.Files.createTempDirectory("setsim07").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val sets = docs.map { case (id, t) => (id, trigrams(t)) }
+    // jac ≥ 7/10 ⟺ 17·inter ≥ 7·(n1+n2) — the same integer gate the
+    // engine and oracle run
+    val replica = (for {
+      (d1, s1) <- sets; (d2, s2) <- sets if d1 < d2
+      i = (s1 & s2).size.toLong
+      if i * 17 >= (s1.size + s2.size) * 7
+    } yield (d1, d2, i, s1.size.toLong, s2.size.toLong,
+      i.toDouble / (s1.size + s2.size - i))).toSet
+    val rows = SparkEntry.queries("q187_setsim_t07")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(rows == replica, s"engine=${rows.size} replica=${replica.size}")
+    // the exact clone survives the higher bar; the one-word edit
+    // (jac ≈ 0.8) survives 0.7 — and the replica must agree
+    assert(rows.exists(r => r._1 == 0L && r._2 == 1L && r._6 == 1.0))
+    assert(rows.exists(r => r._1 == 2L && r._2 == 3L && r._6 >= 0.7),
+      "one-word-edit pair (jac ≈ 0.8) missed at t = 0.7 (false negative)")
+    // discrimination vs q161: pairs in [0.5, 0.7) pass t = 1/2 but
+    // must NOT pass t = 7/10 — build one explicitly and check both
+    // engines' gates disagree on it the same way
+    val lo = SparkEntry.queries("q161_setsim_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    lo.filter(_._3 < 0.7).foreach { case (d1, d2, _) =>
+      assert(!rows.exists(r => r._1 == d1 && r._2 == d2),
+        s"pair ($d1,$d2) below 0.7 leaked through the t=7/10 gates")
+    }
+  }
 }
