@@ -282,10 +282,16 @@ object Embeddings {
     // position-sensitivity with exact rational arithmetic.
     //
     // Scale shape: q25's — the query side broadcasts, the corpus
-    // scan stays partition-parallel, the per-query rank window runs
-    // over |queries| bounded partitions, and everything after the
-    // top-20 take is 5×20 rows. Ground-truth totals are one
-    // label-histogram agg joined back by label.
+    // scan stays partition-parallel, and the top-20 take is the q130
+    // bounded-heap idiom (TopKSimAgg over (sim desc, vec_id asc), the
+    // window's exact total order): partial aggregation caps every map
+    // task's contribution at 20 rows per query and NO per-partition
+    // sort of the 5×|corpus| pair stream ever runs — the previous
+    // rank-window form's WindowGroupLimit kept the SHUFFLE at ~400
+    // rows but still sorted each partition's pairs map-side.
+    // Everything after the take is 5×20 rows (labels re-attached by a
+    // narrow vec_id join — AQE broadcasts the 100-row side).
+    // Ground-truth totals are one label-histogram agg joined by label.
     Q(
       "q184_retrieval_eval",
       (s, dir) => {
@@ -299,13 +305,21 @@ object Embeddings {
             $"embedding".as("qe"))
         val labelCounts = table(s, dir, "embeddings")
           .groupBy($"label").agg(count(lit(1)).cast("long").as("n_label"))
-        val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id".asc)
+        val topk = udaf(new graft.functions.TopKSimAgg(20),
+          org.apache.spark.sql.Encoders.product[(Long, Double)])
         val ranked = e.crossJoin(broadcast(qs))
           .filter($"vec_id" =!= $"qid")
-          .select($"qid", $"qlabel", $"vec_id", $"label",
+          .select($"qid", $"qlabel", $"vec_id",
             expr("cosine_sim(qe, embedding)").as("sim"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter($"rk" <= 20)
+          .groupBy($"qid", $"qlabel")
+          .agg(topk($"vec_id", $"sim").as("tk"))
+          .select($"qid", $"qlabel", posexplode($"tk"))
+          // tk is sorted (sim desc, vec_id asc) — the window's order —
+          // so pos + 1 IS row_number
+          .select($"qid", $"qlabel", ($"pos" + 1).cast("long").as("rk"),
+            $"col._2".as("vec_id"))
+          .join(table(s, dir, "embeddings").select($"vec_id", $"label"),
+            "vec_id")
           .withColumn("rel", ($"label" === $"qlabel").cast("long"))
           .withColumn("cum_rel", sum($"rel").over(
             Window.partitionBy($"qid").orderBy($"rk")
