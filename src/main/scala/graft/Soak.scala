@@ -72,11 +72,115 @@ object Soak {
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
   }
 
+  /** GENERATED soak corpus at a stated, realistic dup density — the
+    * answer to the replica corpus's known artifact: replication gives
+    * every doc k−1 near-clones, so pair-producing queries inflate
+    * output ~k²/2 (a synthetic clique no real 10× corpus has) and
+    * their soak ratios measure output explosion, not plan scaling.
+    * Here every document is FRESH text from the source corpus's own
+    * 31-word vocabulary and 10–100-token length band, with dup
+    * structure planted per 20-doc block by deterministic role:
+    *
+    *  - i%20==1 → exact clone of doc i−1 (one exact pair / block);
+    *  - i%20∈{3,4} → one-word edits of doc i−2 (a near-dup TRIPLE
+    *    {i−2, i−3?, ...} — base 2, variants 3 and 4: 3 pairs);
+    *  - i%20==6 → one-word edit of doc i−5 (one near-dup pair);
+    *
+    * → 20% of docs sit in a dup cluster, cluster sizes 2–3, ~0.25
+    * pairs/doc — LINEAR in corpus size (web-crawl dedup literature
+    * reports 20–45% dup membership; the driver corpus's own density
+    * is ~0.05 pairs/doc, so this is a deliberately dup-heavy but
+    * cluster-bounded operating point, stated so ratios are
+    * attributable).
+    *
+    * Vocabulary follows HEAPS' LAW, the second replica artifact this
+    * build removes: a fixed 31-word vocabulary makes every trigram's
+    * df grow LINEARLY with the corpus, so prefix-filter candidate
+    * fanout goes quadratic and simhash fingerprints collide at
+    * random — artifacts of the vocabulary, not the plans (measured on
+    * the fixed-vocab variant: q161 shuffle 47× at 10× data, q38 pairs
+    * 102×). Real corpora grow vocabulary ~N^0.5, keeping rare-token
+    * df bounded; here 75% of tokens draw from the source corpus's own
+    * 31 core words and 25% from a deterministic a-z long tail of size
+    * ⌈4·√N⌉, so tail-token (and tail-containing-trigram) df stays
+    * O(√N)-bounded and the rarest-prefix discipline PPJoin relies on
+    * exists, as it does in real text.
+    *
+    * A dup of doc j is generated WITHOUT reading j:
+    * text is a pure function of the root id (hash-seeded RNG), so the
+    * variant re-derives the root's tokens and edits one — the build
+    * is a single embarrassingly-parallel pass, no joins. lang/source
+    * are sampled from the source corpus's own joint distribution
+    * (i mod |src|), and sequential doc_ids keep every modulus
+    * convention's residue classes uniform.
+    */
+  def buildGenerated(spark: SparkSession, srcSf: String, destDir: String, k: Int): Unit = {
+    import spark.implicits._
+    val src = spark.read.parquet(s"$srcSf/documents.parquet")
+    val vocab = src
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    val meta = src.select("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = src.count() * k
+    val tailSize = math.max(31, (4.0 * math.sqrt(n.toDouble)).toInt)
+    val bcV = spark.sparkContext.broadcast(vocab)
+    val bcM = spark.sparkContext.broadcast(meta)
+    // deterministic all-lowercase tail word (every tokenizer in the
+    // registry splits on [^a-z]+ — digits would vanish)
+    def tailWord(z: Int): String = {
+      val sb = new StringBuilder("zz")
+      var r = z
+      do { sb.append(('a' + r % 26).toChar); r /= 26 } while (r > 0)
+      sb.toString
+    }
+    def freshTokens(id: Long): Array[String] = {
+      val v = bcV.value
+      val rng = new scala.util.Random(id * 2654435761L + 13L)
+      Array.fill(10 + rng.nextInt(91)) {
+        if (rng.nextInt(4) > 0) v(rng.nextInt(v.length))
+        else tailWord(rng.nextInt(tailSize))
+      }
+    }
+    spark.range(0L, n, 1L, spark.sparkContext.defaultParallelism)
+      .map { i =>
+        val role = (i % 20L).toInt
+        val toks: Array[String] = role match {
+          case 1 => freshTokens(i - 1) // exact clone
+          case 3 | 4 | 6 =>
+            // one-word edit of the role's base (3,4 → block position
+            // 2, the triple; 6 → position 5, the pair); the rotated
+            // pick guarantees the replacement differs from the
+            // original, so a "near-dup" can never silently be exact
+            val t = freshTokens(if (role == 6) i - 1 else i - (role - 2))
+            val rng = new scala.util.Random(i * 40503L + 7L)
+            val v = bcV.value
+            val p = rng.nextInt(t.length)
+            t.updated(p,
+              v((v.indexOf(t(p)) + 1 + rng.nextInt(v.length - 1)) % v.length))
+          case _ => freshTokens(i)
+        }
+        val text = toks.mkString(" ")
+        val (lang, source) = bcM.value((i % bcM.value.length).toInt)
+        (i, text, lang, source, text.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "build") {
       val spark = session()
       buildScaled(spark, args(1), args(2), args(3).toInt)
       println(s"[soak] built ${args(2)} at ${args(3)}x of ${args(1)}")
+      spark.stop()
+      return
+    }
+    if (args.nonEmpty && args(0) == "gen") {
+      val spark = session()
+      buildGenerated(spark, args(1), args(2), args(3).toInt)
+      println(s"[soak] generated ${args(2)} at ${args(3)}x scale of ${args(1)}")
       spark.stop()
       return
     }
