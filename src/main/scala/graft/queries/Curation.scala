@@ -1184,7 +1184,91 @@ object Curation {
           graft.ops.Smb.read(s, "graft_smb", s"diff_v1_$h"),
           graft.ops.Smb.read(s, "graft_smb", s"diff_v2_$h"))
       },
-      Some(columnDiffSql))
+      Some(columnDiffSql)),
+
+    // ---------------------------------------------------------------- q189
+    // SCD TYPE-2 MERGE — the third artifact of the version family,
+    // distinct by contract: q112 detects WHICH rows changed, q178
+    // attributes WHICH columns — this MATERIALIZES the merged history
+    // table a warehouse dimension maintains: one row per (doc_id,
+    // version interval) with validity bounds and a current flag.
+    // Unchanged docs carry one open v1 row; changed docs close their
+    // v1 row at version 2 and open a v2 row; removed docs close at 2
+    // with no successor; added docs open at 2. The digests ARE the
+    // attribute payload (the at-rest history of a wide-text dimension
+    // stores hashes + a pointer, never the text — same discipline as
+    // q178).
+    //
+    // Scale shape: one full-outer join of the two digest projections
+    // (the q178 reconcile — scan-side md5s, narrow rows), then the
+    // history rows are a scan-side CASE union: ≤ 2 output rows per
+    // doc, no second shuffle (the union legs reuse the one joined
+    // frame). With bucketed versions the reconcile is the q186
+    // zero-exchange plan.
+    Q(
+      "q189_scd2_merge",
+      (s, dir) => {
+        import s.implicits._
+        val (v1, v2) = diffVersions(Llm.docsSpread(s, dir))
+        val j = v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when($"a_text".isNull, "added")
+              .when($"b_text".isNull, "removed")
+              .when($"a_text" =!= $"b_text" || $"a_lang" =!= $"b_lang" ||
+                $"a_source" =!= $"b_source", "changed")
+              .otherwise("unchanged"))
+          .localCheckpoint()
+        val v1rows = j.filter($"status" =!= "added")
+          .select($"doc_id",
+            $"a_text".as("text_md5"), $"a_lang".as("lang_md5"),
+            $"a_source".as("source_md5"),
+            lit(1L).as("ver_from"),
+            when($"status" === "unchanged", lit(null).cast("long"))
+              .otherwise(2L).as("ver_to"),
+            when($"status" === "unchanged", 1L).otherwise(0L)
+              .as("is_current"))
+        val v2rows = j.filter($"status".isin("added", "changed"))
+          .select($"doc_id",
+            $"b_text".as("text_md5"), $"b_lang".as("lang_md5"),
+            $"b_source".as("source_md5"),
+            lit(2L).as("ver_from"),
+            lit(null).cast("long").as("ver_to"),
+            lit(1L).as("is_current"))
+        v1rows.unionAll(v2rows)
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, md5(text) AS a_text, md5(lang) AS a_lang,
+            md5(source) AS a_source
+          FROM documents WHERE doc_id % 11 <> 3),
+        v2 AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 9 = 2 THEN text || ' [rev2]' ELSE text END) AS b_text,
+            md5(lang) AS b_lang,
+            md5(CASE WHEN doc_id % 17 = 1 THEN 'migrated' ELSE source END) AS b_source
+          FROM documents WHERE doc_id % 13 <> 5),
+        j AS (
+          SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+            a_text, a_lang, a_source, b_text, b_lang, b_source,
+            CASE WHEN a_text IS NULL THEN 'added'
+                 WHEN b_text IS NULL THEN 'removed'
+                 WHEN a_text <> b_text OR a_lang <> b_lang
+                      OR a_source <> b_source THEN 'changed'
+                 ELSE 'unchanged'
+            END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT doc_id, a_text AS text_md5, a_lang AS lang_md5,
+          a_source AS source_md5,
+          CAST(1 AS BIGINT) AS ver_from,
+          CAST(CASE WHEN status = 'unchanged' THEN NULL ELSE 2 END AS BIGINT)
+            AS ver_to,
+          CAST(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END AS BIGINT)
+            AS is_current
+        FROM j WHERE status <> 'added'
+        UNION ALL
+        SELECT doc_id, b_text, b_lang, b_source,
+          CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+        FROM j WHERE status IN ('added', 'changed')"""))
   )
 
   /** q178/q186's two deterministically-carved document versions,

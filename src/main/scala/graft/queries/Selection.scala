@@ -1549,7 +1549,119 @@ object Selection {
         FROM m a WHERE NOT EXISTS (
           SELECT 1 FROM m b
           WHERE b.n_uniq >= a.n_uniq AND b.n_chars <= a.n_chars
-            AND (b.n_uniq > a.n_uniq OR b.n_chars < a.n_chars))"""))
+            AND (b.n_uniq > a.n_uniq OR b.n_chars < a.n_chars))""")),
+
+    // --------------------------------------------------------------- q190
+    // COHEN'S KAPPA between the learned filter and the rule gate —
+    // q135 emits the full band-resolution calibration table; this
+    // collapses it to the chance-corrected scalar the go/no-go
+    // decision actually reads (raw agreement is inflated whenever
+    // both raters mostly say "pass"; kappa subtracts the agreement
+    // their marginals would produce by chance). Exact integer
+    // algebra: with the 2×2 counts n11/n10/n01/n00 (classifier sel ×
+    // gate pass), kappa = (N·agree − a1·b1 − a0·b0) /
+    // (N² − a1·b1 − a0·b0) — numerator and denominator are exact
+    // DECIMAL(38,0) products of BIGINT marginals, each cast to double
+    // ONCE (a single correctly-rounded conversion on both engines)
+    // for the one division. A degenerate pe = 1 denominator (both
+    // raters constant) is guarded to kappa = 0 on both engines.
+    //
+    // Scale shape: q135's two scan legs + the doc-keyed join, then a
+    // 22-row cell frame collapses to ONE row map-side — the kappa
+    // algebra costs nothing beyond the calibration q135 already pays.
+    Q(
+      "q190_gate_classifier_kappa",
+      (s, dir) => {
+        import s.implicits._
+        classifierCalibration(Llm.docsSpread(s, dir))
+          .agg(
+            sum(when($"gate_pass" === 1L, $"n_sel").otherwise(0L))
+              .cast("long").as("n11"),
+            sum(when($"gate_pass" === 0L, $"n_sel").otherwise(0L))
+              .cast("long").as("n10"),
+            sum(when($"gate_pass" === 1L, $"n_docs" - $"n_sel").otherwise(0L))
+              .cast("long").as("n01"),
+            sum(when($"gate_pass" === 0L, $"n_docs" - $"n_sel").otherwise(0L))
+              .cast("long").as("n00"))
+          .select($"n11", $"n10", $"n01", $"n00",
+            expr("""
+              CAST((CAST(n11 + n00 AS DOUBLE)) /
+                   (CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS DOUBLE)""")
+              .as("po"),
+            expr("""
+              CAST(CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) +
+                   CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00) AS DOUBLE) /
+                   CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) *
+                        (n11 + n10 + n01 + n00) AS DOUBLE) AS DOUBLE)""")
+              .as("pe"),
+            expr("""
+              CASE WHEN CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) *
+                        (n11 + n10 + n01 + n00) =
+                        CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) +
+                        CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)
+                   THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) *
+                             (n11 + n00) -
+                             (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) +
+                              CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))
+                             AS DOUBLE) /
+                        CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) *
+                             (n11 + n10 + n01 + n00) -
+                             (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01) +
+                              CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))
+                             AS DOUBLE)
+              END""").as("kappa"))
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, lang,
+            unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+          FROM documents),
+        toks AS (
+          SELECT doc_id, lang, ${h60Sql("tok")} % 256 AS bh FROM ws),
+        counts AS (
+          SELECT bh, CAST(count(*) AS BIGINT) AS c,
+            CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp
+          FROM toks GROUP BY bh),
+        totals AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_all, CAST(sum(cp) AS BIGINT) AS n_pos
+          FROM counts),
+        lm AS (
+          SELECT bh, (cp + 1) * 1000000 // (c + 2) AS w,
+            (n_pos + 1) * 1000000 // (n_all + 2) AS prior
+          FROM counts CROSS JOIN totals),
+        ev AS (
+          SELECT doc_id,
+            CAST(CAST(sum(w) AS BIGINT) > CAST(count(*) AS BIGINT) * max(prior) AS BIGINT) AS sel
+          FROM toks JOIN lm USING (bh) GROUP BY doc_id),
+        ${graft.queries.Mining.gopherSqlCtes},
+        cells AS (
+          SELECT
+            CAST(coalesce(sum(CASE WHEN gop.pass = 1 THEN ev.sel END), 0) AS BIGINT) AS n11,
+            CAST(coalesce(sum(CASE WHEN gop.pass = 0 THEN ev.sel END), 0) AS BIGINT) AS n10,
+            CAST(coalesce(sum(CASE WHEN gop.pass = 1 THEN 1 - ev.sel END), 0) AS BIGINT) AS n01,
+            CAST(coalesce(sum(CASE WHEN gop.pass = 0 THEN 1 - ev.sel END), 0) AS BIGINT) AS n00
+          FROM ev JOIN gop ON ev.doc_id = gop.doc_id)
+        SELECT n11, n10, n01, n00,
+          CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+          CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+               CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE) /
+            CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT) *
+                 (n11 + n10 + n01 + n00) AS DOUBLE) AS pe,
+          CASE WHEN CAST(n11 + n10 + n01 + n00 AS HUGEINT) *
+                    (n11 + n10 + n01 + n00) =
+                    CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+                    CAST(n01 + n00 AS HUGEINT) * (n10 + n00)
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT) * (n11 + n00) -
+                         (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+                          CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE) /
+                    CAST(CAST(n11 + n10 + n01 + n00 AS HUGEINT) *
+                         (n11 + n10 + n01 + n00) -
+                         (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+                          CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
+          END AS kappa
+        FROM cells"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &

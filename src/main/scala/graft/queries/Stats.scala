@@ -756,8 +756,153 @@ object Stats {
           top.k AS top_key, CAST(top.contrib AS BIGINT) AS top_rows,
           CAST(top.contrib AS DOUBLE) / CAST(predicted_rows AS DOUBLE)
             AS top_share
-        FROM a"""))
+        FROM a""")),
 
+    // ---------------------------------------------------------------- q188
+    // K-ANONYMITY / L-DIVERSITY AUDIT — the privacy read a training
+    // corpus owes its governance review before release: documents
+    // grouped by their quasi-identifier tuple (lang, 100-char length
+    // band — the attributes a linkage attacker observes), each
+    // equivalence class reporting its size k (a class of size 1 is a
+    // re-identifiable document) and its l-diversity (distinct values
+    // of the sensitive attribute, here provenance `source`: a class
+    // whose members all share one source leaks provenance even when
+    // k is large). Corpus-level k/l are the min over rows; the
+    // singleton and mono-source classes are the remediation list.
+    //
+    // Scale shape: ONE map-side-combined aggregate over (lang, band)
+    // — the class keys are low-cardinality by construction (that is
+    // what makes them quasi-identifiers), so the output is
+    // |langs|×|bands|-bounded; count + count-distinct per class, all
+    // BIGINTs, one share division.
+    Q(
+      "q188_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val n = table(s, dir, "documents")
+          .agg(count(lit(1)).cast("long").as("n_total"))
+        table(s, dir, "documents")
+          .select($"lang", expr("n_chars div 100").cast("long").as("len_band"),
+            $"source")
+          .groupBy($"lang", $"len_band")
+          .agg(count(lit(1)).cast("long").as("k_size"),
+            countDistinct($"source").cast("long").as("l_div"))
+          .crossJoin(broadcast(n))
+          .select($"lang", $"len_band", $"k_size", $"l_div",
+            ($"k_size".cast("double") / $"n_total".cast("double"))
+              .as("class_share"),
+            when($"k_size" === 1L, 1L).otherwise(0L).as("reidentifiable"),
+            when($"l_div" === 1L, 1L).otherwise(0L).as("mono_source"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_band,
+            CAST(count(*) AS BIGINT) AS k_size,
+            CAST(count(DISTINCT source) AS BIGINT) AS l_div
+          FROM documents GROUP BY lang, n_chars // 100),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        SELECT lang, len_band, k_size, l_div,
+          CAST(k_size AS DOUBLE) / CAST(n_total AS DOUBLE) AS class_share,
+          CAST(CASE WHEN k_size = 1 THEN 1 ELSE 0 END AS BIGINT) AS reidentifiable,
+          CAST(CASE WHEN l_div = 1 THEN 1 ELSE 0 END AS BIGINT) AS mono_source
+        FROM c CROSS JOIN t""")),
+
+    // ---------------------------------------------------------------- q191
+    // JOIN-ORDER ADVISOR — q185's histograms COMPOSED into the
+    // decision they exist for: for the 3-table chain
+    // customer ⋈ orders ⋈ lineitem, the two bushy-free orders differ
+    // only in their INTERMEDIATE — (customer⋈orders) carries
+    // |c⋈o| = |orders| rows into the second join, (orders⋈lineitem)
+    // carries |o⋈l| — and the histogram algebra prices both exactly:
+    // |A⋈B| = Σ_k cA(k)·cB(k) from two key-column aggs per pair, no
+    // join executed. Output: one row per order with its predicted
+    // intermediate and final cardinality, and the advisor's pick
+    // (min intermediate — the heuristic every cost-based optimizer
+    // starts from). The FINAL cardinality must agree across orders
+    // (same join result) — a built-in cross-check the oracle also
+    // enforces by construction.
+    //
+    // q185 profiles single joins post-hoc; this prices a PLAN CHOICE.
+    // The same loud overflow discipline: products guarded by the
+    // divide gate, sums shadowed in DECIMAL(38,0).
+    //
+    // Scale shape: four key-histogram aggs (narrow key columns only)
+    // + histogram-sized joins; the intermediate-size estimate for the
+    // second join needs per-key counts OF THE INTERMEDIATE, which for
+    // a chain join on DIFFERENT keys is Σ over the bridge: per-order
+    // lineitem counts weighted by the customer match — exactly one
+    // more histogram join, still key-sized. Nothing touches payloads.
+    Q(
+      "q191_join_order_advisor",
+      (s, dir) => {
+        import s.implicits._
+        // cl can be 0 (left-join coalesce): gate the division guard
+        // on a positive multiplier or the guard itself divides by zero
+        def guardedMul(a: String, b: String) = expr(
+          s"CASE WHEN $b > 0 AND $a > CAST(9223372036854775807 AS BIGINT) div $b " +
+            s"THEN CAST(raise_error('q191: $a*$b overflows BIGINT') AS BIGINT) " +
+            s"ELSE $a * $b END")
+        def summed(df: org.apache.spark.sql.DataFrame, name: String) = df
+          .agg(sum($"contrib").cast("long").as("sum_l"),
+            sum($"contrib".cast("decimal(38,0)")).as("sum_d"))
+          .select(lit(name).as("order_name"),
+            expr("CASE WHEN CAST(sum_l AS DECIMAL(38,0)) <> sum_d " +
+              "THEN CAST(raise_error('q191: cardinality overflows BIGINT') AS BIGINT) " +
+              "ELSE sum_l END").as("rows"))
+        val co = table(s, dir, "customer").select($"c_custkey".as("k"))
+          .groupBy($"k").agg(count(lit(1)).cast("long").as("cc"))
+        val oc = table(s, dir, "orders")
+          .select($"o_custkey".as("k"), $"o_orderkey")
+        val lo = table(s, dir, "lineitem").select($"l_orderkey".as("ok"))
+          .groupBy($"ok").agg(count(lit(1)).cast("long").as("cl"))
+        // per-order row weight through BOTH joins: customer matches
+        // (co) × lineitem matches (lo); intermediates are partial
+        // products over the bridge table's keys
+        val bridge = oc
+          .join(co, "k")
+          .join(lo, oc("o_orderkey") === lo("ok"), "left")
+          .select($"k", $"o_orderkey", $"cc",
+            coalesce($"cl", lit(0L)).as("cl"))
+          .localCheckpoint()
+        val coFirst = summed(
+          bridge.select($"cc".as("contrib")), "customer_orders_first")
+        val olFirst = summed(
+          bridge.select($"cl".as("contrib")), "orders_lineitem_first")
+        val fin = summed(
+          bridge.select(guardedMul("cc", "cl").as("contrib")), "final")
+        val inter = coFirst.unionAll(olFirst).localCheckpoint()
+        val best = inter.orderBy($"rows".asc, $"order_name".asc).limit(1)
+          .select($"order_name".as("advised"), lit(1L).as("one"))
+        inter.unionAll(fin.select($"order_name", $"rows"))
+          .crossJoin(broadcast(best.select($"advised")))
+      },
+      Some("""
+        WITH co AS (
+          SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cc
+          FROM customer GROUP BY 1),
+        lo AS (
+          SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS cl
+          FROM lineitem GROUP BY 1),
+        bridge AS (
+          SELECT o.o_custkey AS k, o.o_orderkey, co.cc,
+            CAST(coalesce(lo.cl, 0) AS BIGINT) AS cl
+          FROM orders o
+          JOIN co ON co.k = o.o_custkey
+          LEFT JOIN lo ON lo.ok = o.o_orderkey),
+        inter AS (
+          SELECT 'customer_orders_first' AS order_name,
+            CAST(sum(cc) AS BIGINT) AS rows FROM bridge
+          UNION ALL
+          SELECT 'orders_lineitem_first', CAST(sum(cl) AS BIGINT) FROM bridge),
+        fin AS (
+          SELECT 'final' AS order_name, CAST(sum(cc * cl) AS BIGINT) AS rows
+          FROM bridge),
+        best AS (
+          SELECT order_name AS advised FROM inter
+          ORDER BY rows ASC, order_name ASC LIMIT 1)
+        SELECT u.order_name, u.rows, best.advised
+        FROM (SELECT * FROM inter UNION ALL SELECT * FROM fin) u
+        CROSS JOIN best"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
