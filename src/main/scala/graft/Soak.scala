@@ -82,9 +82,11 @@ object Soak {
     * structure planted per 20-doc block by deterministic role:
     *
     *  - i%20==1 → exact clone of doc i−1 (one exact pair / block);
-    *  - i%20∈{3,4} → one-word edits of doc i−2 (a near-dup TRIPLE
-    *    {i−2, i−3?, ...} — base 2, variants 3 and 4: 3 pairs);
-    *  - i%20==6 → one-word edit of doc i−5 (one near-dup pair);
+    *  - i%20∈{3,4} → one-word edits of the doc at block position 2
+    *    (i−1 for role 3, i−2 for role 4 — a near-dup TRIPLE
+    *    {pos 2, 3, 4}: 3 pairs);
+    *  - i%20==6 → one-word edit of doc i−1, the fresh doc at block
+    *    position 5 (one near-dup pair);
     *
     * → 20% of docs sit in a dup cluster, cluster sizes 2–3, ~0.25
     * pairs/doc — LINEAR in corpus size (web-crawl dedup literature

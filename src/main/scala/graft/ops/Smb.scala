@@ -53,7 +53,9 @@ object Smb {
           "table would land under the old one — use a different db name or " +
           "the existing location")
     } else {
-      s.sql(s"CREATE DATABASE $db LOCATION '$location'")
+      // the path is interpolated into SQL too — escape the one
+      // character that can break out of the string literal
+      s.sql(s"CREATE DATABASE $db LOCATION '${location.replace("'", "''")}'")
     }
     // ONE file per bucket is load-bearing: the scan only reports
     // sorted output (letting the merge join elide its Sort) when a
@@ -71,25 +73,66 @@ object Smb {
   private lazy val warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-smb-wh").toString
 
+  /** Cheap source-data fingerprint for [[ensureBucketed]]: the md5 of
+    * every input file's (path, length, mtime) under the given paths —
+    * an overwrite-in-place of the source data changes it, so a cached
+    * layout built from the OLD data cannot be silently served.
+    */
+  def sourceFingerprint(s: SparkSession, paths: String*): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = paths.sorted.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (!fs.exists(hp)) Seq(s"$p:absent")
+      else {
+        val it = fs.listFiles(hp, true)
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        b.sorted
+      }
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Build-once-per-JVM bucketed layout under the one shared graft
     * SMB warehouse directory: the (expensive, amortizable) bucketed
-    * write runs only when the catalog doesn't already hold the table,
-    * so bench reruns and repeated pipeline invocations pay the
-    * layout's shuffle ONCE — `SMB_BENCH.json` prices the break-even
-    * at ~3 joins, and rebuilding per run would throw that away (and
-    * leak a temp warehouse per invocation). Callers embed a source
-    * fingerprint (e.g. a data-dir hash) in `name` so distinct sources
-    * get distinct layouts; `build` is by-name and never evaluated on
-    * a cache hit.
+    * write runs only on a cache MISS, so bench reruns and repeated
+    * pipeline invocations pay the layout's shuffle ONCE —
+    * `SMB_BENCH.json` prices the break-even at ~3 joins, and
+    * rebuilding per run would throw that away (and leak a temp
+    * warehouse per invocation). A hit requires BOTH the catalog table
+    * and a matching layout fingerprint sidecar (key + bucket count +
+    * the caller's `fingerprint`, e.g. [[sourceFingerprint]] of the
+    * input files) — catalog existence alone would silently serve a
+    * layout built from since-overwritten data, from a hash-aliased
+    * source path, or at a different bucket geometry. Any mismatch
+    * rebuilds (mode overwrite). `build` is by-name and never
+    * evaluated on a hit.
     */
   def ensureBucketed(
       s: SparkSession,
       db: String,
       name: String,
       key: String,
-      buckets: Int)(build: => DataFrame): Unit = ensureLock.synchronized {
-    if (!(s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.$name")))
+      buckets: Int,
+      fingerprint: String)(build: => DataFrame): Unit = ensureLock.synchronized {
+    val want = s"$key|$buckets|$fingerprint"
+    val fpPath = new org.apache.hadoop.fs.Path(s"$warehouse/_fp_${db}_$name")
+    val fs = fpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hit = s.catalog.databaseExists(db) &&
+      s.catalog.tableExists(s"$db.$name") &&
+      Layouts.readSidecar(fs, fpPath).map(_.trim).contains(want)
+    if (!hit) {
       saveBucketed(build, db, warehouse, name, key, buckets)
+      // sidecar LAST: a crash between table write and sidecar leaves
+      // a mismatch, which re-runs the (idempotent overwrite) build
+      Layouts.writeSidecar(fs, fpPath, want + "\n")
+    }
   }
 
   def read(s: SparkSession, db: String, name: String): DataFrame = {

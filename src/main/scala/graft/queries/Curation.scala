@@ -1176,10 +1176,11 @@ object Curation {
       (s, dir) => {
         val (v1, v2) = diffVersions(Llm.docsSpread(s, dir))
         val h = (dir.hashCode & 0x7fffffff).toString
+        val fp = graft.ops.Smb.sourceFingerprint(s, s"$dir/documents.parquet")
         graft.ops.Smb.ensureBucketed(s, "graft_smb", s"diff_v1_$h",
-          "doc_id", 8)(v1)
+          "doc_id", 8, fp)(v1)
         graft.ops.Smb.ensureBucketed(s, "graft_smb", s"diff_v2_$h",
-          "doc_id", 8)(v2)
+          "doc_id", 8, fp)(v2)
         columnDiff(
           graft.ops.Smb.read(s, "graft_smb", s"diff_v1_$h"),
           graft.ops.Smb.read(s, "graft_smb", s"diff_v2_$h"))

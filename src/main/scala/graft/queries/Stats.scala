@@ -857,11 +857,17 @@ object Stats {
           .groupBy($"ok").agg(count(lit(1)).cast("long").as("cl"))
         // per-order row weight through BOTH joins: customer matches
         // (co) × lineitem matches (lo); intermediates are partial
-        // products over the bridge table's keys
+        // products over the bridge table's keys. BOTH joins are LEFT:
+        // an orphan order (no matching customer — a shape the fk
+        // audit q177 explicitly counts) still carries its lineitem
+        // rows into |o⋈l|, so cc coalesces to 0 rather than the
+        // inner join silently dropping the order and under-predicting
+        // the orders-first intermediate
         val bridge = oc
-          .join(co, "k")
+          .join(co, Seq("k"), "left")
           .join(lo, oc("o_orderkey") === lo("ok"), "left")
-          .select($"k", $"o_orderkey", $"cc",
+          .select($"k", $"o_orderkey",
+            coalesce($"cc", lit(0L)).as("cc"),
             coalesce($"cl", lit(0L)).as("cl"))
           .localCheckpoint()
         val coFirst = summed(
@@ -884,10 +890,11 @@ object Stats {
           SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS cl
           FROM lineitem GROUP BY 1),
         bridge AS (
-          SELECT o.o_custkey AS k, o.o_orderkey, co.cc,
+          SELECT o.o_custkey AS k, o.o_orderkey,
+            CAST(coalesce(co.cc, 0) AS BIGINT) AS cc,
             CAST(coalesce(lo.cl, 0) AS BIGINT) AS cl
           FROM orders o
-          JOIN co ON co.k = o.o_custkey
+          LEFT JOIN co ON co.k = o.o_custkey
           LEFT JOIN lo ON lo.ok = o.o_orderkey),
         inter AS (
           SELECT 'customer_orders_first' AS order_name,

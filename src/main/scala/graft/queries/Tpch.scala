@@ -143,12 +143,17 @@ object Tpch {
       (s, dir) => {
         import s.implicits._
         val h = (dir.hashCode & 0x7fffffff).toString
+        // data fingerprint, not just the path hash: an overwritten
+        // source (or a hash-aliased path) must rebuild, never serve
+        // the stale layout
+        val fpO = graft.ops.Smb.sourceFingerprint(s, s"$dir/orders.parquet")
+        val fpL = graft.ops.Smb.sourceFingerprint(s, s"$dir/lineitem.parquet")
         graft.ops.Smb.ensureBucketed(s, "graft_smb", s"orders_b_$h",
-          "o_orderkey", 8)(
+          "o_orderkey", 8, fpO)(
           table(s, dir, "orders")
             .select($"o_orderkey", $"o_custkey", dec($"o_totalprice").as("o_total")))
         graft.ops.Smb.ensureBucketed(s, "graft_smb", s"lineitem_b_$h",
-          "o_orderkey", 8)(
+          "o_orderkey", 8, fpL)(
           table(s, dir, "lineitem")
             .select($"l_orderkey".as("o_orderkey"),
               discPrice($"l_extendedprice", $"l_discount").as("rev")))

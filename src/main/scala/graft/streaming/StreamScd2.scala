@@ -72,35 +72,39 @@ object StreamScd2 {
       return false
     }
     val b = batch.localCheckpoint()
-    require(b.groupBy($"doc_id").count().filter($"count" > 1).isEmpty,
-      s"StreamScd2 batch $batchId carries multiple operations for one " +
-        "doc_id — compact the CDC feed to one op per doc per batch, or " +
-        "the surviving record would be nondeterministic")
-    val cur = current(spark, stateDir, beforeBatch = Some(batchId))
-    val up = b.filter($"op" === "upsert")
-      .select($"doc_id", md5($"text").as("text_md5"),
-        md5($"lang").as("lang_md5"), md5($"source").as("source_md5"))
-    val changedOrNew = up.as("u")
-      .join(cur.as("c"), Seq("doc_id"), "left")
-      .filter(col("c.text_md5").isNull ||
-        col("u.text_md5") =!= col("c.text_md5") ||
-        col("u.lang_md5") =!= col("c.lang_md5") ||
-        col("u.source_md5") =!= col("c.source_md5"))
-      .select($"doc_id", col("u.text_md5").as("text_md5"),
-        col("u.lang_md5").as("lang_md5"), col("u.source_md5").as("source_md5"),
-        lit(batchId).as("ver"), lit("upsert").as("op"))
-    val dels = b.filter($"op" === "delete")
-      .join(cur, Seq("doc_id"), "left_semi")
-      .select($"doc_id",
-        lit(null).cast("string").as("text_md5"),
-        lit(null).cast("string").as("lang_md5"),
-        lit(null).cast("string").as("source_md5"),
-        lit(batchId).as("ver"), lit("delete").as("op"))
-    changedOrNew.unionAll(dels)
-      .write.mode("overwrite").parquet(s"$stateDir/records/b$batchId")
-    StreamIndex.writeCommitted(spark, guard, batchId)
-    graft.ops.Checkpoints.release(b)
-    true
+    // finally: the loud one-op-per-doc guard (and any write failure)
+    // must not leak the pinned blocks — a retrying trigger would
+    // checkpoint-and-throw per attempt until the block store fills
+    try {
+      require(b.groupBy($"doc_id").count().filter($"count" > 1).isEmpty,
+        s"StreamScd2 batch $batchId carries multiple operations for one " +
+          "doc_id — compact the CDC feed to one op per doc per batch, or " +
+          "the surviving record would be nondeterministic")
+      val cur = current(spark, stateDir, beforeBatch = Some(batchId))
+      val up = b.filter($"op" === "upsert")
+        .select($"doc_id", md5($"text").as("text_md5"),
+          md5($"lang").as("lang_md5"), md5($"source").as("source_md5"))
+      val changedOrNew = up.as("u")
+        .join(cur.as("c"), Seq("doc_id"), "left")
+        .filter(col("c.text_md5").isNull ||
+          col("u.text_md5") =!= col("c.text_md5") ||
+          col("u.lang_md5") =!= col("c.lang_md5") ||
+          col("u.source_md5") =!= col("c.source_md5"))
+        .select($"doc_id", col("u.text_md5").as("text_md5"),
+          col("u.lang_md5").as("lang_md5"), col("u.source_md5").as("source_md5"),
+          lit(batchId).as("ver"), lit("upsert").as("op"))
+      val dels = b.filter($"op" === "delete")
+        .join(cur, Seq("doc_id"), "left_semi")
+        .select($"doc_id",
+          lit(null).cast("string").as("text_md5"),
+          lit(null).cast("string").as("lang_md5"),
+          lit(null).cast("string").as("source_md5"),
+          lit(batchId).as("ver"), lit("delete").as("op"))
+      changedOrNew.unionAll(dels)
+        .write.mode("overwrite").parquet(s"$stateDir/records/b$batchId")
+      StreamIndex.writeCommitted(spark, guard, batchId)
+      true
+    } finally graft.ops.Checkpoints.release(b)
   }
 
   /** The raw change log (all committed records below `beforeBatch`). */

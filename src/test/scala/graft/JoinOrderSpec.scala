@@ -35,4 +35,24 @@ class JoinOrderSpec extends SparkSuite {
       else "orders_lineitem_first"
     assert(advised == want, s"advised $advised, want $want")
   }
+
+  test("orphan orders (no matching customer) still price into |o⋈l|") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("joinorder").toString
+    // order 30 references customer 99 — absent (the q177 fk-violation
+    // shape); its 4 lineitems must still count in the o⋈l intermediate
+    Seq(1L, 2L).map(Tuple1(_)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (20L, 2L), (30L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (Seq.fill(2)(10L) ++ Seq(20L) ++ Seq.fill(4)(30L)).map(Tuple1(_)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val m = SparkEntry.queries("q191_join_order_advisor")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("customer_orders_first") == 2L) // orders with a customer
+    assert(m("orders_lineitem_first") == 7L,
+      "orphan order's lineitems dropped from the o⋈l prediction")
+    assert(m("final") == 3L) // only customer-matched orders' lineitems
+  }
 }

@@ -87,6 +87,60 @@ class SmbSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("sortedScans: scoped conf elides the Sorts and restores after") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("smb-scoped").toString
+    val df = (1L to 200L).map(k => (k, k)).toDF("k", "a")
+    graft.ops.Smb.saveBucketed(df, "graft_smb_scoped", loc, "l", "k", 4)
+    graft.ops.Smb.saveBucketed(df, "graft_smb_scoped", loc, "r", "k", 4)
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(key, "false")
+    try {
+      val plan = graft.ops.Smb.sortedScans(spark) {
+        // build AND act inside the scope — the contract
+        val j = spark.table("graft_smb_scoped.l")
+          .join(spark.table("graft_smb_scoped.r"), "k")
+        assert(j.count() == 200L)
+        j.queryExecution.executedPlan
+      }
+      val nodes = all(plan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+      assert(!nodes.exists(_.isInstanceOf[SortExec]),
+        "sortedScans scope did not elide the bucketed Sorts:\n" + plan)
+      assert(spark.conf.get(key) == "false", "conf not restored")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.unset(key)
+    }
+  }
+
+  test("ensureBucketed rebuilds when the source data changes in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("smb-fp").toString
+    def write(v: Long) = (1L to 10L).map(k => (k, v)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    def fp() = graft.ops.Smb.sourceFingerprint(spark, s"$dir/t.parquet")
+    write(1L)
+    var builds = 0
+    def ensure() = graft.ops.Smb.ensureBucketed(
+      spark, "graft_smb_fp", "t_b", "k", 2, fp()) {
+      builds += 1
+      spark.read.parquet(s"$dir/t.parquet")
+    }
+    ensure(); ensure()
+    assert(builds == 1, "same data must hit the cache")
+    assert(graft.ops.Smb.read(spark, "graft_smb_fp", "t_b")
+      .agg(sum($"v")).head().getLong(0) == 10L)
+    Thread.sleep(1100) // mtime granularity
+    write(2L) // overwrite in place — the stale-layout scenario
+    ensure()
+    assert(builds == 2, "changed data served a stale layout")
+    assert(graft.ops.Smb.read(spark, "graft_smb_fp", "t_b")
+      .agg(sum($"v")).head().getLong(0) == 20L)
+  }
+
   test("saveBucketed rejects a db relocation and bad identifiers") {
     import spark.implicits._
     val df = (1L to 4L).toDF("k")
