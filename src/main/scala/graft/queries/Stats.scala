@@ -909,7 +909,57 @@ object Stats {
           ORDER BY rows ASC, order_name ASC LIMIT 1)
         SELECT u.order_name, u.rows, best.advised
         FROM (SELECT * FROM inter UNION ALL SELECT * FROM fin) u
-        CROSS JOIN best"""))
+        CROSS JOIN best""")),
+
+    // ---------------------------------------------------------------- q193
+    // SOURCE CONCENTRATION (Herfindahl index) per language — the
+    // mixture-health read beside q133's divergence matrix: HHI =
+    // Σ share² of the source distribution within each language, and
+    // its reciprocal the EFFECTIVE source count (1/HHI = how many
+    // equal-sized sources the mix behaves like). A language whose
+    // effective sources ≪ its nominal sources is dominated by a few
+    // feeds — the over-weighting a mixture plan (q90) must correct
+    // before training. No entropy DELIBERATELY: ln is transcendental
+    // and cross-engine ulp-unsafe, while HHI's Σc²/N² is a ratio of
+    // exact BIGINTs — one double division per output (the Simpson-
+    // index family carries the same ordering information).
+    //
+    // Scale shape: one map-side-combined (lang, source) count agg —
+    // the only corpus-sized pass — then Σc² per language over the
+    // |langs|×|sources|-bounded frame; all integer until the final
+    // divisions.
+    Q(
+      "q193_source_concentration",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy($"lang", $"source")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_sources"),
+            sum($"c").cast("long").as("n_docs"),
+            sum($"c" * $"c").cast("long").as("sum_sq"))
+          .select($"lang", $"n_sources", $"n_docs",
+            ($"sum_sq".cast("double") /
+              ($"n_docs" * $"n_docs").cast("double")).as("hhi"),
+            (($"n_docs" * $"n_docs").cast("double") /
+              $"sum_sq".cast("double")).as("effective_sources"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY lang, source),
+        a AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+            CAST(sum(c) AS BIGINT) AS n_docs,
+            CAST(sum(c * c) AS BIGINT) AS sum_sq
+          FROM c GROUP BY lang)
+        SELECT lang, n_sources, n_docs,
+          CAST(sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
+          CAST(n_docs * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+            AS effective_sources
+        FROM a"""))
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG

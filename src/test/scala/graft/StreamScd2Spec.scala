@@ -93,6 +93,34 @@ class StreamScd2Spec extends SparkSuite {
     }
   }
 
+  test("readStream → foreachBatch plumbing maintains the history") {
+    // real file-source stream: one parquet drop of v1 upserts, one
+    // trigger, then a second drop with the CDC delta — the maintained
+    // history equals the directly-driven two-batch state
+    val srcDir = java.nio.file.Files.createTempDirectory("scd2-src").toString
+    val state = java.nio.file.Files.createTempDirectory("scd2-st").toString
+    val b1 = up(v1)
+    b1.write.mode("overwrite").parquet(s"$srcDir/d1")
+    val src = spark.readStream.schema(b1.schema).parquet(s"$srcDir/*")
+    val q = graft.streaming.StreamScd2.start(src, state)
+    q.processAllAvailable()
+    val dels = v1.select("doc_id").exceptAll(v2.select("doc_id"))
+      .select(col("doc_id"), lit("").as("text"), lit("").as("lang"),
+        lit("").as("source"), lit("delete").as("op"))
+    up(v2).unionByName(dels).write.mode("overwrite").parquet(s"$srcDir/d2")
+    q.processAllAvailable()
+    q.stop()
+    val ref = java.nio.file.Files.createTempDirectory("scd2-ref").toString
+    // drive the reference state with the STREAM's batch numbering
+    // (file source: batch 0 = drop 1, batch 1 = drop 2)
+    assert(graft.streaming.StreamScd2.processBatch(
+      spark, up(v1), ref, batchId = 0L))
+    assert(graft.streaming.StreamScd2.processBatch(
+      spark, up(v2).unionByName(dels), ref, batchId = 1L))
+    assert(histSet(graft.streaming.StreamScd2.history(spark, state)) ==
+      histSet(graft.streaming.StreamScd2.history(spark, ref)))
+  }
+
   test("forget hides a doc's entire history at probe time") {
     val state = java.nio.file.Files.createTempDirectory("scd2f").toString
     runBoth(state)
