@@ -1880,51 +1880,38 @@ object Llm {
     // is replayable against any corpus snapshot).
     //
     // Scale shape: the pair frame is q21's capped LSH join (banded,
-    // never all-pairs); split assignment is a scan-side md5; the two
-    // split attachments are doc-keyed joins of the PAIR frame
-    // (pair-sized, broadcast when small). Output is leak-sized.
+    // never all-pairs), materialized ONCE — both direction legs read
+    // the checkpoint, never re-running the candidate-verify pipeline
+    // (the q105 one-checkpoint-two-consumers discipline). Split
+    // assignment is TrainPrep.splitOf — q53's expression by
+    // REFERENCE, a pure function of the id projected onto the
+    // pair-sized legs (no corpus join, and the audit structurally
+    // cannot drift from the split training actually uses). Output is
+    // leak-sized.
     Q(
       "q192_split_leakage",
       (s, dir) => {
         import s.implicits._
-        val docs = docsSpread(s, dir)
-        val split = docs.select($"doc_id",
-          expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|split')), 1, 8), 16, 10) AS BIGINT) % 100")
-            .as("bucket"))
-          .select($"doc_id",
-            when($"bucket" < 80, "train")
-              .when($"bucket" < 90, "val")
-              .otherwise("test").as("split"))
-        val pairs = minhashLshPairs(docs, lshMaxBucket)
-        val legs = pairs.select($"d1".as("doc_id"), $"d2".as("partner"), $"jac")
+        val pairs = minhashLshPairs(docsSpread(s, dir), lshMaxBucket)
+          .localCheckpoint()
+        pairs.select($"d1".as("doc_id"), $"d2".as("partner"), $"jac")
           .unionAll(pairs.select($"d2".as("doc_id"), $"d1".as("partner"), $"jac"))
-        legs.join(split, "doc_id")
-          .join(split.select($"doc_id".as("partner"),
-            $"split".as("partner_split")), "partner")
+          .withColumn("split", TrainPrep.splitOf($"doc_id"))
+          .withColumn("partner_split", TrainPrep.splitOf($"partner"))
           .filter($"split".isin("val", "test") && $"partner_split" === "train")
           .select($"doc_id", $"split", $"partner", $"partner_split", $"jac")
       },
       Some(s"""
         WITH pairs AS (${minhashPairsSql}),
-        sp AS (
-          SELECT doc_id,
-            CASE WHEN bucket < 80 THEN 'train'
-                 WHEN bucket < 90 THEN 'val'
-                 ELSE 'test' END AS split
-          FROM (
-            SELECT doc_id,
-              CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS UBIGINT) AS BIGINT) % 100 AS bucket
-            FROM documents) b),
         legs AS (
           SELECT d1 AS doc_id, d2 AS partner, jac FROM pairs
           UNION ALL
           SELECT d2, d1, jac FROM pairs)
-        SELECT l.doc_id, s1.split, l.partner,
-          s2.split AS partner_split, l.jac
-        FROM legs l
-        JOIN sp s1 ON s1.doc_id = l.doc_id
-        JOIN sp s2 ON s2.doc_id = l.partner
-        WHERE s1.split IN ('val', 'test') AND s2.split = 'train'""")),
+        SELECT doc_id, ${TrainPrep.splitSql("doc_id")} AS split,
+          partner, ${TrainPrep.splitSql("partner")} AS partner_split, jac
+        FROM legs
+        WHERE ${TrainPrep.splitSql("doc_id")} IN ('val', 'test')
+          AND ${TrainPrep.splitSql("partner")} = 'train'""")),
 
     // ---------------------------------------------------------------- q165
     // RIGHT-TO-BE-FORGOTTEN probe (ops.Forget): the q74 incremental-

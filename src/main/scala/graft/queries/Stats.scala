@@ -921,8 +921,12 @@ object Stats {
     // feeds — the over-weighting a mixture plan (q90) must correct
     // before training. No entropy DELIBERATELY: ln is transcendental
     // and cross-engine ulp-unsafe, while HHI's Σc²/N² is a ratio of
-    // exact BIGINTs — one double division per output (the Simpson-
-    // index family carries the same ordering information).
+    // exact integers — one double division per output (the Simpson-
+    // index family carries the same ordering information). The
+    // squares and their sum run in DECIMAL(38,0)/HUGEINT, not Long:
+    // c² wraps a BIGINT once a source passes ~3×10⁹ docs — REAL at
+    // the 100 TB scale this audit targets — and Spark would wrap
+    // silently where DuckDB errors (the q185 divergence class).
     //
     // Scale shape: one map-side-combined (lang, source) count agg —
     // the only corpus-sized pass — then Σc² per language over the
@@ -939,11 +943,12 @@ object Stats {
           .agg(
             count(lit(1)).cast("long").as("n_sources"),
             sum($"c").cast("long").as("n_docs"),
-            sum($"c" * $"c").cast("long").as("sum_sq"))
+            sum($"c".cast("decimal(38,0)") * $"c").as("sum_sq"))
           .select($"lang", $"n_sources", $"n_docs",
             ($"sum_sq".cast("double") /
-              ($"n_docs" * $"n_docs").cast("double")).as("hhi"),
-            (($"n_docs" * $"n_docs").cast("double") /
+              ($"n_docs".cast("decimal(38,0)") * $"n_docs").cast("double"))
+              .as("hhi"),
+            (($"n_docs".cast("decimal(38,0)") * $"n_docs").cast("double") /
               $"sum_sq".cast("double")).as("effective_sources"))
       },
       Some("""
@@ -953,11 +958,11 @@ object Stats {
         a AS (
           SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
             CAST(sum(c) AS BIGINT) AS n_docs,
-            CAST(sum(c * c) AS BIGINT) AS sum_sq
+            sum(CAST(c AS HUGEINT) * c) AS sum_sq
           FROM c GROUP BY lang)
         SELECT lang, n_sources, n_docs,
-          CAST(sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi,
-          CAST(n_docs * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+          CAST(sum_sq AS DOUBLE) / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE) AS hhi,
+          CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)
             AS effective_sources
         FROM a"""))
   )

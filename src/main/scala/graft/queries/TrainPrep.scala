@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrep {
 
+  /** q53's content-addressed split bucket (first 32 bits of
+    * md5(doc_id || salt) mod 100) and its 80/10/10 verdict — ONE
+    * definition shared by q53 and every audit that reasons ABOUT the
+    * split (q192): a consumer re-inlining the expression would
+    * silently audit a different split if the salt or boundaries ever
+    * moved. [[splitBucketSql]]/[[splitSql]] are the DuckDB twins,
+    * generated from the same literals.
+    */
+  private[graft] def splitBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substr(md5(concat(CAST(${c.toString} AS STRING), '|split')), 1, 8), 16, 10) AS BIGINT) % 100")
+  private[graft] def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(splitBucket(c) < 80, "train")
+      .when(splitBucket(c) < 90, "val")
+      .otherwise("test")
+  private[graft] def splitBucketSql(x: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(concat(CAST($x AS VARCHAR), '|split')), 1, 8)) AS UBIGINT) AS BIGINT) % 100"
+  private[graft] def splitSql(x: String): String =
+    s"CASE WHEN ${splitBucketSql(x)} < 80 THEN 'train' WHEN ${splitBucketSql(x)} < 90 THEN 'val' ELSE 'test' END"
+
   val all: Seq[Q] = Seq(
     // ---------------------------------------------------------------- q53
     // Deterministic train/val/test split: bucket = first 32 bits of
@@ -18,28 +37,27 @@ object TrainPrep {
     // are the scale-correct form: stable under corpus growth and
     // re-partitioning (a random() split reshuffles membership every
     // run and leaks val into train on incremental rebuilds), pure scan
-    // projection, no shuffle, no state.
+    // projection, no shuffle, no state. The expression lives in
+    // [[splitBucket]]/[[splitOf]] — shared with the q192 leakage
+    // audit, which must reason about THIS split, not a copy.
     Q(
       "q53_dataset_split",
       (s, dir) => {
         import s.implicits._
         table(s, dir, "documents")
-          .select($"doc_id",
-            expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '|split')), 1, 8), 16, 10) AS BIGINT) % 100")
-              .as("bucket"))
+          .select($"doc_id", splitBucket($"doc_id").as("bucket"))
           .withColumn("split",
             when($"bucket" < 80, "train")
               .when($"bucket" < 90, "val")
               .otherwise("test"))
       },
-      Some("""
+      Some(s"""
         SELECT doc_id, bucket,
           CASE WHEN bucket < 80 THEN 'train'
                WHEN bucket < 90 THEN 'val'
                ELSE 'test' END AS split
         FROM (
-          SELECT doc_id,
-            CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|split')), 1, 8)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+          SELECT doc_id, ${splitBucketSql("doc_id")} AS bucket
           FROM documents) b""")),
 
     // ---------------------------------------------------------------- q54
