@@ -112,4 +112,150 @@ object GlobalRank {
     }
     (out, cleanup)
   }
+
+  /** Per-GROUP 1-based rank — `row_number() OVER (PARTITION BY group
+    * ORDER BY ...)` without the per-group window stripe that sorts a
+    * dominant group (en ≈ half of any web corpus; a mega-source) in
+    * ONE task. The q179 pattern, extracted: rank GLOBALLY in
+    * (group..., sort...) order — ranks within a group are contiguous
+    * there — then rk_in_group = grk − min_grk(group) + 1 via a
+    * broadcast |groups|-row min-rank join. Every range partition ranks
+    * independently regardless of how groups skew across them.
+    *
+    * Contract: the distinct group count must be broadcast-sized (the
+    * min-rank frame is |groups| rows); `sortCols` must be a total key
+    * within each group (same tie contract as [[withRank]]). Eager,
+    * same retention caveat as [[withRank]] — use the managed variant
+    * from per-trigger paths.
+    */
+  def withGroupRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rankCol: String,
+      numPartitions: Int): DataFrame =
+    withGroupRankManaged(df, groupCols, sortCols, rankCol, numPartitions)._1
+
+  def withGroupRankManaged(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      rankCol: String,
+      numPartitions: Int): (DataFrame, () => Unit) = {
+    val grk = "__graft_group_grk"
+    val (ranked, cleanup) = withRankManaged(
+      df, groupCols.map(c => col(c).asc) ++ sortCols, grk, numPartitions)
+    // min-rank agg and the final pass both read withRank's checkpointed
+    // blocks — identical partitions, no upstream re-run
+    val minRk = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(grk)).as("__graft_min_grk"))
+    val out = ranked
+      .join(broadcast(minRk), groupCols)
+      .withColumn(rankCol, col(grk) - col("__graft_min_grk") + lit(1L))
+      .drop(grk, "__graft_min_grk")
+    (out, cleanup)
+  }
+
+  /** Per-GROUP running sum including the current row —
+    * `sum(value) OVER (PARTITION BY group ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)` without the group stripe: same two-phase shape as
+    * [[withRank]], with per-(range-partition, group) partial sums in
+    * place of row counts.
+    *
+    *  1. range-repartition + sort within partitions on
+    *     (group..., sort...) — each group's rows are globally ordered
+    *     across partition boundaries and contiguous within a partition;
+    *  2. one tiny agg computes each (partition, group) slice's value
+    *     sum (≤ numPartitions + |groups| rows: a group spans k
+    *     partitions OR shares one — the frame is bounded by both),
+    *     prefix-summed per group across partitions on the driver and
+    *     broadcast;
+    *  3. one narrow `mapPartitions` pass streams each partition once,
+    *     resetting a local accumulator at group boundaries (groups are
+    *     contiguous — the sort guarantees it) and adding the broadcast
+    *     offset.
+    *
+    * Contract: `valueCol` must be LongType (exact BIGINT algebra — the
+    * engine's oracle discipline); `sortCols` must be a total key within
+    * each group (ties would make the running sum partition-dependent);
+    * distinct group count broadcast-sized. Eager, same retention caveat
+    * as [[withRank]].
+    */
+  def withGroupPrefixSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      numPartitions: Int): DataFrame =
+    withGroupPrefixSumManaged(
+      df, groupCols, sortCols, valueCol, outCol, numPartitions)._1
+
+  def withGroupPrefixSumManaged(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      numPartitions: Int): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    require(df.schema(valueCol).dataType == LongType,
+      s"withGroupPrefixSum sums exact BIGINTs; $valueCol is " +
+        df.schema(valueCol).dataType.simpleString)
+    val pidCol = "__graft_psum_pid"
+    val orderCols = groupCols.map(c => col(c).asc) ++ sortCols
+    val ranged = df
+      .repartitionByRange(numPartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .localCheckpoint()
+    val groupIdx = groupCols.map(ranged.schema.fieldIndex)
+    // per-(pid, group) slice sums; driver-side per-group prefix over
+    // ascending pid → the offset each slice starts from
+    val partials = ranged
+      .groupBy((col(pidCol) +: groupCols.map(col)): _*)
+      .agg(sum(col(valueCol)).as("__s"))
+      .collect()
+      .map { r =>
+        (r.getInt(0), groupIdx.indices.map(i => r.get(i + 1)).toList,
+          r.getLong(groupIdx.size + 1))
+      }
+    val offsets: Map[(Int, List[Any]), Long] = partials
+      .groupBy(_._2)
+      .flatMap { case (g, slices) =>
+        var acc = 0L
+        slices.sortBy(_._1).map { case (pid, _, s) =>
+          val entry = ((pid, g), acc); acc += s; entry
+        }
+      }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val pidIdx = ranged.schema.fieldIndex(pidCol)
+    val valIdx = ranged.schema.fieldIndex(valueCol)
+    val outSchema = StructType(
+      ranged.schema.fields.patch(pidIdx, Nil, 1)).add(outCol, LongType, nullable = false)
+    val out = ranged.mapPartitions { it =>
+      // groups are contiguous within a sorted range partition, so a
+      // group change is exactly where the local accumulator resets;
+      // one invocation per range partition survives downstream
+      // coalescing for the same reason as withRank (per-row pid lookup)
+      var curKey: List[Any] = null
+      var acc = 0L
+      it.map { r =>
+        val key = groupIdx.map(r.get).toList
+        if (key != curKey) { curKey = key; acc = 0L }
+        acc += r.getLong(valIdx)
+        val off = bc.value((r.getInt(pidIdx), key))
+        Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ (off + acc))
+      }
+    }(Encoders.row(outSchema))
+    val checkpointed = ranged.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val cleanup: () => Unit = () => {
+      checkpointed.foreach(_.unpersist(blocking = false))
+      bc.destroy()
+    }
+    (out, cleanup)
+  }
 }

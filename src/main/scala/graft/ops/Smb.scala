@@ -44,9 +44,16 @@ object Smb {
     validIdent(db, "database name")
     validIdent(name, "table name")
     if (s.catalog.databaseExists(db)) {
-      val existing = new org.apache.hadoop.fs.Path(
-        s.sessionState.catalog.getDatabaseMetadata(db).locationUri).toUri.getPath
-      val wanted = new org.apache.hadoop.fs.Path(location).toUri.getPath
+      // compare FULLY-QUALIFIED URIs (scheme + authority + path): a
+      // bare-path compare would let hdfs://nn/x pass for file:///x and
+      // the table would silently land under the old location — the
+      // exact failure this guard exists to catch
+      val conf = s.sparkContext.hadoopConfiguration
+      def qualified(p: org.apache.hadoop.fs.Path): java.net.URI =
+        p.getFileSystem(conf).makeQualified(p).toUri
+      val existing = qualified(new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.getDatabaseMetadata(db).locationUri))
+      val wanted = qualified(new org.apache.hadoop.fs.Path(location))
       require(existing == wanted,
         s"database $db already exists at $existing; CREATE DATABASE IF NOT " +
           s"EXISTS would silently ignore the new location $wanted and this " +

@@ -577,25 +577,31 @@ object Embeddings {
     * label's q84 centroid and pruned = 1 for the ceil(n/4) most
     * prototypical vectors of each label. Centroid arrays assemble in
     * index order and broadcast; the cosine folds in index order
-    * in-row (bit-identical to the oracle's ordered sums).
+    * in-row (bit-identical to the oracle's ordered sums). The
+    * per-label rank is ops.GlobalRank.withGroupRank, NOT a `partition
+    * by label` window: labels are FEW, so each window stripe is
+    * corpus-proportional — the grouped rank's range partitions stay
+    * corpus/numPartitions-sized under any label skew, and the
+    * per-label count is a broadcast |labels|-row join.
     */
   private[graft] def protoPrune(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cvec = labelCentroids(emb)
       .groupBy($"label")
       .agg(sort_array(collect_list(struct($"i", $"centroid"))).as("cs"))
       .select($"label", expr("transform(cs, e -> e.centroid)").as("cvec"))
-    val w = Window.partitionBy($"label").orderBy($"sim".desc, $"vec_id".asc)
-    emb.select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+    val scored = emb.select($"vec_id", $"label".cast("long").as("label"), $"embedding")
       .join(broadcast(cvec), "label")
       .select($"vec_id", $"label",
         (expr("aggregate(zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), (a, e) -> a + e)") /
           (sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
             sqrt(expr("aggregate(cvec, CAST(0.0 AS DOUBLE), (a, c) -> a + c * c)")))).as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"label")).cast("long"))
+    val ranked = graft.ops.GlobalRank.withGroupRank(
+      scored, Seq("label"), Seq($"sim".desc, $"vec_id".asc), "rk",
+      s.sparkContext.defaultParallelism)
+    val nPer = ranked.groupBy($"label").agg(count(lit(1)).cast("long").as("n"))
+    ranked.join(broadcast(nPer), "label")
       .select($"vec_id", $"label", $"sim", $"rk",
         ($"rk" <= expr("(n + 3) div 4")).cast("long").as("pruned"))
   }

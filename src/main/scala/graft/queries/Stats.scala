@@ -530,22 +530,24 @@ object Stats {
     // permutation of consecutive ranks leaves Σi·xᵢ unchanged.
     //
     // Scale shape: one scan collapses docs to (source, doc, tokens);
-    // the rank windows partition BY SOURCE (parallel across sources —
-    // never a global sort; a mega-source gets q83's GlobalRank
-    // treatment); the fold to numerators is map-side-combined to
-    // |sources| rows.
+    // the per-source rank is ops.GlobalRank.withGroupRank — global
+    // rank in (source, x, doc_id) order minus a broadcast per-source
+    // min rank (q179's pattern), NOT a `partition by source` window:
+    // a dominant source would sort its whole stripe in ONE task at
+    // 100 TB, while the grouped rank's range partitions stay
+    // corpus/numPartitions-sized under any source skew. The fold to
+    // numerators is map-side-combined to |sources| rows.
     Q(
       "q172_token_gini",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val nt = table(s, dir, "documents")
           .select($"source", $"doc_id",
             size(expr("filter(split(text, ' '), x -> x <> '')"))
               .cast("long").as("x"))
-        nt.withColumn("i", row_number().over(
-            Window.partitionBy($"source").orderBy($"x".asc, $"doc_id".asc))
-            .cast("long"))
+        graft.ops.GlobalRank.withGroupRank(
+            nt, Seq("source"), Seq($"x".asc, $"doc_id".asc), "i",
+            s.sparkContext.defaultParallelism)
           .groupBy($"source")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum($"x").cast("long").as("sum_tokens"),

@@ -19,8 +19,13 @@ object TrainPrep {
     * moved. [[splitBucketSql]]/[[splitSql]] are the DuckDB twins,
     * generated from the same literals.
     */
+  // built from Column operations, NOT Column.toString interpolation
+  // into expr(): the string form is only valid for bare attribute
+  // names — a qualified (a.doc_id) or derived column would produce
+  // broken or silently mis-bound SQL for any future caller
   private[graft] def splitBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    expr(s"CAST(conv(substr(md5(concat(CAST(${c.toString} AS STRING), '|split')), 1, 8), 16, 10) AS BIGINT) % 100")
+    conv(substring(md5(concat(c.cast("string"), lit("|split"))), 1, 8), 16, 10)
+      .cast("long") % 100
   private[graft] def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(splitBucket(c) < 80, "train")
       .when(splitBucket(c) < 90, "val")
@@ -63,21 +68,28 @@ object TrainPrep {
     // ---------------------------------------------------------------- q54
     // Sequence packing: documents greedily packed into fixed
     // token-budget bins (8192 whitespace tokens) in deterministic
-    // doc_id order WITHIN each language shard — pack_id = floor(tokens
-    // before this doc / budget). One shuffle on the shard key; the
-    // running sum is per-partition streaming. At 100 TB the shard key
-    // is (lang, shard_no) so no single window partition grows
-    // unbounded; packing stays a per-shard scan.
+    // doc_id order WITHIN each language — pack_id = floor(tokens
+    // before this doc / budget). The running sum is
+    // ops.GlobalRank.withGroupPrefixSum, NOT a `partition by lang`
+    // running-sum window: a dominant language (en ≈ half of any web
+    // corpus) would make that window partition a single-task
+    // sort+stream of half the corpus at 100 TB. The grouped prefix
+    // sum range-partitions on (lang, doc_id) — the same exchange the
+    // window needs — then per-(partition, lang) token subtotals
+    // prefix-sum on the driver (a ≤ partitions+|langs| row action)
+    // and broadcast back into ONE narrow streaming pass; no partition
+    // ever holds more than corpus/numPartitions rows regardless of
+    // language skew. Packing arithmetic is exact BIGINT.
     Q(
       "q54_sequence_packing",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"doc_id".asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        table(s, dir, "documents")
+        val nt = table(s, dir, "documents")
           .select($"doc_id", $"lang",
             size(filter(split($"text", "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")).cast("long").as("n_tokens"))
-          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        graft.ops.GlobalRank.withGroupPrefixSum(
+            nt, Seq("lang"), Seq($"doc_id".asc), "n_tokens", "cum_tokens",
+            s.sparkContext.defaultParallelism)
           // `div`, not `/`: Column./ on longs is DOUBLE division
           .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 8192"))
           .withColumn("pack_offset", ($"cum_tokens" - $"n_tokens") % 8192)

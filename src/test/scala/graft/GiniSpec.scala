@@ -44,4 +44,10 @@ class GiniSpec extends SparkSuite {
     assert(byS("ext") == 3.0 / 4)        // (n-1)/n with n = 4
     assert(byS("mix") > 0.0 && byS("mix") < byS("ext"))
   }
+
+  test("plan: per-source ranks come from GlobalRank, not a window stripe") {
+    val df = SparkEntry.queries("q172_token_gini")(spark, "/root/testdata/sf0.01")
+    assert(df.count() > 0) // action first: assert the EXECUTED plan
+    assertNoWindowExec(df)
+  }
 }

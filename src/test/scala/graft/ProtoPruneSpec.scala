@@ -71,6 +71,12 @@ class ProtoPruneSpec extends SparkSuite {
     }
   }
 
+  test("plan: per-label ranks come from GlobalRank, not a window stripe") {
+    val df = SparkEntry.queries("q120_proto_prune")(spark, "/root/testdata/sf0.01")
+    assert(df.count() > 0) // action first: assert the EXECUTED plan
+    assertNoWindowExec(df)
+  }
+
   test("per-label prune count is exactly ceil(n/4), top ranks first") {
     val rows = SparkEntry.queries("q120_proto_prune")(spark, "/root/testdata/sf0.01")
       .collect()
