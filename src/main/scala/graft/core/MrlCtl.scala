@@ -74,16 +74,37 @@ object MrlCtl {
   final class JobQueue(spark: SparkSession) {
     private case class Entry(
         id: Int, workload: String, input: String, output: String,
-        aux: Seq[String], partitions: Int)
+        timeoutSec: Option[Long], run: () => Unit)
     private val entries = scala.collection.mutable.ListBuffer.empty[Entry]
     private val states = scala.collection.concurrent.TrieMap.empty[Int, String]
+    // unique per queue instance so a late watchdog firing can never
+    // cancel a job group of ANOTHER queue that reused entry ids
+    private val qid = java.util.UUID.randomUUID().toString.take(8)
 
-    /** Enqueue; returns the job's queue id (submit order). */
+    /** Enqueue; returns the job's queue id (submit order). `timeoutSec`
+      * is the reference's per-job `--timeout` analog
+      * (`mrl-ctl/src/args.rs:28-53`, default `TIMEOUT`
+      * `mrl-ctl/src/core.rs:13,50`; consumed by `monitor_workers`,
+      * `mrl-coordinator/src/job_queue.rs:363-385`): the job's Spark
+      * work is aborted once the deadline passes, the entry goes FAILED,
+      * its partial output is cleaned, and the queue keeps draining.
+      */
     def submit(
         workload: String, input: String, output: String,
-        aux: Seq[String] = Nil, partitions: Int = 0): Int = this.synchronized {
+        aux: Seq[String] = Nil, partitions: Int = 0,
+        timeoutSec: Option[Long] = None): Int =
+      submitBody(workload, input, output, timeoutSec)(
+        () => MapReduce.runWorkload(spark, workload, input, output, aux, partitions))
+
+    /** The queue seam the named-workload submit wraps: any job body
+      * whose Spark work should run under the queue's state machine,
+      * failure cleanup (scoped to `output`), and timeout watchdog.
+      */
+    private[graft] def submitBody(
+        workload: String, input: String, output: String,
+        timeoutSec: Option[Long])(body: () => Unit): Int = this.synchronized {
       val id = entries.length
-      entries += Entry(id, workload, input, output, aux, partitions)
+      entries += Entry(id, workload, input, output, timeoutSec, body)
       states(id) = "QUEUED"
       id
     }
@@ -97,6 +118,17 @@ object MrlCtl {
       * runs, so two concurrent `runAll()` callers that both snapshot
       * the same QUEUED job cannot execute it twice — the loser of the
       * race skips the entry.
+      *
+      * Timeout mechanics: a timed entry runs inside its OWN Spark job
+      * group (interruptOnCancel) with a daemon watchdog timer that
+      * `cancelJobGroup`s at the deadline — the cancelled action throws,
+      * landing in the existing FAILED + cleanup path, and the DRAIN
+      * LOOP CONTINUES to the next entry. Group ids are unique per
+      * (queue, entry), so a watchdog that fires after its job finished
+      * cancels nothing that is still running. The deadline bounds the
+      * job's SPARK work (tasks are interrupted mid-flight); driver-side
+      * code between actions is not interruptible this way, same as the
+      * reference's worker-level monitor.
       */
     def runAll(): Unit = {
       val queued = this.synchronized {
@@ -110,14 +142,32 @@ object MrlCtl {
           // pre-exists, failure cleanup must not touch it (the reference
           // deletes a failed job's own objects, never the destination).
           val existedBefore = fs.exists(path)
+          val watchdog = e.timeoutSec.map { sec =>
+            val groupId = s"mrl-ctl-$qid-job-${e.id}"
+            spark.sparkContext.setJobGroup(groupId,
+              s"mrl-ctl job ${e.id} (${e.workload}, timeout ${sec}s)",
+              interruptOnCancel = true)
+            val t = new java.util.Timer(s"mrl-ctl-timeout-$qid-${e.id}", true)
+            t.schedule(new java.util.TimerTask {
+              override def run(): Unit = {
+                System.err.println(
+                  s"[mrl-ctl] job ${e.id} (${e.workload}) exceeded ${sec}s — cancelling")
+                spark.sparkContext.cancelJobGroup(groupId)
+              }
+            }, sec * 1000)
+            t
+          }
           try {
-            MapReduce.runWorkload(spark, e.workload, e.input, e.output, e.aux, e.partitions)
+            e.run()
             states(e.id) = "COMPLETED"
           } catch {
             case ex: Exception =>
               states(e.id) = "FAILED"
               if (!existedBefore && fs.exists(path)) fs.delete(path, true)
               System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
+          } finally {
+            watchdog.foreach(_.cancel())
+            if (e.timeoutSec.isDefined) spark.sparkContext.clearJobGroup()
           }
         }
       }
@@ -184,20 +234,24 @@ object MrlCtl {
         // would miss a session created on another thread.
         val (spark, preexisting) = session()
         val reg = trackJobs(spark)
-        MapReduce.runWorkload(
-          spark,
-          opts("workload"),
-          opts("input"),
-          opts("output"),
-          aux,
-          opts.getOrElse("partitions", "0").toInt)
-        println(s"job completed: ${opts("workload")} -> ${opts("output")}")
+        // one-entry queue: the submit path and the queue share ONE
+        // state machine (timeout watchdog, failure cleanup, states)
+        val queue = new JobQueue(spark)
+        val id = queue.submit(
+          opts("workload"), opts("input"), opts("output"), aux,
+          opts.getOrElse("partitions", "0").toInt,
+          opts.get("timeout").map(_.toLong))
+        queue.runAll()
+        val st = queue.state(id)
+        println(s"job ${st.toLowerCase}: ${opts("workload")} -> ${opts("output")}")
         println(statusReport(spark))
         println(jobsReport(spark, reg))
         if (!preexisting) spark.stop()
+        if (st != "COMPLETED") sys.exit(1)
       case other =>
         System.err.println(
-          s"unknown command $other; usage: submit|status|jobs; submit --workload W --input GLOB --output DIR [--partitions N] [-- aux...]")
+          s"unknown command $other; usage: submit|status|jobs; submit --workload W " +
+            "--input GLOB --output DIR [--partitions N] [--timeout SEC] [-- aux...]")
         sys.exit(2)
     }
   }

@@ -183,7 +183,9 @@ object WinnowState {
 
   private def ladderPath(dir: String) = new Path(s"$dir/_ladder")
 
-  private def writeLadder(spark: SparkSession, dir: String, l: Ladder): Unit = {
+  // private[ops]: CdcDedupState widens maxGrams under the same frozen
+  // rung when an updated document grows (the probe's own rule)
+  private[ops] def writeLadder(spark: SparkSession, dir: String, l: Ladder): Unit = {
     val p = ladderPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Layouts.writeSidecar(fs, p, s"${l.hashHex} ${l.posMod} ${l.maxGrams}\n")

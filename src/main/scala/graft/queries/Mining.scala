@@ -794,7 +794,88 @@ object Mining {
           SELECT 'len' AS rule, fail_len AS n_fail, only_len AS n_fail_only
           UNION ALL SELECT 'wlen', fail_wlen, only_wlen
           UNION ALL SELECT 'stop', fail_stop, only_stop
-          UNION ALL SELECT 'rep', fail_rep, only_rep) u"""))
+          UNION ALL SELECT 'rep', fail_rep, only_rep) u""")),
+
+    // --------------------------------------------------------------- q194
+    // CDC UPDATE PROPAGATION through the at-rest dedup state
+    // (ops.CdcDedupState) — the step q112's change manifest exists to
+    // feed: the winnow-fingerprint state is built from the OLD corpus
+    // snapshot (q112's deterministic view: %10==7 docs absent, %10==3
+    // docs pre-edit), one manifest of added/removed/changed documents
+    // applies as forget(old)+add(new) signed deltas in ONE idempotent
+    // commit unit, and the output is each NEW-corpus document's q102
+    // coverage read FROM THE UPDATED STATE. The oracle is the full
+    // q102 recompute over the post-change corpus — i.e. the query
+    // asserts update-propagation ≡ rebuild end-to-end, hash-checked
+    // (the pruneIncremental ≡ re-prune discipline; CdcStateSpec pins
+    // the band and block families the same way plus crash replay).
+    //
+    // Scale shape: the update re-fingerprints ONLY the changed
+    // documents (O(|manifest|), never the corpus); the state is
+    // summed per fp at read (map-side-combinable) and the per-doc
+    // join is fp-keyed against the new corpus's scan-side winnowed
+    // survivors — the q102 shuffle shape plus one change-sized child.
+    Q(
+      "q194_cdc_state_update",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Llm.docsSpread(s, dir)
+        val old = docs.filter($"doc_id" % 10 =!= 7)
+          .select($"doc_id", when($"doc_id" % 10 === 3,
+            regexp_replace($"text", "spark", "spork")).otherwise($"text").as("text"))
+        val cur = docs.filter($"doc_id" % 10 =!= 5)
+          .select($"doc_id", $"text")
+        val state = java.nio.file.Files
+          .createTempDirectory("cdc-state").toString
+        graft.ops.CdcDedupState.save(old, state, w = 8)
+        graft.ops.CdcDedupState.applyChanges(s,
+          graft.ops.CdcDedupState.manifestOf(old, cur), state, updateId = 1L)
+        val counts = graft.ops.CdcDedupState.winnowCounts(s, state)
+        val ladder = graft.ops.WinnowState.readLadder(s, state)
+        selectedFingerprints(cur.select($"doc_id", $"text".as("t")),
+            8, ladder.hashHex, ladder.posMod)
+          .join(counts, "fp")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).cast("long").as("n_fp"),
+            sum(when($"ndocs" >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+          .withColumn("dup_frac", $"n_dup".cast("double") / $"n_fp")
+      },
+      Some("""
+        WITH nd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 5),
+        t AS (
+          SELECT doc_id, text AS t FROM nd WHERE length(text) >= 20),
+        g AS MATERIALIZED (
+          SELECT doc_id, t, length(t) - 19 AS n_grams,
+            unnest(generate_series(1, length(t) - 19)) AS pos
+          FROM t),
+        pb AS MATERIALIZED (
+          SELECT CASE WHEN max(n_grams) <= 65535 THEN 11
+                      WHEN max(n_grams) <= 16777215 THEN 9
+                      ELSE 7 END AS hh,
+                 CASE WHEN max(n_grams) <= 65535 THEN CAST(65536 AS BIGINT)
+                      WHEN max(n_grams) <= 16777215 THEN CAST(16777216 AS BIGINT)
+                      ELSE CAST(4294967296 AS BIGINT) END AS posmod
+          FROM g),
+        gh AS (
+          SELECT doc_id, pos, n_grams,
+            CAST(CAST(concat('0x', substr(md5(substr(t, pos, 20)), 1, hh)) AS UBIGINT) AS BIGINT) * posmod + pos AS m
+          FROM g, pb),
+        w AS (
+          SELECT doc_id, pos, n_grams,
+            min(m) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+          FROM gh),
+        sel AS (
+          SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= n_grams - 7),
+        f AS (SELECT doc_id, wmin // posmod AS fp FROM sel, pb),
+        c AS (SELECT fp, count(DISTINCT doc_id) AS ndocs FROM f GROUP BY fp)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_fp,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
+          CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
+        FROM f JOIN c USING (fp) GROUP BY doc_id"""))
   )
 
   /** Span-removal engine behind q108. Input: (doc_id, t200). Excises

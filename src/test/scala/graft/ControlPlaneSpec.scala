@@ -72,6 +72,43 @@ class ControlPlaneSpec extends SparkSuite {
     assert(report.linesIterator.toSeq(2).contains("FAILED"), report)
   }
 
+  test("a job exceeding its timeout is cancelled, cleaned, and the queue keeps draining") {
+    val in = Files.createTempDirectory("ctlt-in")
+    val outRoot = Files.createTempDirectory("ctlt-out")
+    Files.writeString(in.resolve("a.txt"), "gamma delta gamma\n")
+
+    val q = new MrlCtl.JobQueue(spark)
+    val slowOut = outRoot.resolve("slow").toString
+    // a genuinely slow SPARK job (tasks sleep far past the deadline):
+    // the watchdog's cancelJobGroup(interruptOnCancel) must abort it
+    // mid-task — the 2s-timeout job would otherwise run ~100s
+    val slow = q.submitBody("slow-sleep", in.toString, slowOut, Some(2L)) { () =>
+      val s = spark
+      s.range(0, 8, 1, 8).rdd.foreach { _ => Thread.sleep(100000) }
+      s.range(1).write.mode("overwrite").parquet(slowOut)
+    }
+    val after = q.submit("wc", in.toString + "/*.txt", outRoot.resolve("after").toString)
+
+    val t0 = System.nanoTime()
+    q.runAll()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+
+    assert(q.state(slow) === "FAILED", "timed-out job must land FAILED")
+    assert(q.state(after) === "COMPLETED", "queue must keep draining after a timeout")
+    assert(elapsedSec < 60.0,
+      f"timeout did not abort the sleeping tasks: drain took $elapsedSec%.1f s")
+    assert(!Files.exists(java.nio.file.Path.of(slowOut)),
+      "timed-out job's partial output must be cleaned")
+    assert(Files.list(outRoot.resolve("after")).iterator().hasNext)
+
+    // an untimed (and an under-deadline) job is untouched by the
+    // watchdog machinery — the group/timer attach only when asked
+    val quick = q.submit("wc", in.toString + "/*.txt",
+      outRoot.resolve("quick").toString, timeoutSec = Some(300L))
+    q.runAll()
+    assert(q.state(quick) === "COMPLETED")
+  }
+
   test("failure cleanup never deletes a pre-existing output directory") {
     val outRoot = Files.createTempDirectory("ctlq-pre")
     val pre = outRoot.resolve("existing")
