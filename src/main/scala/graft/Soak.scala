@@ -112,9 +112,11 @@ object Soak {
     * text is a pure function of the root id (hash-seeded RNG), so the
     * variant re-derives the root's tokens and edits one — the build
     * is a single embarrassingly-parallel pass, no joins. lang/source
-    * are sampled from the source corpus's own joint distribution
-    * (i mod |src|), and sequential doc_ids keep every modulus
-    * convention's residue classes uniform.
+    * are sampled from the source corpus's own joint (lang, source)
+    * distribution — collected WITH counts (|langs| × |sources| driver
+    * rows, never one row per source doc) and expanded through the
+    * cumulative weights at (i mod |src|) — and sequential doc_ids
+    * keep every modulus convention's residue classes uniform.
     */
   def buildGenerated(spark: SparkSession, srcSf: String, destDir: String, k: Int): Unit = {
     import spark.implicits._
@@ -123,12 +125,20 @@ object Soak {
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "").distinct().orderBy("w")
       .collect().map(_.getString(0))
-    val meta = src.select("lang", "source")
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val n = src.count() * k
+    // the joint (lang, source) distribution with COUNTS — bounded by
+    // |langs| × |sources| rows in driver memory, NOT one row per
+    // source doc (the per-row collect scaled O(|src|) in the driver
+    // if pointed at a larger srcSf); the weighted expansion below
+    // reproduces the exact distribution deterministically
+    val metaCounts = src.groupBy("lang", "source").count()
+      .orderBy("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val srcRows = metaCounts.map(_._3).sum
+    val metaCum = metaCounts.scanLeft(0L)(_ + _._3).tail
+    val n = srcRows * k
     val tailSize = math.max(31, (4.0 * math.sqrt(n.toDouble)).toInt)
     val bcV = spark.sparkContext.broadcast(vocab)
-    val bcM = spark.sparkContext.broadcast(meta)
+    val bcM = spark.sparkContext.broadcast((metaCounts.map(t => (t._1, t._2)), metaCum))
     // deterministic all-lowercase tail word (every tokenizer in the
     // registry splits on [^a-z]+ — digits would vanish)
     def tailWord(z: Int): String = {
@@ -164,7 +174,18 @@ object Soak {
           case _ => freshTokens(i)
         }
         val text = toks.mkString(" ")
-        val (lang, source) = bcM.value((i % bcM.value.length).toInt)
+        // weighted pick: position (i mod srcRows) through the
+        // cumulative counts ≡ the i-th row of the sorted source
+        // distribution — same joint frequencies, |groups|-sized state
+        val (pairs, cum) = bcM.value
+        val j = i % cum.last
+        var lo = 0
+        var hi = cum.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (j < cum(mid)) hi = mid else lo = mid + 1
+        }
+        val (lang, source) = pairs(lo)
         (i, text, lang, source, text.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")

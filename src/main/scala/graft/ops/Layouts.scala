@@ -206,6 +206,64 @@ object Layouts {
       }
   }
 
+  /** One-shot DDL-upgrade migration for a child-dir root: rewrite
+    * every live child whose schema is MISSING columns of `ddl`,
+    * filling them with typed NULLs (e.g.
+    * [[graft.streaming.StreamCuration]]'s fps root gaining `doc_id`
+    * provenance — a pre-upgrade state dir would otherwise fail
+    * [[readChildren]]'s projection with an AnalysisException on the
+    * first post-upgrade trigger). NULL semantics are the caller's
+    * contract; for fps provenance: a null-doc_id row still suppresses
+    * future duplicates of its fingerprint but cannot be SELECTIVELY
+    * forgotten ([[Forget.exclude]]'s doc_id anti-join never matches
+    * null) — rebuild the root for full forget capability over
+    * pre-upgrade rows.
+    *
+    * Crash protocol (idempotent, resumable): each old child renames
+    * to a `__adopt_<name>` staging dir (invisible to
+    * [[liveChildren]]), the widened child writes under the original
+    * name, then the staging dir deletes. THE STAGING DIR IS THE
+    * AUTHORITY until it is gone — a re-run that finds one deletes
+    * whatever (possibly partial) rewrite sits at the original name
+    * and rewrites from staging. Run inside the maintenance window
+    * (single writer, no concurrent probes): between rename and
+    * rewrite the child is transiently invisible to readers, same
+    * exposure as every compactor here.
+    */
+  def adoptSchema(spark: SparkSession, root: String, ddl: String): Unit = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    def widen(stage: Path, target: Path): Unit = {
+      val have = spark.read.parquet(stage.toString)
+      val widened = want.fields.foldLeft(have) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+      widened.select(want.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .write.mode("overwrite").parquet(target.toString)
+      require(fs.delete(stage, true), s"adoptSchema: cannot drop staging $stage")
+    }
+    // resume crashed adoptions first: staging is the authority
+    fs.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__adopt_"))
+      .foreach { st =>
+        val target = new Path(rootP, st.getPath.getName.stripPrefix("__adopt_"))
+        if (fs.exists(target)) fs.delete(target, true)
+        widen(st.getPath, target)
+      }
+    liveChildren(spark, root).foreach { child =>
+      val have = spark.read.parquet(child.toString).schema.fieldNames.toSet
+      if (want.fieldNames.exists(!have.contains(_))) {
+        val stage = new Path(rootP, s"__adopt_${child.getName}")
+        require(fs.rename(child, stage),
+          s"adoptSchema: cannot stage $child for rewrite")
+        widen(stage, child)
+      }
+    }
+  }
+
   /** [[liveChildren]] restricted to children committed BELOW a batch
     * id: per-batch children `b<id'>` with id' >= `beforeBatch` are
     * excluded — replay hygiene for the streaming maintainers (a

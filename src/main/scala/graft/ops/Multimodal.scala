@@ -244,6 +244,93 @@ object Multimodal {
       case _ => None
     }
 
+  /** 60-bit perceptual DIFFERENCE HASH (dHash) of an image blob — the
+    * near-dup fingerprint for rasters (q38's role for text): REAL for
+    * decodable PNG/GIF/BMP, md5-stub otherwise (same honest-fake
+    * contract as [[decodeBatch]], so a synthetic corpus stays
+    * DuckDB-oracle-checkable end-to-end).
+    *
+    * Real path: the first frame's luminance is block-averaged onto an
+    * 11 × 6 grid and each bit compares horizontally adjacent block
+    * means (bit r·10+c = mean(r, c+1) > mean(r, c)) — 10 × 6 = 60
+    * bits. 60, not the classic 64, deliberately: it matches the
+    * repo-wide 60-bit md5 convention (the stub path), keeps the hash
+    * non-negative on both engines, and lets SIX 10-bit hamming bands
+    * cover EVERY bit — the q38 pigeonhole guarantee (hamming ≤ 5 ⇒
+    * agreement on ≥ 1 band) breaks if any bit escapes the banding.
+    * Block means compare via exact integer cross-multiplication
+    * (sumA·cntB > sumB·cntA — block sums ≤ 765·(64 MPx/66) keep the
+    * product under 2⁶³), so the hash is bit-reproducible on any JVM:
+    * no floats anywhere. Mean-of-block luminance is what makes the
+    * hash a PERCEPTUAL one: resampling, mild brightness shifts and
+    * re-encoding preserve block-mean ORDER (ImagePhashSpec plants
+    * exactly those transforms), while structurally different images
+    * disagree on ~half the comparisons.
+    *
+    * Output (doc_id, phash, decoded); decoded = false marks the stub
+    * route. Per-partition decode, one blob in flight — the
+    * [[decodeBatch]] batch shape.
+    */
+  def imagePhash(df: DataFrame): DataFrame = {
+    val out = df.as[MediaRecord].mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { r =>
+        val real = dHashOf(r)
+        (r.doc_id, real.getOrElse(hash60(md, r.media)), real.isDefined)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean))
+    out.toDF("doc_id", "phash", "decoded")
+  }
+
+  /** The real-decode leg of [[imagePhash]]; None routes to the stub
+    * (not an image, codec rejects, forged-header raster too large, or
+    * smaller than the 11 × 6 grid).
+    */
+  private def dHashOf(r: MediaRecord): Option[Long] =
+    sniffImage(r.media).flatMap { _ =>
+      try {
+        withReader(r.media) { rd =>
+          if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
+            throw new java.io.IOException("declared raster too large")
+          val img = rd.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w < 11 || h < 6)
+            throw new java.io.IOException("below the 11x6 dhash grid")
+          val sums = Array.ofDim[Long](6, 11)
+          val cnts = Array.ofDim[Long](6, 11)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            val br = math.min(y * 6 / h, 5)
+            var x = 0
+            while (x < w) {
+              val px = row(x)
+              val lum3 = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+              val bc = math.min(x * 11 / w, 10)
+              sums(br)(bc) += lum3
+              cnts(br)(bc) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          var gr = 0
+          while (gr < 6) {
+            var c = 0
+            while (c < 10) {
+              if (sums(gr)(c + 1) * cnts(gr)(c) > sums(gr)(c) * cnts(gr)(c + 1))
+                hash |= 1L << (gr * 10 + c)
+              c += 1
+            }
+            gr += 1
+          }
+          hash
+        }
+      } catch { case _: Exception => None }
+    }
+
   final case class AudioStats(
       doc_id: Long,
       n_bytes: Long,

@@ -250,6 +250,71 @@ object Extensions {
           e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
           k = 10)
       },
-      None)
+      None),
+
+    // --------------------------------------------------------------- q195
+    // IMAGE perceptual-hash near-dup pairs — q38's hamming-band
+    // machinery pointed at rasters: Multimodal.imagePhash gives every
+    // media blob a 60-bit dHash (REAL block-mean-comparison bits for
+    // decodable PNG/GIF/BMP, the md5 stub otherwise — see the op's
+    // scaladoc for why 60 bits), six 10-bit bands pigeonhole
+    // hamming ≤ 5 (any such pair agrees on ≥ 1 band — six bands must
+    // cover EVERY bit for the guarantee), ops.Lsh.simhashCandidates
+    // sub-bands hot buckets exactly (6 sub-bands × 9 bits cover the
+    // remaining 50 bits ⇒ the hot path preserves hamming ≤ 5), and
+    // candidates verify by exact popcount. On this synthetic corpus
+    // every blob takes the stub route, so the WHOLE pipeline — hash,
+    // banding, pigeonhole, popcount — is DuckDB-replayed and
+    // hash-checked. The corpus view PLANTS deterministic duplicate
+    // blobs (every doc_id % 25 == 0 blob re-appears as doc_id + 10⁶ —
+    // the q112 deterministic-view convention, replayed by the oracle)
+    // so the pair path is non-vacuous at EVERY scale: without the
+    // planting the output is empty wherever the corpus has no
+    // byte-identical blobs (two 60-bit md5 draws land within hamming 5
+    // with p ≈ 5·10⁻¹²). ImagePhashSpec plants REAL raster transforms
+    // (resize, brightness shift, PNG re-encode) and pins that the
+    // banded path finds them ≡ brute-force popcount while distinct
+    // images stay apart. Scale shape = q38's: candidates from
+    // equality joins on band keys, never pairwise popcounts.
+    Q(
+      "q195_image_phash_dup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        val planted = docs.filter($"doc_id" % 25 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        val media = docs.unionByName(planted).select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("image/fake").as("mime_hint"))
+        val bands = Multimodal.imagePhash(media)
+          .select($"doc_id", $"phash".as("simhash"),
+            explode(expr("sequence(0, 5)")).as("b"))
+          .withColumn("band", expr("shiftright(simhash, b * 10) & 1023"))
+        graft.ops.Lsh.simhashCandidates(
+            bands, bandBits = 10, subBands = 6, subBits = 9, maxBucket = 256)
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+          .filter($"hamming" <= 5)
+          .select($"d1", $"d2", $"hamming")
+      },
+      Some("""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+        ph AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM corp),
+        bands AS (
+          SELECT doc_id, phash, b.b, (phash >> (b.b * 10)) & 1023 AS band
+          FROM ph CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.phash AS p1, y.phash AS p2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 5"""))
   )
 }

@@ -131,7 +131,13 @@ object StreamCuration {
     // by construction) and the live set would need a corpus-wide
     // sum-per-fp aggregation on EVERY batch read, where the
     // provenance rows feed the existing anti-join unchanged — at
-    // ~1/(1−duprate)× the rows, signature-sized either way.
+    // ~1/(1−duprate)× the rows, signature-sized either way. A
+    // PRE-provenance state dir (children holding fp only) fails this
+    // read's projection on the first post-upgrade trigger — run
+    // Layouts.adoptSchema(s"$stateDir/fps", "fp STRING, doc_id
+    // BIGINT") once to migrate; its null-doc_id rows keep suppressing
+    // duplicates but cannot be selectively forgotten (rebuild the
+    // root for full forget coverage of pre-upgrade docs).
     val fp = CurationPipeline.qualityGate(docs)
       .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))))
       .localCheckpoint()

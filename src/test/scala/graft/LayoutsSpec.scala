@@ -106,4 +106,39 @@ class LayoutsSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 5L)
     assert(!fs.exists(new Path(path + "__compact_bak")))
   }
+
+  test("adoptSchema widens pre-upgrade children with typed NULLs and resumes a crash") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("layouts-adopt").toString + "/fps"
+    val ddl = "fp STRING, doc_id BIGINT"
+    // old layout: fp only (StreamCuration's pre-provenance DDL)
+    Seq("a", "b").toDF("fp").write.parquet(s"$root/base")
+    // pre-migration read fails exactly as the upgrade would (all-old
+    // children; a MIXED root instead picks one file's schema
+    // arbitrarily — either way adoptSchema is the repair)
+    intercept[Exception] { Layouts.readChildren(spark, root, ddl).collect() }
+    // a new-layout child already carrying provenance is left alone
+    Seq(("c", 7L)).toDF("fp", "doc_id").write.parquet(s"$root/b1")
+
+    Layouts.adoptSchema(spark, root, ddl)
+    val got = Layouts.readChildren(spark, root, ddl).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === Set(("a", -1L), ("b", -1L), ("c", 7L)))
+    // idempotent: nothing left to widen
+    Layouts.adoptSchema(spark, root, ddl)
+    assert(Layouts.readChildren(spark, root, ddl).count() === 3L)
+
+    // crash simulation: a child stranded in staging with a PARTIAL
+    // rewrite at the original name — staging is the authority
+    val fs = fsOf(root)
+    Seq("d", "e", "f").toDF("fp").write.parquet(s"$root/__adopt_b2")
+    Seq(("junk", 0L)).toDF("fp", "doc_id").write.parquet(s"$root/b2")
+    Layouts.adoptSchema(spark, root, ddl)
+    assert(!fs.exists(new Path(s"$root/__adopt_b2")))
+    val b2 = spark.read.parquet(s"$root/b2").collect()
+      .map(r => (r.getString(0), r.isNullAt(1))).toSet
+    assert(b2 === Set(("d", true), ("e", true), ("f", true)),
+      "resume must rewrite from staging, discarding the partial target")
+  }
 }
