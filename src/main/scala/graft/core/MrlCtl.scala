@@ -152,7 +152,15 @@ object MrlCtl {
               override def run(): Unit = {
                 System.err.println(
                   s"[mrl-ctl] job ${e.id} (${e.workload}) exceeded ${sec}s — cancelling")
-                spark.sparkContext.cancelJobGroup(groupId)
+                // the AndFutureJobs variant is load-bearing: plain
+                // cancelJobGroup cancels only currently-RUNNING jobs,
+                // so a deadline firing in a driver-side gap between a
+                // multi-action body's Spark jobs would be silently
+                // lost and the entry would run unbounded; the sticky
+                // form also fails every job the body submits after
+                // the deadline (group ids are per-entry unique, so
+                // nothing else is ever affected)
+                spark.sparkContext.cancelJobGroupAndFutureJobs(groupId)
               }
             }, sec * 1000)
             t
@@ -247,7 +255,16 @@ object MrlCtl {
         println(statusReport(spark))
         println(jobsReport(spark, reg))
         if (!preexisting) spark.stop()
-        if (st != "COMPLETED") sys.exit(1)
+        if (st != "COMPLETED") {
+          // embedded callers (a live session we did not create) get a
+          // catchable failure — sys.exit would kill the HOST JVM
+          // (test runner / driver) on a job failure it used to be
+          // able to catch; only a CLI-owned process exits nonzero
+          if (preexisting)
+            throw new RuntimeException(
+              s"mrl-ctl job $st: ${opts("workload")} -> ${opts("output")}")
+          sys.exit(1)
+        }
       case other =>
         System.err.println(
           s"unknown command $other; usage: submit|status|jobs; submit --workload W " +

@@ -18,18 +18,27 @@ import org.apache.spark.sql.functions._
   * State layout (one `dir`, three families, all
   * [[Layouts.liveChildren]] child-dir roots):
   *
-  *  - `bands/` — near-dup probe side, (bkey, doc_id) rows (the
-  *    [[graft.streaming.StreamCuration]] band-state shape, probed by
+  *  - `bands/` — near-dup probe side, (bkey, doc_id, uid) rows (the
+  *    [[graft.streaming.StreamCuration]] band-state shape plus the
+  *    inserting update's id, probed by
   *    [[Lsh.incrementalCandidatesFrom]]); plus `band_dead/` —
-  *    (bkey, doc_id) tombstones. A SET state updates by symmetric
-  *    difference: the update child carries only the new version's
-  *    bands NOT in the old (additions), the tombstone child only the
-  *    old version's bands NOT in the new (removals) — bands shared by
-  *    both versions stay untouched in the older children, so the
-  *    (bkey, doc_id)-grained anti-join in [[bands]] can never kill a
-  *    band the new version still has. (A doc_id-grained tombstone —
-  *    [[Forget]]'s unit — would hide the new version's own rows:
-  *    updates need the finer grain.)
+  *    (bkey, doc_id, uid) tombstones. A SET state updates by
+  *    symmetric difference: the update child carries only the new
+  *    version's bands NOT in the old (additions), the tombstone child
+  *    only the old version's bands NOT in the new (removals) — bands
+  *    shared by both versions stay untouched in the older children,
+  *    so the (bkey, doc_id)-grained exclusion in [[bands]] can never
+  *    kill a band the new version still has. (A doc_id-grained
+  *    tombstone — [[Forget]]'s unit — would hide the new version's
+  *    own rows: updates need the finer grain.) The `uid` column is
+  *    PRECEDENCE, not bookkeeping: a tombstone hides a band row only
+  *    when the tombstone's update is NEWER (dead.uid > row.uid) — a
+  *    document removed by update J and re-added by update K > J gets
+  *    its bands back (the re-add child carries uid K, outranking the
+  *    J tombstone), where a bare (bkey, doc_id) anti-join would let
+  *    the stale tombstone hide the resurrected rows forever. Within
+  *    one update the symmetric difference makes adds and removes
+  *    disjoint, so equal uids never contend.
   *  - `fps/` + `_ladder` — [[WinnowState]]'s (fp, ndocs) layout,
   *    summed per fp at read. A COUNT state updates by SIGNED DELTAS:
   *    the update child holds (fp, −1) per old-version fingerprint and
@@ -74,7 +83,7 @@ import org.apache.spark.sql.functions._
   */
 object CdcDedupState {
 
-  private val bandsDdl = "bkey STRING, doc_id BIGINT"
+  private val bandsDdl = "bkey STRING, doc_id BIGINT, uid BIGINT"
 
   /** Build the change manifest from two (doc_id, text) snapshot
     * frames — q112's full-outer reconcile carrying PAYLOADS instead of
@@ -96,7 +105,8 @@ object CdcDedupState {
     * and block geometry sidecars freeze exactly as their owners do.
     */
   def save(docs: DataFrame, dir: String, w: Int = 8, blockTokens: Int = 10): Unit = {
-    bandsFor(docs).write.mode("overwrite").parquet(s"$dir/bands/base")
+    bandsFor(docs).withColumn("uid", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/bands/base")
     WinnowState.save(docs.select(col("doc_id"), col("text").as("t")), dir, w)
     BlockState.save(docs, dir, blockTokens)
   }
@@ -126,13 +136,17 @@ object CdcDedupState {
       val newDocs = m.filter(col("new_text").isNotNull)
         .select(col("doc_id"), col("new_text").as("text"))
 
-      // ---- bands: symmetric difference (set state)
-      val oldBands = bandsFor(oldDocs)
-      val newBands = bandsFor(newDocs)
-      newBands.except(oldBands)
-        .write.mode("overwrite").parquet(s"$dir/bands/b$updateId")
-      oldBands.except(newBands)
-        .write.mode("overwrite").parquet(s"$dir/band_dead/b$updateId")
+      // ---- bands: symmetric difference (set state). Checkpointed:
+      // the two except directions are separate plans that would each
+      // re-run BOTH sides' shingle + minhash pipelines otherwise.
+      val oldBands = bandsFor(oldDocs).localCheckpoint()
+      val newBands = bandsFor(newDocs).localCheckpoint()
+      try {
+        newBands.except(oldBands).withColumn("uid", lit(updateId))
+          .write.mode("overwrite").parquet(s"$dir/bands/b$updateId")
+        oldBands.except(newBands).withColumn("uid", lit(updateId))
+          .write.mode("overwrite").parquet(s"$dir/band_dead/b$updateId")
+      } finally Seq(oldBands, newBands).foreach(Checkpoints.release)
 
       // ---- winnow fps: signed deltas under the FROZEN ladder rung
       // (the new versions must not widen the rung — same loud failure
@@ -167,15 +181,31 @@ object CdcDedupState {
   }
 
   /** The live near-dup band view (bkey, doc_id): all band children
-    * minus the (bkey, doc_id) tombstones. The dead side is
-    * change-sized until [[compact]] — broadcast anti-join, the band
-    * state itself only scans. Feed this to
+    * minus the tombstones that OUTRANK them (dead.uid > row.uid — see
+    * the header's precedence note; a bare anti-join would let a stale
+    * tombstone permanently hide a later re-add). The dead side is
+    * change-sized until [[compact]] — broadcast join, the band state
+    * itself only scans. Feed this to
     * [[Lsh.incrementalCandidatesFrom]] as the corpus side.
     */
   def bands(spark: SparkSession, dir: String): DataFrame =
-    Layouts.readChildren(spark, s"$dir/bands", bandsDdl)
-      .join(broadcast(Layouts.readChildren(spark, s"$dir/band_dead", bandsDdl)),
-        Seq("bkey", "doc_id"), "left_anti")
+    liveBands(
+      Layouts.readChildren(spark, s"$dir/bands", bandsDdl),
+      deadRanks(spark, dir, None))
+      .select(col("bkey"), col("doc_id"))
+
+  /** Highest tombstone uid per (bkey, doc_id) — the precedence frame. */
+  private def deadRanks(
+      spark: SparkSession, dir: String, bound: Option[Long]): DataFrame =
+    Layouts.readChildren(spark, s"$dir/band_dead", bandsDdl, bound)
+      .groupBy(col("bkey"), col("doc_id"))
+      .agg(max(col("uid")).as("__dead_uid"))
+
+  /** Band rows not hidden by an outranking tombstone (uid retained). */
+  private def liveBands(rows: DataFrame, dead: DataFrame): DataFrame =
+    rows.join(broadcast(dead), Seq("bkey", "doc_id"), "left")
+      .filter(col("__dead_uid").isNull || col("uid") > col("__dead_uid"))
+      .select(col("bkey"), col("doc_id"), col("uid"))
 
   /** The summed winnow state (fp, ndocs) — signed deltas folded in. */
   def winnowCounts(spark: SparkSession, dir: String): DataFrame =
@@ -205,11 +235,10 @@ object CdcDedupState {
       graft.streaming.StreamIndex.committedBatch(spark, s"$dir/cdc") + 1)
     val deadRoot = s"$dir/band_dead"
     val applied = Layouts.liveChildrenBefore(spark, deadRoot, bound).map(_.getName)
-    val dead = Layouts.readChildren(spark, deadRoot, bandsDdl, bound)
-      .localCheckpoint()
+    val dead = deadRanks(spark, dir, bound).localCheckpoint()
     try {
       Layouts.foldChildren(spark, s"$dir/bands",
-        transform = _.join(broadcast(dead), Seq("bkey", "doc_id"), "left_anti"),
+        transform = liveBands(_, dead),
         beforeBatch = bound, force = true)
       val skipped = {
         val all = Layouts.liveChildren(spark, s"$dir/bands").map(_.getName)

@@ -266,9 +266,12 @@ object Extensions {
     // every blob takes the stub route, so the WHOLE pipeline — hash,
     // banding, pigeonhole, popcount — is DuckDB-replayed and
     // hash-checked. The corpus view PLANTS deterministic duplicate
-    // blobs (every doc_id % 25 == 0 blob re-appears as doc_id + 10⁶ —
-    // the q112 deterministic-view convention, replayed by the oracle)
-    // so the pair path is non-vacuous at EVERY scale: without the
+    // blobs (every doc_id % 25 == 0 blob re-appears as −doc_id − 1 —
+    // the q112 deterministic-view convention, replayed by the oracle;
+    // NEGATIVE clone ids can never collide with a real doc_id at any
+    // corpus size, where an additive offset would once the corpus
+    // outgrew it) so the pair path is non-vacuous at EVERY scale:
+    // without the
     // planting the output is empty wherever the corpus has no
     // byte-identical blobs (two 60-bit md5 draws land within hamming 5
     // with p ≈ 5·10⁻¹²). ImagePhashSpec plants REAL raster transforms
@@ -282,7 +285,7 @@ object Extensions {
         import s.implicits._
         val docs = table(s, dir, "documents").select($"doc_id", $"text")
         val planted = docs.filter($"doc_id" % 25 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .select((-$"doc_id" - 1L).as("doc_id"), $"text")
         val media = docs.unionByName(planted).select(
           $"doc_id",
           encode($"text", "UTF-8").as("media"),
@@ -301,7 +304,7 @@ object Extensions {
         WITH corp AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+          SELECT -doc_id - 1, text FROM documents WHERE doc_id % 25 = 0),
         ph AS (
           SELECT doc_id,
             CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash

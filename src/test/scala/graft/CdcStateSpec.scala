@@ -112,6 +112,31 @@ class CdcStateSpec extends SparkSuite {
       "negative winnow deltas must fold away")
   }
 
+  test("remove-then-readd and change-then-revert WITHOUT compaction still ≡ rebuild") {
+    // the stale-tombstone hazard: update 1's (bkey, doc_id) tombstones
+    // must not hide update 2's re-added rows — precedence (dead.uid >
+    // row.uid), not a bare anti-join, is what makes this pass with the
+    // tombstone children still live (no compact() in between)
+    val dir = freshDir("cdc-readd")
+    val ref = freshDir("cdc-readd-ref")
+    val v2 = v1.map { case (5L, t) => (5L, t.replace("sluggish", "quick")) // revert
+                      case other => other } ++
+      Seq((3L, v0.find(_._1 == 3L).get._2)) // re-add with the ORIGINAL text
+    CdcDedupState.save(df(v0), dir)
+    CdcDedupState.applyChanges(spark, CdcDedupState.manifestOf(df(v0), df(v1)), dir, 1L)
+    CdcDedupState.applyChanges(spark, CdcDedupState.manifestOf(df(v1), df(v2)), dir, 2L)
+    CdcDedupState.save(df(v2), ref)
+    assert(bandSet(dir) === bandSet(ref),
+      "stale tombstones must not hide re-added band rows")
+    assert(winnow(dir) === winnow(ref))
+    assert(blocks(dir) === blocks(ref))
+    // the re-added doc's bands are genuinely visible again
+    assert(bandSet(dir).exists(_._2 == 3L), "re-added doc has no live bands")
+    // and a compact AFTER the re-add keeps them
+    CdcDedupState.compact(spark, dir)
+    assert(bandSet(dir) === bandSet(ref), "compact dropped re-added rows")
+  }
+
   test("a second update stacks: changed-again and re-added docs still ≡ rebuild") {
     val dir = freshDir("cdc-upd2")
     val ref = freshDir("cdc-ref2")
