@@ -318,6 +318,82 @@ object Extensions {
           FROM bands x JOIN bands y
             ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id)
         SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 5""")),
+
+    // --------------------------------------------------------------- q196
+    // INCREMENTAL image near-dup — q195 in the daily-drop posture
+    // (q74's role for rasters, completing the image family's
+    // batch/incremental symmetry): the corpus's phash band table
+    // persists once (the Lsh.saveBands shape — 6 × 10-bit hamming
+    // bands as band-key rows), each new batch hashes only ITS blobs
+    // and probes via ops.Lsh.incrementalCandidatesFrom (corpus side
+    // scanned/bucket-restricted, batch side broadcast or IN-key
+    // pruned by tier, combined-population hot-bucket cap), and
+    // candidates verify by exact popcount against the two phashes.
+    // The batch is the planted clone view (every doc_id % 25 == 0
+    // blob arriving as −doc_id − 1): clones land at hamming 0 against
+    // their originals, and on corpora with natural byte-identical
+    // blobs the clone also finds its original's exact-dup partners.
+    // The oracle replays the stub phash, the banding, the SAME
+    // combined-population cap, and the popcount end-to-end.
+    Q(
+      "q196_image_dup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        def ph(d: org.apache.spark.sql.DataFrame) =
+          Multimodal.imagePhash(d.select(
+            $"doc_id", encode($"text", "UTF-8").as("media"),
+            lit("image/fake").as("mime_hint")))
+        def bands(p: org.apache.spark.sql.DataFrame) = p
+          .select($"doc_id", $"phash", explode(expr("sequence(0, 5)")).as("band"))
+          .withColumn("bsig", expr("shiftright(phash, band * 10) & 1023"))
+        val corpusPh = ph(docs).localCheckpoint()
+        val batchPh = ph(docs.filter($"doc_id" % 25 === 0)
+          .select((-$"doc_id" - 1L).as("doc_id"), $"text")).localCheckpoint()
+        val corpusBands = bands(corpusPh)
+          .select(concat_ws("|", $"band", $"bsig").as("bkey"), $"doc_id")
+        val cand = graft.ops.Lsh.incrementalCandidatesFrom(
+          s, corpusBands, bands(batchPh), maxBucket = 256)
+        cand
+          .join(corpusPh.select($"doc_id".as("corpus_doc"), $"phash".as("p1")), "corpus_doc")
+          .join(batchPh.select($"doc_id".as("batch_doc"), $"phash".as("p2")), "batch_doc")
+          .withColumn("hamming", expr("CAST(bit_count(p1 ^ p2) AS BIGINT)"))
+          .filter($"hamming" <= 5)
+          .select($"corpus_doc", $"batch_doc", $"hamming")
+      },
+      Some("""
+        WITH cph AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM documents),
+        bph AS (
+          SELECT -doc_id - 1 AS doc_id, CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM documents WHERE doc_id % 25 = 0),
+        cb AS (
+          SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 10)) & 1023 AS bsig
+          FROM cph CROSS JOIN generate_series(0, 5) b(b)),
+        bb AS (
+          SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 10)) & 1023 AS bsig
+          FROM bph CROSS JOIN generate_series(0, 5) b(b)),
+        pop AS (
+          SELECT band, bsig,
+            CAST(count(*) FILTER (WHERE side = 'c') AS BIGINT) AS cn,
+            CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS bn
+          FROM (
+            SELECT band, bsig, 'c' AS side FROM cb
+            UNION ALL SELECT band, bsig, 'b' FROM bb)
+          GROUP BY band, bsig),
+        cold AS (SELECT band, bsig FROM pop WHERE cn + bn <= 256),
+        cand AS (
+          SELECT DISTINCT cb.doc_id AS corpus_doc, bb.doc_id AS batch_doc,
+            cb.phash AS p1, bb.phash AS p2
+          FROM cb
+          JOIN cold ON cb.band = cold.band AND cb.bsig = cold.bsig
+          JOIN bb ON cb.band = bb.band AND cb.bsig = bb.bsig
+          WHERE cb.doc_id <> bb.doc_id)
+        SELECT corpus_doc, batch_doc,
+          CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(p1, p2)) <= 5"""))
   )
 }

@@ -116,4 +116,36 @@ class ImagePhashSpec extends SparkSuite {
     assert(!banded.exists(t => t._1 <= 3L && (t._2 == 5L || t._2 == 7L)),
       "distinct scenes must not pair")
   }
+
+  test("incremental probe: a batch's transformed raster finds its corpus original") {
+    import spark.implicits._
+    // corpus: two scenes + stub noise; batch: a RESIZED copy of scene 7
+    // and a brand-new scene — the q196 shape on real rasters
+    val corpus: Seq[(Long, Array[Byte], String)] =
+      Seq((1L, scenePng(7, 220, 120), "image/png"),
+        (5L, scenePng(8, 220, 120), "image/png")) ++
+        (100L until 120L).map(i => (i, s"noise blob $i".getBytes("UTF-8"), "text/plain"))
+    val batch: Seq[(Long, Array[Byte], String)] = Seq(
+      (-1L, scenePng(7, 110, 60), "image/png"),   // near-dup of corpus doc 1
+      (-2L, scenePng(9, 220, 120), "image/png"))  // genuinely new scene
+    def ph(rows: Seq[(Long, Array[Byte], String)]) =
+      graft.ops.Multimodal.imagePhash(rows.toDF("doc_id", "media", "mime_hint"))
+        .localCheckpoint()
+    val (cp, bp) = (ph(corpus), ph(batch))
+    def bands(p: org.apache.spark.sql.DataFrame) = p
+      .select($"doc_id", $"phash", explode(expr("sequence(0, 5)")).as("band"))
+      .withColumn("bsig", expr("shiftright(phash, band * 10) & 1023"))
+    val pairs = graft.ops.Lsh.incrementalCandidatesFrom(
+        spark,
+        bands(cp).select(concat_ws("|", $"band", $"bsig").as("bkey"), $"doc_id"),
+        bands(bp), maxBucket = 256)
+      .join(cp.select($"doc_id".as("corpus_doc"), $"phash".as("p1")), "corpus_doc")
+      .join(bp.select($"doc_id".as("batch_doc"), $"phash".as("p2")), "batch_doc")
+      .withColumn("h", expr("CAST(bit_count(p1 ^ p2) AS BIGINT)"))
+      .filter($"h" <= 5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(pairs.contains((1L, -1L)),
+      s"resized batch raster must find its corpus original: $pairs")
+    assert(!pairs.exists(_._2 == -2L), s"a new scene must match nothing: $pairs")
+  }
 }
