@@ -77,6 +77,7 @@ object MrlCtl {
         timeoutSec: Option[Long], run: () => Unit)
     private val entries = scala.collection.mutable.ListBuffer.empty[Entry]
     private val states = scala.collection.concurrent.TrieMap.empty[Int, String]
+    private val causes = scala.collection.concurrent.TrieMap.empty[Int, Throwable]
     // unique per queue instance so a late watchdog firing can never
     // cancel a job group of ANOTHER queue that reused entry ids
     private val qid = java.util.UUID.randomUUID().toString.take(8)
@@ -110,6 +111,12 @@ object MrlCtl {
     }
 
     def state(id: Int): String = states.getOrElse(id, "UNKNOWN")
+
+    /** The exception that FAILED a job — callers who need the original
+      * failure (an embedded submit rethrows it with its real type)
+      * rather than the stderr line.
+      */
+    def failure(id: Int): Option[Throwable] = causes.get(id)
 
     /** Drain the queue in submit order. The snapshot is taken under the
       * lock but the (long) Spark jobs run outside it, so submit/report
@@ -171,6 +178,7 @@ object MrlCtl {
           } catch {
             case ex: Exception =>
               states(e.id) = "FAILED"
+              causes(e.id) = ex
               if (!existedBefore && fs.exists(path)) fs.delete(path, true)
               System.err.println(s"[mrl-ctl] job ${e.id} (${e.workload}) FAILED: ${ex.getMessage}")
           } finally {
@@ -256,13 +264,16 @@ object MrlCtl {
         println(jobsReport(spark, reg))
         if (!preexisting) spark.stop()
         if (st != "COMPLETED") {
-          // embedded callers (a live session we did not create) get a
-          // catchable failure — sys.exit would kill the HOST JVM
-          // (test runner / driver) on a job failure it used to be
-          // able to catch; only a CLI-owned process exits nonzero
+          // embedded callers (a live session we did not create) get the
+          // ORIGINAL failure rethrown with its real type — sys.exit
+          // would kill the HOST JVM (test runner / driver) on a job
+          // failure it used to be able to catch, and a wrapper type
+          // would break callers matching on the cause (MrlCtlSpec
+          // expects the registry's IllegalArgumentException); only a
+          // CLI-owned process exits nonzero
           if (preexisting)
-            throw new RuntimeException(
-              s"mrl-ctl job $st: ${opts("workload")} -> ${opts("output")}")
+            throw queue.failure(id).getOrElse(new RuntimeException(
+              s"mrl-ctl job $st: ${opts("workload")} -> ${opts("output")}"))
           sys.exit(1)
         }
       case other =>

@@ -1,0 +1,141 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.streaming.StreamPhash
+import org.apache.spark.sql.functions._
+
+/** StreamPhash (the 14th maintainer — streaming image near-dup dedup):
+  * ordered micro-batches reproduce the first-wins replica exactly on
+  * a mixed real-raster + stub corpus, a crash replay rewrites
+  * bit-identical children, compaction preserves decisions, and a
+  * forget tombstone stops the forgotten blob from suppressing its
+  * future duplicates.
+  */
+class StreamPhashSpec extends SparkSuite {
+
+  private def scenePng(seed: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.min(y * 6 / h, 5)
+        val c = math.min(x * 11 / w, 10)
+        val v = 40 + ((r * 31 + c * 17 + seed * 59) * 97) % 161
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // 12 blobs in doc_id arrival order (4-doc batches: {1..4}, {5..8},
+  // {9..12}): scene 7 appears at 1 (kept), resized at 4 (IN-batch
+  // dup) and off-grid-resized at 9 (CROSS-batch dup vs the state);
+  // scene 8 at 2 (kept) and resized at 3 (in-batch dup); stubs with
+  // one exact text dup pair (6 kept, 11 cross-batch dup); the rest
+  // distinct scenes
+  private def blobs: Seq[(Long, Array[Byte], String)] = Seq(
+    (1L, scenePng(7, 220, 120), "image/png"),
+    (2L, scenePng(8, 220, 120), "image/png"),
+    (3L, scenePng(8, 110, 60), "image/png"),
+    (4L, scenePng(7, 110, 60), "image/png"),
+    (5L, scenePng(9, 220, 120), "image/png"),
+    (6L, "stub text one".getBytes("UTF-8"), "text/plain"),
+    (7L, "stub text two".getBytes("UTF-8"), "text/plain"),
+    (8L, scenePng(10, 220, 120), "image/png"),
+    (9L, scenePng(7, 231, 126), "image/png"),
+    (10L, "stub text three".getBytes("UTF-8"), "text/plain"),
+    (11L, "stub text one".getBytes("UTF-8"), "text/plain"),
+    (12L, scenePng(11, 220, 120), "image/png"))
+
+  /** First-wins replica: doc kept iff no earlier doc within hamming 5. */
+  private def replicaKept(phashes: Map[Long, Long]): Set[Long] =
+    phashes.keys.toSeq.sorted.filter { d =>
+      !phashes.keys.exists(d2 =>
+        d2 < d && java.lang.Long.bitCount(phashes(d) ^ phashes(d2)) <= 5)
+    }.toSet
+
+  private def df(rows: Seq[(Long, Array[Byte], String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "media", "mime_hint")
+  }
+
+  private def phashesOf(rows: Seq[(Long, Array[Byte], String)]): Map[Long, Long] =
+    graft.ops.Multimodal.imagePhash(df(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def keptIds(outDir: String): Set[Long] =
+    StreamPhash.kept(spark, outDir).select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("ordered drops ≡ first-wins replica; dups cross batches; compaction preserves") {
+    val root = java.nio.file.Files.createTempDirectory("sphash").toString
+    val (stateDir, outDir) = (s"$root/state", s"$root/out")
+    val batches = blobs.grouped(4).toSeq // 3 batches in doc_id order
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(StreamPhash.processBatch(spark, df(b), stateDir, outDir, i.toLong))
+    }
+    val want = replicaKept(phashesOf(blobs))
+    assert(keptIds(outDir) === want, s"stream kept ${keptIds(outDir)}, replica $want")
+    // the planted structure: originals kept, both resizes + the
+    // off-grid resize + the exact stub dup dropped
+    assert(Set(1L, 2L, 5L, 6L, 7L, 8L, 10L, 12L).subsetOf(want))
+    assert(Set(3L, 4L, 9L, 11L).intersect(want).isEmpty)
+    // replayed batch is a no-op; compaction changes nothing
+    assert(!StreamPhash.processBatch(spark, df(batches.head), stateDir, outDir, 0L))
+    StreamPhash.compactState(spark, stateDir)
+    assert(keptIds(outDir) === want)
+  }
+
+  test("crash replay rewrites bit-identical children") {
+    val root = java.nio.file.Files.createTempDirectory("sphash-crash").toString
+    val (stateDir, outDir) = (s"$root/state", s"$root/out")
+    val batches = blobs.grouped(6).toSeq
+    assert(StreamPhash.processBatch(spark, df(batches(0)), stateDir, outDir, 0L))
+    assert(StreamPhash.processBatch(spark, df(batches(1)), stateDir, outDir, 1L))
+    val want = keptIds(outDir)
+    // crash: batch 1's children committed but the marker never
+    // advanced — rewind the marker and replay
+    graft.streaming.StreamIndex.writeCommitted(spark, s"$stateDir/state", 0L)
+    assert(StreamPhash.processBatch(spark, df(batches(1)), stateDir, outDir, 1L))
+    assert(keptIds(outDir) === want, "replay after crash must converge")
+  }
+
+  test("a forgotten blob stops suppressing its future duplicates") {
+    val root = java.nio.file.Files.createTempDirectory("sphash-forget").toString
+    val (stateDir, outDir) = (s"$root/state", s"$root/out")
+    val first = Seq((1L, scenePng(7, 220, 120), "image/png"))
+    val dup = Seq((50L, scenePng(7, 110, 60), "image/png"))
+    assert(StreamPhash.processBatch(spark, df(first), stateDir, outDir, 0L))
+    // without a tombstone the resized copy is suppressed
+    assert(StreamPhash.processBatch(spark, df(dup), stateDir, outDir, 1L))
+    assert(!keptIds(outDir).contains(50L))
+    // tombstone the CLUSTER — the original and its dropped copy: a
+    // dropped dup's signatures also ingest (a later copy must match
+    // through it, the StreamCuration rule), so an RTBF request names
+    // the content's copies, not just the canonical
+    import spark.implicits._
+    graft.ops.Forget.tombstone(spark, stateDir, Seq(1L, 50L).toDF("doc_id"), 0L)
+    val dup2 = Seq((60L, scenePng(7, 231, 126), "image/png"))
+    assert(StreamPhash.processBatch(spark, df(dup2), stateDir, outDir, 2L))
+    assert(keptIds(outDir).contains(60L),
+      "forgotten blobs must stop matching at the next trigger")
+  }
+
+  test("readStream → foreachBatch plumbing dedups a single trigger") {
+    val root = java.nio.file.Files.createTempDirectory("sphash-stream").toString
+    val (stateDir, outDir, srcDir) = (s"$root/state", s"$root/out", s"$root/src")
+    val data = df(blobs)
+    data.write.parquet(srcDir)
+    val src = spark.readStream.schema(data.schema).parquet(srcDir)
+    val q = StreamPhash.start(src, stateDir, outDir)
+    q.processAllAvailable()
+    q.stop()
+    assert(keptIds(outDir) === replicaKept(phashesOf(blobs)))
+  }
+}
