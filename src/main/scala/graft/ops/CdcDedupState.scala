@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   *    J tombstone), where a bare (bkey, doc_id) anti-join would let
   *    the stale tombstone hide the resurrected rows forever. Within
   *    one update the symmetric difference makes adds and removes
-  *    disjoint, so equal uids never contend.
+  *    disjoint, so equal uids never contend. A band state dir written
+  *    by a pre-uid layout fails this DDL's projection loudly —
+  *    rebuild via [[save]] (or widen the children with
+  *    [[Layouts.adoptSchema]] first to read them; null uids carry no
+  *    precedence, so rebuild remains the supported upgrade).
   *  - `fps/` + `_ladder` — [[WinnowState]]'s (fp, ndocs) layout,
   *    summed per fp at read. A COUNT state updates by SIGNED DELTAS:
   *    the update child holds (fp, −1) per old-version fingerprint and

@@ -248,7 +248,21 @@ object Lsh {
       bandBits: Int,
       subBands: Int,
       subBits: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
+    simhashCandidatesManaged(bands, bandBits, subBands, subBits, maxBucket)._1
+
+  /** [[simhashCandidates]] plus the cleanup hook for the internal
+    * localCheckpoint — per-trigger callers (StreamPhash) must release
+    * after materializing or the keyed blocks accumulate until GC (the
+    * GlobalRank.withRankManaged discipline); one-shot queries use the
+    * plain form.
+    */
+  def simhashCandidatesManaged(
+      bands: DataFrame,
+      bandBits: Int,
+      subBands: Int,
+      subBits: Int,
+      maxBucket: Int): (DataFrame, () => Unit) = {
     // Exactness precondition. The remaining-bits compaction below relies
     // on Java/Spark shift semantics masking the shift count mod 64: for
     // the TOP band ((b+1)*bandBits == 64 on a 64-bit signature),
@@ -289,8 +303,33 @@ object Lsh {
       bands.sparkSession.sparkContext.defaultParallelism, col("b"), col("band"))
     val sizes = b0.groupBy(col("b"), col("band"))
       .agg(count(lit(1)).as("__n"))
-    val keyed = b0
-      .join(sizes, Seq("b", "band"))
+    val keyed = subBandKeyed(
+      b0.join(sizes, Seq("b", "band")), bandBits, subBands, subBits, maxBucket)
+      .localCheckpoint()
+    val out = keyed.as("x").join(keyed.as("y"),
+        col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+          col("x.__j") === col("y.__j") && col("x.__sub") === col("y.__sub") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+    (out, () => Checkpoints.release(keyed))
+  }
+
+  /** The shared sub-band keying of [[simhashCandidates]]: a sized band
+    * frame (doc_id, simhash, b, band, __n) → one sentinel row per
+    * cold-bucket member, `subBands` sub-keyed rows per hot-bucket
+    * member (remaining-bits compaction, see [[simhashCandidates]]'s
+    * comments). Both the self-join and the cross-set form key through
+    * THIS function so hot/cold treatment can never diverge.
+    */
+  private def subBandKeyed(
+      sized: DataFrame,
+      bandBits: Int,
+      subBands: Int,
+      subBits: Int,
+      maxBucket: Int): DataFrame =
+    sized
       .withColumn("__r", expr(
         s"""shiftleft(shiftright(simhash, CAST((b + 1) * $bandBits AS INT)), CAST(b * $bandBits AS INT))
             | (simhash & (shiftleft(CAST(1 AS BIGINT), CAST(b * $bandBits AS INT)) - 1))"""))
@@ -300,12 +339,72 @@ object Lsh {
       .withColumn("__sub",
         when(col("__j") === -1, lit(-1L))
           .otherwise(expr(s"shiftright(__r, CAST(__j * $subBits AS INT)) & ${(1L << subBits) - 1}")))
-      .localCheckpoint()
-    keyed.as("x").join(keyed.as("y"),
+
+  /** Cross-set EXACT sub-banded candidates — [[simhashCandidates]]'
+    * guarantee in the batch-vs-corpus posture ([[incrementalCandidates]]'
+    * role for hamming-banded signatures): pairs within hamming ≤
+    * subBands − 1 between a batch and a corpus signature frame, with
+    * hot buckets SUB-BANDED EXACTLY rather than dropped. The
+    * difference matters precisely where the capped path fails: coarse
+    * hamming bands (2^bandBits buckets per band) ALL go hot once the
+    * corpus outgrows maxBucket × 2^bandBits rows per band — a capped
+    * probe then silently stops matching anything, while sub-banding
+    * keeps the recursive-pigeonhole guarantee at any corpus size
+    * (the q38 rationale verbatim; LSH-banded minhash buckets are the
+    * opposite case — there a hot bucket IS degenerate boilerplate).
+    *
+    * `corpusSig` / `batchSig`: (doc_id, simhash) frames; `numBands` ×
+    * `bandBits` must cover every signature bit and `subBands` ×
+    * `subBits` the remaining bits (same preconditions as
+    * [[simhashCandidates]], enforced there and here). Hot/cold is ONE
+    * decision per bucket from the COMBINED population (corpus rows in
+    * the bucket + batch rows — both sides key identically or the
+    * pigeonhole breaks).
+    *
+    * Scale shape: the corpus side restricts scan-side to the batch's
+    * band keys FIRST (a broadcast semi-join on the batch-sized key
+    * set), so only corpus rows in touched buckets ever reach the
+    * sizing agg and the join — the price of exactness is shuffling
+    * those restricted (doc_id, simhash, band) rows, never the corpus
+    * media/text. Callers keep their signature frames
+    * localCheckpoint'ed (both production callers do) — the band
+    * expansion re-executes per consumer over materialized rows.
+    * Returns distinct (corpus_doc, batch_doc, s1, s2).
+    */
+  def incrementalSimhashCandidates(
+      corpusSig: DataFrame,
+      batchSig: DataFrame,
+      numBands: Int,
+      bandBits: Int,
+      subBands: Int,
+      subBits: Int,
+      maxBucket: Int): DataFrame = {
+    require(subBands * subBits <= 64 - bandBits,
+      s"sub-banding must cover only the remaining bits: subBands*subBits " +
+        s"(${subBands * subBits}) must be <= 64 - bandBits (${64 - bandBits})")
+    val mask = (1L << bandBits) - 1
+    def toBands(sig: DataFrame): DataFrame = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${numBands - 1})")).as("b"))
+      .withColumn("band", expr(s"shiftright(simhash, b * $bandBits) & $mask"))
+    val bb = toBands(batchSig)
+    val cb = toBands(corpusSig)
+      .join(broadcast(bb.select(col("b"), col("band")).distinct()),
+        Seq("b", "band"), "left_semi")
+    val sizes = bb.groupBy(col("b"), col("band")).agg(count(lit(1)).as("__bn"))
+      .join(cb.groupBy(col("b"), col("band")).agg(count(lit(1)).as("__cn")),
+        Seq("b", "band"), "left")
+      .select(col("b"), col("band"),
+        (coalesce(col("__cn"), lit(0L)) + col("__bn")).as("__n"))
+    val ck = subBandKeyed(cb.join(sizes, Seq("b", "band")),
+      bandBits, subBands, subBits, maxBucket)
+    val bk = subBandKeyed(bb.join(sizes, Seq("b", "band")),
+      bandBits, subBands, subBits, maxBucket)
+    ck.as("x").join(bk.as("y"),
         col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
           col("x.__j") === col("y.__j") && col("x.__sub") === col("y.__sub") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("corpus_doc"), col("y.doc_id").as("batch_doc"),
         col("x.simhash").as("s1"), col("y.simhash").as("s2"))
       .distinct()
   }

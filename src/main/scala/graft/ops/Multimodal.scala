@@ -282,6 +282,32 @@ object Multimodal {
     out.toDF("doc_id", "phash", "decoded")
   }
 
+  /** The phash hamming-band GEOMETRY — six 10-bit bands cover every
+    * bit of the 60-bit hash (pigeonhole: hamming ≤ 5 ⇒ agreement on
+    * ≥ 1 band), six 9-bit sub-bands cover the remaining 50 bits
+    * (hot buckets stay EXACT for hamming ≤ 5). One owner: q195, q196,
+    * the StreamPhash maintainer and the specs all band through
+    * [[phashBands]] / these constants — hand-copied expansions would
+    * have to stay in lockstep or silently break pigeonhole coverage
+    * (the Md5GramHashes lesson).
+    */
+  val PhashNumBands = 6
+  val PhashBandBits = 10
+  val PhashSubBands = 6
+  val PhashSubBits = 9
+
+  /** [[imagePhash]] output → the hamming-band rows, in
+    * [[Lsh.simhashCandidates]]' column contract (doc_id, simhash, b,
+    * band).
+    */
+  def phashBands(ph: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    ph.select(col("doc_id"), col("phash").as("simhash"),
+        explode(expr(s"sequence(0, ${PhashNumBands - 1})")).as("b"))
+      .withColumn("band",
+        expr(s"shiftright(simhash, b * $PhashBandBits) & ${(1L << PhashBandBits) - 1}"))
+  }
+
   /** The real-decode leg of [[imagePhash]]; None routes to the stub
     * (not an image, codec rejects, forged-header raster too large, or
     * smaller than the 11 × 6 grid).

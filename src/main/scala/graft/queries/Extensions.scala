@@ -290,12 +290,11 @@ object Extensions {
           $"doc_id",
           encode($"text", "UTF-8").as("media"),
           lit("image/fake").as("mime_hint"))
-        val bands = Multimodal.imagePhash(media)
-          .select($"doc_id", $"phash".as("simhash"),
-            explode(expr("sequence(0, 5)")).as("b"))
-          .withColumn("band", expr("shiftright(simhash, b * 10) & 1023"))
         graft.ops.Lsh.simhashCandidates(
-            bands, bandBits = 10, subBands = 6, subBits = 9, maxBucket = 256)
+            Multimodal.phashBands(Multimodal.imagePhash(media)),
+            bandBits = Multimodal.PhashBandBits,
+            subBands = Multimodal.PhashSubBands,
+            subBits = Multimodal.PhashSubBits, maxBucket = 256)
           .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
           .filter($"hamming" <= 5)
           .select($"d1", $"d2", $"hamming")
@@ -323,19 +322,26 @@ object Extensions {
     // --------------------------------------------------------------- q196
     // INCREMENTAL image near-dup — q195 in the daily-drop posture
     // (q74's role for rasters, completing the image family's
-    // batch/incremental symmetry): the corpus's phash band table
-    // persists once (the Lsh.saveBands shape — 6 × 10-bit hamming
-    // bands as band-key rows), each new batch hashes only ITS blobs
-    // and probes via ops.Lsh.incrementalCandidatesFrom (corpus side
-    // scanned/bucket-restricted, batch side broadcast or IN-key
-    // pruned by tier, combined-population hot-bucket cap), and
-    // candidates verify by exact popcount against the two phashes.
+    // batch/incremental symmetry): the corpus persists its phash
+    // frame once (1 row/blob), each new batch hashes only ITS blobs
+    // and probes via ops.Lsh.incrementalSimhashCandidates — the
+    // cross-set form of q38/q195's EXACT sub-banding. Exactness, not
+    // the text family's hot-bucket cap, deliberately: coarse hamming
+    // bands have only 2^10 buckets per band, so EVERY bucket goes hot
+    // once the corpus outgrows ~256 × 1024 rows per band and a capped
+    // probe would silently stop matching anything (a hot minhash
+    // bucket is degenerate boilerplate; a hot hamming bucket is just
+    // a big corpus) — sub-banding keeps hamming ≤ 5 guaranteed at ANY
+    // corpus size, which also makes the oracle the simple UNCAPPED
+    // cross join (provably identical output, q38's oracle discipline).
     // The batch is the planted clone view (every doc_id % 25 == 0
     // blob arriving as −doc_id − 1): clones land at hamming 0 against
-    // their originals, and on corpora with natural byte-identical
-    // blobs the clone also finds its original's exact-dup partners.
-    // The oracle replays the stub phash, the banding, the SAME
-    // combined-population cap, and the popcount end-to-end.
+    // their originals at every scale, and on corpora with natural
+    // byte-identical blobs the clone also finds its original's
+    // exact-dup partners. Scale shape: the corpus side restricts
+    // scan-side to the batch's band keys (broadcast semi-join) before
+    // anything shuffles; candidates come from sub-band equality
+    // joins, never pairwise popcounts.
     Q(
       "q196_image_dup_incremental",
       (s, dir) => {
@@ -345,20 +351,17 @@ object Extensions {
           Multimodal.imagePhash(d.select(
             $"doc_id", encode($"text", "UTF-8").as("media"),
             lit("image/fake").as("mime_hint")))
-        def bands(p: org.apache.spark.sql.DataFrame) = p
-          .select($"doc_id", $"phash", explode(expr("sequence(0, 5)")).as("band"))
-          .withColumn("bsig", expr("shiftright(phash, band * 10) & 1023"))
         val corpusPh = ph(docs).localCheckpoint()
         val batchPh = ph(docs.filter($"doc_id" % 25 === 0)
           .select((-$"doc_id" - 1L).as("doc_id"), $"text")).localCheckpoint()
-        val corpusBands = bands(corpusPh)
-          .select(concat_ws("|", $"band", $"bsig").as("bkey"), $"doc_id")
-        val cand = graft.ops.Lsh.incrementalCandidatesFrom(
-          s, corpusBands, bands(batchPh), maxBucket = 256)
-        cand
-          .join(corpusPh.select($"doc_id".as("corpus_doc"), $"phash".as("p1")), "corpus_doc")
-          .join(batchPh.select($"doc_id".as("batch_doc"), $"phash".as("p2")), "batch_doc")
-          .withColumn("hamming", expr("CAST(bit_count(p1 ^ p2) AS BIGINT)"))
+        graft.ops.Lsh.incrementalSimhashCandidates(
+            corpusPh.select($"doc_id", $"phash".as("simhash")),
+            batchPh.select($"doc_id", $"phash".as("simhash")),
+            numBands = Multimodal.PhashNumBands,
+            bandBits = Multimodal.PhashBandBits,
+            subBands = Multimodal.PhashSubBands,
+            subBits = Multimodal.PhashSubBits, maxBucket = 256)
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
           .filter($"hamming" <= 5)
           .select($"corpus_doc", $"batch_doc", $"hamming")
       },
@@ -376,21 +379,10 @@ object Extensions {
         bb AS (
           SELECT doc_id, phash, b.b AS band, (phash >> (b.b * 10)) & 1023 AS bsig
           FROM bph CROSS JOIN generate_series(0, 5) b(b)),
-        pop AS (
-          SELECT band, bsig,
-            CAST(count(*) FILTER (WHERE side = 'c') AS BIGINT) AS cn,
-            CAST(count(*) FILTER (WHERE side = 'b') AS BIGINT) AS bn
-          FROM (
-            SELECT band, bsig, 'c' AS side FROM cb
-            UNION ALL SELECT band, bsig, 'b' FROM bb)
-          GROUP BY band, bsig),
-        cold AS (SELECT band, bsig FROM pop WHERE cn + bn <= 256),
         cand AS (
           SELECT DISTINCT cb.doc_id AS corpus_doc, bb.doc_id AS batch_doc,
             cb.phash AS p1, bb.phash AS p2
-          FROM cb
-          JOIN cold ON cb.band = cold.band AND cb.bsig = cold.bsig
-          JOIN bb ON cb.band = bb.band AND cb.bsig = bb.bsig
+          FROM cb JOIN bb ON cb.band = bb.band AND cb.bsig = bb.bsig
           WHERE cb.doc_id <> bb.doc_id)
         SELECT corpus_doc, batch_doc,
           CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming

@@ -13,33 +13,42 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * for decodable rasters, md5 stub otherwise), first-wins deduped
   * against in-batch AND accumulated-corpus candidates, and the
   * survivors land in per-batch output children while the batch's
-  * signatures join the state.
+  * phashes join the state.
   *
   * Per batch:
   *
-  *  1. phash every blob ONCE (the localCheckpoint'ed frame feeds
-  *     banding, both verify joins, and the state commit);
-  *  2. candidates = in-batch capped band pairs
-  *     ([[Lsh.expandPairsCapped]] on the 6 × 10-bit hamming bands —
-  *     q195's geometry, so the pigeonhole covers every bit) ∪
-  *     batch-vs-state probes ([[Lsh.incrementalCandidatesFrom]] over
-  *     the persisted band state — combined-population cap, two-tier
-  *     batch handling); every candidate verifies by EXACT popcount
-  *     (hamming ≤ 5) against the phash store before any drop;
+  *  1. phash every blob ONCE (the localCheckpoint'ed frame feeds both
+  *     candidate passes, the drop decisions, and the state commit);
+  *  2. candidates = in-batch [[Lsh.simhashCandidates]] ∪
+  *     batch-vs-state [[Lsh.incrementalSimhashCandidates]] — BOTH are
+  *     the EXACT sub-banded forms on [[Multimodal.phashBands]]'
+  *     geometry, never the hot-bucket-drop cap: coarse hamming bands
+  *     have only 1024 buckets per band, so every bucket goes hot once
+  *     the accumulated corpus outgrows ~256 × 1024 rows per band and
+  *     a capped probe would silently stop deduping (the q38
+  *     rationale; a hot MINHASH bucket is degenerate boilerplate, a
+  *     hot hamming bucket is just a big corpus). Exactness also keeps
+  *     the q195 batch run an equivalent backfill. Every candidate
+  *     verifies by exact popcount (hamming ≤ 5) before any drop;
   *  3. in-batch pairs drop the higher doc_id, cross pairs drop the
   *     batch side — first-wins, the [[StreamCuration]] operating
-  *     point (streams cannot retract; the q195 batch run is the
-  *     replayable backfill that restores min-id canonically).
+  *     point (streams cannot retract; the batch run is the replayable
+  *     backfill that restores min-id canonically).
   *
-  * State: `bands/` (bkey, doc_id) and `ph/` (doc_id, phash, decoded)
-  * child-dir roots — signatures only, 9 rows/blob, media bytes never
-  * enter the state. Both roots are doc_id-keyed, so
-  * [[graft.ops.Forget]] applies verbatim: tombstoned docs stop
-  * matching at the next trigger ([[graft.ops.Forget.exclude]] on both
-  * state reads) and compact removes them physically.
+  * State: ONE `ph/` child-dir root — (doc_id, phash, decoded), one
+  * row per blob ever seen; media bytes never enter the state, and no
+  * band table is persisted at all (the sub-banded probe re-keys the
+  * corpus side per trigger from the 16-byte phash rows, restricted
+  * scan-side to the batch's band keys first). The root is
+  * doc_id-keyed, so [[graft.ops.Forget]] applies verbatim:
+  * tombstoned docs stop matching at the next trigger
+  * ([[graft.ops.Forget.exclude]] on the state read) and compact
+  * removes them physically — note a dropped dup's phash also
+  * ingested (a later copy must match through it), so an RTBF request
+  * names the content's copies, not just the canonical.
   *
   * Exactly-once: the [[StreamIndex]] protocol verbatim — per-batch
-  * idempotent child overwrites, reads exclude children at/above the
+  * idempotent child overwrite, reads exclude children at/above the
   * current id, marker advances last, replays at/below the marker
   * skip. [[compactState]] folds bounded by the marker.
   */
@@ -85,32 +94,30 @@ object StreamPhash {
       return false
     }
     val ph = Multimodal.imagePhash(batchMedia).localCheckpoint()
-    val bands = ph
-      .select($"doc_id", $"phash", explode(expr("sequence(0, 5)")).as("band"))
-      .withColumn("bsig", expr("shiftright(phash, band * 10) & 1023"))
-      .withColumn("bkey", concat_ws("|", $"band", $"bsig"))
-      .localCheckpoint()
-
-    // forget tombstones honored at probe time on BOTH state roots
-    val seenBands = graft.ops.Forget.exclude(
-      readState(spark, s"$stateDir/bands", "bkey STRING, doc_id BIGINT", batchId),
-      spark, stateDir)
+    // forget tombstones honored at probe time
     val seenPh = graft.ops.Forget.exclude(
-      readState(spark, s"$stateDir/ph", outDdl, batchId), spark, stateDir)
+      graft.ops.Layouts.readChildren(
+        spark, s"$stateDir/ph", outDdl, beforeBatch = Some(batchId)),
+      spark, stateDir)
 
-    val inBatch = Lsh.expandPairsCapped(bands, Seq("band", "bsig"), "doc_id", maxBucket)
-      .select($"d1", $"d2")
-    val cross = Lsh.incrementalCandidatesFrom(spark, seenBands, bands, maxBucket)
-      .select($"corpus_doc".as("d1"), $"batch_doc".as("d2"))
-    // exact verify: popcount against corpus ∪ batch phashes; in-batch
-    // pairs drop d2 (higher id), cross pairs drop the batch side —
-    // both are the pair's d2, so one drop rule covers both streams
-    val phAll = seenPh.select($"doc_id", $"phash").unionByName(
-      ph.select($"doc_id", $"phash"))
-    val dropSet = inBatch.union(cross).distinct()
-      .join(phAll.select($"doc_id".as("d1"), $"phash".as("p1")), "d1")
-      .join(ph.select($"doc_id".as("d2"), $"phash".as("p2")), "d2")
-      .filter(expr("bit_count(p1 ^ p2) <= 5"))
+    val (inBatch, releaseKeyed) = Lsh.simhashCandidatesManaged(
+      Multimodal.phashBands(ph),
+      bandBits = Multimodal.PhashBandBits,
+      subBands = Multimodal.PhashSubBands,
+      subBits = Multimodal.PhashSubBits, maxBucket = maxBucket)
+    val cross = Lsh.incrementalSimhashCandidates(
+      seenPh.select($"doc_id", $"phash".as("simhash")),
+      ph.select($"doc_id", $"phash".as("simhash")),
+      numBands = Multimodal.PhashNumBands,
+      bandBits = Multimodal.PhashBandBits,
+      subBands = Multimodal.PhashSubBands,
+      subBits = Multimodal.PhashSubBits, maxBucket = maxBucket)
+    // exact verify on the candidate-carried signatures; in-batch pairs
+    // drop d2 (higher id), cross pairs drop the batch side — both are
+    // the pair's second column, so one drop rule covers both streams
+    val dropSet = inBatch.select($"d2", $"s1", $"s2")
+      .unionByName(cross.select($"batch_doc".as("d2"), $"s1", $"s2"))
+      .filter(expr("bit_count(s1 ^ s2) <= 5"))
       .select($"d2".as("doc_id")).distinct()
 
     ph.join(dropSet, Seq("doc_id"), "left_anti")
@@ -118,11 +125,10 @@ object StreamPhash {
 
     // state commits AFTER the decisions — EVERY batch blob ingests
     // (a later dup of a dropped dup must still match through it)
-    bands.select($"bkey", $"doc_id")
-      .write.mode("overwrite").parquet(s"$stateDir/bands/b$batchId")
     ph.write.mode("overwrite").parquet(s"$stateDir/ph/b$batchId")
     StreamIndex.writeCommitted(spark, guard, batchId)
-    Seq(ph, bands).foreach(graft.ops.Checkpoints.release)
+    releaseKeyed()
+    graft.ops.Checkpoints.release(ph)
     true
   }
 
@@ -132,13 +138,7 @@ object StreamPhash {
     */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     val bound = StreamIndex.committedBatch(spark, s"$stateDir/state") + 1
-    Seq("bands", "ph").foreach { d =>
-      graft.ops.Layouts.foldChildren(spark, s"$stateDir/$d",
-        beforeBatch = Some(bound))
-    }
+    graft.ops.Layouts.foldChildren(spark, s"$stateDir/ph",
+      beforeBatch = Some(bound))
   }
-
-  private def readState(
-      spark: SparkSession, path: String, ddl: String, batchId: Long): DataFrame =
-    graft.ops.Layouts.readChildren(spark, path, ddl, beforeBatch = Some(batchId))
 }

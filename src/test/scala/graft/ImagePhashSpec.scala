@@ -1,8 +1,5 @@
 package graft
 
-import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
-
 import org.apache.spark.sql.functions._
 
 /** Multimodal.imagePhash + the q195 banding: REAL raster transforms.
@@ -14,30 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class ImagePhashSpec extends SparkSuite {
 
-  /** Deterministic 11 × 6 block scene rendered as a gray PNG; block
-    * luminance stays in [40, 200] so a +12 brightness shift never
-    * clips (mean ORDER preserved — the perceptual invariance dHash
-    * promises). Rendering at different (w, h) is the resize transform:
-    * same scene, different resolution.
-    */
-  private def scenePng(seed: Int, w: Int, h: Int, brighten: Int = 0): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = math.min(y * 6 / h, 5)
-        val c = math.min(x * 11 / w, 10)
-        val v = math.min(40 + ((r * 31 + c * 17 + seed * 59) * 97) % 161 + brighten, 255)
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  import TestScenes.scenePng
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
@@ -89,11 +63,11 @@ class ImagePhashSpec extends SparkSuite {
     val ph = graft.ops.Multimodal.imagePhash(
       blobs.toDF("doc_id", "media", "mime_hint")).localCheckpoint()
 
-    val bands = ph.select($"doc_id", $"phash".as("simhash"),
-        explode(expr("sequence(0, 5)")).as("b"))
-      .withColumn("band", expr("shiftright(simhash, b * 10) & 1023"))
     val banded = graft.ops.Lsh.simhashCandidates(
-        bands, bandBits = 10, subBands = 6, subBits = 9, maxBucket = 4)
+        graft.ops.Multimodal.phashBands(ph),
+        bandBits = graft.ops.Multimodal.PhashBandBits,
+        subBands = graft.ops.Multimodal.PhashSubBands,
+        subBits = graft.ops.Multimodal.PhashSubBits, maxBucket = 4)
       .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
       .filter($"hamming" <= 5)
       .select($"d1", $"d2", $"hamming")
@@ -132,20 +106,25 @@ class ImagePhashSpec extends SparkSuite {
       graft.ops.Multimodal.imagePhash(rows.toDF("doc_id", "media", "mime_hint"))
         .localCheckpoint()
     val (cp, bp) = (ph(corpus), ph(batch))
-    def bands(p: org.apache.spark.sql.DataFrame) = p
-      .select($"doc_id", $"phash", explode(expr("sequence(0, 5)")).as("band"))
-      .withColumn("bsig", expr("shiftright(phash, band * 10) & 1023"))
-    val pairs = graft.ops.Lsh.incrementalCandidatesFrom(
-        spark,
-        bands(cp).select(concat_ws("|", $"band", $"bsig").as("bkey"), $"doc_id"),
-        bands(bp), maxBucket = 256)
-      .join(cp.select($"doc_id".as("corpus_doc"), $"phash".as("p1")), "corpus_doc")
-      .join(bp.select($"doc_id".as("batch_doc"), $"phash".as("p2")), "batch_doc")
-      .withColumn("h", expr("CAST(bit_count(p1 ^ p2) AS BIGINT)"))
-      .filter($"h" <= 5)
-      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    val M = graft.ops.Multimodal
+    def probe(maxBucket: Int): Set[(Long, Long)] =
+      graft.ops.Lsh.incrementalSimhashCandidates(
+          cp.select($"doc_id", $"phash".as("simhash")),
+          bp.select($"doc_id", $"phash".as("simhash")),
+          numBands = M.PhashNumBands, bandBits = M.PhashBandBits,
+          subBands = M.PhashSubBands, subBits = M.PhashSubBits,
+          maxBucket = maxBucket)
+        .filter(expr("bit_count(s1 ^ s2) <= 5"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = probe(256)
     assert(pairs.contains((1L, -1L)),
       s"resized batch raster must find its corpus original: $pairs")
     assert(!pairs.exists(_._2 == -2L), s"a new scene must match nothing: $pairs")
+    // hot-bucket exactness: maxBucket = 1 forces EVERY touched bucket
+    // through the sub-band path — the probe must lose nothing (the cap
+    // that a coarse-band corpus would hit at scale; the capped
+    // incremental path would return empty here)
+    assert(probe(1) === pairs,
+      "sub-banded hot path must equal the cold path exactly")
   }
 }

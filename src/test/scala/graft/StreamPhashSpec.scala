@@ -1,8 +1,5 @@
 package graft
 
-import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
-
 import graft.streaming.StreamPhash
 import org.apache.spark.sql.functions._
 
@@ -15,24 +12,7 @@ import org.apache.spark.sql.functions._
   */
 class StreamPhashSpec extends SparkSuite {
 
-  private def scenePng(seed: Int, w: Int, h: Int): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = math.min(y * 6 / h, 5)
-        val c = math.min(x * 11 / w, 10)
-        val v = 40 + ((r * 31 + c * 17 + seed * 59) * 97) % 161
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-        x += 1
-      }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  import TestScenes.scenePng
 
   // 12 blobs in doc_id arrival order (4-doc batches: {1..4}, {5..8},
   // {9..12}): scene 7 appears at 1 (kept), resized at 4 (IN-batch

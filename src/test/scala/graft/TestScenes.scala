@@ -1,0 +1,35 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+/** Shared raster fixture for the image-phash specs — ONE owner of the
+  * scene formula (two hand-copied renderers would drift and silently
+  * decouple the specs' hamming-threshold assumptions): a
+  * deterministic 11 × 6 block scene rendered as a gray PNG. Block
+  * luminance stays in [40, 200] so a brighten ≤ 55 never clips —
+  * mean ORDER is preserved, the perceptual invariance dHash promises.
+  * Rendering the same seed at different (w, h) is the resize
+  * transform: same scene, different resolution.
+  */
+object TestScenes {
+
+  def scenePng(seed: Int, w: Int, h: Int, brighten: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.min(y * 6 / h, 5)
+        val c = math.min(x * 11 / w, 10)
+        val v = math.min(40 + ((r * 31 + c * 17 + seed * 59) * 97) % 161 + brighten, 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}
