@@ -318,43 +318,235 @@ object Multimodal {
         withReader(r.media) { rd =>
           if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
             throw new java.io.IOException("declared raster too large")
-          val img = rd.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          if (w < 11 || h < 6)
-            throw new java.io.IOException("below the 11x6 dhash grid")
-          val sums = Array.ofDim[Long](6, 11)
-          val cnts = Array.ofDim[Long](6, 11)
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            val br = math.min(y * 6 / h, 5)
-            var x = 0
-            while (x < w) {
-              val px = row(x)
-              val lum3 = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
-              val bc = math.min(x * 11 / w, 10)
-              sums(br)(bc) += lum3
-              cnts(br)(bc) += 1L
-              x += 1
-            }
-            y += 1
-          }
-          var hash = 0L
-          var gr = 0
-          while (gr < 6) {
-            var c = 0
-            while (c < 10) {
-              if (sums(gr)(c + 1) * cnts(gr)(c) > sums(gr)(c) * cnts(gr)(c + 1))
-                hash |= 1L << (gr * 10 + c)
-              c += 1
-            }
-            gr += 1
-          }
-          hash
+          dHashOfImage(rd.read(0)).getOrElse(
+            throw new java.io.IOException("below the 11x6 dhash grid"))
         }
       } catch { case _: Exception => None }
+    }
+
+  /** The raster→60-bit-dHash kernel shared by [[imagePhash]] (first
+    * frame) and [[videoFrameHashes]] (every sampled frame); None when
+    * the raster is below the 11 × 6 grid. */
+  private def dHashOfImage(img: java.awt.image.BufferedImage): Option[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 11 || h < 6) None
+    else {
+      val sums = Array.ofDim[Long](6, 11)
+      val cnts = Array.ofDim[Long](6, 11)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        val br = math.min(y * 6 / h, 5)
+        var x = 0
+        while (x < w) {
+          val px = row(x)
+          val lum3 = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          val bc = math.min(x * 11 / w, 10)
+          sums(br)(bc) += lum3
+          cnts(br)(bc) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var gr = 0
+      while (gr < 6) {
+        var c = 0
+        while (c < 10) {
+          if (sums(gr)(c + 1) * cnts(gr)(c) > sums(gr)(c) * cnts(gr)(c + 1))
+            hash |= 1L << (gr * 10 + c)
+          c += 1
+        }
+        gr += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Per-frame 60-bit hashes of a video blob — the fingerprint stream
+    * behind sequence-level near-dup (q199): REAL for animated GIF
+    * (every frame decoded by the JDK reader and dHashed through the
+    * [[imagePhash]] kernel — re-encodes and per-frame perceptual
+    * transforms land on the same hashes), deterministic md5-stub
+    * otherwise (every `chunkBytes`-byte slice stands in for a frame, a
+    * short blob is one frame — the q56 chunk convention, so the whole
+    * stub path is DuckDB-replayable). A GIF whose ANY frame falls
+    * below the 11 × 6 dHash grid stubs out entirely (per-record
+    * all-or-nothing keeps the routing decision a single bit per blob,
+    * like every other multimodal op).
+    *
+    * Output (doc_id, frame_no, fhash, decoded). Downstream q199
+    * reduces each video to its DISTINCT frame-hash SET and joins sets
+    * at a rational Jaccard threshold ([[graft.queries.Llm.setSimJoinSets]]):
+    * content-based, order-free — a re-cut that reorders scenes still
+    * pairs, which is the property video dedup wants (temporal
+    * alignment is a verify-stage concern, not a candidate-stage one).
+    * Per-partition decode, one blob in flight.
+    */
+  def videoFrameHashes(df: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes must be positive: $chunkBytes")
+    val out = df.as[MediaRecord].mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.flatMap { r =>
+        gifFrameHashes(r.media) match {
+          case Some(hs) =>
+            hs.zipWithIndex.map { case (fh, i) => (r.doc_id, i.toLong, fh, true) }
+          case None =>
+            val nf = math.max(r.media.length / chunkBytes, 1)
+            (0 until nf).map { i =>
+              val lo = i * chunkBytes
+              val hi = math.min(lo + chunkBytes, r.media.length)
+              (r.doc_id, i.toLong,
+                hash60(md, java.util.Arrays.copyOfRange(r.media, lo, hi)),
+                false)
+            }
+        }
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaBoolean))
+    out.toDF("doc_id", "frame_no", "fhash", "decoded")
+  }
+
+  /** The real-decode leg of [[videoFrameHashes]]: all frames of a
+    * (sniffed AND codec-accepted) GIF, dHashed; None routes to the
+    * stub. */
+  private def gifFrameHashes(media: Array[Byte]): Option[Seq[Long]] =
+    sniffImage(media) match {
+      case Some("image/gif") =>
+        try {
+          withReader(media) { rd =>
+            if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
+              throw new java.io.IOException("declared raster too large")
+            val n = math.max(rd.getNumImages(true), 1)
+            (0 until n).map { f =>
+              dHashOfImage(rd.read(f)).getOrElse(
+                throw new java.io.IOException("frame below the 11x6 dhash grid"))
+            }
+          }
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** 60-bit ENERGY DIFFERENCE HASH of an audio blob — [[imagePhash]]'s
+    * role for waveforms, completing the multimodal near-dup family:
+    * REAL for RIFF/WAVE 16-bit PCM (a pure byte-level parser — no
+    * codec library; WAV is the interchange format a production
+    * transcode step would emit anyway), md5-stub otherwise (the same
+    * honest-fake contract as [[decodeBatch]], so a synthetic corpus
+    * stays DuckDB-oracle-checkable end-to-end).
+    *
+    * Real path: the PCM sample stream is decimated to ≤ 2²² samples
+    * (a fixed stride — deterministic, and the bound is what keeps the
+    * integer comparisons overflow-free), distributed onto 61 equal
+    * time frames (frame = i·61/n, the dHash grid rule), and bit i
+    * compares the MEAN ABSOLUTE AMPLITUDE of adjacent frames —
+    * sum(i+1)·cnt(i) > sum(i)·cnt(i+1), exact integer
+    * cross-multiplication (|s| ≤ 2¹⁵ and ≤ 2²²/61 samples per frame ⇒
+    * frame sums < 2³², cross-products < 2⁴⁸ — no floats anywhere,
+    * bit-reproducible on any JVM). Mean-|amplitude| ORDER is what survives the transforms a
+    * near-dup pass must catch: uniform volume change scales every
+    * frame equally, re-encoding (chunk reshuffles, added LIST/INFO
+    * metadata) leaves samples untouched, and moderate resampling
+    * preserves the energy envelope — while different recordings
+    * disagree on ~half the adjacent-frame comparisons
+    * (AudioFingerprintSpec plants exactly those transforms).
+    *
+    * 60 bits (61 frames), not 64, for the same reason as
+    * [[imagePhash]]: the repo-wide 60-bit md5 stub convention and the
+    * six-10-bit-band pigeonhole (hamming ≤ 5 ⇒ ≥ 1 band agrees) that
+    * [[phashBands]] implements for ANY 60-bit signature.
+    *
+    * Output (doc_id, ahash, decoded); decoded = false marks the stub
+    * route (not RIFF/WAVE, not 16-bit PCM, missing/empty data chunk,
+    * or fewer than 61 samples). Per-partition decode, one blob in
+    * flight.
+    */
+  def audioFingerprint(df: DataFrame): DataFrame = {
+    val out = df.as[MediaRecord].mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { r =>
+        val real = eHashOf(r.media)
+        (r.doc_id, real.getOrElse(hash60(md, r.media)), real.isDefined)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean))
+    out.toDF("doc_id", "ahash", "decoded")
+  }
+
+  /** Decimation bound for [[audioFingerprint]]'s real path: caps the
+    * samples actually read so the frame-sum cross-products stay far
+    * under 2⁶³ (≤ 2²²/61 samples per frame ⇒ products < 2⁴⁸) AND
+    * bounds per-blob CPU. */
+  private val MaxFingerprintSamples = 1 << 22
+
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Locate the PCM16 sample region of a RIFF/WAVE blob: walks the
+    * chunk list (4-byte id, 4-byte LE size, even-padded payload),
+    * requires an audioFormat=1 (PCM), bitsPerSample=16 "fmt " chunk
+    * BEFORE the "data" chunk, and clips a lying declared size to the
+    * bytes actually present. None on any structural violation. */
+  private def wavPcm16Region(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 44 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var pcm16 = false
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = leU32(b, off + 4)
+      val payload = off + 8
+      if (id == "fmt ") {
+        if (size < 16 || payload + 16 > b.length) return None
+        if (leU16(b, payload) != 1 || leU16(b, payload + 14) != 16) return None
+        pcm16 = true
+      } else if (id == "data") {
+        if (!pcm16) return None
+        val avail = b.length - payload
+        val n = math.min(size, avail.toLong).toInt
+        return if (n >= 2) Some((payload, n - (n % 2))) else None
+      }
+      off = payload + size.toInt + (size.toInt & 1)
+      if (size > Int.MaxValue - 8L || off <= payload) return None
+    }
+    None
+  }
+
+  /** The real-decode leg of [[audioFingerprint]]; None routes to the
+    * stub. */
+  private[graft] def eHashOf(b: Array[Byte]): Option[Long] =
+    wavPcm16Region(b).flatMap { case (start, nBytes) =>
+      val nAll = nBytes / 2
+      if (nAll < 61) None
+      else {
+        val stride = (nAll - 1) / MaxFingerprintSamples + 1
+        val n = (nAll + stride - 1) / stride
+        val sums = new Array[Long](61)
+        val cnts = new Array[Long](61)
+        var i = 0
+        while (i < n) {
+          val si = start + 2 * (i * stride)
+          val s = ((b(si) & 0xff) | (b(si + 1) << 8)).toShort.toInt
+          val f = (i.toLong * 61 / n).toInt
+          sums(f) += math.abs(s.toLong)
+          cnts(f) += 1L
+          i += 1
+        }
+        var hash = 0L
+        var f = 0
+        while (f < 60) {
+          if (cnts(f) > 0 && cnts(f + 1) > 0 &&
+            sums(f + 1) * cnts(f) > sums(f) * cnts(f + 1))
+            hash |= 1L << f
+          f += 1
+        }
+        Some(hash)
+      }
     }
 
   final case class AudioStats(

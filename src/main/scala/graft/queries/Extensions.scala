@@ -386,6 +386,134 @@ object Extensions {
           WHERE cb.doc_id <> bb.doc_id)
         SELECT corpus_doc, batch_doc,
           CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(p1, p2)) <= 5"""))
+        FROM cand WHERE bit_count(xor(p1, p2)) <= 5""")),
+
+    // --------------------------------------------------------------- q198
+    // AUDIO near-dup pairs — the waveform leg of the multimodal dedup
+    // family (images: q195/q196; this: Multimodal.audioFingerprint's
+    // 60-bit energy-difference hash — REAL adjacent-frame
+    // mean-|amplitude| comparisons for RIFF/WAVE 16-bit PCM, md5 stub
+    // otherwise). Identical banding geometry to q195 (six 10-bit
+    // bands pigeonhole hamming ≤ 5; hot buckets sub-band EXACTLY), so
+    // phashBands/simhashCandidates are reused verbatim — the hash is
+    // the only modality-specific piece, which is the point of the
+    // 60-bit convention. On this synthetic corpus every blob stubs
+    // out, so hash → bands → pigeonhole → popcount is DuckDB-replayed
+    // end-to-end; AudioFingerprintSpec plants REAL waveform
+    // transforms (volume scale, resample-decimation, metadata
+    // re-encode) and pins banded ≡ brute-force. The corpus view
+    // plants deterministic clone blobs (every doc_id % 20 == 0 blob
+    // re-appears as −doc_id − 1, the q195 convention at a different
+    // modulus) so the pair path is non-vacuous at every scale.
+    Q(
+      "q198_audio_fingerprint_dup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        val planted = docs.filter($"doc_id" % 20 === 0)
+          .select((-$"doc_id" - 1L).as("doc_id"), $"text")
+        val media = docs.unionByName(planted).select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("audio/fake").as("mime_hint"))
+        graft.ops.Lsh.simhashCandidates(
+            Multimodal.phashBands(
+              Multimodal.audioFingerprint(media)
+                .select($"doc_id", $"ahash".as("phash"))),
+            bandBits = Multimodal.PhashBandBits,
+            subBands = Multimodal.PhashSubBands,
+            subBits = Multimodal.PhashSubBits, maxBucket = 256)
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+          .filter($"hamming" <= 5)
+          .select($"d1", $"d2", $"hamming")
+      },
+      Some("""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -doc_id - 1, text FROM documents WHERE doc_id % 20 = 0),
+        ah AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS ahash
+          FROM corp),
+        bands AS (
+          SELECT doc_id, ahash, b.b, (ahash >> (b.b * 10)) & 1023 AS band
+          FROM ah CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.ahash AS a1, y.ahash AS a2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(a1, a2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(a1, a2)) <= 5""")),
+
+    // --------------------------------------------------------------- q199
+    // VIDEO near-dup pairs — the sequence leg of the multimodal dedup
+    // family: Multimodal.videoFrameHashes reduces every video to a
+    // per-frame 60-bit hash stream (REAL per-frame dHash for animated
+    // GIF; each 64-byte chunk md5-stubbed otherwise — the q56 frame
+    // convention), each video becomes its DISTINCT frame-hash SET,
+    // and near-dups are set pairs at Jaccard ≥ 4/5 through the EXACT
+    // PPJoin core (Llm.setSimJoinSets — q161/q187's engine, now on
+    // LONG elements; prefix/size/positional gates all stay rational,
+    // so no float threshold drift). Content-based and order-free by
+    // design: a re-cut that reorders or drops a scene still pairs —
+    // temporal alignment is a verify-stage concern. VideoDupSpec
+    // plants REAL animated-GIF transforms (re-encode, frame drop,
+    // frame reorder) and a brute-force Jaccard replica. The corpus
+    // view plants deterministic tail-truncated clones (doc_id % 15 ==
+    // 0 with ≥ 5 chunks re-appears as −doc_id − 1 minus its last
+    // chunk: Jaccard (nf−1)/nf = 0.8 lands exactly ON the ≥ 4/5
+    // gate, exercising the boundary; byte-identical docs pair at 1).
+    //
+    // Scale shape: frame hashes are 16 bytes/frame — raw media never
+    // shuffles; the PPJoin core shuffles the hash stream once for df
+    // counts, once for prefix ranks (per-video windows, bounded by
+    // frames-per-video), and candidates come from prefix-element
+    // equality joins, never all-pairs.
+    Q(
+      "q199_video_seq_dup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        val planted = docs
+          .filter($"doc_id" % 15 === 0 && length($"text") >= 64 * 5)
+          .select((-$"doc_id" - 1L).as("doc_id"),
+            expr("substring(text, 1, (length(text) div 64 - 1) * 64)").as("text"))
+        val media = docs.unionByName(planted).select(
+          $"doc_id",
+          encode($"text", "UTF-8").as("media"),
+          lit("video/fake").as("mime_hint"))
+        val sets = Multimodal.videoFrameHashes(media, chunkBytes = 64)
+          .groupBy($"doc_id")
+          .agg(array_distinct(collect_list($"fhash")).as("gs"))
+        graft.queries.Llm.setSimJoinSets(sets, p = 4, q = 5)
+      },
+      Some("""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -doc_id - 1, substr(text, 1, (length(text) // 64 - 1) * 64)
+          FROM documents WHERE doc_id % 15 = 0 AND length(text) >= 320),
+        ch AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x',
+              substr(md5(substr(text, s.i * 64 + 1, 64)), 1, 15)) AS UBIGINT) AS BIGINT) AS fh
+          FROM corp CROSS JOIN generate_series(0, 4095) s(i)
+          -- loud-failure bound guard (the q137 toks convention)
+          WHERE s.i < greatest(
+            CASE WHEN length(text) > 262144
+                 THEN error('oracle chunk bound 4096 exceeded — raise the series bound')
+                 ELSE length(text) END // 64, 1)),
+        df AS (SELECT DISTINCT doc_id, fh FROM ch),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM df GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS d1, y.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_inter
+          FROM df x JOIN df y ON x.fh = y.fh AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT i.d1, i.d2, i.n_inter, a.n AS n_a, b.n AS n_b,
+          CAST(i.n_inter AS DOUBLE) / (a.n + b.n - i.n_inter) AS jac
+        FROM inter i JOIN sz a ON i.d1 = a.doc_id JOIN sz b ON i.d2 = b.doc_id
+        WHERE i.n_inter * 9 >= (a.n + b.n) * 4"""))
   )
 }

@@ -64,19 +64,32 @@ object Llm {
     * O(n²) replica at BOTH shipped thresholds.
     */
   private[graft] def setSimJoin(docs: DataFrame, p: Int, q: Int): DataFrame = {
-    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
     val s = docs.sparkSession
     import s.implicits._
-    // localCheckpoint: consumed by the trigram stream (df + ranks)
+    setSimJoinSets(
+      docs
+        .select($"doc_id",
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ta"))
+        .filter(size($"ta") >= 3)
+        .select($"doc_id", expr(
+          """array_distinct(transform(sequence(1, size(ta)-2),
+             i -> concat_ws(' ', ta[i-1], ta[i], ta[i+1])))""").as("gs")),
+      p, q)
+  }
+
+  /** The element-type-generic PPJoin core behind [[setSimJoin]] (and
+    * q199's frame-hash sets): input (doc_id, gs) where gs is an array
+    * of DISTINCT set elements of any orderable type — the prefix rank
+    * orders by (df, element), so any type with a deterministic total
+    * order works. Same gates, same output schema as [[setSimJoin]].
+    */
+  private[graft] def setSimJoinSets(sets0: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
+    val s = sets0.sparkSession
+    import s.implicits._
+    // localCheckpoint: consumed by the element stream (df + ranks)
     // and both sides of the verify join (cf. scoredCandidates).
-    val sets = docs
-      .select($"doc_id",
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("ta"))
-      .filter(size($"ta") >= 3)
-      .select($"doc_id", expr(
-        """array_distinct(transform(sequence(1, size(ta)-2),
-           i -> concat_ws(' ', ta[i-1], ta[i], ta[i+1])))""").as("gs"))
-      .localCheckpoint()
+    val sets = sets0.localCheckpoint()
     val sh = sets.select($"doc_id", size($"gs").cast("long").as("n"),
       explode($"gs").as("g"))
     val dfreq = sh.groupBy($"g").agg(count(lit(1)).as("df"))

@@ -875,8 +875,97 @@ object Mining {
           CAST(count(*) AS BIGINT) AS n_fp,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup,
           CAST(coalesce(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) AS dup_frac
-        FROM f JOIN c USING (fp) GROUP BY doc_id"""))
+        FROM f JOIN c USING (fp) GROUP BY doc_id""")),
+
+    // --------------------------------------------------------------- q197
+    // WEIGHTED BLOCKLIST FILTER (the C4 badwords gate, Raffel et al.
+    // 2020 §2.2, with RefinedWeb's weighted-scoring refinement,
+    // Penedo et al. 2023 §G.1): every document is scored against a
+    // curated (term, weight) blocklist — severe terms (weight 3) drop
+    // a document on a SINGLE occurrence, mild terms (weight 1)
+    // accumulate into a weighted score that drops at ≥ 5 — and the
+    // verdict frame carries the per-document evidence (occurrence and
+    // distinct-term counts, score, worst weight) an appeals/audit
+    // pass needs, not just the bit. The list here is a query literal
+    // standing in for the operational file; [[blocklistVerdicts]]
+    // takes it as a parameter.
+    //
+    // Scale shape: the ENTIRE operator is in-row — the token array
+    // never explodes and nothing shuffles (the list is a compile-time
+    // literal folded into the codegen'd filter predicates; an
+    // operational 10⁴-term list broadcasts as a map lookup in the
+    // same per-row fold). Per-doc output at scan throughput; this is
+    // the cheapest possible gate shape at 100 TB, which is why C4
+    // runs it FIRST in the pipeline.
+    Q(
+      "q197_blocklist_filter",
+      // plain table scan, NOT docsSpread: the operator is in-row, so a
+      // doc_id repartition would add the only shuffle in the plan
+      (s, dir) => blocklistVerdicts(table(s, dir, "documents"), Blocklist),
+      Some(s"""
+        WITH ta AS (
+          SELECT doc_id, lang,
+            list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                        x -> x <> '') AS ws
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, lang,
+            ${Blocklist.zipWithIndex.map { case ((t, _), i) =>
+        s"len(list_filter(ws, x -> x = '$t')) AS c$i" }.mkString(",\n            ")}
+          FROM ta)
+        SELECT doc_id, lang,
+          CAST(${Blocklist.indices.map(i => s"c$i").mkString(" + ")} AS BIGINT) AS n_hits,
+          CAST(${Blocklist.indices.map(i => s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS n_terms,
+          CAST(${Blocklist.zipWithIndex.map { case ((_, w), i) => s"$w * c$i" }.mkString(" + ")} AS BIGINT) AS score,
+          CAST(greatest(${Blocklist.zipWithIndex.map { case ((_, w), i) =>
+        s"CASE WHEN c$i > 0 THEN $w ELSE 0 END" }.mkString(", ")}) AS BIGINT) AS max_w,
+          CAST(CASE WHEN ${Blocklist.zipWithIndex.collect { case ((_, w), i) if w >= 3 =>
+        s"c$i > 0" }.mkString(" OR ")}
+                 OR ${Blocklist.zipWithIndex.map { case ((_, w), i) => s"$w * c$i" }.mkString(" + ")} >= 5
+               THEN 1 ELSE 0 END AS BIGINT) AS dropped
+        FROM cnt"""))
   )
+
+  /** The q197 blocklist literal: (term, weight). Weight 3 = severe
+    * (drop on sight), weight 1 = mild (drop at accumulated score ≥ 5).
+    * Absent-from-corpus terms are deliberate — the zero-hit path must
+    * produce keep verdicts, not vanish rows.
+    */
+  private[graft] lazy val Blocklist: Seq[(String, Int)] = Seq(
+    "slow" -> 3, "crash" -> 3, "big" -> 1, "merge" -> 1, "batch" -> 1)
+
+  /** Blocklist rule engine behind q197: input (doc_id, lang, text, …),
+    * output one verdict row per document — occurrence count, distinct
+    * blocked terms, weighted score, worst weight, and the drop bit
+    * (any severe term, or score ≥ 5). All counting is in-row over the
+    * token array (no explode, no shuffle); terms must be lowercase
+    * a–z words (the corpus tokenizer's alphabet).
+    */
+  private[graft] def blocklistVerdicts(
+      docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[(String, Int)]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.forall { case (t, w) =>
+      t.nonEmpty && t.forall(c => c >= 'a' && c <= 'z') && w >= 1 },
+      "blocklist terms must be lowercase a-z words with weight >= 1")
+    val ws = expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+    val cs = terms.map { case (t, _) =>
+      size(expr(s"filter(ws, x -> x = '$t')")).cast("long") }
+    val hits = cs.reduce(_ + _)
+    val nTerms = cs.map(c => when(c > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val score = terms.zip(cs).map { case ((_, w), c) => c * w }.reduce(_ + _)
+    val maxWCols = terms.zip(cs).map { case ((_, w), c) =>
+      when(c > 0, w).otherwise(0) }
+    // greatest() needs >= 2 args; a 1-term list is its own maximum
+    val maxW = (if (maxWCols.size == 1) maxWCols.head
+                else greatest(maxWCols: _*)).cast("long")
+    val severeHit = terms.zip(cs).collect { case ((_, w), c) if w >= 3 => c > 0 }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    docs.select(col("doc_id"), col("lang"), ws.as("ws"))
+      .select(col("doc_id"), col("lang"),
+        hits.as("n_hits"), nTerms.as("n_terms"), score.as("score"),
+        maxW.as("max_w"),
+        when(severeHit || score >= 5, 1L).otherwise(0L).as("dropped"))
+  }
 
   /** Span-removal engine behind q108. Input: (doc_id, t200). Excises
     * every maximal character span covered by cross-document duplicated

@@ -15,6 +15,14 @@ import java.io.ByteArrayOutputStream
 object TestScenes {
 
   def scenePng(seed: Int, w: Int, h: Int, brighten: Int = 0): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(sceneImage(seed, w, h, brighten), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The scene raster itself (the PNG above, pre-encode) — frames for
+    * [[animatedGif]]. */
+  def sceneImage(seed: Int, w: Int, h: Int, brighten: Int = 0): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -28,8 +36,30 @@ object TestScenes {
       }
       y += 1
     }
+    img
+  }
+
+  /** Multi-frame GIF from the given rasters via the JDK's sequence
+    * writer — the real-decode fixture for the video specs. The scene
+    * grays (≤ 161 distinct levels) fit one GIF palette exactly, so
+    * encode→decode is lossless and re-encoding the same rasters
+    * reproduces identical dHashes.
+    */
+  def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     bos.toByteArray
   }
 }
