@@ -190,6 +190,22 @@ object Soak {
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+    // embeddings scale by REPLICATION (vec_id offset; vectors and
+    // labels unchanged): the vector queries' soak subjects are the
+    // n·k expansion / agg plans, and replicated points change every
+    // histogram count by exactly k — ratios stay attributable. (The
+    // generated-text trick has no embedding analog: fresh random
+    // vectors would move centroids and make 1× vs 10× outputs
+    // incomparable.)
+    val emb = spark.read.parquet(s"$srcSf/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val vecOff = maxVec + 1
+    (0 until k).map { r =>
+      if (r == 0) emb
+      else emb.withColumn("vec_id", col("vec_id") + lit(r * vecOff))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -400,8 +400,108 @@ object Embeddings {
                THEN coalesce(a.ap_num, 0.0) /
                  CAST(least(lc.n_label - 1, 20) AS DOUBLE)
                ELSE 0.0 END AS ap_at_20
-        FROM agg a JOIN lc ON lc.label = a.qlabel"""))
+        FROM agg a JOIN lc ON lc.label = a.qlabel""")),
+
+    // --------------------------------------------------------------- q200
+    // CLUSTER SEPARATION AUDIT — centroid-based silhouette (Rousseeuw
+    // 1987, the medoid-free simplification every large-scale clusterer
+    // reports): per vector, a = euclidean distance to its OWN label's
+    // q84 centroid, b = distance to the NEAREST OTHER centroid
+    // (deterministic argmin: (d², label) struct-min — ties break to
+    // the smaller label on both engines), s = (b − a)/max(a, b) ∈
+    // [−1, 1]. The audit reports the (label, nearest_other,
+    // floor(s·10) bucket) histogram — the q158 bucketize-then-count
+    // discipline, so NO cross-row double sums exist anywhere (every
+    // per-vector s is a chain of single IEEE ops on bit-identical
+    // inputs; counts are integers). Negative buckets = vectors closer
+    // to another centroid than their own (misassignment mass);
+    // nearest_other says WHICH cluster is absorbing them — the
+    // confusion structure a k-means/IVF retrain triages with.
+    //
+    // Scale shape: centroids broadcast (|labels|·d doubles); the
+    // distance expansion is n·|labels| rows of four scalars (the
+    // embedding never leaves its scan row — d² folds in-row per
+    // centroid) feeding ONE map-side-combinable (vec, label) agg,
+    // then the bounded |labels|²·21-cell histogram agg. For large-k
+    // clusterings the same operator runs within coarse cells (the
+    // q92/q120 discipline): silhouette against all k centroids is
+    // O(n·k) by definition; production prunes to the probed cells.
+    Q(
+      "q200_cluster_silhouette",
+      (s, dir) => silhouetteAudit(table(s, dir, "embeddings")),
+      Some(s"""
+        WITH $centroidSqlCtes,
+        cent AS (
+          SELECT label AS clabel, i, vsum / CAST(n AS DOUBLE) AS c FROM c),
+        u AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+          FROM embeddings),
+        d AS (
+          SELECT u.vec_id, u.label, cent.clabel,
+            sum((u.x - cent.c) * (u.x - cent.c) ORDER BY u.i) AS d2
+          FROM u JOIN cent ON u.i = cent.i
+          GROUP BY u.vec_id, u.label, cent.clabel),
+        own AS (SELECT vec_id, label, d2 AS a2 FROM d WHERE clabel = label),
+        near AS (
+          SELECT vec_id, label, clabel AS nearest, d2 AS b2
+          FROM (SELECT d.*, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+                FROM d WHERE clabel <> label) t
+          WHERE rn = 1),
+        sil AS (
+          SELECT o.label, n.nearest,
+            CASE WHEN greatest(sqrt(o.a2), sqrt(n.b2)) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((sqrt(n.b2) - sqrt(o.a2))
+                        / greatest(sqrt(o.a2), sqrt(n.b2)) * 10) AS BIGINT)
+            END AS s_bucket
+          FROM own o JOIN near n ON o.vec_id = n.vec_id)
+        SELECT label, nearest, s_bucket, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM sil GROUP BY label, nearest, s_bucket"""))
   )
+
+  /** Silhouette engine behind q200. Input (vec_id, embedding, label);
+    * output the (label, nearest, s_bucket) histogram. Requires ≥ 2
+    * distinct labels (with one label there is no "other" centroid and
+    * the output is empty — same on both engines). Distances are
+    * in-row ordered folds against broadcast q84 centroids; the argmin
+    * over other centroids is a (d², label) struct-min, deterministic
+    * under ties; s = (b − a)/max(a, b) is a chain of single
+    * correctly-rounded IEEE ops, so floor(s·10) buckets identically
+    * across engines (the q158 rule: bucketize per row, count — never
+    * sum doubles across rows).
+    */
+  private[graft] def silhouetteAudit(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cvec = labelCentroids(emb)
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"i", $"centroid"))).as("cs"))
+      .select($"label".as("clabel"), expr("transform(cs, e -> e.centroid)").as("cvec"))
+    val d = emb
+      .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+      .crossJoin(broadcast(cvec))
+      .select($"vec_id", $"label", $"clabel",
+        expr("""aggregate(zip_with(embedding, cvec,
+                  (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+                CAST(0.0 AS DOUBLE), (a, e) -> a + e)""").as("d2"))
+    val per = d.groupBy($"vec_id", $"label").agg(
+      min(when($"clabel" === $"label", $"d2")).as("a2"),
+      // struct-min = (d2 asc, clabel asc): the deterministic argmin
+      min(when($"clabel" =!= $"label", struct($"d2", $"clabel"))).as("bst"))
+    per
+      .filter($"bst".isNotNull)
+      .select($"label", $"bst.clabel".as("nearest"),
+        sqrt($"a2").as("da"), sqrt($"bst.d2").as("db"))
+      .select($"label", $"nearest",
+        when(greatest($"da", $"db") === 0.0, 0L)
+          .otherwise(floor(($"db" - $"da") / greatest($"da", $"db") * 10)
+            .cast("long"))
+          .as("s_bucket"))
+      .groupBy($"label", $"nearest", $"s_bucket")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+  }
 
   /** The unrolled MMR greedy behind q175: `cand` = (vec_id, rel)
     * k-bounded candidates, `sims` = (c1, c2, sim) directed candidate

@@ -514,6 +514,135 @@ object Extensions {
         SELECT i.d1, i.d2, i.n_inter, a.n AS n_a, b.n AS n_b,
           CAST(i.n_inter AS DOUBLE) / (a.n + b.n - i.n_inter) AS jac
         FROM inter i JOIN sz a ON i.d1 = a.doc_id JOIN sz b ON i.d2 = b.doc_id
+        WHERE i.n_inter * 9 >= (a.n + b.n) * 4""")),
+
+    // --------------------------------------------------------------- q201
+    // INCREMENTAL audio near-dup — q198 in the daily-drop posture
+    // (q196's role for waveforms): the corpus persists one ahash row
+    // per blob, each new batch hashes only ITS blobs and probes via
+    // ops.Lsh.incrementalSimhashCandidates — the same EXACT cross-set
+    // sub-banding as q196, for the same reason (coarse hamming bands
+    // go uniformly hot at corpus scale; a capped probe would silently
+    // stop matching, and exactness also keeps the oracle the simple
+    // uncapped cross join). The batch is the q198 planted-clone view
+    // (every doc_id % 20 == 0 blob arriving as −doc_id − 1): clones
+    // land at hamming 0 against their originals at every scale.
+    Q(
+      "q201_audio_dup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        def ah(d: org.apache.spark.sql.DataFrame) =
+          Multimodal.audioFingerprint(d.select(
+            $"doc_id", encode($"text", "UTF-8").as("media"),
+            lit("audio/fake").as("mime_hint")))
+        val corpusAh = ah(docs).localCheckpoint()
+        val batchAh = ah(docs.filter($"doc_id" % 20 === 0)
+          .select((-$"doc_id" - 1L).as("doc_id"), $"text")).localCheckpoint()
+        graft.ops.Lsh.incrementalSimhashCandidates(
+            corpusAh.select($"doc_id", $"ahash".as("simhash")),
+            batchAh.select($"doc_id", $"ahash".as("simhash")),
+            numBands = Multimodal.PhashNumBands,
+            bandBits = Multimodal.PhashBandBits,
+            subBands = Multimodal.PhashSubBands,
+            subBits = Multimodal.PhashSubBits, maxBucket = 256)
+          .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+          .filter($"hamming" <= 5)
+          .select($"corpus_doc", $"batch_doc", $"hamming")
+      },
+      Some("""
+        WITH cah AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS ahash
+          FROM documents),
+        bah AS (
+          SELECT -doc_id - 1 AS doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS ahash
+          FROM documents WHERE doc_id % 20 = 0),
+        cb AS (
+          SELECT doc_id, ahash, b.b AS band, (ahash >> (b.b * 10)) & 1023 AS bsig
+          FROM cah CROSS JOIN generate_series(0, 5) b(b)),
+        bb AS (
+          SELECT doc_id, ahash, b.b AS band, (ahash >> (b.b * 10)) & 1023 AS bsig
+          FROM bah CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT cb.doc_id AS corpus_doc, bb.doc_id AS batch_doc,
+            cb.ahash AS a1, bb.ahash AS a2
+          FROM cb JOIN bb ON cb.band = bb.band AND cb.bsig = bb.bsig
+          WHERE cb.doc_id <> bb.doc_id)
+        SELECT corpus_doc, batch_doc,
+          CAST(bit_count(xor(a1, a2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(a1, a2)) <= 5""")),
+
+    // --------------------------------------------------------------- q202
+    // INCREMENTAL video near-dup — q199 in the daily-drop posture,
+    // completing the video leg's batch/incremental symmetry: the
+    // corpus persists one DISTINCT frame-hash set per video (with its
+    // cardinality sidecar), each new batch reduces only ITS blobs and
+    // probes via Llm.setSimProbe — the CROSS-SET exact form of the
+    // PPJoin core. No prefix filter, deliberately: the probe is
+    // batch-bounded (corpus element stream restricted scan-side to
+    // the batch's distinct frame hashes via a broadcast semi-join
+    // BEFORE anything shuffles — incrementalSimhashCandidates'
+    // discipline on the set domain), so the self-join's prefix
+    // machinery would prune nothing the semi-join hasn't already.
+    // Exactness keeps the oracle the simple uncapped cross join. The
+    // batch is q199's tail-truncated clone view (doc_id % 15 == 0
+    // with ≥ 5 chunks, minus its last chunk): clones land exactly ON
+    // the ≥ 4/5 gate against their originals at every scale.
+    Q(
+      "q202_video_dup_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", $"text")
+        def sets(d: org.apache.spark.sql.DataFrame) =
+          Multimodal.videoFrameHashes(
+              d.select($"doc_id", encode($"text", "UTF-8").as("media"),
+                lit("video/fake").as("mime_hint")), chunkBytes = 64)
+            .groupBy($"doc_id")
+            .agg(array_distinct(collect_list($"fhash")).as("gs"))
+        val corpus = sets(docs)
+        val batch = sets(docs
+          .filter($"doc_id" % 15 === 0 && length($"text") >= 64 * 5)
+          .select((-$"doc_id" - 1L).as("doc_id"),
+            expr("substring(text, 1, (length(text) div 64 - 1) * 64)").as("text")))
+        graft.queries.Llm.setSimProbe(corpus, batch, p = 4, q = 5)
+      },
+      Some("""
+        WITH ch AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x',
+              substr(md5(substr(text, s.i * 64 + 1, 64)), 1, 15)) AS UBIGINT) AS BIGINT) AS fh
+          FROM documents CROSS JOIN generate_series(0, 4095) s(i)
+          WHERE s.i < greatest(
+            CASE WHEN length(text) > 262144
+                 THEN error('oracle chunk bound 4096 exceeded — raise the series bound')
+                 ELSE length(text) END // 64, 1)),
+        bt AS (
+          SELECT -doc_id - 1 AS doc_id,
+            substr(text, 1, (length(text) // 64 - 1) * 64) AS text
+          FROM documents WHERE doc_id % 15 = 0 AND length(text) >= 320),
+        bch AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x',
+              substr(md5(substr(text, s.i * 64 + 1, 64)), 1, 15)) AS UBIGINT) AS BIGINT) AS fh
+          FROM bt CROSS JOIN generate_series(0, 4095) s(i)
+          WHERE s.i < greatest(length(text) // 64, 1)),
+        cdf AS (SELECT DISTINCT doc_id, fh FROM ch),
+        bdf AS (SELECT DISTINCT doc_id, fh FROM bch),
+        csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cdf GROUP BY doc_id),
+        bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bdf GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_id AS corpus_doc, b.doc_id AS batch_doc,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM cdf c JOIN bdf b ON c.fh = b.fh AND c.doc_id <> b.doc_id
+          GROUP BY c.doc_id, b.doc_id)
+        SELECT i.corpus_doc, i.batch_doc, i.n_inter,
+          a.n AS n_a, b.n AS n_b,
+          CAST(i.n_inter AS DOUBLE) / (a.n + b.n - i.n_inter) AS jac
+        FROM inter i
+          JOIN csz a ON i.corpus_doc = a.doc_id
+          JOIN bsz b ON i.batch_doc = b.doc_id
         WHERE i.n_inter * 9 >= (a.n + b.n) * 4"""))
   )
 }

@@ -83,6 +83,46 @@ object Llm {
     * orders by (df, element), so any type with a deterministic total
     * order works. Same gates, same output schema as [[setSimJoin]].
     */
+  /** CROSS-SET exact set-similarity probe — [[setSimJoinSets]] in the
+    * daily-drop posture (what `incrementalSimhashCandidates` is to the
+    * hamming family): batch sets against corpus sets at jac ≥ p/q,
+    * output (corpus_doc, batch_doc, n_inter, n_a, n_b, jac).
+    *
+    * No prefix filter, deliberately: the self-join needs it because
+    * both sides are corpus-sized; here the probe is bounded by the
+    * BATCH — the corpus element stream is restricted SCAN-SIDE to the
+    * batch's distinct elements (a batch-sized broadcast semi-join)
+    * before anything shuffles, so the pair stream is
+    * O(batch-element df), and the size-ratio gate prunes inside the
+    * join condition. Exactness keeps the oracle the simple uncapped
+    * cross join. Both inputs are (doc_id, gs) with gs DISTINCT
+    * elements; `gs` sizes stand in for the per-doc cardinality
+    * sidecar a persisted corpus state would carry.
+    */
+  private[graft] def setSimProbe(
+      corpusSets: DataFrame, batchSets: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
+    val s = corpusSets.sparkSession
+    import s.implicits._
+    val bs = batchSets.localCheckpoint()
+    val bkeys = broadcast(bs.select(explode($"gs").as("g")).distinct())
+    val bsh = bs.select($"doc_id".as("batch_doc"),
+      size($"gs").cast("long").as("n_b"), explode($"gs").as("g"))
+    val csh = corpusSets.select($"doc_id".as("corpus_doc"),
+        size($"gs").cast("long").as("n_a"), explode($"gs").as("g"))
+      .join(bkeys, Seq("g"), "left_semi")
+    csh.join(bsh,
+        csh("g") === bsh("g") &&
+          $"n_a" * q >= $"n_b" * p && $"n_b" * q >= $"n_a" * p &&
+          $"corpus_doc" =!= $"batch_doc")
+      .groupBy($"corpus_doc", $"batch_doc")
+      .agg(count(lit(1)).as("n_inter"),
+        min($"n_a").as("n_a"), min($"n_b").as("n_b"))
+      .filter($"n_inter" * (p + q) >= ($"n_a" + $"n_b") * p)
+      .withColumn("jac",
+        $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
+  }
+
   private[graft] def setSimJoinSets(sets0: DataFrame, p: Int, q: Int): DataFrame = {
     require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
     val s = sets0.sparkSession

@@ -5,12 +5,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** STREAMING image near-dup dedup — the FOURTEENTH exactly-once
+/** STREAMING media near-dup dedup — the FOURTEENTH exactly-once
   * maintainer, completing the image family's batch (q195) /
   * incremental (q196) / streaming symmetry exactly as
-  * [[StreamCuration]] does for text: media micro-batches are
-  * perceptually hashed ([[Multimodal.imagePhash]] — real 60-bit dHash
-  * for decodable rasters, md5 stub otherwise), first-wins deduped
+  * [[StreamCuration]] does for text — and MODALITY-GENERIC via the
+  * `fingerprint` hook: the default hashes rasters
+  * ([[Multimodal.imagePhash]]) and [[audioFingerprint]] plugs the
+  * q198/q201 waveform hash into the identical maintainer (any 60-bit
+  * signature rides [[Multimodal.phashBands]]' geometry — hashing is
+  * the only modality-specific step, which is the point of the 60-bit
+  * convention). Media micro-batches are
+  * perceptually hashed (real 60-bit bits where the blob decodes,
+  * md5 stub otherwise), first-wins deduped
   * against in-batch AND accumulated-corpus candidates, and the
   * survivors land in per-batch output children while the batch's
   * phashes join the state.
@@ -58,18 +64,32 @@ object StreamPhash {
 
   /** Start the stream: micro-batches of `source` (doc_id, media,
     * mime_hint) flow through [[processBatch]].
+    *
+    * `fingerprint` is the modality hook: any (doc_id, media,
+    * mime_hint) → (doc_id, phash, decoded) op whose hash is 60-bit
+    * (the [[Multimodal.phashBands]] geometry contract) plugs in —
+    * [[Multimodal.imagePhash]] (default) for rasters,
+    * [[audioFingerprint]] for waveforms. The maintainer itself is
+    * modality-agnostic: hashing is the only modality-specific step.
     */
   def start(
       source: DataFrame,
       stateDir: String,
       outDir: String,
-      maxBucket: Int = 256): StreamingQuery =
+      maxBucket: Int = 256,
+      fingerprint: DataFrame => DataFrame = Multimodal.imagePhash): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", s"$stateDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, outDir, id, maxBucket): Unit
+        processBatch(batch.sparkSession, batch, stateDir, outDir, id, maxBucket,
+          fingerprint): Unit
       }
       .start()
+
+  /** [[Multimodal.audioFingerprint]] in [[start]]'s fingerprint
+    * contract (the ahash column renamed to the maintainer's phash). */
+  def audioFingerprint(df: DataFrame): DataFrame =
+    Multimodal.audioFingerprint(df).withColumnRenamed("ahash", "phash")
 
   /** The kept (first-wins) blobs across all committed batches. */
   def kept(spark: SparkSession, outDir: String): DataFrame =
@@ -85,7 +105,8 @@ object StreamPhash {
       stateDir: String,
       outDir: String,
       batchId: Long,
-      maxBucket: Int = 256): Boolean = {
+      maxBucket: Int = 256,
+      fingerprint: DataFrame => DataFrame = Multimodal.imagePhash): Boolean = {
     import spark.implicits._
     val guard = s"$stateDir/state"
     if (batchId <= StreamIndex.committedBatch(spark, guard)) return false
@@ -93,7 +114,7 @@ object StreamPhash {
       StreamIndex.writeCommitted(spark, guard, batchId)
       return false
     }
-    val ph = Multimodal.imagePhash(batchMedia).localCheckpoint()
+    val ph = fingerprint(batchMedia).localCheckpoint()
     // forget tombstones honored at probe time
     val seenPh = graft.ops.Forget.exclude(
       graft.ops.Layouts.readChildren(

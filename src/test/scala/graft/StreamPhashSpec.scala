@@ -118,4 +118,49 @@ class StreamPhashSpec extends SparkSuite {
     q.stop()
     assert(keptIds(outDir) === replicaKept(phashesOf(blobs)))
   }
+
+  test("audio fingerprint hook: the SAME maintainer dedups waveforms") {
+    // real WAV near-dups across batches through the q198 hash — the
+    // maintainer is modality-generic, only the fingerprint changes
+    def wav(seed: Int, vol: Double = 1.0): Array[Byte] = {
+      val n = 61 * 100
+      val levels = Array.tabulate(61) { k =>
+        var x = (seed * 2654435761L + k * 40503L) & 0x7fffffffL
+        x = (x * 48271L) % 2147483647L
+        1000 + (x % 15000L).toInt
+      }
+      val samples = Array.tabulate(n) { i =>
+        val env = levels(i * 61 / n)
+        val sgn = if ((i / 25) % 2 == 0) 1 else -1
+        (sgn * math.min(32767, (env * vol).toInt)).toShort
+      }
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(8 + 4 + 24 + 8 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 8 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, wav(3), "audio/wav"),              // kept
+      (2L, wav(4), "audio/wav"),              // kept (distinct recording)
+      (3L, wav(3, vol = 0.5), "audio/wav"),   // in-batch near-dup of 1
+      (4L, "stub audio payload".getBytes("UTF-8"), "audio/mp3"), // kept (stub)
+      (5L, wav(4, vol = 0.7), "audio/wav"),   // CROSS-batch near-dup of 2
+      (6L, "stub audio payload".getBytes("UTF-8"), "audio/mp3")) // cross exact stub dup of 4
+    val root = java.nio.file.Files.createTempDirectory("sphash-audio").toString
+    val (stateDir, outDir) = (s"$root/state", s"$root/out")
+    rows.grouped(4).zipWithIndex.foreach { case (b, i) =>
+      assert(StreamPhash.processBatch(spark, df(b), stateDir, outDir, i.toLong,
+        fingerprint = StreamPhash.audioFingerprint))
+    }
+    val hashes = StreamPhash.audioFingerprint(df(rows)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keptIds(outDir) === replicaKept(hashes))
+    assert(keptIds(outDir) === Set(1L, 2L, 4L))
+  }
 }

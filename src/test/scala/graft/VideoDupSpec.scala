@@ -95,4 +95,45 @@ class VideoDupSpec extends SparkSuite {
     assert(brute.nonEmpty, "the planted block sharing must produce pairs")
     info(s"${brute.size} video near-dup pairs, PPJoin core exact on LONG sets")
   }
+
+  test("cross-set probe (q202 core) ≡ brute-force replica; batch-bounded") {
+    import spark.implicits._
+    def stub(i: Long, first: Long, nBlocks: Int): (Long, Array[Byte], String) =
+      (i, (0 until nBlocks).map(b => f"blk-${first + b}%05d".padTo(64, 'x'))
+        .mkString.getBytes("UTF-8"), "video/fake")
+    // corpus: 12 videos over a shared block universe
+    val corpus = (0L to 11L).map(i => stub(i, i * 3, 10))
+    // batch: a tail-truncated clone of video 4 (9 of its 10 blocks →
+    // jac 0.9), a half-overlap (below gate), and a fresh video
+    val batch = Seq(
+      stub(-1L, 12L, 9),   // video 4's blocks are 12..21; this is 12..20
+      stub(-2L, 14L, 5),   // partial overlap with several — below 4/5
+      stub(-3L, 500L, 8))  // disjoint
+    def sets(rows: Seq[(Long, Array[Byte], String)]) =
+      graft.ops.Multimodal.videoFrameHashes(
+          rows.toDF("doc_id", "media", "mime_hint"), chunkBytes = 64)
+        .groupBy($"doc_id")
+        .agg(array_distinct(collect_list($"fhash")).as("gs"))
+    val got = graft.queries.Llm.setSimProbe(sets(corpus), sets(batch), 4, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    def hashSets(rows: Seq[(Long, Array[Byte], String)]) =
+      graft.ops.Multimodal.videoFrameHashes(
+          rows.toDF("doc_id", "media", "mime_hint"), chunkBytes = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSet }
+    val cs = hashSets(corpus); val bs = hashSets(batch)
+    val brute = (for {
+      (cd, s1) <- cs; (bd, s2) <- bs
+      inter = (s1 & s2).size
+      if inter * 9 >= 4 * (s1.size + s2.size)
+    } yield (cd, bd, inter.toLong, s1.size.toLong, s2.size.toLong)).toSet
+
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(brute.exists(t => t._1 == 4L && t._2 == -1L),
+      "the truncated clone must find its corpus original")
+    assert(!brute.exists(t => t._2 == -3L), "the fresh video must match nothing")
+  }
 }
