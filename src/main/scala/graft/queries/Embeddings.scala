@@ -458,7 +458,54 @@ object Embeddings {
             END AS s_bucket
           FROM own o JOIN near n ON o.vec_id = n.vec_id)
         SELECT label, nearest, s_bucket, CAST(count(*) AS BIGINT) AS n_vecs
-        FROM sil GROUP BY label, nearest, s_bucket"""))
+        FROM sil GROUP BY label, nearest, s_bucket""")),
+
+    // --------------------------------------------------------------- q203
+    // SIGN RANDOM PROJECTION to 16 dims (Achlioptas 2003's database-
+    // friendly JL projection, the ±1 form): y_j = 0.25 · Σᵢ s(i,j)·xᵢ
+    // with the sign matrix DERIVED, not stored — s(i,j) = ±1 from one
+    // md5 bit of "i|j" (the repo's 60-bit convention), so any
+    // executor (and the DuckDB oracle) reproduces the exact same
+    // matrix with zero distributed state, and 1/√16 = 0.25 is an
+    // exact binary scale. The projection is the storage/sketch half
+    // of the ANN stack (q33's hyperplanes hash to bits; this keeps
+    // metric geometry for downstream exact re-rank at 4× less I/O
+    // than fp32 d=64). Per-output sums are in-row ORDERED folds over
+    // zip_with(embedding, index) — the q84/q115 discipline, so every
+    // double hash-matches.
+    //
+    // Scale shape: pure scan projection — NO shuffle anywhere, no
+    // broadcast, no state; the matrix materializes inside codegen as
+    // md5 calls on loop indices. At 100 TB this runs at read
+    // throughput, which is the point of deriving rather than joining
+    // the matrix.
+    Q(
+      "q203_random_projection",
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "embeddings")
+          .select($"vec_id", posexplode(expr(
+            s"""transform(sequence(0, 15), j ->
+                  0.25 * aggregate(
+                    zip_with(embedding, sequence(0, size(embedding) - 1),
+                      (x, i) -> CASE WHEN CAST(conv(substr(md5(concat(i, '|', j)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+                                     THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
+                    CAST(0.0 AS DOUBLE), (a, e) -> a + e))""")))
+          .select($"vec_id", $"pos".cast("long").as("j"), $"col".as("y"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i
+          FROM embeddings)
+        SELECT u.vec_id, j.j,
+          0.25 * sum(CASE WHEN CAST(CAST(concat('0x',
+                substr(md5(concat(CAST(u.i AS VARCHAR), '|', CAST(j.j AS VARCHAR))), 1, 15))
+                AS UBIGINT) AS BIGINT) % 2 = 0
+              THEN u.x ELSE -u.x END ORDER BY u.i) AS y
+        FROM u CROSS JOIN generate_series(0, 15) j(j)
+        GROUP BY u.vec_id, j.j"""))
   )
 
   /** Silhouette engine behind q200. Input (vec_id, embedding, label);

@@ -120,6 +120,23 @@ class AudioFingerprintSpec extends SparkSuite {
     assert(graft.ops.Multimodal.eHashOf(noFmt).isEmpty, "data without fmt must stub")
   }
 
+  test("parser totality: RIFF-prefixed fuzz never throws — it hashes or stubs") {
+    val rng = new scala.util.Random(42)
+    (0 until 2000).foreach { i =>
+      val len = rng.nextInt(4096)
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      // half the blobs get a plausible RIFF/WAVE prefix so the chunk
+      // walker actually engages (pure noise rarely passes the magic)
+      if (i % 2 == 0 && len >= 12) {
+        "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+        "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+      }
+      val h = graft.ops.Multimodal.eHashOf(b) // must not throw
+      h.foreach(v => assert(v >= 0L && v < (1L << 60), s"fuzz $i out of range"))
+    }
+  }
+
   test("banded candidate path ≡ brute-force popcount on a mixed real+stub frame") {
     import spark.implicits._
     val n = 61 * 100

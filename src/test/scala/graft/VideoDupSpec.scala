@@ -96,6 +96,32 @@ class VideoDupSpec extends SparkSuite {
     info(s"${brute.size} video near-dup pairs, PPJoin core exact on LONG sets")
   }
 
+  test("decoder totality: GIF-prefixed fuzz stubs to chunk hashes, never throws") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows: Seq[(Long, Array[Byte], String)] = (0 until 200).map { i =>
+      val len = 6 + rng.nextInt(1024)
+      val b = new Array[Byte](len)
+      rng.nextBytes(b)
+      if (i % 2 == 0) "GIF89a".getBytes("US-ASCII").copyToArray(b, 0)
+      (i.toLong, b, "video/fuzz")
+    }
+    val out = graft.ops.Multimodal.videoFrameHashes(
+        rows.toDF("doc_id", "media", "mime_hint"), chunkBytes = 64)
+      .collect()
+    assert(out.nonEmpty)
+    // every blob produced its stub chunk count (a corrupt GIF must
+    // fall through to the chunk path, not vanish or throw)
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    rows.foreach { case (id, b, _) =>
+      val want = math.max(b.length / 64, 1)
+      // real-route GIFs (if the reader accepts a fuzz blob, which is
+      // legal) report their true frame count instead
+      if (!out.find(_.getLong(0) == id).get.getBoolean(3))
+        assert(byDoc(id) == want, s"doc $id: ${byDoc(id)} vs $want")
+    }
+  }
+
   test("cross-set probe (q202 core) ≡ brute-force replica; batch-bounded") {
     import spark.implicits._
     def stub(i: Long, first: Long, nBlocks: Int): (Long, Array[Byte], String) =
