@@ -643,6 +643,84 @@ object Extensions {
         FROM inter i
           JOIN csz a ON i.corpus_doc = a.doc_id
           JOIN bsz b ON i.batch_doc = b.doc_id
-        WHERE i.n_inter * 9 >= (a.n + b.n) * 4"""))
+        WHERE i.n_inter * 9 >= (a.n + b.n) * 4""")),
+
+    // --------------------------------------------------------------- q204
+    // MEDIA DEDUP APPLY — the q85 step for rasters, closing the image
+    // family's measure→apply gap: q195's near-dup pair graph flows
+    // through ops.ConnectedComponents (hash-min labels — cluster_id =
+    // min reachable doc_id), the min member of each cluster is kept
+    // canonical, and the output is the per-blob verdict frame (canon,
+    // kept bit, cluster size) a curation pipeline anti-joins the
+    // media corpus with. On the planted-clone view the NEGATIVE clone
+    // id is the minimum, so the clone is what canonical-keep retains —
+    // deterministic, and exactly what min-id keep means (q85's same
+    // property under re-ids; quality-aware keep is q168's refinement).
+    //
+    // Scale shape: pairs are q195's (band-key equality joins, never
+    // pairwise popcounts); CC labels are broadcast-sized (dup
+    // clusters, not the corpus); the verdict is one left join from
+    // the blob id frame — media bytes appear nowhere.
+    Q(
+      "q204_media_dedup_apply",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = all.find(_.name == "q195_image_phash_dup").get
+          .run(s, dir).select($"d1", $"d2").localCheckpoint()
+        val labels = graft.ops.ConnectedComponents.auto(pairs)
+        graft.ops.Checkpoints.release(pairs)
+        val sizes = labels.groupBy($"cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+        val docs = table(s, dir, "documents").select($"doc_id")
+        val planted = docs.filter($"doc_id" % 25 === 0)
+          .select((-$"doc_id" - 1L).as("doc_id"))
+        docs.unionByName(planted)
+          .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster_id"), "left")
+          .select($"doc_id",
+            coalesce($"cluster_id", $"doc_id").as("canon"),
+            coalesce($"n_members", lit(1L)).as("n_members"),
+            ($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+              .cast("long").as("kept"))
+      },
+      Some(s"""
+        WITH RECURSIVE corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -doc_id - 1, text FROM documents WHERE doc_id % 25 = 0),
+        ph AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM corp),
+        bands AS (
+          SELECT doc_id, phash, b.b, (phash >> (b.b * 10)) & 1023 AS band
+          FROM ph CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.phash AS p1, y.phash AS p2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id),
+        prs AS (
+          SELECT d1, d2 FROM cand WHERE bit_count(xor(p1, p2)) <= 5),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM prs
+          UNION
+          SELECT d2, d1 FROM prs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        sz AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM lab GROUP BY cluster_id)
+        SELECT c.doc_id,
+          coalesce(l.cluster_id, c.doc_id) AS canon,
+          coalesce(sz.n_members, CAST(1 AS BIGINT)) AS n_members,
+          CAST(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = c.doc_id
+               THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM corp c
+          LEFT JOIN lab l ON c.doc_id = l.doc_id
+          LEFT JOIN sz ON l.cluster_id = sz.cluster_id"""))
   )
 }

@@ -101,16 +101,37 @@ object Llm {
     */
   private[graft] def setSimProbe(
       corpusSets: DataFrame, batchSets: DataFrame, p: Int, q: Int): DataFrame = {
-    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
     val s = corpusSets.sparkSession
+    import s.implicits._
+    setSimProbePostings(
+      corpusSets.select($"doc_id", size($"gs").cast("long").as("n"),
+        explode($"gs").as("g")),
+      batchSets, p, q)
+  }
+
+  /** [[setSimProbe]] with the corpus side in POSTINGS form — (doc_id,
+    * n, g), one row per set element with its set's cardinality
+    * denormalized onto every row. This is the shape an AT-REST corpus
+    * state stores (StreamVideoDup's per-batch children append in it),
+    * because re-assembling gs arrays per probe would be a
+    * corpus-sized groupBy per trigger — the exact cost an O(batch)
+    * probe exists to avoid.
+    */
+  private[graft] def setSimProbePostings(
+      corpusPostings: DataFrame, batchSets: DataFrame, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
+    val s = corpusPostings.sparkSession
     import s.implicits._
     val bs = batchSets.localCheckpoint()
     val bkeys = broadcast(bs.select(explode($"gs").as("g")).distinct())
     val bsh = bs.select($"doc_id".as("batch_doc"),
       size($"gs").cast("long").as("n_b"), explode($"gs").as("g"))
-    val csh = corpusSets.select($"doc_id".as("corpus_doc"),
-        size($"gs").cast("long").as("n_a"), explode($"gs").as("g"))
+    val csh = corpusPostings.select($"doc_id".as("corpus_doc"),
+        $"n".as("n_a"), $"g")
       .join(bkeys, Seq("g"), "left_semi")
+    // one-shot convention: bs's checkpoint blocks are reaped by the
+    // ContextCleaner with the returned frame (per-trigger callers
+    // materialize the result inside their batch before moving on)
     csh.join(bsh,
         csh("g") === bsh("g") &&
           $"n_a" * q >= $"n_b" * p && $"n_b" * q >= $"n_a" * p &&
