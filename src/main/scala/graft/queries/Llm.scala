@@ -126,9 +126,15 @@ object Llm {
     val bkeys = broadcast(bs.select(explode($"gs").as("g")).distinct())
     val bsh = bs.select($"doc_id".as("batch_doc"),
       size($"gs").cast("long").as("n_b"), explode($"gs").as("g"))
+    // distinct AFTER the batch-key restriction: a duplicated posting
+    // (the same doc re-arriving in a later stream batch writes its
+    // rows twice) would double-count n_inter and overshoot the gate;
+    // deduping the RESTRICTED stream keeps the cost batch-bounded
+    // instead of a corpus-wide shuffle
     val csh = corpusPostings.select($"doc_id".as("corpus_doc"),
         $"n".as("n_a"), $"g")
       .join(bkeys, Seq("g"), "left_semi")
+      .distinct()
     // one-shot convention: bs's checkpoint blocks are reaped by the
     // ContextCleaner with the returned frame (per-trigger callers
     // materialize the result inside their batch before moving on)

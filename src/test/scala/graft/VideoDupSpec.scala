@@ -161,5 +161,17 @@ class VideoDupSpec extends SparkSuite {
     assert(brute.exists(t => t._1 == 4L && t._2 == -1L),
       "the truncated clone must find its corpus original")
     assert(!brute.exists(t => t._2 == -3L), "the fresh video must match nothing")
+
+    // duplicated state postings (a doc re-arriving across stream
+    // batches writes its rows twice) must NOT double-count n_inter —
+    // the probe dedups the batch-restricted stream
+    val posts = sets(corpus).select($"doc_id",
+      size($"gs").cast("long").as("n"), explode($"gs").as("g"))
+    val gotDup = graft.queries.Llm.setSimProbePostings(
+        posts.unionByName(posts), sets(batch), 4, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(gotDup == brute, "duplicated postings changed the probe output")
   }
 }
