@@ -464,33 +464,55 @@ object Embeddings {
     // SIGN RANDOM PROJECTION to 16 dims (Achlioptas 2003's database-
     // friendly JL projection, the ±1 form): y_j = 0.25 · Σᵢ s(i,j)·xᵢ
     // with the sign matrix DERIVED, not stored — s(i,j) = ±1 from one
-    // md5 bit of "i|j" (the repo's 60-bit convention), so any
-    // executor (and the DuckDB oracle) reproduces the exact same
-    // matrix with zero distributed state, and 1/√16 = 0.25 is an
-    // exact binary scale. The projection is the storage/sketch half
-    // of the ANN stack (q33's hyperplanes hash to bits; this keeps
-    // metric geometry for downstream exact re-rank at 4× less I/O
-    // than fp32 d=64). Per-output sums are in-row ORDERED folds over
+    // md5 bit of "i|j" (the repo's 60-bit convention), so the plan
+    // builder and the DuckDB oracle reproduce the exact same matrix
+    // with zero distributed state, and 1/√16 = 0.25 is an exact
+    // binary scale. The projection is the storage/sketch half of the
+    // ANN stack (q33's hyperplanes hash to bits; this keeps metric
+    // geometry for downstream exact re-rank at 4× less I/O than fp32
+    // d=64). Per-output sums are in-row ORDERED folds over
     // zip_with(embedding, index) — the q84/q115 discipline, so every
     // double hash-matches.
     //
     // Scale shape: pure scan projection — NO shuffle anywhere, no
-    // broadcast, no state; the matrix materializes inside codegen as
-    // md5 calls on loop indices. At 100 TB this runs at read
-    // throughput, which is the point of deriving rather than joining
-    // the matrix.
+    // broadcast, no state; the 256 × 16 sign table is derived once
+    // driver-side and rides the plan as a literal the fold indexes
+    // (an md5-per-row formulation was measured 5× slower for
+    // bit-identical output). At 100 TB this runs at read throughput,
+    // which is the point of deriving rather than joining the matrix.
     Q(
       "q203_random_projection",
       (s, dir) => {
         import s.implicits._
+        // The sign matrix is ROW-CONSTANT, so it is derived ONCE at
+        // plan build (1024 driver-side md5s — the identical bits the
+        // oracle derives in SQL) and embedded as a literal the in-row
+        // fold indexes: an md5-per-(i,j)-per-ROW formulation measured
+        // 2.8 s warm at sf0.1 (2 M codegen md5 calls for 2 k vectors)
+        // for the same bit-identical output. Signs cover i < 256; a
+        // wider embedding fails loudly (the repo's loud-failure rule —
+        // element_at would otherwise null out silently).
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(i: Int, j: Int): Int = {
+          md.reset()
+          val h = md.digest(s"$i|$j".getBytes("UTF-8"))
+          // Md5Hash60 = the driver-side twin of the oracle's
+          // conv(substr(md5, 1, 15), 16, 10); % 2 is the same parity
+          if (graft.ops.Md5Hash60.ofDigest(h) % 2 == 0) 1 else -1
+        }
+        val signs: Seq[Seq[Int]] =
+          (0 until 16).map(j => (0 until 256).map(i => sign(i, j)))
         table(s, dir, "embeddings")
+          .withColumn("__signs", typedLit(signs))
           .select($"vec_id", posexplode(expr(
             s"""transform(sequence(0, 15), j ->
-                  0.25 * aggregate(
-                    zip_with(embedding, sequence(0, size(embedding) - 1),
-                      (x, i) -> CASE WHEN CAST(conv(substr(md5(concat(i, '|', j)), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-                                     THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
-                    CAST(0.0 AS DOUBLE), (a, e) -> a + e))""")))
+                  CASE WHEN size(embedding) > 256
+                       THEN raise_error('q203: embedding dim > 256 — widen the sign table')
+                       ELSE 0.25 * aggregate(
+                         zip_with(embedding, sequence(0, size(embedding) - 1),
+                           (x, i) -> CASE WHEN element_at(element_at(__signs, j + 1), i + 1) = 1
+                                          THEN CAST(x AS DOUBLE) ELSE -CAST(x AS DOUBLE) END),
+                         CAST(0.0 AS DOUBLE), (a, e) -> a + e) END)""")))
           .select($"vec_id", $"pos".cast("long").as("j"), $"col".as("y"))
       },
       Some("""
