@@ -1661,7 +1661,76 @@ object Selection {
                          (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
                           CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE)
           END AS kappa
-        FROM cells"""))
+        FROM cells""")),
+
+    // --------------------------------------------------------------- q205
+    // QUALITY SLICE FINDER (SliceFinder, Polyzotis et al. 2019 / the
+    // "problematic slices" audit every curation run should close
+    // with): grid the corpus into (lang, source, length-bucket) cells
+    // and flag cells whose q87 Gopher pass rate deviates from the
+    // GLOBAL rate by ≥ 3/20 at support ≥ 20 docs — a failing slice
+    // localizes a quality problem (one crawler, one language, one
+    // length band) that the corpus-level rate averages away. The
+    // deviation gate is ALL-INTEGER cross-multiplication in
+    // DECIMAL(38,0) (the q185/q191 shadow-product discipline:
+    // 20·|pass_c·N − pass_tot·n_c| ≥ 3·n_c·N — BIGINT products wrap
+    // at ~3×10⁹ docs); the reported rates are single divisions.
+    // Domain note: cells count ALL documents; docs with no a–z word
+    // (q87's tokenizer emits nothing) count as cannot-pass — the
+    // q135/q149 coalesce-0 convention.
+    //
+    // Scale shape: one doc-keyed join (gopher flags) + ONE
+    // map-side-combined cell agg; the cell frame is
+    // |langs × sources × buckets|-bounded, and the global totals ride
+    // a broadcast 1-row frame. No windows, no per-doc output.
+    Q(
+      "q205_quality_slices",
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source",
+            expr("n_chars div 100").cast("long").as("len_bucket"))
+        val pass = Mining.gopherRules(Llm.docsSpread(s, dir))
+          .select($"doc_id", $"pass")
+        val cells = docs.join(pass, Seq("doc_id"), "left")
+          .groupBy($"lang", $"source", $"len_bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(coalesce($"pass", lit(0L))).cast("long").as("n_pass"))
+        val tot = cells.agg(sum($"n").cast("long").as("n_tot"),
+          sum($"n_pass").cast("long").as("pass_tot"))
+        val d380 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+        cells.crossJoin(broadcast(tot))
+          .select($"lang", $"source", $"len_bucket", $"n", $"n_pass",
+            ($"n_pass".cast("double") / $"n".cast("double")).as("rate"),
+            ($"pass_tot".cast("double") / $"n_tot".cast("double")).as("global_rate"),
+            (lit(20).cast(d380) * abs($"n_pass".cast(d380) * $"n_tot".cast(d380) -
+                $"pass_tot".cast(d380) * $"n".cast(d380)) >=
+              lit(3).cast(d380) * $"n".cast(d380) * $"n_tot".cast(d380) &&
+              $"n" >= 20L).cast("long").as("flagged"))
+      },
+      Some(s"""
+        WITH ${graft.queries.Mining.gopherSqlCtes},
+        d AS (
+          SELECT doc_id, lang, source, n_chars // 100 AS len_bucket
+          FROM documents),
+        cells AS (
+          SELECT d.lang, d.source, d.len_bucket,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(coalesce(sum(g.pass), 0) AS BIGINT) AS n_pass
+          FROM d LEFT JOIN gop g ON d.doc_id = g.doc_id
+          GROUP BY d.lang, d.source, d.len_bucket),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+            CAST(sum(n_pass) AS BIGINT) AS pass_tot
+          FROM cells)
+        SELECT c.lang, c.source, c.len_bucket, c.n, c.n_pass,
+          CAST(c.n_pass AS DOUBLE) / c.n AS rate,
+          CAST(t.pass_tot AS DOUBLE) / t.n_tot AS global_rate,
+          CAST(CASE WHEN 20 * abs(CAST(c.n_pass AS HUGEINT) * t.n_tot -
+                        CAST(t.pass_tot AS HUGEINT) * c.n) >=
+                    3 * CAST(c.n AS HUGEINT) * t.n_tot
+                 AND c.n >= 20 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM cells c CROSS JOIN tot t"""))
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &

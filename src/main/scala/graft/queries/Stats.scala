@@ -966,7 +966,76 @@ object Stats {
           CAST(sum_sq AS DOUBLE) / CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE) AS hhi,
           CAST(CAST(n_docs AS HUGEINT) * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)
             AS effective_sources
-        FROM a"""))
+        FROM a""")),
+
+    // --------------------------------------------------------------- q206
+    // POISSON BOOTSTRAP error bars (Chamandy et al. 2012, "Estimating
+    // uncertainty for massive data streams" — the resampling form
+    // that works in ONE distributed pass): classical bootstrap draws
+    // n-with-replacement per replica (impossible without n sequential
+    // passes); the Poisson approximation gives every row an
+    // independent Poisson(1) replication weight per replica, so all
+    // B = 32 replicas compute in one scan. Weights are DERIVED, not
+    // drawn: u = md5-hash60(doc_id|b)/2⁶⁰ (an exact power-of-two
+    // scaling of a correctly-rounded BIGINT→DOUBLE — bit-identical on
+    // both engines) inverted through the Poisson(1) CDF with the
+    // seven FIXED double literals below (shared verbatim with the
+    // oracle; tail capped at 7, mass 1.04e-5 — the cap is part of the
+    // operator's definition, making it deterministic AND exact to
+    // replay). Per replica: n_eff = Σw and the weighted mean of
+    // n_chars — exact BIGINT sums, ONE division. The spread of the 32
+    // replica means IS the standard error of the corpus mean; a
+    // consumer takes quantiles of this 32-row frame.
+    //
+    // Scale shape: one scan, explode ×32 (the weight math is in-row),
+    // ONE map-side-combined 32-group agg — partials are 32 rows per
+    // task regardless of corpus size. No second pass, no state.
+    Q(
+      "q206_poisson_bootstrap",
+      (s, dir) => {
+        import s.implicits._
+        val ts = Seq("0.36787944117144233", "0.7357588823428847",
+          "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
+          "0.9994058151824183", "0.999916758850712")
+        val wExpr = ts.map(t =>
+          s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        table(s, dir, "documents")
+          .select($"doc_id", $"n_chars",
+            explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("u", expr(
+            """CAST(CAST(conv(substr(md5(concat(doc_id, '|', b)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)
+               / CAST(1152921504606846976 AS DOUBLE)"""))
+          .withColumn("w", expr(s"CAST($wExpr AS BIGINT)"))
+          .groupBy($"b".cast("long").as("b"))
+          .agg(sum($"w").cast("long").as("n_eff"),
+            sum($"w" * $"n_chars").cast("long").as("sum_chars"))
+          .select($"b", $"n_eff",
+            when($"n_eff" === 0L, 0.0)
+              .otherwise($"sum_chars".cast("double") / $"n_eff".cast("double"))
+              .as("mean_chars"))
+      },
+      Some {
+        val ts = Seq("0.36787944117144233", "0.7357588823428847",
+          "0.9196986029286058", "0.9810118431238463", "0.9963401531726563",
+          "0.9994058151824183", "0.999916758850712")
+        val wSql = ts.map(t =>
+          s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT doc_id, n_chars, b.b,
+            CAST(CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '|', CAST(b.b AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) AS DOUBLE)
+              / CAST(1152921504606846976 AS DOUBLE) AS u
+          FROM documents CROSS JOIN generate_series(0, 31) b(b)),
+        w AS (
+          SELECT b, n_chars, CAST($wSql AS BIGINT) AS w FROM e)
+        SELECT CAST(b AS BIGINT) AS b,
+          CAST(sum(w) AS BIGINT) AS n_eff,
+          CASE WHEN sum(w) = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(sum(w * n_chars) AS DOUBLE) / sum(w) END AS mean_chars
+        FROM w GROUP BY b"""
+      })
   )
 
   /** Distributed Misra–Gries engine behind q111: per-partition MG
