@@ -721,6 +721,61 @@ object Extensions {
                THEN 1 ELSE 0 END AS BIGINT) AS kept
         FROM corp c
           LEFT JOIN lab l ON c.doc_id = l.doc_id
-          LEFT JOIN sz ON l.cluster_id = sz.cluster_id"""))
+          LEFT JOIN sz ON l.cluster_id = sz.cluster_id""")),
+
+    // --------------------------------------------------------------- q207
+    // MEDIA SPLIT LEAKAGE — q192's eval-integrity role for rasters:
+    // benchmarks leak through NEAR-DUPLICATE images (re-crops,
+    // re-encodes, brightness-shifted copies) exactly as text leaks
+    // through near-dup documents, and a verbatim-hash check misses
+    // every one of them. q195's perceptual pair stream is joined to
+    // the SAME split expression training uses (TrainPrep.splitOf BY
+    // REFERENCE — the q192 cannot-drift discipline), and the report
+    // is every val/test blob with a train-side near-dup partner
+    // (hamming ≤ 5), i.e. the eval rows whose scores are
+    // contaminated. Output is leak-sized; the heavy lifting is
+    // q195's banded pair machinery, reused not recomputed.
+    Q(
+      "q207_media_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = all.find(_.name == "q195_image_phash_dup").get
+          .run(s, dir).localCheckpoint()
+        pairs.select($"d1".as("doc_id"), $"d2".as("partner"), $"hamming")
+          .unionAll(pairs.select($"d2".as("doc_id"), $"d1".as("partner"), $"hamming"))
+          .withColumn("split", TrainPrep.splitOf($"doc_id"))
+          .withColumn("partner_split", TrainPrep.splitOf($"partner"))
+          .filter($"split".isin("val", "test") && $"partner_split" === "train")
+          .select($"doc_id", $"split", $"partner", $"partner_split", $"hamming")
+      },
+      Some(s"""
+        WITH corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -doc_id - 1, text FROM documents WHERE doc_id % 25 = 0),
+        ph AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM corp),
+        bands AS (
+          SELECT doc_id, phash, b.b, (phash >> (b.b * 10)) & 1023 AS band
+          FROM ph CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.phash AS p1, y.phash AS p2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id),
+        prs AS (
+          SELECT d1, d2, CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(p1, p2)) <= 5),
+        sides AS (
+          SELECT d1 AS doc_id, d2 AS partner, hamming FROM prs
+          UNION ALL
+          SELECT d2, d1, hamming FROM prs)
+        SELECT doc_id, ${TrainPrep.splitSql("doc_id")} AS split,
+          partner, ${TrainPrep.splitSql("partner")} AS partner_split, hamming
+        FROM sides
+        WHERE ${TrainPrep.splitSql("doc_id")} IN ('val', 'test')
+          AND ${TrainPrep.splitSql("partner")} = 'train'"""))
   )
 }
