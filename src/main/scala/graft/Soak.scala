@@ -198,8 +198,11 @@ object Soak {
     // vectors would move centroids and make 1× vs 10× outputs
     // incomparable.)
     val emb = spark.read.parquet(s"$srcSf/embeddings.parquet")
-    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0)
-    val vecOff = maxVec + 1
+    val maxVecRow = emb.agg(max(col("vec_id"))).head()
+    // max() of an empty table is NULL; getLong on it is an opaque NPE
+    require(!maxVecRow.isNullAt(0),
+      s"$srcSf/embeddings.parquet is empty — nothing to replicate")
+    val vecOff = maxVecRow.getLong(0) + 1
     (0 until k).map { r =>
       if (r == 0) emb
       else emb.withColumn("vec_id", col("vec_id") + lit(r * vecOff))

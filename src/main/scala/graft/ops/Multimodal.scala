@@ -85,6 +85,18 @@ object Multimodal {
     * anything larger is treated as undecodable and stubs out. */
   private val MaxDecodePixels = 64L * 1024 * 1024
 
+  /** Header-only raster-size gate, checked BEFORE every `rd.read(f)`.
+    * GIF image descriptors declare each frame's dimensions
+    * independently of frame 0 (up to 65535 × 65535), so a crafted blob
+    * with a tiny first frame can still steer a LATER read into a
+    * multi-GB raster allocation — and the resulting OutOfMemoryError
+    * is an Error the `catch { case _: Exception => None }` fallback
+    * would not stop. Gate every frame index actually read, not just
+    * frame 0. */
+  private def gateRaster(rd: javax.imageio.ImageReader, f: Int): Unit =
+    if (rd.getWidth(f).toLong * rd.getHeight(f) > MaxDecodePixels)
+      throw new java.io.IOException(s"declared raster too large (frame $f)")
+
   /** Open a positioned JDK ImageReader over the blob, run `use`, and
     * dispose reader + stream whatever happens. Returns None when no
     * installed codec claims the stream. */
@@ -117,8 +129,7 @@ object Multimodal {
           // noise blob that passes the 2-byte BM magic can declare
           // multi-GB dimensions, and the resulting OutOfMemoryError is
           // an Error the fallback catch would not stop
-          if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
-            throw new java.io.IOException("declared raster too large")
+          gateRaster(rd, 0)
           val nImages = rd.getNumImages(true)
           val img = rd.read(0)
           val w = img.getWidth
@@ -231,11 +242,11 @@ object Multimodal {
         try {
           withReader(r.media) { rd =>
             // same header-only size gate as decodeImage: never let a
-            // forged header drive the raster allocation
-            if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
-              throw new java.io.IOException("declared raster too large")
+            // forged header drive the raster allocation — per frame,
+            // because GIF descriptors size each frame independently
             val n = math.max(rd.getNumImages(true), 1)
             (0 until n by stride).map { f =>
+              gateRaster(rd, f)
               val img = rd.read(f)
               (r.doc_id, f.toLong, img.getWidth.toLong * img.getHeight.toLong * 4L)
             }
@@ -316,8 +327,7 @@ object Multimodal {
     sniffImage(r.media).flatMap { _ =>
       try {
         withReader(r.media) { rd =>
-          if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
-            throw new java.io.IOException("declared raster too large")
+          gateRaster(rd, 0)
           dHashOfImage(rd.read(0)).getOrElse(
             throw new java.io.IOException("below the 11x6 dhash grid"))
         }
@@ -417,10 +427,9 @@ object Multimodal {
       case Some("image/gif") =>
         try {
           withReader(media) { rd =>
-            if (rd.getWidth(0).toLong * rd.getHeight(0) > MaxDecodePixels)
-              throw new java.io.IOException("declared raster too large")
             val n = math.max(rd.getNumImages(true), 1)
             (0 until n).map { f =>
+              gateRaster(rd, f)
               dHashOfImage(rd.read(f)).getOrElse(
                 throw new java.io.IOException("frame below the 11x6 dhash grid"))
             }

@@ -77,12 +77,6 @@ object Llm {
       p, q)
   }
 
-  /** The element-type-generic PPJoin core behind [[setSimJoin]] (and
-    * q199's frame-hash sets): input (doc_id, gs) where gs is an array
-    * of DISTINCT set elements of any orderable type — the prefix rank
-    * orders by (df, element), so any type with a deterministic total
-    * order works. Same gates, same output schema as [[setSimJoin]].
-    */
   /** CROSS-SET exact set-similarity probe — [[setSimJoinSets]] in the
     * daily-drop posture (what `incrementalSimhashCandidates` is to the
     * hamming family): batch sets against corpus sets at jac ≥ p/q,
@@ -150,6 +144,12 @@ object Llm {
         $"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"))
   }
 
+  /** The element-type-generic PPJoin core behind [[setSimJoin]] (and
+    * q199's frame-hash sets): input (doc_id, gs) where gs is an array
+    * of DISTINCT set elements of any orderable type — the prefix rank
+    * orders by (df, element), so any type with a deterministic total
+    * order works. Same gates, same output schema as [[setSimJoin]].
+    */
   private[graft] def setSimJoinSets(sets0: DataFrame, p: Int, q: Int): DataFrame = {
     require(p > 0 && q > p, s"threshold p/q must be in (0,1): $p/$q")
     val s = sets0.sparkSession

@@ -1692,10 +1692,19 @@ object Selection {
             expr("n_chars div 100").cast("long").as("len_bucket"))
         val pass = Mining.gopherRules(Llm.docsSpread(s, dir))
           .select($"doc_id", $"pass")
+        // localCheckpoint: cells feeds both the tot aggregate and the
+        // final projection — without it the documents⋈gopher subtree
+        // appears twice in the plan and correctness of the cost rests
+        // on exchange reuse, not on the materialize-once discipline
+        // the repo's other double-consumed probes use. The frame is
+        // |langs × sources × buckets|-bounded, so the checkpoint is
+        // tiny; its blocks are reaped with the returned frame (the
+        // one-shot convention).
         val cells = docs.join(pass, Seq("doc_id"), "left")
           .groupBy($"lang", $"source", $"len_bucket")
           .agg(count(lit(1)).cast("long").as("n"),
             sum(coalesce($"pass", lit(0L))).cast("long").as("n_pass"))
+          .localCheckpoint()
         val tot = cells.agg(sum($"n").cast("long").as("n_tot"),
           sum($"n_pass").cast("long").as("pass_tot"))
         val d380 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
