@@ -5,11 +5,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is REAL for PNG and BMP — the pure-JDK
+  * The decode step is REAL for PNG, JPEG, GIF and BMP — the pure-JDK
   * `javax.imageio` codecs, no external media library needed — and a
   * clearly-marked deterministic STUB for everything else (this
   * container has no ffmpeg/PIL). A blob is routed to the real decoder
-  * only when its magic bytes say PNG/BMP AND the codec accepts it, so
+  * only when its magic bytes say so AND the codec accepts it, so
   * arbitrary binary columns (like the synthetic test corpus) always
   * take the stub path and the DuckDB oracle stays SQL-expressible,
   * while genuine images come back with their true dimensions and
@@ -67,15 +67,29 @@ object Multimodal {
     Md5Hash60.ofDigest(md.digest(bytes))
   }
 
-  /** PNG's 8-byte signature, GIF's "GIF87a"/"GIF89a", or BMP's "BM" —
-    * the formats the pure-JDK codecs are asked to try. A magic match
-    * alone is NOT trusted (random bytes hit "BM" at 2^-16): the codec
-    * must also accept the stream, or the record falls back to the stub.
+  /** PNG's 8-byte signature, JPEG's FF D8 FF SOI+marker prefix, GIF's
+    * "GIF87a"/"GIF89a", or BMP's "BM" — the formats the pure-JDK
+    * codecs are asked to try. A magic match alone is NOT trusted
+    * (random bytes hit "BM" at 2^-16): the codec must also accept the
+    * stream, or the record falls back to the stub.
+    *
+    * JPEG caveat (the dominant format of any real image corpus):
+    * unlike PNG/GIF/BMP, JPEG decode is IDCT output, and the JDK spec
+    * allows conforming decoders to differ by ±1 per sample — so a
+    * JPEG's dHash/features are deterministic for a given blob ON A
+    * GIVEN JDK BUILD but not contractually bit-identical across JDK
+    * vendors. dHash absorbs this by construction: a ±1-per-sample
+    * wobble moves 20×20-block MEANS by ≲ 1/255 of full scale, far
+    * inside the hamming-5 pairing tolerance ImagePhashSpec pins
+    * (JPEG re-encode ↔ PNG original pair at ≤ 5). The DuckDB oracle
+    * is unaffected: oracle-checked queries keep using stub fixtures.
     */
   private def sniffImage(b: Array[Byte]): Option[String] =
     if (b.length >= 8 &&
       b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
       b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) Some("image/png")
+    else if (b.length >= 3 &&
+      b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) Some("image/jpeg")
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') Some("image/gif")
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') Some("image/bmp")
@@ -115,7 +129,7 @@ object Multimodal {
   }
 
   /** REAL image decode via the pure-JDK codecs. Returns None when the
-    * blob is not a decodable PNG/GIF/BMP, routing it to the stub.
+    * blob is not a decodable PNG/JPEG/GIF/BMP, routing it to the stub.
     * Features are the mean luminance (0..1) of 8 equal vertical bands
     * of the FIRST frame, summed row-major; n_frames is the true image
     * count (animated GIFs report their frame total) — deterministic
@@ -257,7 +271,7 @@ object Multimodal {
 
   /** 60-bit perceptual DIFFERENCE HASH (dHash) of an image blob — the
     * near-dup fingerprint for rasters (q38's role for text): REAL for
-    * decodable PNG/GIF/BMP, md5-stub otherwise (same honest-fake
+    * decodable PNG/JPEG/GIF/BMP, md5-stub otherwise (same honest-fake
     * contract as [[decodeBatch]], so a synthetic corpus stays
     * DuckDB-oracle-checkable end-to-end).
     *

@@ -11,9 +11,36 @@ import org.apache.spark.sql.functions._
   */
 class ImagePhashSpec extends SparkSuite {
 
-  import TestScenes.scenePng
+  import TestScenes.{sceneJpeg, scenePng}
 
   private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("JPEG takes the real route: lossy re-encode pairs with its PNG original") {
+    import spark.implicits._
+    val jpeg = sceneJpeg(7, 220, 120)
+    val blobs: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, scenePng(7, 220, 120), "image/png"),     // lossless original
+      (2L, jpeg, "image/jpeg"),                     // JPEG re-encode, same raster
+      (3L, sceneJpeg(7, 110, 60), "image/jpeg"),    // JPEG + resize, stacked transforms
+      (4L, sceneJpeg(8, 220, 120), "image/jpeg"),   // DISTINCT scene as JPEG
+      (5L, jpeg.take(40), "image/jpeg"))            // truncated: SOI magic, no scan data
+    val got = graft.ops.Multimodal.imagePhash(
+        blobs.toDF("doc_id", "media", "mime_hint"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+    (1L to 4L).foreach(id => assert(got(id)._2, s"blob $id must take the real route"))
+    assert(!got(5L)._2, "truncated JPEG must fall back to the stub route")
+    val p1 = got(1L)._1
+    // the production near-dup claim: DCT quantization noise at q=0.85
+    // stays inside the hamming-5 pairing band (block means move ≪ the
+    // inter-block contrast the scene plants)
+    assert(hamming(p1, got(2L)._1) <= 5, s"jpeg re-encode: ${hamming(p1, got(2L)._1)}")
+    assert(hamming(p1, got(3L)._1) <= 5, s"jpeg+resize: ${hamming(p1, got(3L)._1)}")
+    assert(hamming(p1, got(4L)._1) > 5,
+      s"distinct scene must stay apart: ${hamming(p1, got(4L)._1)}")
+    info(s"hamming vs PNG original: jpeg=${hamming(p1, got(2L)._1)} " +
+      s"jpeg+resize=${hamming(p1, got(3L)._1)} distinct=${hamming(p1, got(4L)._1)}")
+  }
 
   test("dHash catches resize / brightness / re-encode; distinct scenes stay apart") {
     import spark.implicits._

@@ -68,6 +68,17 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(f.width === 32L && f.height === 16L)
   }
 
+  test("a real JPEG decodes through the same route (lossy: bands approximate)") {
+    val jpg = fixture(64, 48, "jpg")
+    val f = features(Seq(MediaRecord(8L, jpg, "application/octet-stream")))(8L)
+    assert(f.mime === "image/jpeg") // detected from FF D8 FF, not the hint
+    assert(f.width === 64L && f.height === 48L && f.n_frames === 1L)
+    // DCT ringing blurs the step edge, but band MEANS stay near the
+    // plateaus — the tolerance is the whole point of routing JPEG real
+    assert(f.feature.take(3).forall(_ < 0.1), s"left bands not ~black: ${f.feature}")
+    assert(f.feature.drop(5).forall(_ > 0.9), s"right bands not ~white: ${f.feature}")
+  }
+
   /** A w×h animated GIF with `n` solid gray frames. */
   private def gifFixture(w: Int, h: Int, n: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

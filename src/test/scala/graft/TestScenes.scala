@@ -20,6 +20,30 @@ object TestScenes {
     bos.toByteArray
   }
 
+  /** The same scene as a REAL JPEG — the lossy re-encode transform the
+    * production near-dup path must catch (JPEG is the dominant format
+    * of any real image corpus). Explicit quality so the fixture pins
+    * down how much DCT damage the hamming-5 tolerance is asked to
+    * absorb. */
+  def sceneJpeg(seed: Int, w: Int, h: Int, quality: Float = 0.85f,
+      brighten: Int = 0): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null,
+        new javax.imageio.IIOImage(sceneImage(seed, w, h, brighten), null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** The scene raster itself (the PNG above, pre-encode) — frames for
     * [[animatedGif]]. */
   def sceneImage(seed: Int, w: Int, h: Int, brighten: Int = 0): BufferedImage = {
