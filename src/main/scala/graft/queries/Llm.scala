@@ -694,10 +694,34 @@ object Llm {
           .withColumn("band", expr("shiftright(simhash, b * 8) & 255"))
         val cand = graft.ops.Lsh.simhashCandidates(
           bands, bandBits = 8, subBands = 4, subBits = 6, maxBucket = 256)
-        cand
+        // OUTPUT BUDGET: "emit ALL radius-3 pairs" is quadratic in
+        // dense near-dup neighborhoods BY CONTRACT — a clique of k
+        // near-identical docs owes k(k-1)/2 output rows, and the 100×
+        // soak measured that going 104 M rows / 28 GB of spill.
+        // Candidate generation stays banded (never all-pairs); the
+        // unbounded thing is the OUTPUT, so the guard counts the true
+        // pairs from a materialized frame (join runs once) and fails
+        // loudly over budget instead of silently spilling: production
+        // wants q21's verified-gate form (output bounded by true
+        // pairs at the Jaccard threshold) or q45/q204's
+        // cluster-then-canonicalize, not a pair dump.
+        val budget = s.conf.getOption("graft.q38.maxPairs")
+          .map(_.toLong).getOrElse(32L << 20)
+        val pairs = cand
           .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
           .filter($"hamming" <= 3)
           .select($"d1", $"d2", $"hamming")
+          .localCheckpoint()
+        val n = pairs.count()
+        if (n > budget) {
+          graft.ops.Checkpoints.release(pairs)
+          throw new IllegalStateException(
+            s"q38 would emit $n near-dup pairs (budget $budget): the " +
+              "pair-materializing form is quadratic on dense corpora. " +
+              "Use the verified-gate join (q21) or cluster-then-apply " +
+              "(q45/q204), or raise graft.q38.maxPairs explicitly.")
+        }
+        pairs
       },
       Some(s"""
         WITH $simhashSqlCtes,

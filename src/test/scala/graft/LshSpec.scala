@@ -227,4 +227,21 @@ class LshSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("remaining bits"))
   }
+
+  test("q38's pair-materializing form fails loudly over its output budget") {
+    // "emit all radius-3 pairs" is quadratic on dense neighborhoods by
+    // CONTRACT (a k-clique owes k(k-1)/2 rows — the 100× soak measured
+    // 104 M rows / 28 GB of spill): over budget the query must point at
+    // the bounded forms instead of silently spilling
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val q = SparkEntry.queries("q38_simhash_pairs")
+    spark.conf.set("graft.q38.maxPairs", "1")
+    try {
+      val ex = intercept[IllegalStateException] { q(spark, dir) }
+      assert(ex.getMessage.contains("budget") && ex.getMessage.contains("q21"))
+    } finally spark.conf.unset("graft.q38.maxPairs")
+    // under the default budget the same corpus passes unchanged
+    assert(q(spark, dir).count() > 0)
+  }
 }
