@@ -935,8 +935,77 @@ object Mining {
         s"c$i > 0" }.mkString(" OR ")}
                  OR ${Blocklist.zipWithIndex.map { case ((_, w), i) => s"$w * c$i" }.mkString(" + ")} >= 5
                THEN 1 ELSE 0 END AS BIGINT) AS dropped
-        FROM cnt"""))
+        FROM cnt""")),
+
+    // --------------------------------------------------------------- q208
+    // HTML MAIN-CONTENT EXTRACTION (ops.Html) — the stage every real
+    // web corpus runs BEFORE anything else in this engine: C4 and
+    // RefinedWeb both start from markup, and q87/q197/the dedup
+    // families all assume clean text. The corpus here is the
+    // documents table deterministically WRAPPED in a realistic page
+    // (title, style, script, nav bar, headline, an entity-bearing
+    // paragraph, body paragraphs, link footer — HtmlSynthSql, one
+    // shared SQL fragment evaluated by BOTH engines), then extracted
+    // by the line-density heuristic: script/style/comments stripped,
+    // lines broken at block tags, kept at >= 10 words and >= 5 words
+    // per anchor (JusText/trafilatura's posture). The oracle replays
+    // the synthesis AND the extraction string-for-string in DuckDB —
+    // title decode, line counts, kept content, and the boilerplate
+    // ratio are all hash-checked.
+    //
+    // Scale shape: in-row end to end — regex + array HOFs at scan
+    // throughput, zero exchanges (the q197 shape); HTML pages are
+    // KB-sized so per-row regex cost is bounded. At 100 TB this is a
+    // map-only pass whose output feeds the gate pipeline directly.
+    Q(
+      "q208_html_extract",
+      (s, dir) => {
+        import s.implicits._
+        graft.ops.Html.mainContent(
+            table(s, dir, "documents")
+              .select($"doc_id", expr(HtmlSynthSql).as("html")))
+          .select($"doc_id", $"title", $"n_lines", $"n_content",
+            $"content_chars",
+            expr("CAST(length(html) AS BIGINT)").as("html_chars"),
+            ($"content_chars".cast("double") /
+              expr("length(html)").cast("double")).as("content_frac"),
+            $"content")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id, $HtmlSynthSql AS html FROM documents),
+        ${graft.ops.Html.mainContentSqlCtes()}
+        SELECT e.doc_id, e.title, e.n_lines, e.n_content, e.content_chars,
+          CAST(length(s2.html) AS BIGINT) AS html_chars,
+          CAST(e.content_chars AS DOUBLE) / length(s2.html) AS content_frac,
+          e.content
+        FROM extracted e JOIN src s2 USING (doc_id)"""))
   )
+
+  /** The q208 page synthesis — ONE SQL fragment over (doc_id, lang,
+    * source, text) evaluated by both Spark and DuckDB, so the
+    * HTML-bearing corpus is bit-identical on both engines: a head
+    * with title/style/script (dead regions the extractor must drop),
+    * a nav bar and footer (link-dense lines the density gate must
+    * drop), a short headline (word-poor), one entity-bearing planted
+    * paragraph (decode check), and the document text as three
+    * 240-char body paragraphs (the content that must survive).
+    */
+  // lazy: referenced while the eager `all` Seq above initializes
+  // (the Blocklist pattern) — a strict val here is still null then
+  private[graft] lazy val HtmlSynthSql: String =
+    "concat('<html><head><title>', source, ' article ', doc_id, " +
+      "'</title><style>body { margin: 0; }</style>" +
+      "<script>var lang = \"', lang, '\";</script></head><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a> <a href=\"/login\">Login</a></div>" +
+      "<h1>', source, ' headline</h1>" +
+      "<p>Q &amp; A notes: one two three four five six seven eight nine ten eleven</p>" +
+      "<p>', substr(text, 1, 240), '</p><p>', substr(text, 241, 240), " +
+      "'</p><p>', substr(text, 481, 240), '</p>" +
+      "<div class=\"footer\">Copyright 2020 ', source, " +
+      "' <a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a></div>" +
+      "</body></html>')"
 
   /** The q197 blocklist literal: (term, weight). Weight 3 = severe
     * (drop on sight), weight 1 = mild (drop at accumulated score ≥ 5).
