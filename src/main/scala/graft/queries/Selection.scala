@@ -1739,7 +1739,41 @@ object Selection {
                         CAST(t.pass_tot AS HUGEINT) * c.n) >=
                     3 * CAST(c.n AS HUGEINT) * t.n_tot
                  AND c.n >= 20 THEN 1 ELSE 0 END AS BIGINT) AS flagged
-        FROM cells c CROSS JOIN tot t"""))
+        FROM cells c CROSS JOIN tot t""")),
+
+    // --------------------------------------------------------------- q209
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018; graft.ops.UnigramTrain)
+    // — q97's sibling for the OTHER tokenizer family modern models
+    // actually use (SentencePiece unigram): seed substring vocabulary,
+    // EM over the segmentation lattice, expected-count pruning down to
+    // the target size. Rows-only by design, same as q97 (each EM
+    // round's M-step feeds the next round's lattice — not one SQL
+    // statement); UnigramSpec pins a from-scratch EM replica, tier
+    // equality, run-over-run determinism, Viterbi compression, and
+    // the job-count bound. Determinism under floats comes from
+    // per-word quantization to integer micro-units — cross-word sums
+    // are exact Longs (the op doc's contract).
+    //
+    // Scale shape: the corpus-sized work is the ONE word-count agg
+    // (map-side combined); seeding is one dictionary-sized substring
+    // agg; every EM round is one flatMap+agg job over the dictionary
+    // whose vocab-bounded result drives a driver M-step — the q97
+    // two-tier posture (driver arrays under the threshold).
+    Q(
+      "q209_unigram_vocab",
+      (s, dir) => {
+        import s.implicits._
+        val wf = Llm.docsSpread(s, dir)
+          .select(explode(expr(
+            "filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).cast("long").as("f"))
+          .as[(String, Long)]
+        graft.ops.UnigramTrain.train(wf,
+          graft.ops.UnigramTrain.Config(
+            vocabSize = 96, seedSize = 1024, maxPieceLen = 6,
+            emRounds = 2, shrink = 0.5))
+      },
+      None)
   )
 
   /** Margin-based bitext mining engine behind q117 (Artetxe &
