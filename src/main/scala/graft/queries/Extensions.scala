@@ -776,6 +776,119 @@ object Extensions {
           partner, ${TrainPrep.splitSql("partner")} AS partner_split, hamming
         FROM sides
         WHERE ${TrainPrep.splitSql("doc_id")} IN ('val', 'test')
-          AND ${TrainPrep.splitSql("partner")} = 'train'"""))
+          AND ${TrainPrep.splitSql("partner")} = 'train'""")),
+
+    // --------------------------------------------------------------- q210
+    // MEDIA CURATION PIPELINE — q100's end-to-end role for rasters,
+    // closing the media loop the way q100 closes the text loop: q195's
+    // perceptual pairs → connected components → SPLIT-AWARE canonical
+    // keep → per-blob verdict. Split-aware is the part plain dedup
+    // (q204) cannot give: a near-dup cluster straddling train and
+    // eval keeps its MIN TRAIN member (training retains the content)
+    // while every val/test member is EVICTED as leakage
+    // ('leak_evicted' — q207's finding, acted on; post-curation the
+    // kept corpus has zero train↔eval near-dup pairs BY CONSTRUCTION,
+    // since every pair is intra-cluster and each cluster keeps one
+    // member). Train-free clusters keep their min member (q204's
+    // rule); singletons pass through. One frame out: (doc_id, split,
+    // cluster, n_members, canon, status ∈ kept/dup/leak_evicted) —
+    // the verdict a media pipeline anti-joins its corpus with. The
+    // oracle replays the WHOLE chain as one CTE stack: q195's band
+    // SQL, q204's recursive reach, q53's split expression (all BY
+    // REFERENCE — the cannot-drift discipline).
+    //
+    // Scale shape: pairs are banded equality joins (q195); CC labels
+    // and the cluster roll-up are DUP-SIZED, not corpus-sized
+    // (singletons bypass via the left join's nulls — the q204 shape);
+    // the verdict is one left join from the blob id frame. Media
+    // bytes appear nowhere past the hash.
+    Q(
+      "q210_media_curation",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = all.find(_.name == "q195_image_phash_dup").get
+          .run(s, dir).select($"d1", $"d2").localCheckpoint()
+        val labels = graft.ops.ConnectedComponents.auto(pairs)
+        graft.ops.Checkpoints.release(pairs)
+        val clustered = labels.withColumnRenamed("v", "doc_id")
+          .withColumn("msplit", TrainPrep.splitOf($"doc_id"))
+        val agg = clustered.groupBy($"cluster_id").agg(
+          count(lit(1)).cast("long").as("n_members"),
+          max(($"msplit" === "train").cast("long")).as("has_train"),
+          min(when($"msplit" === "train", $"doc_id")).as("min_train"))
+        val docs = table(s, dir, "documents").select($"doc_id")
+        val planted = docs.filter($"doc_id" % 25 === 0)
+          .select((-$"doc_id" - 1L).as("doc_id"))
+        docs.unionByName(planted)
+          .withColumn("split", TrainPrep.splitOf($"doc_id"))
+          .join(clustered.select($"doc_id", $"cluster_id"), Seq("doc_id"), "left")
+          .join(agg, Seq("cluster_id"), "left")
+          .withColumn("cluster", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("canon",
+            when($"has_train" === 1L, $"min_train").otherwise($"cluster"))
+          .select($"doc_id", $"split", $"cluster",
+            coalesce($"n_members", lit(1L)).as("n_members"),
+            $"canon",
+            when($"doc_id" === $"canon", lit("kept"))
+              .when($"split".isin("val", "test") && $"has_train" === 1L,
+                lit("leak_evicted"))
+              .otherwise(lit("dup")).as("status"))
+      },
+      Some(s"""
+        WITH RECURSIVE corp AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT -doc_id - 1, text FROM documents WHERE doc_id % 25 = 0),
+        ph AS (
+          SELECT doc_id,
+            CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT) AS BIGINT) AS phash
+          FROM corp),
+        bands AS (
+          SELECT doc_id, phash, b.b, (phash >> (b.b * 10)) & 1023 AS band
+          FROM ph CROSS JOIN generate_series(0, 5) b(b)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                 x.phash AS p1, y.phash AS p2
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id),
+        prs AS (
+          SELECT d1, d2 FROM cand WHERE bit_count(xor(p1, p2)) <= 5),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM prs
+          UNION
+          SELECT d2, d1 FROM prs),
+        reach(v, r) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT reach.v, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        labs AS (
+          SELECT doc_id, cluster_id,
+            ${TrainPrep.splitSql("doc_id")} AS msplit
+          FROM lab),
+        agg AS (
+          SELECT cluster_id,
+            CAST(count(*) AS BIGINT) AS n_members,
+            CAST(max(CASE WHEN msplit = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS has_train,
+            min(CASE WHEN msplit = 'train' THEN doc_id END) AS min_train
+          FROM labs GROUP BY cluster_id),
+        base AS (
+          SELECT c.doc_id, ${TrainPrep.splitSql("c.doc_id")} AS split,
+            l.cluster_id, a.n_members, a.has_train, a.min_train
+          FROM corp c
+            LEFT JOIN lab l ON c.doc_id = l.doc_id
+            LEFT JOIN agg a ON l.cluster_id = a.cluster_id)
+        SELECT doc_id, split,
+          coalesce(cluster_id, doc_id) AS cluster,
+          coalesce(n_members, CAST(1 AS BIGINT)) AS n_members,
+          CASE WHEN has_train = 1 THEN min_train
+               ELSE coalesce(cluster_id, doc_id) END AS canon,
+          CASE WHEN doc_id = (CASE WHEN has_train = 1 THEN min_train
+                                   ELSE coalesce(cluster_id, doc_id) END)
+                 THEN 'kept'
+               WHEN split IN ('val', 'test') AND has_train = 1
+                 THEN 'leak_evicted'
+               ELSE 'dup' END AS status
+        FROM base"""))
   )
 }

@@ -36,4 +36,31 @@ class MediaLeakSpec extends SparkSuite {
     }
     info(s"${got.size} contaminated eval blobs on the sf0.001 planted corpus")
   }
+
+  test("q210 curation leaves ZERO residual near-dup pairs among kept blobs") {
+    val dir = "/root/testdata/sf0.001"
+    val verdicts = SparkEntry.queries("q210_media_curation")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(5))).toMap
+    val kept = verdicts.collect { case (d, (_, "kept")) => d }.toSet
+    val pairs = SparkEntry.queries("q195_image_phash_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the construction claim: every pair is intra-cluster and each
+    // cluster keeps exactly one member, so no kept-kept pair survives
+    // — in particular no kept train↔eval pair (q207 post-curation = ∅)
+    pairs.foreach { case (d1, d2) =>
+      assert(!(kept(d1) && kept(d2)), s"kept near-dup pair survived: ($d1, $d2)")
+    }
+    // split-aware keep: a train-containing cluster keeps a TRAIN member
+    // (content stays trainable), and evicted eval members say why
+    val statuses = verdicts.values.map(_._2).toSet
+    assert(statuses.contains("leak_evicted"),
+      "planted corpus must exercise the eviction path")
+    verdicts.foreach { case (_, (split, status)) =>
+      if (status == "leak_evicted") assert(split == "val" || split == "test")
+    }
+    // every cluster with members keeps at least its canon: total kept +
+    // dup + evicted = corpus
+    assert(verdicts.nonEmpty && kept.nonEmpty)
+  }
 }
