@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** WARC (ISO 28500) record framing — the container format real web
+  * corpora actually arrive in (Common Crawl; C4/RefinedWeb's §2 input
+  * is WARC → HTTP payload → HTML → text): a WARC file is a
+  * concatenation of records, each
+  *
+  * {{{
+  * WARC/1.0\r\n
+  * <header-name>: <value>\r\n ...
+  * \r\n
+  * <content block of exactly Content-Length BYTES>
+  * \r\n\r\n
+  * }}}
+  *
+  * Framing MUST honor `Content-Length` — a payload is arbitrary bytes
+  * and can legally contain `WARC/1.0` or blank lines, so any
+  * split-on-delimiter approach silently corrupts records (WarcSpec
+  * plants exactly that payload). That rules out an in-row SQL parse;
+  * this is a byte-level `mapPartitions` parser instead — per-file,
+  * iterator-to-iterator, one blob in flight (the [[Multimodal]]
+  * batch contract), which at 100 TB is the `binaryFile`-source scan
+  * shape: files parallelize across tasks, records stream out of each
+  * file, and nothing shuffles until the caller says so. Oracle
+  * discipline (q211): the parse itself is not SQL-replayable, but its
+  * EXPECTED OUTPUT on a synthesized corpus is — DuckDB computes what
+  * the parse must yield from the source documents, so a hash match
+  * proves the parser exactly inverts the synthesis.
+  *
+  * Malformed tails (truncated record, bad/missing Content-Length,
+  * missing blank line) stop the file's parse at the last whole record
+  * rather than guessing — counted via the emitted records vs the
+  * file's expected count by the caller; a production run would route
+  * the remainder to a quarantine column.
+  */
+object Warc {
+
+  /** One parsed record: file id, 0-based index in the file, WARC-Type,
+    * WARC-Target-URI ('' when absent), and the content block decoded
+    * as UTF-8. */
+  final case class Rec(
+      file: String, rec_no: Long, wtype: String, uri: String, body: String)
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Parse every record of every (file, bytes) row. Output
+    * (file, rec_no, wtype, uri, body). */
+  def records(df: DataFrame, fileCol: String = "file",
+      bytesCol: String = "bytes"): DataFrame = {
+    val s = df.sparkSession
+    val in = df.selectExpr(s"$fileCol AS file", s"$bytesCol AS bytes")
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    val out = in.mapPartitions { it =>
+      it.flatMap { case (file, bytes) => parseFile(file, bytes) }
+    }(Encoders.product[Rec])
+    out.toDF()
+  }
+
+  /** Strip an HTTP response envelope from a record body: everything
+    * after the first blank line. Returns the body unchanged when no
+    * envelope is present ('' status). */
+  def httpBody(body: String): (String, String) = {
+    val sep = body.indexOf("\r\n\r\n")
+    if (sep < 0 || !body.startsWith("HTTP/")) ("", body)
+    else {
+      val eol = body.indexOf("\r\n")
+      (body.substring(0, eol), body.substring(sep + 4))
+    }
+  }
+
+  private[graft] def parseFile(file: String, bytes: Array[Byte]): Iterator[Rec] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var pos = 0
+    var recNo = 0L
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record padding (\r\n pairs)
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) ok = false
+      else parseRecord(bytes, pos) match {
+        case Some((headers, bodyStart, bodyLen, next)) =>
+          out += Rec(
+            file, recNo,
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-target-uri", ""),
+            new String(bytes, bodyStart, bodyLen, "UTF-8"))
+          recNo += 1
+          pos = next
+        case None => ok = false // malformed tail: stop at last whole record
+      }
+    }
+    out.iterator
+  }
+
+  /** One record at `pos`: returns (lower-cased headers, body offset,
+    * body length, next record offset) or None when malformed or
+    * truncated. */
+  private def parseRecord(bytes: Array[Byte],
+      pos: Int): Option[(Map[String, String], Int, Int, Int)] = {
+    // version line
+    val v = lineAt(bytes, pos).getOrElse(return None)
+    if (!v._1.startsWith("WARC/")) return None
+    var p = v._2
+    val headers = scala.collection.mutable.HashMap.empty[String, String]
+    var done = false
+    while (!done) {
+      val (line, next) = lineAt(bytes, p).getOrElse(return None)
+      p = next
+      if (line.isEmpty) done = true
+      else {
+        val i = line.indexOf(':')
+        if (i > 0)
+          headers(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
+      }
+    }
+    val len = headers.get("content-length").flatMap(_.toLongOption)
+      .getOrElse(return None)
+    if (len < 0 || len > Int.MaxValue || p + len > bytes.length) return None
+    Some((headers.toMap, p, len.toInt, p + len.toInt))
+  }
+
+  /** The \r\n-terminated line at `pos` → (text, offset past the
+    * terminator); None when no terminator before EOF. */
+  private def lineAt(bytes: Array[Byte], pos: Int): Option[(String, Int)] = {
+    var i = pos
+    while (i + 1 < bytes.length) {
+      if (bytes(i) == Crlf(0) && bytes(i + 1) == Crlf(1))
+        return Some((new String(bytes, pos, i - pos, "UTF-8"), i + 2))
+      i += 1
+    }
+    None
+  }
+}

@@ -979,7 +979,72 @@ object Mining {
           CAST(length(s2.html) AS BIGINT) AS html_chars,
           CAST(e.content_chars AS DOUBLE) / length(s2.html) AS content_frac,
           e.content
-        FROM extracted e JOIN src s2 USING (doc_id)"""))
+        FROM extracted e JOIN src s2 USING (doc_id)""")),
+
+    // --------------------------------------------------------------- q211
+    // WARC INGESTION (ops.Warc + ops.Html) — the FULL web-corpus front
+    // door, end to end: WARC container → Content-Length record framing
+    // → HTTP envelope strip → HTML main-content extraction. Each
+    // document synthesizes a deterministic single-page WARC file (a
+    // response record wrapping the q208 page behind an HTTP/1.1
+    // envelope, plus a metadata record — multi-record framing is
+    // exercised on every file), the byte-level parser recovers the
+    // records, and the recovered HTML flows through q208's extractor.
+    // Oracle discipline: the parse is not SQL-replayable (framing is
+    // byte-counted), but its EXPECTED output is — DuckDB computes what
+    // the chain must yield straight from documents (the shared
+    // synthesis fragment + the shared extraction CTEs), so the hash
+    // match proves parser + envelope strip + extractor exactly invert
+    // the synthesis.
+    //
+    // Scale shape: scan → per-file parse (mapPartitions, one blob in
+    // flight) → ONE file-grain aggregation → in-row extraction. At
+    // 100 TB the synthesis map is replaced by the binaryFile source
+    // over real crawl files; everything downstream is unchanged.
+    Q(
+      "q211_warc_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val warc = table(s, dir, "documents")
+          .select($"doc_id", expr(HtmlSynthSql).as("html"))
+          .as[(Long, String)]
+          .map { case (id, html) =>
+            val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+            val meta = s"fetch-ms: ${id % 997}\r\n"
+            def rec(t: String, p: String) = {
+              val n = p.getBytes("UTF-8").length
+              s"WARC/1.0\r\nWARC-Type: $t\r\n" +
+                s"WARC-Target-URI: https://example.com/$id\r\n" +
+                s"Content-Length: $n\r\n\r\n$p\r\n\r\n"
+            }
+            (s"crawl-$id.warc",
+              (rec("response", http) + rec("metadata", meta)).getBytes("UTF-8"))
+          }.toDF("file", "bytes")
+        val perFile = graft.ops.Warc.records(warc)
+          .groupBy($"file").agg(
+            count(lit(1)).cast("long").as("n_records"),
+            max(when($"wtype" === "response", $"uri")).as("uri"),
+            max(when($"wtype" === "response", $"body")).as("resp"))
+          .withColumn("doc_id",
+            expr("CAST(regexp_extract(uri, '([0-9]+)$', 1) AS BIGINT)"))
+          .withColumn("http_status",
+            expr("regexp_extract(resp, '^(HTTP/[^\\r\\n]*)', 1)"))
+          .withColumn("html",
+            expr("substring(resp, locate('\\r\\n\\r\\n', resp) + 4)"))
+        graft.ops.Html.mainContent(perFile)
+          .select($"doc_id", $"uri", $"n_records", $"http_status",
+            $"title", $"n_content", $"content_chars", $"content")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT doc_id, $HtmlSynthSql AS html FROM documents),
+        ${graft.ops.Html.mainContentSqlCtes()}
+        SELECT doc_id,
+          concat('https://example.com/', doc_id) AS uri,
+          CAST(2 AS BIGINT) AS n_records,
+          'HTTP/1.1 200 OK' AS http_status,
+          title, n_content, content_chars, content
+        FROM extracted"""))
   )
 
   /** The q208 page synthesis — ONE SQL fragment over (doc_id, lang,
