@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.ops.{Html, Warc}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING WARC ingestion — the SIXTEENTH exactly-once maintainer,
+  * putting q211's web front door on the streaming tier: micro-batches
+  * of raw crawl files (file, bytes) are record-framed ([[Warc]]),
+  * HTTP-stripped, content-extracted ([[Html.mainContent]]) and the
+  * clean per-page rows land in per-batch output children — the feed
+  * [[StreamCuration]] (gates + dedup) consumes downstream. This
+  * maintainer is deliberately STATELESS per batch: ingestion owns
+  * parse + extract; identity (dedup, first-wins) is the downstream
+  * maintainers' contract, so nothing here ever grows with the corpus.
+  *
+  * Per batch:
+  *  1. frame every file's records (byte-counted Content-Length
+  *     framing — one blob in flight, the [[Warc]] contract);
+  *  2. files that yield ZERO records but carry bytes are QUARANTINED
+  *     — (file, n_bytes) rows in their own child-dir root, the loud
+  *     counterpart of [[Warc]]'s stop-at-last-whole-record rule (a
+  *     production run routes these to re-fetch, and silence here
+  *     would under-ingest without a trace);
+  *  3. response records strip their HTTP envelope and flow through
+  *     the q208 extractor; the output child carries
+  *     (file, uri, http_status, title, n_lines, n_content,
+  *     content_chars, content).
+  *
+  * Batch-equivalence contract (StreamIngestSpec): the union of all
+  * committed output children ≡ the one-shot batch parse+extract of
+  * the same files — ingestion is embarrassingly per-file, so
+  * micro-batching cannot change the answer, and the spec pins that.
+  *
+  * Exactly-once: the [[StreamIndex]] protocol verbatim — output and
+  * quarantine children are idempotent `b<id>` overwrites, the marker
+  * advances LAST, replays at/below the marker skip. A crash between
+  * the two child writes replays to bit-identical children (both are
+  * deterministic functions of the batch).
+  */
+object StreamIngest {
+
+  private val outDdl =
+    "file STRING, uri STRING, http_status STRING, title STRING, " +
+      "n_lines BIGINT, n_content BIGINT, content_chars BIGINT, content STRING"
+  private val quarDdl = "file STRING, n_bytes BIGINT"
+
+  /** Start the stream: micro-batches of `source` (file, bytes) flow
+    * through [[processBatch]]. */
+  def start(source: DataFrame, stateDir: String, outDir: String): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", s"$stateDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        processBatch(batch.sparkSession, batch, stateDir, outDir, id): Unit
+      }
+      .start()
+
+  /** Clean pages across all committed batches. */
+  def pages(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.Layouts.readChildren(spark, outDir, outDdl)
+
+  /** Quarantined (unparseable) files across all committed batches. */
+  def quarantined(spark: SparkSession, outDir: String): DataFrame =
+    graft.ops.Layouts.readChildren(spark, s"$outDir/../quar", quarDdl)
+
+  /** The batch parse+extract — ONE shape shared by the per-trigger
+    * path and the spec's one-shot equivalence run. Returns (pages,
+    * quarantine) frames for the given (file, bytes) corpus.
+    */
+  private[graft] def ingest(batch: DataFrame): (DataFrame, DataFrame) = {
+    val s = batch.sparkSession
+    import s.implicits._
+    // recs consumed twice (pages + parsed-file set for quarantine):
+    // materialize the parse once — record rows are text-sized, and
+    // re-running the byte parser per consumer is the cost to avoid
+    val recs = Warc.records(batch).localCheckpoint()
+    val pages = Html.mainContent(
+        recs.filter($"wtype" === "response")
+          .withColumn("http_status",
+            expr("regexp_extract(body, '^(HTTP/[^\\r\\n]*)', 1)"))
+          .withColumn("html",
+            expr("substring(body, locate('\\r\\n\\r\\n', body) + 4)")))
+      .select($"file", $"uri", $"http_status", $"title",
+        $"n_lines", $"n_content", $"content_chars", $"content")
+    val quarantine = batch
+      .select($"file", expr("CAST(length(bytes) AS BIGINT)").as("n_bytes"))
+      .filter($"n_bytes" > 0L)
+      .join(recs.select($"file").distinct(), Seq("file"), "left_anti")
+    (pages, quarantine)
+  }
+
+  /** One micro-batch through ingestion — directly drivable (the
+    * spec's harness). Returns false on replay skip or empty batch. */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      batchFiles: DataFrame,
+      stateDir: String,
+      outDir: String,
+      batchId: Long): Boolean = {
+    val guard = s"$stateDir/state"
+    if (batchId <= StreamIndex.committedBatch(spark, guard)) return false
+    if (batchFiles.isEmpty) {
+      StreamIndex.writeCommitted(spark, guard, batchId)
+      return false
+    }
+    val b = batchFiles.localCheckpoint()
+    try {
+      val (pages, quarantine) = ingest(b)
+      pages.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      quarantine.write.mode("overwrite").parquet(s"$outDir/../quar/b$batchId")
+      // marker LAST — the commit point
+      StreamIndex.writeCommitted(spark, guard, batchId)
+      true
+    } finally graft.ops.Checkpoints.release(b)
+  }
+}
