@@ -1773,6 +1773,35 @@ object Selection {
             vocabSize = 96, seedSize = 1024, maxPieceLen = 6,
             emRounds = 2, shrink = 0.5))
       },
+      None),
+
+    // --------------------------------------------------------------- q212
+    // UNIGRAM tokenizer APPLY at scan scale — q106's role for the
+    // q209 family, through a NATIVE codegen'd expression
+    // (functions.UnigramTokens): per-document Viterbi token counts
+    // under the FROZEN UnigramVocabs.v1 artifact (q209's actual
+    // sf0.01 output, pasted as the shipped-tokenizer literal — the
+    // q106 frozen-ladder convention), with the production single-char
+    // OOV fallback every real tokenizer has. Token counting is THE
+    // most-executed pipeline op (cost estimation, packing budgets,
+    // length gates), so the expression runs one tight DP per word
+    // inside whole-stage codegen — scan → project, zero shuffle.
+    // Rows-only by design (iterative DP is not one SQL statement);
+    // UnigramTokensSpec pins a segment-based replica, the OOV
+    // fallback, and interpreted ≡ codegen.
+    Q(
+      "q212_unigram_apply",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.UnigramTokens.register(s)
+        table(s, dir, "documents")
+          .select($"doc_id",
+            expr("CAST(length(text) AS BIGINT)").as("n_chars"),
+            expr("unigram_tokens(text, 'v1')").as("n_tokens"))
+          .withColumn("chars_per_token",
+            when($"n_tokens" > 0L,
+              $"n_chars".cast("double") / $"n_tokens".cast("double")))
+      },
       None)
   )
 
