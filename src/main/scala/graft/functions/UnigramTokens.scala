@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * pins agreement with a segment-based replica and the
   * interpreted ≡ codegen contract.
   *
+  * Case-folding contract: the expression's own fold is bytewise ASCII
+  * (A–Z only — anything heavier does not belong in the per-byte inner
+  * loop). The q209 trainer's convention is `lower(text)` +
+  * `[^a-z]+`, and Spark's `lower` does FULL Unicode folding ('İ' →
+  * 'i' + combining dot), so callers on possibly-non-ASCII corpora
+  * must feed `lower(text)` (q212 does) — then non-ASCII bytes are
+  * separators on both sides and the counts agree; feeding raw text
+  * is exact only for ASCII-cased input.
+  *
   * Why native: token counting is per-row and the hot path of the
   * whole pipeline — the expression runs one tight DP per word inside
   * whole-stage codegen (primitive arrays, no per-piece allocation:
@@ -46,6 +55,33 @@ case class UnigramTokens(child: Expression, vocabName: String)
   /** OOV single-char penalty — well below every trained logprob, so a
     * real piece always outranks falling back through its chars. */
   private val OovLp = -100.0
+
+  /** Open-addressing (packed-bytes → logprob) table for pieces of ≤ 7
+    * bytes (key = len << 56 | bytes little-endian; 0 = empty slot —
+    * impossible for a real key since len ≥ 1 sets bits ≥ 56), plus a
+    * string-map spillover for longer pieces. This is what lets
+    * [[pieceLp]] probe candidates by (offset, length) with ZERO
+    * allocation on the short path — the DP's inner loop.
+    */
+  @transient private lazy val probe: (Array[Long], Array[Double], Int, Map[String, Double]) = {
+    val (short, long) = vocab.partition(_._1.getBytes("UTF-8").length <= 7)
+    var cap = 16
+    while (cap < short.size * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val vals = new Array[Double](cap)
+    val mask = cap - 1
+    short.foreach { case (p, lp) =>
+      val b = p.getBytes("UTF-8")
+      var k = b.length.toLong << 56
+      var i = 0
+      while (i < b.length) { k |= (b(i) & 0xffL) << (8 * i); i += 1 }
+      var idx = (((k * 0x9e3779b97f4a7c15L) >>> 33).toInt) & mask
+      while (keys(idx) != 0L) idx = (idx + 1) & mask
+      keys(idx) = k
+      vals(idx) = lp
+    }
+    (keys, vals, mask, long)
+  }
 
   /** Called from both interpreted eval and generated code. */
   def tokens(t: UTF8String): Long = {
@@ -72,7 +108,6 @@ case class UnigramTokens(child: Expression, vocabName: String)
     val n = to - from
     val score = new Array[Double](n + 1)
     val count = new Array[Long](n + 1)
-    val back = new Array[Int](n + 1)
     var j = 1
     while (j <= n) {
       score(j) = Double.NegativeInfinity
@@ -84,7 +119,7 @@ case class UnigramTokens(child: Expression, vocabName: String)
             val s = score(i) + lp
             // ties prefer the longer last piece (smaller i) — i
             // ascends, so strict > keeps the first (longest) winner
-            if (s > score(j)) { score(j) = s; count(j) = count(i) + 1; back(j) = i }
+            if (s > score(j)) { score(j) = s; count(j) = count(i) + 1 }
           }
         }
         i += 1
@@ -95,18 +130,38 @@ case class UnigramTokens(child: Expression, vocabName: String)
   }
 
   /** Logprob of the lowercased piece bytes [pos, pos+len), or the OOV
-    * penalty for single chars, or -inf. */
+    * penalty for single chars, or -inf. Short pieces (≤ 7 bytes — the
+    * DP's inner loop) probe the packed open-addressing table with no
+    * allocation; longer pieces take the rare string-map path. */
   private def pieceLp(bytes: Array[Byte], pos: Int, len: Int): Double = {
-    val sb = new java.lang.StringBuilder(len)
-    var k = 0
-    while (k < len) {
-      val c = bytes(pos + k)
-      sb.append((if (c >= 'A' && c <= 'Z') c + 32 else c.toInt).toChar)
-      k += 1
-    }
-    vocab.get(sb.toString) match {
-      case Some(lp) => lp
-      case None => if (len == 1) OovLp else Double.NegativeInfinity
+    val (keys, vals, mask, longPieces) = probe
+    if (len <= 7) {
+      var k = len.toLong << 56
+      var i = 0
+      while (i < len) {
+        var c = bytes(pos + i)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+        k |= (c & 0xffL) << (8 * i)
+        i += 1
+      }
+      var idx = (((k * 0x9e3779b97f4a7c15L) >>> 33).toInt) & mask
+      while (true) {
+        val cur = keys(idx)
+        if (cur == k) return vals(idx)
+        if (cur == 0L)
+          return if (len == 1) OovLp else Double.NegativeInfinity
+        idx = (idx + 1) & mask
+      }
+      Double.NegativeInfinity // unreachable
+    } else {
+      val sb = new java.lang.StringBuilder(len)
+      var k = 0
+      while (k < len) {
+        val c = bytes(pos + k)
+        sb.append((if (c >= 'A' && c <= 'Z') c + 32 else c.toInt).toChar)
+        k += 1
+      }
+      longPieces.getOrElse(sb.toString, Double.NegativeInfinity)
     }
   }
 

@@ -136,6 +136,45 @@ object CdcDedupState {
       WinnowState.save(docs.select(col("doc_id"), col("text").as("t")), dir, w)
     if (families(Family.Blocks))
       BlockState.save(docs, dir, blockTokens)
+    writeFamilies(docs.sparkSession, dir, families)
+  }
+
+  /** Which families this state dir holds — frozen at [[save]] time and
+    * REQUIRED to match every [[applyChanges]]: the commit marker is
+    * one per state dir, so an update applied for a subset would
+    * permanently skip the other families' deltas (a later full-family
+    * apply at a higher updateId cannot reach back below the marker).
+    * Legacy dirs without the sidecar read as All.
+    */
+  private def familiesName(f: Family): String = f match {
+    case Family.Bands => "bands"
+    case Family.Fps => "fps"
+    case Family.Blocks => "blocks"
+  }
+
+  private def familiesSidecar(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_families")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeFamilies(spark: SparkSession, dir: String, fams: Set[Family]): Unit = {
+    val (fs, p) = familiesSidecar(spark, dir)
+    Layouts.writeSidecar(fs, p,
+      fams.map(familiesName).toSeq.sorted.mkString(",") + "\n")
+  }
+
+  private def readFamilies(spark: SparkSession, dir: String): Set[Family] = {
+    val (fs, p) = familiesSidecar(spark, dir)
+    Layouts.readSidecar(fs, p) match {
+      case None => Family.All // pre-sidecar layout: full state
+      case Some(s) => s.trim.split(",").filter(_.nonEmpty).map {
+        case "bands" => Family.Bands
+        case "fps" => Family.Fps
+        case "blocks" => Family.Blocks
+        case other => throw new IllegalStateException(
+          s"unknown family '$other' in $dir/_families")
+      }.toSet
+    }
   }
 
   /** Apply one change manifest (see [[manifestOf]]) as update
@@ -153,6 +192,12 @@ object CdcDedupState {
       w: Int = 8,
       blockTokens: Int = 10,
       families: Set[Family] = Family.All): Long = {
+    val saved = readFamilies(spark, dir)
+    require(families == saved,
+      s"applyChanges(families=$families) against a state dir holding $saved — " +
+        "the commit marker is per-dir, so a subset apply would permanently " +
+        "skip the other families' deltas; rebuild with CdcDedupState.save " +
+        "at the geometry you intend to maintain")
     val guard = s"$dir/cdc"
     if (updateId <= graft.streaming.StreamIndex.committedBatch(spark, guard))
       return -1L

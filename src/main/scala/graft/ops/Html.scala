@@ -87,14 +87,20 @@ object Html {
     val blocks = regexp_replace(dead, BlockRe, "\n")
     val df1 = df
       .withColumn("__blocks", blocks)
+      // two-step transform so the word count is computed ONCE per line
+      // (the kept-filter reads it twice; lambdas have no let-binding)
       .withColumn("__lines", expr(
-        s"""transform(split(__blocks, '\\n'), l -> named_struct(
-           |  'links', size(regexp_extract_all(l, '$AnchorRe', 0)),
-           |  'text', ${cleanLineSpark("l")}))""".stripMargin))
+        s"""transform(
+           |  transform(split(__blocks, '\\n'), l -> named_struct(
+           |    'links', size(regexp_extract_all(l, '$AnchorRe', 0)),
+           |    'text', ${cleanLineSpark("l")})),
+           |  s -> named_struct(
+           |    'links', s.links, 'text', s.text,
+           |    'words', size(filter(split(s.text, ' '), x -> x <> ''))))"""
+          .stripMargin))
       .withColumn("__kept", expr(
         s"""filter(__lines, s ->
-           |  size(filter(split(s.text, ' '), x -> x <> '')) >= $minWords AND
-           |  size(filter(split(s.text, ' '), x -> x <> '')) >= $wordsPerLink * s.links)"""
+           |  s.words >= $minWords AND s.words >= $wordsPerLink * s.links)"""
           .stripMargin))
     df1
       .withColumn("title", expr(
@@ -122,17 +128,20 @@ object Html {
        |lns AS (
        |  SELECT doc_id, html,
        |    list_transform(
-       |      regexp_split_to_array(
-       |        regexp_replace(d, '$BlockRe', chr(10), 'g'), '\\n'),
-       |      l -> struct_pack(
-       |        links := len(regexp_extract_all(l, '$AnchorRe')),
-       |        t := ${cleanLineSql("l")})) AS ls
+       |      list_transform(
+       |        regexp_split_to_array(
+       |          regexp_replace(d, '$BlockRe', chr(10), 'g'), '\\n'),
+       |        l -> struct_pack(
+       |          links := len(regexp_extract_all(l, '$AnchorRe')),
+       |          t := ${cleanLineSql("l")})),
+       |      s -> struct_pack(
+       |        links := s.links, t := s.t,
+       |        words := len(list_filter(string_split(s.t, ' '), x -> x <> '')))) AS ls
        |  FROM dead),
        |kept AS (
        |  SELECT doc_id, html, ls,
        |    list_filter(ls, s ->
-       |      len(list_filter(string_split(s.t, ' '), x -> x <> '')) >= $minWords AND
-       |      len(list_filter(string_split(s.t, ' '), x -> x <> '')) >= $wordsPerLink * s.links) AS ks
+       |      s.words >= $minWords AND s.words >= $wordsPerLink * s.links) AS ks
        |  FROM lns),
        |extracted AS (
        |  SELECT doc_id,

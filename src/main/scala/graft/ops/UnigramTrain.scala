@@ -60,7 +60,12 @@ object UnigramTrain {
       seedSize: Int = 4096,
       maxPieceLen: Int = 8,
       emRounds: Int = 2,
-      shrink: Double = 0.75)
+      shrink: Double = 0.75) {
+    require(vocabSize >= 1 && seedSize >= 1 && maxPieceLen >= 2 && emRounds >= 1,
+      s"invalid unigram config: $this")
+    require(shrink > 0.0 && shrink < 1.0,
+      s"shrink must be in (0, 1): $shrink — 1.0 would never converge")
+  }
 
   /** Code-point split (surrogate-pair safe — [[BpeTrain.symbols]]'
     * rule without the end marker; unigram LMs segment the bare word).
@@ -197,14 +202,18 @@ object UnigramTrain {
       localThreshold: Long = 1000000L): DataFrame = {
     strategy match {
       case "local" => trainLocal(wordFreq.collect(), config, wordFreq)
-      case "distributed" => trainDistributed(wordFreq, config)
+      case "distributed" => trainDistributed(wordFreq.localCheckpoint(), config)
       case "auto" =>
+        // materialize ONCE: the threshold probe is an action, and
+        // trainDistributed takes the already-checkpointed frame (and
+        // releases it) — re-checkpointing would double-persist the
+        // dictionary and leak the outer copy (the BpeTrain contract)
         val wf = wordFreq.localCheckpoint()
         if (wf.count() <= localThreshold) {
           val r = trainLocal(wf.collect(), config, wf)
           Checkpoints.release(wf)
           r
-        } else trainDistributed(wf, config)
+        } else trainDistributed(wf, config) // releases wf when done
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
   }
@@ -250,14 +259,16 @@ object UnigramTrain {
     * to the driver for the M-step — never a per-piece round-trip.
     * The current piece table travels in the task closure (vocab-sized,
     * same rationale as [[BpeTrain]]'s rules closure: no
-    * TorrentBroadcast lifecycle across rounds).
+    * TorrentBroadcast lifecycle across rounds). `wordFreq` must
+    * already be materialized (every public entry localCheckpoints
+    * it); its blocks are released before the output frame returns.
     */
   private def trainDistributed(
       wordFreq: Dataset[(String, Long)],
       config: Config): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    val wf = wordFreq.localCheckpoint()
+    val wf = wordFreq
     val maxLen = config.maxPieceLen
     // ---- seed: one substring-count aggregation
     val seedCounts = wf.flatMap { case (w, f) => substrings(w, f, maxLen) }
@@ -304,7 +315,9 @@ object UnigramTrain {
     var m = startMulti
     val target = math.max(config.vocabSize, 1)
     while (m > target) {
-      m = math.max(target, math.ceil(m * config.shrink).toInt)
+      // min(m - 1, …): ceil(m·shrink) == m for small m (ceil(3·0.75)=3)
+      // — without the strict decrease the ladder never reaches target
+      m = math.max(target, math.min(m - 1, math.ceil(m * config.shrink).toInt))
       (0 until config.emRounds).foreach(_ => out += m)
     }
     (0 until config.emRounds).foreach(_ => out += target)

@@ -70,6 +70,30 @@ object Warc {
     }
   }
 
+  /** [[httpBody]]'s semantics as Columns — THE envelope strip every
+    * frame-side consumer (q211, [[graft.streaming.StreamIngest]])
+    * must use. Both guards matter: without the `HTTP/` prefix check a
+    * bare-HTML body containing any blank line is truncated at it, and
+    * without the locate > 0 check a no-envelope body loses its first
+    * 3 characters (locate returns 0 on no match; substring(0+4)).
+    */
+  def httpStatusCol(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(isHttp(body), regexp_extract(body, "^(HTTP/[^\\r\\n]*)", 1)).otherwise(lit(""))
+  }
+
+  def httpBodyCol(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(isHttp(body),
+      body.substr(locate("\r\n\r\n", body) + lit(4), length(body)))
+      .otherwise(body)
+  }
+
+  private def isHttp(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    body.startsWith("HTTP/") && locate("\r\n\r\n", body) > 0
+  }
+
   private[graft] def parseFile(file: String, bytes: Array[Byte]): Iterator[Rec] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
     var pos = 0

@@ -1027,10 +1027,10 @@ object Mining {
             max(when($"wtype" === "response", $"body")).as("resp"))
           .withColumn("doc_id",
             expr("CAST(regexp_extract(uri, '([0-9]+)$', 1) AS BIGINT)"))
-          .withColumn("http_status",
-            expr("regexp_extract(resp, '^(HTTP/[^\\r\\n]*)', 1)"))
-          .withColumn("html",
-            expr("substring(resp, locate('\\r\\n\\r\\n', resp) + 4)"))
+          // the GUARDED envelope strip (Warc.http*Col, shared with
+          // StreamIngest): a no-envelope body passes through whole
+          .withColumn("http_status", graft.ops.Warc.httpStatusCol($"resp"))
+          .withColumn("html", graft.ops.Warc.httpBodyCol($"resp"))
         graft.ops.Html.mainContent(perFile)
           .select($"doc_id", $"uri", $"n_records", $"http_status",
             $"title", $"n_content", $"content_chars", $"content")

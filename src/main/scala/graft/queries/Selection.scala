@@ -1794,10 +1794,13 @@ object Selection {
       (s, dir) => {
         import s.implicits._
         graft.functions.UnigramTokens.register(s)
+        // lower() OUTSIDE the expression: Spark's lower is full
+        // Unicode folding (the q209 trainer's convention); the
+        // expression's own fold is bytewise ASCII by design
         table(s, dir, "documents")
           .select($"doc_id",
             expr("CAST(length(text) AS BIGINT)").as("n_chars"),
-            expr("unigram_tokens(text, 'v1')").as("n_tokens"))
+            expr("unigram_tokens(lower(text), 'v1')").as("n_tokens"))
           .withColumn("chars_per_token",
             when($"n_tokens" > 0L,
               $"n_chars".cast("double") / $"n_tokens".cast("double")))

@@ -58,11 +58,11 @@ object StreamIngest {
 
   /** Clean pages across all committed batches. */
   def pages(spark: SparkSession, outDir: String): DataFrame =
-    graft.ops.Layouts.readChildren(spark, outDir, outDdl)
+    graft.ops.Layouts.readChildren(spark, s"$outDir/pages", outDdl)
 
   /** Quarantined (unparseable) files across all committed batches. */
   def quarantined(spark: SparkSession, outDir: String): DataFrame =
-    graft.ops.Layouts.readChildren(spark, s"$outDir/../quar", quarDdl)
+    graft.ops.Layouts.readChildren(spark, s"$outDir/quar", quarDdl)
 
   /** The batch parse+extract — ONE shape shared by the per-trigger
     * path and the spec's one-shot equivalence run. Returns (pages,
@@ -75,12 +75,13 @@ object StreamIngest {
     // materialize the parse once — record rows are text-sized, and
     // re-running the byte parser per consumer is the cost to avoid
     val recs = Warc.records(batch).localCheckpoint()
+    // envelope strip via Warc.http*Col — the guarded form (a record
+    // body without an HTTP envelope passes through whole; a naked
+    // locate()+substring drops its first 3 chars on no-match)
     val pages = Html.mainContent(
         recs.filter($"wtype" === "response")
-          .withColumn("http_status",
-            expr("regexp_extract(body, '^(HTTP/[^\\r\\n]*)', 1)"))
-          .withColumn("html",
-            expr("substring(body, locate('\\r\\n\\r\\n', body) + 4)")))
+          .withColumn("http_status", Warc.httpStatusCol($"body"))
+          .withColumn("html", Warc.httpBodyCol($"body")))
       .select($"file", $"uri", $"http_status", $"title",
         $"n_lines", $"n_content", $"content_chars", $"content")
     val quarantine = batch
@@ -107,8 +108,8 @@ object StreamIngest {
     val b = batchFiles.localCheckpoint()
     try {
       val (pages, quarantine) = ingest(b)
-      pages.write.mode("overwrite").parquet(s"$outDir/b$batchId")
-      quarantine.write.mode("overwrite").parquet(s"$outDir/../quar/b$batchId")
+      pages.write.mode("overwrite").parquet(s"$outDir/pages/b$batchId")
+      quarantine.write.mode("overwrite").parquet(s"$outDir/quar/b$batchId")
       // marker LAST — the commit point
       StreamIndex.writeCommitted(spark, guard, batchId)
       true

@@ -46,6 +46,19 @@ class UnigramTokensSpec extends SparkSuite {
     }
   }
 
+  test("non-ASCII input agrees with the replica when fed through lower()") {
+    import spark.implicits._
+    UnigramTokens.register(spark)
+    // 'İ' (U+0130) Unicode-lowercases to 'i' + combining dot — the
+    // q212 contract routes text through Spark lower() FIRST, so the
+    // expression's bytewise fold never sees non-ASCII uppercase and
+    // both sides treat the combining byte as a separator
+    val texts = Seq("İstanbul SPARK", "ÀÉÎ join", "ıii")
+    val got = texts.toDF("text")
+      .select(expr("unigram_tokens(lower(text), 'v1')")).collect().map(_.getLong(0)).toSeq
+    assert(got === texts.map(t => replicaTokens(t.toLowerCase)))
+  }
+
   test("interpreted eval ≡ codegen path; null in, null out") {
     import spark.implicits._
     UnigramTokens.register(spark)

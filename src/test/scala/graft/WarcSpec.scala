@@ -54,6 +54,22 @@ class WarcSpec extends SparkSuite {
     assert(Warc.httpBody("no envelope") === (("", "no envelope")))
   }
 
+  test("httpStatusCol/httpBodyCol ≡ httpBody on every envelope shape") {
+    import spark.implicits._
+    val bodies = Seq(
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>enveloped</p>",
+      "<html>no envelope at all</html>",
+      "bare body with a\r\n\r\nblank line but no HTTP prefix", // must pass WHOLE
+      "HTTP/1.1 200 OK no blank line anywhere",              // malformed: pass whole
+      "")
+    val got = bodies.toDF("body")
+      .select(Warc.httpStatusCol(org.apache.spark.sql.functions.col("body")).as("s"),
+        Warc.httpBodyCol(org.apache.spark.sql.functions.col("body")).as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === bodies.map(Warc.httpBody),
+      "the Column form must match the byte-tier helper exactly")
+  }
+
   test("records() runs the parser through the Spark batch contract") {
     import spark.implicits._
     val blobs = Seq(
