@@ -1044,8 +1044,116 @@ object Mining {
           CAST(2 AS BIGINT) AS n_records,
           'HTTP/1.1 200 OK' AS http_status,
           title, n_content, content_chars, content
-        FROM extracted"""))
+        FROM extracted""")),
+
+    // --------------------------------------------------------------- q213
+    // URL FILTER — the stage RefinedWeb runs BEFORE fetching content
+    // (Penedo et al. 2023 §3.1: URL blocklist + URL scoring; C4 has
+    // the same posture): it is the cheapest gate in the whole
+    // pipeline because it reads NO content at all — a URL is ~100
+    // bytes, and every URL dropped here saves a fetch + extract +
+    // every downstream gate. Rules, all published-pipeline standard:
+    // severe DOMAIN term → drop on sight; mild PATH terms accumulate
+    // into a weighted score that drops at ≥ 3; structural penalties
+    // (path depth > 6, query string present, URL length > 96) add 1
+    // each — they proxy crawler traps and faceted-navigation spam.
+    // The verdict frame carries the evidence columns (domain, depth,
+    // flags, score) an appeals pass needs, the q197 convention. URLs
+    // are synthesized deterministically from (source, lang, doc_id)
+    // with planted bad domains/paths/traps at fixed residues, and the
+    // WHOLE gate — synthesis, domain extraction, scoring, verdict —
+    // replays in DuckDB (shared fragment, hash-checked).
+    //
+    // Scale shape: in-row end to end, zero exchanges (the q197/q208
+    // shape); domain extraction and term hits are codegen'd regex on
+    // a 100-byte column. At 100 TB this gate runs on the crawl
+    // FRONTIER (trillions of URLs), which is exactly why it must
+    // never shuffle.
+    Q(
+      "q213_url_filter",
+      (s, dir) => {
+        import s.implicits._
+        val bad = UrlBadDomains.map(d => s"'$d'").mkString(", ")
+        table(s, dir, "documents")
+          .withColumn("url", expr(UrlSynthSql))
+          .withColumn("domain", expr(
+            "regexp_extract(url, '^https?://([^/]+)/', 1)"))
+          .withColumn("depth", expr(
+            "CAST(size(split(regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT)"))
+          .withColumn("has_query", expr("CAST(url LIKE '%?%' AS BIGINT)"))
+          .withColumn("too_long", expr("CAST(length(url) > 96 AS BIGINT)"))
+          .withColumn("too_deep", expr("CAST(depth > 6 AS BIGINT)"))
+          .withColumn("bad_domain", expr(
+            s"CAST(exists(array($bad), t -> domain LIKE concat('%', t, '%')) AS BIGINT)"))
+          .withColumn("path_hits", expr(
+            UrlBadPathTerms.map(t =>
+              s"CAST(url LIKE '%/$t/%' OR url LIKE '%/$t?%' AS INT)").mkString(" + ")))
+          .withColumn("score",
+            $"path_hits" + $"has_query" + $"too_long" + $"too_deep")
+          .select($"doc_id", $"url", $"domain", $"depth",
+            $"has_query", $"too_long", $"too_deep", $"bad_domain",
+            $"path_hits".cast("long").as("path_hits"),
+            $"score".cast("long").as("score"),
+            ($"bad_domain" === 1L || $"score" >= 3L).cast("long").as("dropped"))
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        f AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+            CAST(len(string_split(regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT) AS depth,
+            CAST(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
+            CAST(CASE WHEN length(url) > 96 THEN 1 ELSE 0 END AS BIGINT) AS too_long
+          FROM u),
+        g AS (
+          SELECT *,
+            CAST(CASE WHEN depth > 6 THEN 1 ELSE 0 END AS BIGINT) AS too_deep,
+            CAST(CASE WHEN ${UrlBadDomains.map(d =>
+              s"domain LIKE '%$d%'").mkString(" OR ")} THEN 1 ELSE 0 END AS BIGINT) AS bad_domain,
+            CAST(${UrlBadPathTerms.map(t =>
+              s"CASE WHEN url LIKE '%/$t/%' OR url LIKE '%/$t?%' THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS path_hits
+          FROM f)
+        SELECT doc_id, url, domain, depth, has_query, too_long, too_deep,
+          bad_domain, path_hits,
+          CAST(path_hits + has_query + too_long + too_deep AS BIGINT) AS score,
+          CAST(CASE WHEN bad_domain = 1 OR
+                         path_hits + has_query + too_long + too_deep >= 3
+               THEN 1 ELSE 0 END AS BIGINT) AS dropped
+        FROM g"""))
   )
+
+  /** q213's URL synthesis — ONE SQL fragment over (doc_id, lang,
+    * source) evaluated by both engines. Planted structure at fixed
+    * residues: %13 = 0 lands on a blocklisted mirror domain, %11 = 0
+    * carries a blocklisted path segment, %17 = 0 is a deep faceted
+    * crawler trap (depth + query + length all fire), everything else
+    * is a clean article URL.
+    */
+  private[graft] lazy val UrlSynthSql: String =
+    """CASE
+      |  WHEN doc_id % 13 = 0 THEN
+      |    concat('https://freestuff-mirror.biz/', lang, '/item/', doc_id)
+      |  WHEN doc_id % 11 = 0 THEN
+      |    concat('https://', source, '.example.org/casino/', lang, '/', doc_id)
+      |  WHEN doc_id % 17 = 0 THEN
+      |    concat('https://', source, '.example.org/a/b/c/d/e/f/g/h/',
+      |           doc_id, '?session=', doc_id, '&ref=', lang,
+      |           '&utm_campaign=springsale2020&sort=price&page=', doc_id % 40)
+      |  ELSE concat('https://', source, '.example.org/', lang,
+      |              '/articles/', doc_id)
+      |END""".stripMargin
+
+  /** The q213 domain blocklist literal (substring match on the host —
+    * mirrors how operational lists name domain families). */
+  private[graft] lazy val UrlBadDomains: Seq[String] =
+    Seq("freestuff-mirror", "spam-farm", "link-exchange")
+
+  /** The q213 path-term literal: mild signals that accumulate
+    * (weight 1 each); absent-from-corpus terms are deliberate — the
+    * zero-hit path must produce keep verdicts, not vanish rows. */
+  private[graft] lazy val UrlBadPathTerms: Seq[String] =
+    Seq("casino", "coupon", "tracker")
 
   /** The q208 page synthesis — ONE SQL fragment over (doc_id, lang,
     * source, text) evaluated by both Spark and DuckDB, so the
