@@ -259,49 +259,16 @@ object CdcDedupState {
     } finally Checkpoints.release(m)
   }
 
-  private val ensureLock = new Object
-  private lazy val cacheRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-cdc-state")
-    // the cached states are corpus-sized — reap the whole tree when
-    // the JVM exits so repeated bench/verify runs cannot grow /tmp
-    // (plain NIO walk: Spark may already be stopped in the hook)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(d)))
-    d.toString
-  }
-
-  private def deleteTree(root: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-
-  /** Build-once-per-content CDC state under the one shared per-JVM
-    * cache root — [[Smb.ensureBucketed]]'s discipline for state dirs:
-    * `build` (the corpus-sized [[save]] + the change-sized
-    * [[applyChanges]]) runs only on a cache MISS for `fingerprint`
-    * (the caller's content address, e.g. [[Smb.sourceFingerprint]] of
-    * the input files + the state geometry), so bench reruns and
-    * repeated pipeline invocations pay the state build ONCE and the
-    * timed q194 path measures what production measures: READING an
-    * at-rest state that some earlier job maintained. The `_ready`
-    * marker advances LAST (a crash mid-build re-runs the idempotent
-    * overwrite), and the JVM-exit hook reaps the root — no /tmp
-    * growth across runs (the leak the round-13 review flagged).
+  /** Build-once-per-content CDC state — [[StateCache.ensure]] (the
+    * shared per-JVM cache + `_ready` + exit-hook protocol), kept here
+    * as the q194 call site's named entry point: `build` (the
+    * corpus-sized [[save]] + the change-sized [[applyChanges]]) runs
+    * only on a cache MISS for `fingerprint`, so the timed q194 path
+    * measures what production measures — READING an at-rest state
+    * that some earlier job maintained.
     */
   def ensureState(fingerprint: String)(build: String => Unit): String =
-    ensureLock.synchronized {
-      require(fingerprint.matches("[A-Za-z0-9_.-]+"), s"unsafe fingerprint: $fingerprint")
-      val dir = java.nio.file.Paths.get(cacheRoot, fingerprint)
-      val marker = dir.resolve("_ready")
-      if (!java.nio.file.Files.exists(marker)) {
-        deleteTree(dir)
-        build(dir.toString)
-        java.nio.file.Files.createFile(marker)
-      }
-      dir.toString
-    }
+    StateCache.ensure(fingerprint)(build)
 
   /** The live near-dup band view (bkey, doc_id): all band children
     * minus the tombstones that OUTRANK them (dead.uid > row.uid — see
