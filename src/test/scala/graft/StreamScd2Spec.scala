@@ -107,7 +107,18 @@ class StreamScd2Spec extends SparkSuite {
     val dels = v1.select("doc_id").exceptAll(v2.select("doc_id"))
       .select(col("doc_id"), lit("").as("text"), lit("").as("lang"),
         lit("").as("source"), lit("delete").as("op"))
-    up(v2).unionByName(dels).write.mode("overwrite").parquet(s"$srcDir/d2")
+    // stage OUTSIDE the watched glob, then publish with one atomic
+    // rename: the running stream triggers on its own between the two
+    // processAllAvailable calls, and a parquet write is not atomic —
+    // a trigger landing mid-write would consume a PARTIAL drop as its
+    // own batch and split the CDC delta across two batches (the flake
+    // this leg showed once under parallel-suite load)
+    val stage = java.nio.file.Files.createTempDirectory("scd2-stage").toString
+    up(v2).unionByName(dels).write.mode("overwrite").parquet(s"$stage/d2")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$stage/d2"),
+      java.nio.file.Paths.get(s"$srcDir/d2"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     q.processAllAvailable()
     q.stop()
     val ref = java.nio.file.Files.createTempDirectory("scd2-ref").toString
