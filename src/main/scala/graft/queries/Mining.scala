@@ -1124,8 +1124,100 @@ object Mining {
           CAST(CASE WHEN bad_domain = 1 OR
                          path_hits + has_query + too_long + too_deep >= 3
                THEN 1 ELSE 0 END AS BIGINT) AS dropped
-        FROM g"""))
+        FROM g""")),
+
+    // --------------------------------------------------------------- q214
+    // ROBOTS.TXT EVALUATION (RFC 9309 §2.2.2) — the crawl-compliance
+    // decision q213's frontier gate must respect before any fetch:
+    // for each URL, the applicable rule group's candidate rules are
+    // the (domain-suffix, path-prefix) pairs that match, the WINNER
+    // is the rule with the LONGEST matching path prefix, and on a
+    // length tie ALLOW wins — RFC 9309's exact precedence (the core
+    // rule set; the *-wildcard extension is a rule-compiler concern,
+    // not a precedence one). No matching rule = allowed, also per
+    // RFC. The rule table here is a query literal (operationally
+    // robots files parse into exactly this shape, domain-keyed) and
+    // plants a longest-match override: /casino is disallowed but
+    // /casino/en re-allows, so the precedence path is non-vacuous.
+    //
+    // Scale shape: the rule table is tiny → BROADCAST join against
+    // the URL scan; the per-URL argmax is ONE map-side-combinable
+    // max(struct(prefix_len, allow, …)) aggregation keyed by doc —
+    // integer struct ordering, no window, no sort. At the frontier
+    // (trillions of URLs) this is a broadcast-join + one narrow agg.
+    Q(
+      "q214_robots_eval",
+      (s, dir) => {
+        import s.implicits._
+        val rules = RobotsRules
+          .toDF("rule_dom", "rule_prefix", "rule_allow")
+        val urls = table(s, dir, "documents")
+          .withColumn("url", expr(UrlSynthSql))
+          .select($"doc_id", $"url",
+            expr("regexp_extract(url, '^https?://([^/]+)/', 1)").as("domain"),
+            expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"))
+        val matched = urls.join(broadcast(rules),
+            expr("endswith(domain, rule_dom)") &&
+              expr("startswith(path, rule_prefix)"),
+            "left")
+          .groupBy($"doc_id", $"url", $"domain", $"path")
+          .agg(max(struct(
+            length($"rule_prefix").as("plen"),
+            $"rule_allow".as("allow"),
+            $"rule_prefix".as("prefix"))).as("win"))
+        matched.select($"doc_id", $"url", $"domain", $"path",
+          coalesce($"win.prefix", lit("")).as("rule_prefix"),
+          coalesce($"win.plen", lit(0)).cast("long").as("rule_len"),
+          // no matching rule (null win) = allowed, per RFC 9309
+          coalesce($"win.allow", lit(1)).cast("long").as("allowed"))
+      },
+      Some(s"""
+        WITH rules(rule_dom, rule_prefix, rule_allow) AS (
+          VALUES ${RobotsRules.map { case (d, p, a) =>
+            s"('$d', '$p', $a)" }.mkString(",\n                 ")}),
+        u AS (
+          SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        f AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+            regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path
+          FROM u),
+        m AS (
+          SELECT f.doc_id, f.url, f.domain, f.path,
+            r.rule_prefix, r.rule_allow,
+            length(r.rule_prefix) AS plen,
+            ROW_NUMBER() OVER (
+              PARTITION BY f.doc_id
+              ORDER BY length(r.rule_prefix) DESC, r.rule_allow DESC,
+                       r.rule_prefix) AS rn
+          FROM f JOIN rules r
+            ON ends_with(f.domain, r.rule_dom)
+           AND starts_with(f.path, r.rule_prefix)),
+        w AS (SELECT * FROM m WHERE rn = 1)
+        SELECT f.doc_id, f.url, f.domain, f.path,
+          coalesce(w.rule_prefix, '') AS rule_prefix,
+          CAST(coalesce(w.plen, 0) AS BIGINT) AS rule_len,
+          CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
+        FROM f LEFT JOIN w ON f.doc_id = w.doc_id"""))
   )
+
+  /** q214's parsed robots rule table — (domain suffix, path prefix,
+    * allow 0/1), the shape a robots.txt group parses into. Plants a
+    * longest-match override (/casino disallowed, /casino/en
+    * re-allowed) and a whole-site disallow, so every precedence leg
+    * of RFC 9309 §2.2.2 is exercised on the synthesized URL universe.
+    * NOTE: tie-break determinism — two rules with equal prefix LENGTH
+    * and equal allow must not both match one URL with different
+    * prefixes unless the outcome columns agree; this literal keeps
+    * prefixes per domain distinct-length, so max(struct(len, allow,
+    * prefix)) and the oracle's ROW_NUMBER pick the same row.
+    */
+  private[graft] lazy val RobotsRules: Seq[(String, String, Int)] = Seq(
+    ("freestuff-mirror.biz", "/", 0),        // whole-site disallow
+    (".example.org", "/", 1),                // default allow
+    (".example.org", "/casino", 0),          // path family disallowed...
+    (".example.org", "/casino/en", 1),       // ...longest match re-allows en
+    (".example.org", "/a/b/", 0))            // the crawler-trap subtree
 
   /** q213's URL synthesis — ONE SQL fragment over (doc_id, lang,
     * source) evaluated by both engines. Planted structure at fixed

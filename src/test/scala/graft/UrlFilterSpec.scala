@@ -33,6 +33,30 @@ class UrlFilterSpec extends SparkSuite {
     assert(rows.keys.exists(id => id % 17 == 0 && id % 13 != 0 && id % 11 != 0))
   }
 
+  test("q214 robots precedence: longest match wins, allow wins ties, no-rule allows") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    val langs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q214_robots_eval")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(4), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (prefix, allowed)) =>
+      if (id % 13 == 0) // whole-site disallow on the mirror domain
+        assert((prefix, allowed) === (("/", 0L)), s"$id")
+      else if (id % 11 == 0) { // /casino family, /casino/en re-allowed
+        if (langs(id) == "en") assert((prefix, allowed) === (("/casino/en", 1L)), s"$id")
+        else assert((prefix, allowed) === (("/casino", 0L)), s"$id")
+      } else if (id % 17 == 0) // the trap subtree
+        assert((prefix, allowed) === (("/a/b/", 0L)), s"$id")
+      else // default allow — the longest (only) match is '/'
+        assert((prefix, allowed) === (("/", 1L)), s"$id")
+    }
+    // the longest-match override is non-vacuous on this corpus
+    assert(rows.exists { case (id, (p, _)) => p == "/casino/en" })
+  }
+
   test("evidence columns are internally consistent") {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries("q213_url_filter")(spark, dir)
