@@ -50,7 +50,11 @@ case class UnigramTokens(child: Expression, vocabName: String)
   override def dataType: DataType = LongType
 
   @transient private lazy val vocab = UnigramVocabs.byName(vocabName)
-  @transient private lazy val maxLen = vocab.keysIterator.map(_.length).max
+  // BYTE length, not String.length: the DP window below slides over
+  // UTF-8 byte offsets, so a multi-byte piece measured in UTF-16 chars
+  // would silently shrink the window and undercount (round-14 advice).
+  @transient private lazy val maxLen =
+    vocab.keysIterator.map(_.getBytes("UTF-8").length).max
 
   /** OOV single-char penalty — well below every trained logprob, so a
     * real piece always outranks falling back through its chars. */

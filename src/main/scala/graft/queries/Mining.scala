@@ -994,6 +994,11 @@ object Mining {
     // envelope, plus a metadata record — multi-record framing is
     // exercised on every file), the byte-level parser recovers the
     // records, and the recovered HTML flows through q208's extractor.
+    // EVEN doc_ids ship as .warc.gz — each record its own gzip MEMBER,
+    // members concatenated, the exact Common Crawl layout — so the
+    // gzip-inflating cursor is exercised on half the corpus under the
+    // SAME oracle (the parse must invert the synthesis identically
+    // whether or not the container was compressed).
     // Oracle discipline: the parse is not SQL-replayable (framing is
     // byte-counted), but its EXPECTED output is — DuckDB computes what
     // the chain must yield straight from documents (the shared
@@ -1021,8 +1026,18 @@ object Mining {
                 s"WARC-Target-URI: https://example.com/$id\r\n" +
                 s"Content-Length: $n\r\n\r\n$p\r\n\r\n"
             }
-            (s"crawl-$id.warc",
-              (rec("response", http) + rec("metadata", meta)).getBytes("UTF-8"))
+            if (id % 2 == 0) {
+              def gz(s: String): Array[Byte] = {
+                val bos = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(bos)
+                g.write(s.getBytes("UTF-8")); g.close()
+                bos.toByteArray
+              }
+              (s"crawl-$id.warc.gz",
+                gz(rec("response", http)) ++ gz(rec("metadata", meta)))
+            } else
+              (s"crawl-$id.warc",
+                (rec("response", http) + rec("metadata", meta)).getBytes("UTF-8"))
           }.toDF("file", "bytes")
         val perFile = graft.ops.Warc.records(warc)
           .groupBy($"file").agg(

@@ -17,12 +17,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Per batch:
   *  1. frame every file's records (byte-counted Content-Length
-  *     framing — one blob in flight, the [[Warc]] contract);
-  *  2. files that yield ZERO records but carry bytes are QUARANTINED
-  *     — (file, n_bytes) rows in their own child-dir root, the loud
-  *     counterpart of [[Warc]]'s stop-at-last-whole-record rule (a
-  *     production run routes these to re-fetch, and silence here
-  *     would under-ingest without a trace);
+  *     framing, gzip-aware, one record in flight — the [[Warc]]
+  *     contract);
+  *  2. files that yield ZERO records but carry bytes, AND files whose
+  *     tail the parser had to drop (truncated mid-record — partial
+  *     parses would otherwise under-ingest silently, the round-14
+  *     advice), are QUARANTINED — (file, n_bytes, n_records,
+  *     truncated) rows from [[Warc.fileAudit]] in their own child-dir
+  *     root, the loud counterpart of [[Warc]]'s
+  *     stop-at-last-whole-record rule (a production run routes these
+  *     to re-fetch);
   *  3. response records strip their HTTP envelope and flow through
   *     the q208 extractor; the output child carries
   *     (file, uri, http_status, title, n_lines, n_content,
@@ -44,7 +48,8 @@ object StreamIngest {
   private val outDdl =
     "file STRING, uri STRING, http_status STRING, title STRING, " +
       "n_lines BIGINT, n_content BIGINT, content_chars BIGINT, content STRING"
-  private val quarDdl = "file STRING, n_bytes BIGINT"
+  private val quarDdl =
+    "file STRING, n_bytes BIGINT, n_records BIGINT, truncated BIGINT"
 
   /** Start the stream: micro-batches of `source` (file, bytes) flow
     * through [[processBatch]]. */
@@ -71,10 +76,12 @@ object StreamIngest {
   private[graft] def ingest(batch: DataFrame): (DataFrame, DataFrame) = {
     val s = batch.sparkSession
     import s.implicits._
-    // recs consumed twice (pages + parsed-file set for quarantine):
-    // materialize the parse once — record rows are text-sized, and
-    // re-running the byte parser per consumer is the cost to avoid
-    val recs = Warc.records(batch).localCheckpoint()
+    // the record parse has exactly ONE consumer (pages) — quarantine
+    // comes from the separate framing-only audit pass below — so
+    // nothing here is checkpointed: no storage outlives the batch
+    // (the round-14 advice; the caller's checkpointed `b` already
+    // keeps the file bytes local to both passes)
+    val recs = Warc.records(batch)
     // envelope strip via Warc.http*Col — the guarded form (a record
     // body without an HTTP envelope passes through whole; a naked
     // locate()+substring drops its first 3 chars on no-match)
@@ -84,10 +91,13 @@ object StreamIngest {
           .withColumn("html", Warc.httpBodyCol($"body")))
       .select($"file", $"uri", $"http_status", $"title",
         $"n_lines", $"n_content", $"content_chars", $"content")
-    val quarantine = batch
-      .select($"file", expr("CAST(length(bytes) AS BIGINT)").as("n_bytes"))
-      .filter($"n_bytes" > 0L)
-      .join(recs.select($"file").distinct(), Seq("file"), "left_anti")
+    // quarantine BOTH failure shapes: nothing parsed, and a partial
+    // parse whose tail was dropped (records were emitted but the file
+    // under-ingested) — the framing-only audit skips body decoding,
+    // so this second pass costs a fraction of the first
+    val quarantine = Warc.fileAudit(batch)
+      .filter($"n_bytes" > 0L && ($"n_records" === 0L || $"truncated" === 1L))
+      .select($"file", $"n_bytes", $"n_records", $"truncated")
     (pages, quarantine)
   }
 

@@ -31,7 +31,12 @@ class StreamIngestSpec extends SparkSuite {
 
   private val files: Seq[(String, Array[Byte])] =
     (0 until 9).map(warcFile) :+
-      ("broken.warc", "WARC/1.0\r\nWARC-Type: response\r\n\r\nno length".getBytes("UTF-8"))
+      ("broken.warc", "WARC/1.0\r\nWARC-Type: response\r\n\r\nno length".getBytes("UTF-8")) :+
+      // a PARTIAL file: one whole record then a truncated tail — its
+      // page must still extract AND the file must land in quarantine
+      // (under-ingestion is loud, not silent)
+      ("partial.warc", (new String(warcFile(9)._2, "UTF-8") +
+        rec("response", "https://x/99", "lost tail").take(30)).getBytes("UTF-8"))
 
   private def df(rows: Seq[(String, Array[Byte])]): DataFrame = {
     import spark.implicits._
@@ -54,7 +59,8 @@ class StreamIngestSpec extends SparkSuite {
     val want = wantPages.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getLong(5))).toSet
     assert(pageRows(outDir) === want)
-    assert(want.size === 9, "every wellformed page extracts exactly once")
+    assert(want.size === 10,
+      "every wellformed page extracts exactly once (incl. the partial file's whole record)")
     // extraction really ran: titles decoded, prose kept, nav dropped
     val sample = StreamIngest.pages(spark, outDir)
       .filter(org.apache.spark.sql.functions.col("file") === "crawl-3.warc")
@@ -62,11 +68,13 @@ class StreamIngestSpec extends SparkSuite {
     assert(sample.getAs[String]("title") === "Page 3")
     assert(sample.getAs[String]("content").startsWith("Article 3 body"))
     assert(sample.getAs[String]("http_status") === "HTTP/1.1 200 OK")
-    // the broken file is quarantined, not silently dropped
+    // the broken file AND the partially-parsed file are quarantined,
+    // not silently dropped/shortened
     val quar = StreamIngest.quarantined(spark, outDir).collect()
-      .map(_.getString(0)).toSet
-    assert(quar === Set("broken.warc"))
-    assert(wantQuar.collect().map(_.getString(0)).toSet === quar)
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(quar === Set(("broken.warc", 0L, 1L), ("partial.warc", 2L, 1L)))
+    assert(wantQuar.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet === quar)
     // replayed batch is a no-op
     assert(!StreamIngest.processBatch(spark, df(batches.head), stateDir, outDir, 0L))
     assert(pageRows(outDir) === want)

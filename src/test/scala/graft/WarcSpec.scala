@@ -4,8 +4,10 @@ import graft.ops.Warc
 
 /** ops.Warc: Content-Length framing (a payload that CONTAINS
   * "WARC/1.0" and blank lines must not split a record), multi-record
-  * files, header case-insensitivity, HTTP envelope stripping, and the
-  * stop-at-last-whole-record contract on truncated tails.
+  * files, header case-insensitivity, HTTP envelope stripping, the
+  * stop-at-last-whole-record contract on truncated tails, gzip
+  * member-per-record inflation, charset-aware body decoding, and the
+  * per-file parse audit (fileAudit) that quarantine feeds on.
   */
 class WarcSpec extends SparkSuite {
 
@@ -14,6 +16,19 @@ class WarcSpec extends SparkSuite {
     val n = payload.getBytes("UTF-8").length
     s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
       extra + s"Content-Length: $n\r\n\r\n" + payload + "\r\n\r\n"
+  }
+
+  private def recBytes(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+    (s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
   }
 
   test("Content-Length framing survives adversarial payloads") {
@@ -68,6 +83,84 @@ class WarcSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === bodies.map(Warc.httpBody),
       "the Column form must match the byte-tier helper exactly")
+  }
+
+  test("gzip: member-per-record .warc.gz inflates to the plain parse") {
+    // the Common Crawl layout — one gzip MEMBER per record, members
+    // concatenated; the adversarial payload rides inside a member
+    val evil = "inner\r\n\r\nWARC/1.0\r\nfake\r\n\r\ntail"
+    val plain = rec("response", "https://g/1", evil) +
+      rec("metadata", "https://g/1", "fetch-ms: 3\r\n") +
+      rec("response", "https://g/2", "second page")
+    val gzBytes = gz(rec("response", "https://g/1", evil).getBytes("UTF-8")) ++
+      gz(rec("metadata", "https://g/1", "fetch-ms: 3\r\n").getBytes("UTF-8")) ++
+      gz(rec("response", "https://g/2", "second page").getBytes("UTF-8"))
+    val want = Warc.parseFile("f", plain.getBytes("UTF-8")).toSeq
+    val got = Warc.parseFile("f", gzBytes).toSeq
+    assert(got === want, "gzip members must inflate to the identical record stream")
+    assert(got.map(_.body) === Seq(evil, "fetch-ms: 3\r\n", "second page"))
+    // whole-file single-member gzip (also legal) parses identically
+    val got1 = Warc.parseFile("f", gz(plain.getBytes("UTF-8"))).toSeq
+    assert(got1 === want)
+  }
+
+  test("corrupt gzip member stops at the last whole record, flagged") {
+    val good = gz(rec("response", "https://g/1", "ok body").getBytes("UTF-8"))
+    // second member: gzip magic + garbage — an IOException mid-inflate
+    val corrupt = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0,
+      42, 42, 42, 42, 42, 42)
+    val c = new Warc.Cursor("f", good ++ corrupt, decodeBodies = true)
+    val got = c.toSeq
+    assert(got.map(_.body) === Seq("ok body"))
+    assert(c.truncated, "dropped member must flag the file")
+  }
+
+  test("charset: declared latin-1 round-trips; windows-1252 fallback; utf-8 fast path") {
+    val latin1Text = "café au lait, señor"
+    val latin1 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+      .getBytes("US-ASCII") ++ latin1Text.getBytes("ISO-8859-1")
+    // undeclared charset + bytes that are invalid UTF-8 → cp1252
+    val cp1252Text = "90° — “smart”"
+    val undeclared = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("US-ASCII") ++ cp1252Text.getBytes("windows-1252")
+    // proper UTF-8 without declaration stays UTF-8 (the fast path)
+    val utf8Text = "naïve 日本語"
+    val utf8 = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      .getBytes("US-ASCII") ++ utf8Text.getBytes("UTF-8")
+    // a bogus declared charset falls back to cp1252, not an exception
+    val bogus = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=no-such-cs\r\n\r\n"
+      .getBytes("US-ASCII") ++ "plain ascii".getBytes("US-ASCII")
+    val blob = recBytes("response", "u1", latin1) ++
+      recBytes("response", "u2", undeclared) ++
+      recBytes("response", "u3", utf8) ++
+      recBytes("response", "u4", bogus)
+    val got = Warc.parseFile("f", blob).toSeq
+    assert(got.map(r => Warc.httpBody(r.body)._2) ===
+      Seq(latin1Text, cp1252Text, utf8Text, "plain ascii"))
+    // non-HTTP record bodies: strict utf-8, cp1252 on failure
+    val nonHttp = recBytes("metadata", "m1", utf8Text.getBytes("UTF-8")) ++
+      recBytes("metadata", "m2", latin1Text.getBytes("ISO-8859-1"))
+    val got2 = Warc.parseFile("g", nonHttp).toSeq
+    assert(got2.head.body === utf8Text)
+    assert(got2(1).body === new String(latin1Text.getBytes("ISO-8859-1"), "windows-1252"))
+  }
+
+  test("fileAudit: clean, zero-record, and partial-parse files") {
+    import spark.implicits._
+    val clean = rec("response", "https://a/1", "good").getBytes("UTF-8")
+    val zero = "WARC/1.0\r\nWARC-Type: response\r\n\r\nno length\r\n\r\n".getBytes("UTF-8")
+    val partial = (rec("response", "https://a/1", "good") +
+      rec("response", "https://a/2", "this body is long").take(40)).getBytes("UTF-8")
+    val gzClean = gz(clean)
+    val df = Seq(("clean", clean), ("zero", zero), ("partial", partial),
+      ("gzclean", gzClean)).toDF("file", "bytes")
+    val got = Warc.fileAudit(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("clean") === ((1L, 0L)))
+    assert(got("zero") === ((0L, 1L)), "unframeable file: 0 records, truncated")
+    assert(got("partial") === ((1L, 1L)),
+      "partial parse must be flagged — silence here under-ingests (r14 advice)")
+    assert(got("gzclean") === ((1L, 0L)))
   }
 
   test("records() runs the parser through the Spark batch contract") {
