@@ -1142,30 +1142,42 @@ object Mining {
         FROM g""")),
 
     // --------------------------------------------------------------- q214
-    // ROBOTS.TXT EVALUATION (RFC 9309 §2.2.2) — the crawl-compliance
-    // decision q213's frontier gate must respect before any fetch:
-    // for each URL, the applicable rule group's candidate rules are
-    // the (domain-suffix, path-prefix) pairs that match, the WINNER
-    // is the rule with the LONGEST matching path prefix, and on a
-    // length tie ALLOW wins — RFC 9309's exact precedence (the core
-    // rule set; the *-wildcard extension is a rule-compiler concern,
-    // not a precedence one). No matching rule = allowed, also per
-    // RFC. The rule table here is a query literal (operationally
-    // robots files parse into exactly this shape, domain-keyed) and
-    // plants a longest-match override: /casino is disallowed but
-    // /casino/en re-allows, so the precedence path is non-vacuous.
+    // ROBOTS.TXT EVALUATION (RFC 9309 §2.2.2 + §2.2.3 wildcards) —
+    // the crawl-compliance decision q213's frontier gate must respect
+    // before any fetch: for each URL, the applicable rule group's
+    // candidate rules are the (domain-suffix, path-pattern) pairs
+    // that match, the WINNER is the rule with the MOST OCTETS in its
+    // pattern (longest-match precedence; a wildcard pattern's length
+    // is its literal length, the published-crawler convention), and
+    // on a length tie ALLOW wins — RFC 9309's exact precedence. A
+    // final (len, allow) tie breaks by LARGEST pattern string, the
+    // SAME total order in both engines (round-14 advice: the oracle
+    // previously ordered ascending — divergent on a full tie). No
+    // matching rule = allowed, also per RFC. Patterns may carry
+    // RFC 9309 §2.2.3 `*` wildcards and the `$` end anchor; the rule
+    // COMPILER (robotsRegex) lowers each to an anchored RE2-safe
+    // regex literal at plan build — both engines consume the SAME
+    // compiled literal from the rule table, so matching is
+    // evaluation, not reimplementation. The literal rule set plants
+    // every precedence leg: /casino vs /casino/en (prefix longest-
+    // match override), /casino/*4$ (wildcard + $ anchor OVERRIDING
+    // the re-allow at greater length), /a/b/*/h/ vs /a/b/c/*/ (equal-
+    // length allow/disallow tie → allow wins), /a/b/*/h/ vs /a/b/*/h*
+    // (full (len, allow) tie → pattern-string order decides).
     //
     // Scale shape: the rule table is tiny → BROADCAST join against
-    // the URL scan; the per-URL argmax is ONE map-side-combinable
-    // max(struct(prefix_len, allow, …)) aggregation keyed by doc —
-    // integer struct ordering, no window, no sort. At the frontier
+    // the URL scan (regex per candidate pair — a few compiled RE2s
+    // per URL, in-row); the per-URL argmax is ONE map-side-combinable
+    // max(struct(pattern_len, allow, …)) aggregation keyed by doc —
+    // struct ordering, no window, no sort. At the frontier
     // (trillions of URLs) this is a broadcast-join + one narrow agg.
     Q(
       "q214_robots_eval",
       (s, dir) => {
         import s.implicits._
         val rules = RobotsRules
-          .toDF("rule_dom", "rule_prefix", "rule_allow")
+          .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
+          .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
         val urls = table(s, dir, "documents")
           .withColumn("url", expr(UrlSynthSql))
           .select($"doc_id", $"url",
@@ -1173,23 +1185,26 @@ object Mining {
             expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"))
         val matched = urls.join(broadcast(rules),
             expr("endswith(domain, rule_dom)") &&
-              expr("startswith(path, rule_prefix)"),
+              expr("path RLIKE rule_re"),
             "left")
           .groupBy($"doc_id", $"url", $"domain", $"path")
           .agg(max(struct(
-            length($"rule_prefix").as("plen"),
+            length($"rule_pat").as("plen"),
             $"rule_allow".as("allow"),
-            $"rule_prefix".as("prefix"))).as("win"))
+            $"rule_pat".as("pat"))).as("win"))
         matched.select($"doc_id", $"url", $"domain", $"path",
-          coalesce($"win.prefix", lit("")).as("rule_prefix"),
+          coalesce($"win.pat", lit("")).as("rule_pat"),
           coalesce($"win.plen", lit(0)).cast("long").as("rule_len"),
           // no matching rule (null win) = allowed, per RFC 9309
           coalesce($"win.allow", lit(1)).cast("long").as("allowed"))
       },
       Some(s"""
-        WITH rules(rule_dom, rule_prefix, rule_allow) AS (
+        WITH rules(rule_dom, rule_pat, rule_re, rule_allow) AS (
           VALUES ${RobotsRules.map { case (d, p, a) =>
-            s"('$d', '$p', $a)" }.mkString(",\n                 ")}),
+            // DuckDB string literals are escape-free: the compiled
+            // regex embeds VERBATIM (a \. stays backslash-dot)
+            s"('$d', '$p', '${robotsRegex(p)}', $a)" }
+            .mkString(",\n                 ")}),
         u AS (
           SELECT doc_id, $UrlSynthSql AS url FROM documents),
         f AS (
@@ -1199,40 +1214,66 @@ object Mining {
           FROM u),
         m AS (
           SELECT f.doc_id, f.url, f.domain, f.path,
-            r.rule_prefix, r.rule_allow,
-            length(r.rule_prefix) AS plen,
+            r.rule_pat, r.rule_allow,
+            length(r.rule_pat) AS plen,
             ROW_NUMBER() OVER (
               PARTITION BY f.doc_id
-              ORDER BY length(r.rule_prefix) DESC, r.rule_allow DESC,
-                       r.rule_prefix) AS rn
+              ORDER BY length(r.rule_pat) DESC, r.rule_allow DESC,
+                       r.rule_pat DESC) AS rn
           FROM f JOIN rules r
             ON ends_with(f.domain, r.rule_dom)
-           AND starts_with(f.path, r.rule_prefix)),
+           AND regexp_matches(f.path, r.rule_re)),
         w AS (SELECT * FROM m WHERE rn = 1)
         SELECT f.doc_id, f.url, f.domain, f.path,
-          coalesce(w.rule_prefix, '') AS rule_prefix,
+          coalesce(w.rule_pat, '') AS rule_pat,
           CAST(coalesce(w.plen, 0) AS BIGINT) AS rule_len,
           CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
         FROM f LEFT JOIN w ON f.doc_id = w.doc_id"""))
   )
 
-  /** q214's parsed robots rule table — (domain suffix, path prefix,
-    * allow 0/1), the shape a robots.txt group parses into. Plants a
+  /** The q214 rule COMPILER: one RFC 9309 §2.2.3 path pattern → an
+    * anchored regex literal both engines evaluate identically (RE2-
+    * safe: no backreferences/lookaround; Java regex reads the same
+    * syntax). `*` matches any run of characters; a TRAILING `$` is
+    * the end-of-path anchor; every other character is literal
+    * (regex metacharacters escaped). Plain prefixes compile to
+    * `^prefix` — the §2.2.2 startswith semantics, unchanged.
+    */
+  private[graft] def robotsRegex(pat: String): String = {
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.dropRight(1) else pat
+    val esc = core.flatMap {
+      case '*' => ".*"
+      case c if "\\.[]{}()+?^$|".indexOf(c.toInt) >= 0 => "\\" + c
+      case c => c.toString
+    }
+    "^" + esc + (if (anchored) "$" else "")
+  }
+
+  /** q214's parsed robots rule table — (domain suffix, path pattern,
+    * allow 0/1), the shape a robots.txt group parses into; patterns
+    * may carry `*` wildcards and the `$` end anchor (RFC 9309
+    * §2.2.3), compiled by [[robotsRegex]]. Plants every precedence
+    * leg on the synthesized URL universe: a whole-site disallow, a
     * longest-match override (/casino disallowed, /casino/en
-    * re-allowed) and a whole-site disallow, so every precedence leg
-    * of RFC 9309 §2.2.2 is exercised on the synthesized URL universe.
-    * NOTE: tie-break determinism — two rules with equal prefix LENGTH
-    * and equal allow must not both match one URL with different
-    * prefixes unless the outcome columns agree; this literal keeps
-    * prefixes per domain distinct-length, so max(struct(len, allow,
-    * prefix)) and the oracle's ROW_NUMBER pick the same row.
+    * re-allowed), a LONGER wildcard+anchor disallow that overrides
+    * the re-allow for paths ending in 4, an equal-length
+    * allow/disallow pair on the trap subtree (allow wins, §2.2.2),
+    * and a full (length, allow) tie whose winner only the aligned
+    * pattern-string order decides (largest wins, both engines).
     */
   private[graft] lazy val RobotsRules: Seq[(String, String, Int)] = Seq(
     ("freestuff-mirror.biz", "/", 0),        // whole-site disallow
     (".example.org", "/", 1),                // default allow
     (".example.org", "/casino", 0),          // path family disallowed...
     (".example.org", "/casino/en", 1),       // ...longest match re-allows en
-    (".example.org", "/a/b/", 0))            // the crawler-trap subtree
+    (".example.org", "/casino/*4$", 0),      // …but len-11 wildcard+anchor
+                                             //   re-disallows paths ending 4
+    (".example.org", "/a/b/", 0),            // the crawler-trap subtree
+    (".example.org", "/a/b/*/h/", 1),        // len-9 allow on trap paths…
+    (".example.org", "/a/b/c/*/", 0),        // …vs len-9 disallow: allow wins
+    (".example.org", "/a/b/*/h*", 1))        // full (9, allow) tie: pattern
+                                             //   string order decides ('/' > '*')
 
   /** q213's URL synthesis — ONE SQL fragment over (doc_id, lang,
     * source) evaluated by both engines. Planted structure at fixed
