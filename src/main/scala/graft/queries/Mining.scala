@@ -1228,7 +1228,122 @@ object Mining {
           coalesce(w.rule_pat, '') AS rule_pat,
           CAST(coalesce(w.plen, 0) AS BIGINT) AS rule_len,
           CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
-        FROM f LEFT JOIN w ON f.doc_id = w.doc_id"""))
+        FROM f LEFT JOIN w ON f.doc_id = w.doc_id""")),
+
+    // --------------------------------------------------------------- q215
+    // URL CANONICALIZATION + FRONTIER DEDUP — crawl stage zero's other
+    // half (q213 scores URLs; this collapses the frontier so the same
+    // page is never fetched twice): canonical key = lowercase
+    // scheme/host, fragment stripped, default port stripped (:80 for
+    // http, :443 for https), duplicate path slashes collapsed,
+    // percent-encoded UNRESERVED octets decoded (RFC 3986 §2.3 — the
+    // full A–Z/a–z/0–9/-._~ table, both hex cases, as a generated
+    // replace chain both engines run verbatim; reserved octets like
+    // %2F stay encoded, they are semantic), tracking params (utm_*,
+    // fbclid, gclid) dropped and the surviving query params SORTED.
+    // Each document synthesizes its base URL plus one aliased variant
+    // (rotating through: uppercased host, fragment + %-encoding,
+    // explicit :443, tracking params, doubled slashes, uppercased
+    // TLD), so every canonicalization rule is exercised and every
+    // canonical group must collapse to exactly 2 members. Verdict
+    // frame (the q197/q213 evidence convention): per URL, its
+    // canonical key, keep = is it the group's first (min url), and
+    // the group size.
+    //
+    // Scale shape: canonicalization is in-row end to end (regex
+    // extracts + a literal replace chain at scan throughput); the
+    // dedup is ONE hash exchange on the canonical key — the shuffle a
+    // frontier dedup cannot avoid — with tiny groups (aliases of one
+    // page), so no skew and bounded window state. At the frontier
+    // (trillions of URLs, ~100 B each) this is the cheapest
+    // full-corpus pass in the pipeline after q213's zero-exchange
+    // gate.
+    Q(
+      "q215_url_canonical_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val rows = table(s, dir, "documents")
+          .withColumn("url0", expr(UrlSynthSql))
+          .withColumn("url1", expr(UrlVariantSql))
+          .select($"doc_id", explode(expr(
+            "array(named_struct('variant', 'base', 'url', url0)," +
+              " named_struct('variant', 'alt', 'url', url1))")).as("r"))
+          .select($"doc_id", $"r.variant".as("variant"), $"r.url".as("url"))
+        val canon = rows
+          .withColumn("nofrag", expr("regexp_extract(url, '^([^#]*)', 1)"))
+          .withColumn("scheme",
+            expr("lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"))
+          .withColumn("hostport",
+            expr("lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1))"))
+          .withColumn("host", expr("regexp_extract(hostport, '^([^:]*)', 1)"))
+          .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
+          .withColumn("portpart", expr(
+            "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
+              " OR (scheme = 'https' AND port = '443')" +
+              " THEN '' ELSE concat(':', port) END"))
+          .withColumn("pathq",
+            expr("regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$', 1)"))
+          .withColumn("rawpath", expr("regexp_extract(pathq, '^([^?]*)', 1)"))
+          .withColumn("rawq", expr("regexp_extract(pathq, '[?](.*)$', 1)"))
+          .withColumn("path2", expr(pctDecodeSql(
+            "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/')")))
+          .withColumn("q1", expr(
+            "array_join(array_sort(filter(split(rawq, '&'), x -> x <> ''" +
+              " AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%'))), '&')"))
+          .withColumn("canon_url", expr(
+            "concat(scheme, '://', host, portpart, path2," +
+              " CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)"))
+        val w = Window.partitionBy($"canon_url")
+        canon.select($"doc_id", $"variant", $"url", $"canon_url")
+          .withColumn("keep", ($"url" === min($"url").over(w)).cast("long"))
+          .withColumn("n_in_group", count(lit(1)).over(w).cast("long"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $UrlSynthSql AS url0 FROM documents),
+        v AS (SELECT doc_id, url0, $UrlVariantSql AS url1 FROM d),
+        r AS (
+          SELECT doc_id, 'base' AS variant, url0 AS url FROM v
+          UNION ALL
+          SELECT doc_id, 'alt' AS variant, url1 AS url FROM v),
+        c1 AS (
+          SELECT doc_id, variant, url,
+            regexp_extract(url, '^([^#]*)', 1) AS nofrag
+          FROM r),
+        c2 AS (
+          SELECT *,
+            lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+            lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1)) AS hostport,
+            regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$$', 1) AS pathq
+          FROM c1),
+        c3 AS (
+          SELECT *,
+            regexp_extract(hostport, '^([^:]*)', 1) AS host,
+            regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+            regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+            regexp_extract(pathq, '[?](.*)$$', 1) AS rawq
+          FROM c2),
+        c4 AS (
+          SELECT *,
+            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE concat(':', port) END AS portpart,
+            ${pctDecodeSql(
+              "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/', 'g')")} AS path2,
+            coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+              x -> x <> '' AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%'
+                OR x LIKE 'gclid=%'))), '&'), '') AS q1
+          FROM c3),
+        c5 AS (
+          SELECT doc_id, variant, url,
+            concat(scheme, '://', host, portpart, path2,
+              CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END) AS canon_url
+          FROM c4)
+        SELECT doc_id, variant, url, canon_url,
+          CAST(CASE WHEN url = MIN(url) OVER (PARTITION BY canon_url)
+               THEN 1 ELSE 0 END AS BIGINT) AS keep,
+          CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_in_group
+        FROM c5"""))
   )
 
   /** The q214 rule COMPILER: one RFC 9309 §2.2.3 path pattern → an
@@ -1295,6 +1410,54 @@ object Mining {
       |  ELSE concat('https://', source, '.example.org/', lang,
       |              '/articles/', doc_id)
       |END""".stripMargin
+
+  /** q215's aliased-variant synthesis — ONE SQL fragment over
+    * (doc_id, url0) evaluated by both engines: each document's second
+    * URL is a canonicalization alias of its first, rotating by
+    * doc_id % 6 through the rule set (uppercased scheme+host;
+    * fragment + a percent-encoded unreserved octet; explicit :443 on
+    * https; appended tracking params; doubled path slash; uppercased
+    * TLD), so every rule's collapse is oracle-checked on real rows.
+    */
+  private[graft] lazy val UrlVariantSql: String =
+    """CASE CAST(doc_id % 6 AS INT)
+      |  WHEN 0 THEN concat(
+      |    upper(regexp_extract(url0, '^(https?://[^/]+)', 1)),
+      |    substr(url0, length(regexp_extract(url0, '^(https?://[^/]+)', 1)) + 1))
+      |  WHEN 1 THEN concat(
+      |    replace(url0, 'articles', '%61rticles'), '#related')
+      |  WHEN 2 THEN concat(
+      |    regexp_extract(url0, '^(https?://[^/]+)', 1), ':443',
+      |    substr(url0, length(regexp_extract(url0, '^(https?://[^/]+)', 1)) + 1))
+      |  WHEN 3 THEN CASE WHEN url0 LIKE '%?%'
+      |    THEN concat(url0, '&utm_source=feed&utm_medium=rss')
+      |    ELSE concat(url0, '?utm_source=feed&utm_medium=rss') END
+      |  WHEN 4 THEN replace(replace(url0, '.org/', '.org//'), '.biz/', '.biz//')
+      |  ELSE replace(replace(url0, '.org/', '.ORG/'), '.biz/', '.BIZ/')
+      |END""".stripMargin
+
+  /** RFC 3986 §2.3 unreserved percent-codes → their characters:
+    * A–Z, a–z, 0–9, '-', '.', '_', '~', each in BOTH hex cases where
+    * the hex carries letters (%7E and %7e are the same octet). These
+    * are the codes a canonicalizer MUST decode (encoding them never
+    * changes meaning); reserved octets (%2F, %3F, %25, …) stay
+    * encoded — decoding those changes URL structure. */
+  private[graft] lazy val PctCodes: Seq[(String, String)] = {
+    val chars = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq("-", ".", "_", "~")
+    chars.flatMap { c =>
+      val hex = f"${c.charAt(0).toInt}%02X"
+      val hs = if (hex.exists(_.isLetter)) Seq(hex, hex.toLowerCase) else Seq(hex)
+      hs.map(h => ("%" + h, c))
+    }
+  }
+
+  /** The percent-decode chain over `inner` — nested literal
+    * replace() calls (identical semantics in both engines; decoded
+    * characters are never '%', so the chain is order-independent). */
+  private[graft] def pctDecodeSql(inner: String): String =
+    PctCodes.foldLeft(inner) { case (e, (code, ch)) =>
+      s"replace($e, '$code', '$ch')" }
 
   /** The q213 domain blocklist literal (substring match on the host —
     * mirrors how operational lists name domain families). */
