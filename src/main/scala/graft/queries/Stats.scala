@@ -216,6 +216,83 @@ object Stats {
       },
       None),
 
+    // --------------------------------------------------------------- q72b
+    // Percentile SKETCH STATE AS DATA — q72's quantile family with
+    // the sketch internals replaced by ENGINE-NEUTRAL state (the
+    // q116-HLL/q123-CMS pattern: where exactness is representable,
+    // oracle-check it): fixed bucket boundaries (width 5 on
+    // l_quantity, width 5000 on l_extendedprice) make the "sketch" an
+    // exact BIGINT histogram both engines compute identically; a
+    // percentile estimate is then pure integer arithmetic on the
+    // cumulative counts — the smallest bucket whose cumulative count
+    // reaches ceil(p·n), reported as the bucket's lower bound (error
+    // bound = one bucket width by construction; q72's
+    // approx_percentile stays as the adaptive-sketch variant). The
+    // rank conditions are integer cross-multiplications (2·cum ≥ n
+    // etc.) — no doubles anywhere, so the hash match is exact.
+    //
+    // Scale shape: two map-side-combinable histogram aggregations
+    // (≤ flags × buckets partial rows — fixed-size mergeable state,
+    // exactly what makes histogram sketches 100 TB-viable), windows
+    // and the final join run on the tiny histogram frame.
+    Q(
+      "q72b_percentile_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        def hist(col: String, width: Long) =
+          li.select($"l_returnflag",
+            expr(s"CAST(floor(CAST($col AS DOUBLE) / $width) AS BIGINT)").as("b"))
+            .groupBy($"l_returnflag", $"b")
+            .agg(count(lit(1)).cast("long").as("c"))
+        val wCum = Window.partitionBy($"l_returnflag").orderBy($"b")
+        val wAll = Window.partitionBy($"l_returnflag")
+        def cum(h: org.apache.spark.sql.DataFrame) = h
+          .withColumn("cum", sum($"c").over(wCum).cast("long"))
+          .withColumn("n", sum($"c").over(wAll).cast("long"))
+        val qty = cum(hist("l_quantity", 5))
+          .groupBy($"l_returnflag").agg(
+            max($"n").cast("long").as("n"),
+            (min(when($"cum" * 2 >= $"n", $"b")) * 5).cast("long").as("p50_qty_lo"),
+            (min(when($"cum" * 10 >= $"n" * 9, $"b")) * 5).cast("long").as("p90_qty_lo"))
+        val price = cum(hist("l_extendedprice", 5000))
+          .groupBy($"l_returnflag").agg(
+            (min(when($"cum" * 4 >= $"n", $"b")) * 5000).cast("long").as("p25_price_lo"))
+        qty.join(price, Seq("l_returnflag"))
+      },
+      Some("""
+        WITH hq AS (
+          SELECT l_returnflag,
+            CAST(floor(CAST(l_quantity AS DOUBLE) / 5) AS BIGINT) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cq AS (
+          SELECT l_returnflag, b, c,
+            CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM hq),
+        aq AS (
+          SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+            CAST(min(CASE WHEN cum * 2 >= n THEN b END) * 5 AS BIGINT) AS p50_qty_lo,
+            CAST(min(CASE WHEN cum * 10 >= n * 9 THEN b END) * 5 AS BIGINT) AS p90_qty_lo
+          FROM cq GROUP BY 1),
+        hp AS (
+          SELECT l_returnflag,
+            CAST(floor(CAST(l_extendedprice AS DOUBLE) / 5000) AS BIGINT) AS b,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cp AS (
+          SELECT l_returnflag, b, c,
+            CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS BIGINT) AS cum,
+            CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          FROM hp),
+        ap AS (
+          SELECT l_returnflag,
+            CAST(min(CASE WHEN cum * 4 >= n THEN b END) * 5000 AS BIGINT) AS p25_price_lo
+          FROM cp GROUP BY 1)
+        SELECT aq.l_returnflag, aq.n, aq.p50_qty_lo, aq.p90_qty_lo, ap.p25_price_lo
+        FROM aq JOIN ap USING (l_returnflag)""")),
+
     // --------------------------------------------------------------- q111
     // Heavy hitters via a distributed Misra–Gries sketch — the third
     // member of the approximate family (q37 HLL = distincts, q72

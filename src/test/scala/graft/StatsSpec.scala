@@ -35,6 +35,22 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("q72b histogram percentiles bracket the exact values by one bucket width") {
+    // the state-as-data guarantee: the reported bucket lower bound is
+    // ≤ the exact percentile, and the exact percentile is < lo + width
+    val sf = "/root/testdata/sf0.01"
+    val hist = SparkEntry.queries("q72b_percentile_histogram")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = SparkEntry.queries("q35_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (m, p90, p25)) =>
+      val (l50, l90, lp25) = hist(k)
+      assert(l50 <= m && m < l50 + 5, s"$k p50: lo=$l50 exact=$m")
+      assert(l90 <= p90 && p90 < l90 + 5, s"$k p90: lo=$l90 exact=$p90")
+      assert(lp25 <= p25 && p25 < lp25 + 5000, s"$k p25: lo=$lp25 exact=$p25")
+    }
+  }
+
   private def asofFixture = {
     import spark.implicits._
     // key 1: event BEFORE its first order (must yield NULL asof, not an
