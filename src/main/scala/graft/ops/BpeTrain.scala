@@ -156,6 +156,20 @@ object BpeTrain {
       localThreshold: Long = 1000000L): DataFrame =
     trainBatched(wordFreq, rounds, 1, strategy, localThreshold)
 
+  /** [[trainBatched]] with a caller-supplied word→symbols splitter —
+    * the hook [[ByteBpe]] uses to train the SAME two-tier greedy over
+    * byte-level symbol sequences (the splitter must be deterministic
+    * and serializable; everything downstream — counts, candidate
+    * order, rewrites — is symbol-agnostic). */
+  def trainWith(
+      wordFreq: Dataset[(String, Long)],
+      rounds: Int,
+      symbolize: String => Array[String],
+      batchK: Int = 1,
+      strategy: String = "auto",
+      localThreshold: Long = 1000000L): DataFrame =
+    trainImpl(wordFreq, rounds, batchK, strategy, localThreshold, symbolize)
+
   /** [[train]] with up to `batchK` disjoint merges per job round — the
     * O(rounds/batchK)-jobs path for real (30k-merge) tokenizers. See
     * the object doc for the exact selection rule and the greedy-
@@ -166,12 +180,21 @@ object BpeTrain {
       rounds: Int,
       batchK: Int,
       strategy: String = "auto",
-      localThreshold: Long = 1000000L): DataFrame = {
+      localThreshold: Long = 1000000L): DataFrame =
+    trainImpl(wordFreq, rounds, batchK, strategy, localThreshold, symbols)
+
+  private def trainImpl(
+      wordFreq: Dataset[(String, Long)],
+      rounds: Int,
+      batchK: Int,
+      strategy: String,
+      localThreshold: Long,
+      symbolize: String => Array[String]): DataFrame = {
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     strategy match {
-      case "local" => trainLocal(wordFreq, rounds, batchK)
+      case "local" => trainLocal(wordFreq, rounds, batchK, symbolize)
       case "distributed" =>
-        trainDistributed(wordFreq.localCheckpoint(), rounds, batchK)
+        trainDistributed(wordFreq.localCheckpoint(), rounds, batchK, symbolize)
       case "auto" =>
         // materialize the dictionary ONCE: the threshold probe is an
         // action, and without this the upstream corpus-sized word-count
@@ -179,10 +202,10 @@ object BpeTrain {
         // rationale)
         val wf = wordFreq.localCheckpoint()
         if (wf.count() <= localThreshold) {
-          val r = trainLocal(wf, rounds, batchK)
+          val r = trainLocal(wf, rounds, batchK, symbolize)
           Checkpoints.release(wf)
           r
-        } else trainDistributed(wf, rounds, batchK) // releases wf when done
+        } else trainDistributed(wf, rounds, batchK, symbolize) // releases wf when done
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
   }
@@ -193,10 +216,11 @@ object BpeTrain {
   def trainLocal(
       wordFreq: Dataset[(String, Long)],
       rounds: Int,
-      batchK: Int = 1): DataFrame = {
+      batchK: Int = 1,
+      symbolize: String => Array[String] = symbols): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    var vocab = wordFreq.collect().map { case (w, f) => (symbols(w), f) }
+    var vocab = wordFreq.collect().map { case (w, f) => (symbolize(w), f) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var dry = false
     while (merges.length < rounds && !dry) {
@@ -236,11 +260,12 @@ object BpeTrain {
   private def trainDistributed(
       wordFreq: Dataset[(String, Long)],
       rounds: Int,
-      batchK: Int): DataFrame = {
+      batchK: Int,
+      symbolize: String => Array[String] = symbols): DataFrame = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Array[String], Long)] = wordFreq
-      .map { case (w, f) => (symbols(w), f) }
+      .map { case (w, f) => (symbolize(w), f) }
       .localCheckpoint()
     Checkpoints.release(wordFreq)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]

@@ -1176,6 +1176,79 @@ object Selection {
           CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
         FROM ag""")),
 
+    // --------------------------------------------------------------- q216
+    // BYTE-level BPE merge training (ops.ByteBpe — the GPT-2 recipe,
+    // Radford et al. 2019 §2.2): q97's two-tier greedy trainer run
+    // over UTF-8 BYTE symbols instead of characters, the byte-fallback
+    // family member that makes nothing out-of-vocabulary. Every
+    // document contributes a ×10-weighted accented suffix alongside
+    // its text, so multi-byte UTF-8 pairs (é = C3 A9, ß = C3 9F,
+    // ñ = C3 B1) carry 10·n_docs frequency — above the top corpus
+    // ASCII pairs — and the trained window PROVABLY fuses
+    // byte-fallback pairs, not just ASCII (ByteBpeSpec pins a local
+    // greedy replica, tier equality, and the byte round-trip).
+    // Rows-only like q97: each round's argmax feeds the next round's
+    // rewrite — not one SQL statement.
+    //
+    // Scale shape: identical to q97 — corpus-sized work is ONE
+    // map-side-combined word-count aggregation; every merge round
+    // runs on the |vocab| frame through the two-tier auto.
+    Q(
+      "q216_bytebpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val wf = Llm.docsSpread(s, dir)
+          .select(explode(expr(
+            "filter(split(concat(lower(text), repeat(' café straße niño', 10)), '[^a-zéßñ]+'), x -> x <> '')")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).cast("long").as("f"))
+          .as[(String, Long)]
+        graft.ops.ByteBpe.train(wf, rounds = 16)
+      },
+      None),
+
+    // --------------------------------------------------------------- q217
+    // BYTE-level BPE fertility — q128's comparison row for the
+    // byte-fallback tokenizer: the FROZEN ByteBpe.DemoLadder applies
+    // at scan scale (mapPartitions — the ladder is a tiny closure
+    // constant) over the same 64-char snippets plus an accented
+    // suffix, so per-language fertility is directly comparable with
+    // q128's char-BPE numbers and the byte-fallback cost of non-ASCII
+    // text is visible (an unmerged multi-byte char counts one token
+    // per BYTE). Rows-only: the ladder apply is the same iterative
+    // rewrite as q212's DP — not one SQL statement; ByteBpeSpec pins
+    // a driver-side replica on the real corpus.
+    //
+    // Scale shape: scan → per-row rewrite (zero exchanges until the
+    // per-lang agg) — the q106 posture; fertility is ONE exact-count
+    // division per lang.
+    Q(
+      "q217_bytebpe_fertility",
+      (s, dir) => {
+        import s.implicits._
+        val ladder = graft.ops.ByteBpe.DemoLadder
+        Llm.docsSpread(s, dir)
+          .select($"lang", $"text").as[(String, String)]
+          .mapPartitions { it =>
+            it.map { case (lang, text) =>
+              val snippet = text.substring(0, math.min(64, text.length))
+                .toLowerCase + " café straße niño"
+              val words = snippet.split("[^\\p{L}]+").filter(_.nonEmpty)
+              val toks = words.map(w =>
+                graft.ops.ByteBpe.segment(w, ladder).length.toLong).sum
+              (lang, words.length.toLong, toks)
+            }
+          }
+          .toDF("lang", "n_words", "n_toks")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum($"n_words").cast("long").as("n_words"),
+            sum($"n_toks").cast("long").as("n_tokens"))
+          .select($"lang", $"n_docs", $"n_words", $"n_tokens",
+            ($"n_tokens".cast("double") / $"n_words".cast("double")).as("fertility"))
+      },
+      None),
+
     // --------------------------------------------------------------- q131
     // CONTRASTIVE TRIPLET mining — the training-pair generator for a
     // dense retriever (DPR / E5 / Contriever recipe): for each anchor
