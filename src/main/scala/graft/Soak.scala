@@ -261,8 +261,17 @@ object Soak {
       val (sr0, sw0, ms0, ds0) =
         (shufRead.get(), shufWrite.get(), memSpill.get(), diskSpill.get())
       val t0 = System.nanoTime()
+      // FULL-plan consumption (toRdd.count, not Dataset.count): a bare
+      // count() lets Catalyst prune every output column — a map-only
+      // verdict frame or a window-bearing dedup (q215) would soak a
+      // plan with its actual work optimized away and read as
+      // zero-shuffle. toRdd materializes every output column through
+      // every operator, so the recorded sec/shuffle/spill are the
+      // numbers the real consumer (a writer) would pay. NOTE: r15+
+      // soak absolutes are therefore NOT comparable with ≤r14 soak
+      // artifacts (which were count-pruned).
       val outcome =
-        try { Right(SparkEntry.queries(n)(spark, sfDir).count()) }
+        try { Right(SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()) }
         catch { case e: Throwable => Left(e.toString.take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
