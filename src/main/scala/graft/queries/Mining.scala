@@ -1065,6 +1065,79 @@ object Mining {
           title, n_content, content_chars, content
         FROM extracted""")),
 
+    // --------------------------------------------------------------- q218
+    // CHARSET-AWARE BODY DECODE under the ORACLE (the q211 discipline
+    // extended to the charset leg): each document synthesizes a WARC
+    // response whose HTTP payload is ENCODED in a charset chosen by
+    // residue — UTF-8 with a declared charset (the fast path), true
+    // ISO-8859-1 with its declaration (the declared-decode path), and
+    // UNDECLARED windows-1252 whose bytes are invalid UTF-8 (€ = 0x80,
+    // curly quotes = 0x93/0x94 — the fallback path). Each payload
+    // carries planted non-ASCII markers, so a wrong decode cannot
+    // hash-match. The oracle never touches bytes: decode∘encode must
+    // be the identity on the source string, so DuckDB recomputes the
+    // expected PAYLOAD STRING straight from documents — the hash match
+    // proves the sniff+decode chain exactly inverts the encoding.
+    //
+    // Scale shape: identical to q211 — per-file lazy cursor parse
+    // (charset work is per-record, in the scan), then in-row marker
+    // extraction; zero exchanges beyond the synthesis scan.
+    Q(
+      "q218_charset_decode",
+      (s, dir) => {
+        import s.implicits._
+        val warc = table(s, dir, "documents")
+          .select($"doc_id", $"lang", expr("substring(text, 1, 32)").as("prefix"))
+          .as[(Long, String, String)]
+          .map { case (id, lang, prefix) =>
+            val cls = (id % 3).toInt
+            val payload = cls match {
+              case 0 => s"plain utf8 naïve $lang $prefix"
+              case 1 => s"café münchen $lang $prefix"
+              case _ => s"€100 “smart” $lang $prefix"
+            }
+            val (cs, decl) = cls match {
+              case 0 => ("UTF-8", "; charset=utf-8")
+              case 1 => ("ISO-8859-1", "; charset=iso-8859-1")
+              case _ => ("windows-1252", "") // undeclared → UTF-8 fails → cp1252
+            }
+            val content =
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain$decl\r\n\r\n")
+                .getBytes("US-ASCII") ++ payload.getBytes(cs)
+            val rec =
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: https://cs/$id\r\n" +
+                s"Content-Length: ${content.length}\r\n\r\n").getBytes("US-ASCII") ++
+                content ++ "\r\n\r\n".getBytes("US-ASCII")
+            (s"cs-$id.warc", rec)
+          }.toDF("file", "bytes")
+        graft.ops.Warc.records(warc)
+          .withColumn("doc_id",
+            expr("CAST(regexp_extract(uri, '([0-9]+)$', 1) AS BIGINT)"))
+          .withColumn("http_status", graft.ops.Warc.httpStatusCol($"body"))
+          .withColumn("payload", graft.ops.Warc.httpBodyCol($"body"))
+          .select($"doc_id", $"http_status", $"payload",
+            expr("CAST(length(payload) AS BIGINT)").as("n_chars"),
+            expr("CAST(payload LIKE '%€100%' AS BIGINT)").as("has_euro"),
+            expr("CAST(payload LIKE '%café%' AS BIGINT)").as("has_cafe"),
+            expr("CAST(payload LIKE '%naïve%' AS BIGINT)").as("has_naive"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN concat('plain utf8 naïve ', lang, ' ', substring(text, 1, 32))
+              WHEN 1 THEN concat('café münchen ', lang, ' ', substring(text, 1, 32))
+              ELSE concat('€100 “smart” ', lang, ' ', substring(text, 1, 32))
+            END AS payload
+          FROM documents)
+        SELECT doc_id, 'HTTP/1.1 200 OK' AS http_status, payload,
+          CAST(length(payload) AS BIGINT) AS n_chars,
+          CAST(CASE WHEN payload LIKE '%€100%' THEN 1 ELSE 0 END AS BIGINT) AS has_euro,
+          CAST(CASE WHEN payload LIKE '%café%' THEN 1 ELSE 0 END AS BIGINT) AS has_cafe,
+          CAST(CASE WHEN payload LIKE '%naïve%' THEN 1 ELSE 0 END AS BIGINT) AS has_naive
+        FROM p""")),
+
     // --------------------------------------------------------------- q213
     // URL FILTER — the stage RefinedWeb runs BEFORE fetching content
     // (Penedo et al. 2023 §3.1: URL blocklist + URL scoring; C4 has
