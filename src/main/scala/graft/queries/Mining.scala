@@ -1342,30 +1342,7 @@ object Mining {
             "array(named_struct('variant', 'base', 'url', url0)," +
               " named_struct('variant', 'alt', 'url', url1))")).as("r"))
           .select($"doc_id", $"r.variant".as("variant"), $"r.url".as("url"))
-        val canon = rows
-          .withColumn("nofrag", expr("regexp_extract(url, '^([^#]*)', 1)"))
-          .withColumn("scheme",
-            expr("lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"))
-          .withColumn("hostport",
-            expr("lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1))"))
-          .withColumn("host", expr("regexp_extract(hostport, '^([^:]*)', 1)"))
-          .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
-          .withColumn("portpart", expr(
-            "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
-              " OR (scheme = 'https' AND port = '443')" +
-              " THEN '' ELSE concat(':', port) END"))
-          .withColumn("pathq",
-            expr("regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$', 1)"))
-          .withColumn("rawpath", expr("regexp_extract(pathq, '^([^?]*)', 1)"))
-          .withColumn("rawq", expr("regexp_extract(pathq, '[?](.*)$', 1)"))
-          .withColumn("path2", expr(pctDecodeSql(
-            "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/')")))
-          .withColumn("q1", expr(
-            "array_join(array_sort(filter(split(rawq, '&'), x -> x <> ''" +
-              " AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%'))), '&')"))
-          .withColumn("canon_url", expr(
-            "concat(scheme, '://', host, portpart, path2," +
-              " CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)"))
+        val canon = withCanonUrl(rows)
         val w = Window.partitionBy($"canon_url")
         canon.select($"doc_id", $"variant", $"url", $"canon_url")
           .withColumn("keep", ($"url" === min($"url").over(w)).cast("long"))
@@ -1379,44 +1356,162 @@ object Mining {
           SELECT doc_id, 'base' AS variant, url0 AS url FROM v
           UNION ALL
           SELECT doc_id, 'alt' AS variant, url1 AS url FROM v),
-        c1 AS (
-          SELECT doc_id, variant, url,
-            regexp_extract(url, '^([^#]*)', 1) AS nofrag
-          FROM r),
-        c2 AS (
-          SELECT *,
-            lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
-            lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1)) AS hostport,
-            regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$$', 1) AS pathq
-          FROM c1),
-        c3 AS (
-          SELECT *,
-            regexp_extract(hostport, '^([^:]*)', 1) AS host,
-            regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-            regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
-            regexp_extract(pathq, '[?](.*)$$', 1) AS rawq
-          FROM c2),
-        c4 AS (
-          SELECT *,
-            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-                      OR (scheme = 'https' AND port = '443')
-                 THEN '' ELSE concat(':', port) END AS portpart,
-            ${pctDecodeSql(
-              "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/', 'g')")} AS path2,
-            coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
-              x -> x <> '' AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%'
-                OR x LIKE 'gclid=%'))), '&'), '') AS q1
-          FROM c3),
-        c5 AS (
-          SELECT doc_id, variant, url,
-            concat(scheme, '://', host, portpart, path2,
-              CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END) AS canon_url
-          FROM c4)
+        ${urlCanonSqlCtes("r")}
         SELECT doc_id, variant, url, canon_url,
           CAST(CASE WHEN url = MIN(url) OVER (PARTITION BY canon_url)
                THEN 1 ELSE 0 END AS BIGINT) AS keep,
           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_in_group
-        FROM c5"""))
+        FROM canon""")),
+
+    // --------------------------------------------------------------- q219
+    // FRONTIER SCHEDULING — the capstone of crawl stage zero, the four
+    // frontier operators COMPOSED end to end the way a crawler runs
+    // them: raw URLs (base + alias variants) → canonicalize + dedup
+    // (q215: one fetch per page, min-url wins) → URL quality gate
+    // (q213's rules on the CANONICAL url — the form that gets
+    // fetched) → robots compliance (q214's compiled wildcard rules) →
+    // per-HOST politeness scheduling: surviving URLs rank within
+    // their host by (score asc, canon asc — cleanest first,
+    // deterministic) and pack into crawl CYCLES of 4 fetch slots per
+    // host (the rate-limit unit: no host is hit more than 4 times per
+    // cycle no matter how many of its URLs qualify). Everything is
+    // SQL-replayable, so the WHOLE arc — dedup collapse, gate
+    // verdicts, RFC 9309 precedence, rank arithmetic — hash-checks as
+    // one composition (stage bugs can't cancel: any verdict flip
+    // changes ranks for the rest of the host).
+    //
+    // Scale shape: canonicalization + gate in-row; ONE exchange for
+    // the dedup window (canon key), ONE for the per-host ranking
+    // (domain key). The host window is the politeness constraint
+    // itself, so its shuffle is the operator's floor; a hot host
+    // (millions of qualifying URLs) sorts inside one partition — at
+    // real frontier scale the production mitigation is a bounded
+    // per-host top-(4·max_cycles) heap before the window, which this
+    // composition admits without changing semantics (ranks beyond
+    // the budget are never fetched).
+    Q(
+      "q219_frontier_schedule",
+      (s, dir) => {
+        import s.implicits._
+        val bad = UrlBadDomains.map(d => s"'$d'").mkString(", ")
+        val hits = UrlBadPathTerms.map(t =>
+          s"CAST(canon_url LIKE '%/$t/%' OR canon_url LIKE '%/$t?%' AS INT)")
+          .mkString(" + ")
+        val rows = table(s, dir, "documents")
+          .withColumn("url0", expr(UrlSynthSql))
+          .withColumn("url1", expr(UrlVariantSql))
+          .select($"doc_id", explode(expr(
+            "array(named_struct('variant', 'base', 'url', url0)," +
+              " named_struct('variant', 'alt', 'url', url1))")).as("r"))
+          .select($"doc_id", $"r.url".as("url"))
+        val kept = withCanonUrl(rows)
+          .withColumn("mn", min($"url").over(Window.partitionBy($"canon_url")))
+          .filter($"url" === $"mn")
+          .select($"doc_id", $"canon_url")
+        val gated = kept
+          .withColumn("domain",
+            expr("regexp_extract(canon_url, '^https?://([^/]+)/', 1)"))
+          .withColumn("path",
+            expr("regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1)"))
+          .withColumn("depth", expr(
+            "CAST(size(split(regexp_extract(canon_url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT)"))
+          .withColumn("has_query", expr("CAST(canon_url LIKE '%?%' AS BIGINT)"))
+          .withColumn("too_long", expr("CAST(length(canon_url) > 96 AS BIGINT)"))
+          .withColumn("too_deep", expr("CAST(depth > 6 AS BIGINT)"))
+          .withColumn("bad_domain", expr(
+            s"CAST(exists(array($bad), t -> domain LIKE concat('%', t, '%')) AS BIGINT)"))
+          .withColumn("path_hits", expr(hits))
+          .withColumn("score", expr(
+            "CAST(path_hits + has_query + too_long + too_deep AS BIGINT)"))
+          .withColumn("dropped",
+            expr("CAST(bad_domain = 1 OR score >= 3 AS BIGINT)"))
+        val rules = RobotsRules
+          .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
+          .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
+        val rob = gated.join(broadcast(rules),
+            expr("endswith(domain, rule_dom)") &&
+              expr("path RLIKE rule_re"),
+            "left")
+          .groupBy($"doc_id", $"canon_url", $"domain", $"score", $"dropped")
+          .agg(coalesce(
+            max(struct(length($"rule_pat").as("plen"),
+              $"rule_allow".as("allow"))).getField("allow"),
+            lit(1)).cast("long").as("allowed"))
+        val wH = Window.partitionBy($"domain")
+          .orderBy($"score".asc, $"canon_url".asc)
+        rob.filter($"dropped" === 0L && $"allowed" === 1L)
+          .withColumn("rank_in_host", row_number().over(wH).cast("long"))
+          .withColumn("cycle",
+            (floor(($"rank_in_host".cast("double") - 1) / 4) + 1).cast("long"))
+          .select($"doc_id", $"canon_url", $"domain", $"score",
+            $"rank_in_host", $"cycle")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $UrlSynthSql AS url0 FROM documents),
+        v AS (SELECT doc_id, url0, $UrlVariantSql AS url1 FROM d),
+        r AS (
+          SELECT doc_id, url0 AS url FROM v
+          UNION ALL
+          SELECT doc_id, url1 AS url FROM v),
+        ${urlCanonSqlCtes("r")},
+        kept AS (
+          SELECT doc_id, canon_url FROM (
+            SELECT doc_id, url, canon_url,
+              MIN(url) OVER (PARTITION BY canon_url) AS mn
+            FROM canon) k
+          WHERE url = mn),
+        f AS (
+          SELECT doc_id, canon_url,
+            regexp_extract(canon_url, '^https?://([^/]+)/', 1) AS domain,
+            regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1) AS path,
+            CAST(len(string_split(regexp_extract(canon_url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT) AS depth,
+            CAST(CASE WHEN canon_url LIKE '%?%' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
+            CAST(CASE WHEN length(canon_url) > 96 THEN 1 ELSE 0 END AS BIGINT) AS too_long
+          FROM kept),
+        g AS (
+          SELECT *,
+            CAST(CASE WHEN depth > 6 THEN 1 ELSE 0 END AS BIGINT) AS too_deep,
+            CAST(CASE WHEN ${UrlBadDomains.map(d =>
+              s"domain LIKE '%$d%'").mkString(" OR ")} THEN 1 ELSE 0 END AS BIGINT) AS bad_domain,
+            CAST(${UrlBadPathTerms.map(t =>
+              s"CASE WHEN canon_url LIKE '%/$t/%' OR canon_url LIKE '%/$t?%' THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS path_hits
+          FROM f),
+        g2 AS (
+          SELECT *,
+            CAST(path_hits + has_query + too_long + too_deep AS BIGINT) AS score,
+            CAST(CASE WHEN bad_domain = 1 OR
+                           path_hits + has_query + too_long + too_deep >= 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+          FROM g),
+        rules(rule_dom, rule_pat, rule_re, rule_allow) AS (
+          VALUES ${RobotsRules.map { case (d, p, a) =>
+            s"('$d', '$p', '${robotsRegex(p)}', $a)" }
+            .mkString(",\n                 ")}),
+        m AS (
+          SELECT g2.doc_id, g2.canon_url,
+            r2.rule_allow, length(r2.rule_pat) AS plen, r2.rule_pat,
+            ROW_NUMBER() OVER (
+              PARTITION BY g2.doc_id, g2.canon_url
+              ORDER BY length(r2.rule_pat) DESC, r2.rule_allow DESC,
+                       r2.rule_pat DESC) AS rn
+          FROM g2 JOIN rules r2
+            ON ends_with(g2.domain, r2.rule_dom)
+           AND regexp_matches(g2.path, r2.rule_re)),
+        rob AS (
+          SELECT g2.doc_id, g2.canon_url, g2.domain, g2.score, g2.dropped,
+            CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
+          FROM g2 LEFT JOIN (SELECT * FROM m WHERE rn = 1) w
+            ON g2.doc_id = w.doc_id AND g2.canon_url = w.canon_url),
+        sched AS (
+          SELECT doc_id, canon_url, domain, score,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY domain
+              ORDER BY score ASC, canon_url ASC) AS BIGINT) AS rank_in_host
+          FROM rob WHERE dropped = 0 AND allowed = 1)
+        SELECT doc_id, canon_url, domain, score, rank_in_host,
+          CAST(floor((CAST(rank_in_host AS DOUBLE) - 1) / 4) AS BIGINT) + 1 AS cycle
+        FROM sched"""))
   )
 
   /** The q214 rule COMPILER: one RFC 9309 §2.2.3 path pattern → an
@@ -1531,6 +1626,78 @@ object Mining {
   private[graft] def pctDecodeSql(inner: String): String =
     PctCodes.foldLeft(inner) { case (e, (code, ch)) =>
       s"replace($e, '$code', '$ch')" }
+
+  /** q215's canonicalization as reusable column steps: adds
+    * `canon_url` to a frame carrying a `url` column (intermediates
+    * dropped). MUST stay step-for-step mirrored with
+    * [[urlCanonSqlCtes]] — the q215 oracle hash is the mirror's
+    * proof. */
+  private[graft] def withCanonUrl(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df
+      .withColumn("nofrag", expr("regexp_extract(url, '^([^#]*)', 1)"))
+      .withColumn("scheme",
+        expr("lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1))"))
+      .withColumn("hostport",
+        expr("lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1))"))
+      .withColumn("host", expr("regexp_extract(hostport, '^([^:]*)', 1)"))
+      .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
+      .withColumn("portpart", expr(
+        "CASE WHEN port = '' OR (scheme = 'http' AND port = '80')" +
+          " OR (scheme = 'https' AND port = '443')" +
+          " THEN '' ELSE concat(':', port) END"))
+      .withColumn("pathq",
+        expr("regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$', 1)"))
+      .withColumn("rawpath", expr("regexp_extract(pathq, '^([^?]*)', 1)"))
+      .withColumn("rawq", expr("regexp_extract(pathq, '[?](.*)$', 1)"))
+      .withColumn("path2", expr(pctDecodeSql(
+        "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/')")))
+      .withColumn("q1", expr(
+        "array_join(array_sort(filter(split(rawq, '&'), x -> x <> ''" +
+          " AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%'))), '&')"))
+      .withColumn("canon_url", expr(
+        "concat(scheme, '://', host, portpart, path2," +
+          " CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)"))
+      .drop("nofrag", "scheme", "hostport", "host", "port", "portpart",
+        "pathq", "rawpath", "rawq", "path2", "q1")
+
+  /** [[withCanonUrl]]'s DuckDB mirror: CTE defs (caller splices after
+    * its own WITH items) reading CTE `src` (any columns + `url`) and
+    * ending with CTE `canon` = src's columns + canon_url. */
+  private[graft] def urlCanonSqlCtes(src: String): String = s"""
+        c1 AS (
+          SELECT *, regexp_extract(url, '^([^#]*)', 1) AS nofrag
+          FROM $src),
+        c2 AS (
+          SELECT *,
+            lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+            lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1)) AS hostport,
+            regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$$', 1) AS pathq
+          FROM c1),
+        c3 AS (
+          SELECT *,
+            regexp_extract(hostport, '^([^:]*)', 1) AS host,
+            regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+            regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+            regexp_extract(pathq, '[?](.*)$$', 1) AS rawq
+          FROM c2),
+        c4 AS (
+          SELECT *,
+            CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE concat(':', port) END AS portpart,
+            ${pctDecodeSql(
+              "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/', 'g')")} AS path2,
+            coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+              x -> x <> '' AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%'
+                OR x LIKE 'gclid=%'))), '&'), '') AS q1
+          FROM c3),
+        canon AS (
+          SELECT * EXCLUDE (nofrag, scheme, hostport, pathq, host, port,
+                            rawpath, rawq, portpart, path2, q1),
+            concat(scheme, '://', host, portpart, path2,
+              CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END) AS canon_url
+          FROM c4)"""
 
   /** The q213 domain blocklist literal (substring match on the host —
     * mirrors how operational lists name domain families). */
