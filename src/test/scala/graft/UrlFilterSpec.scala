@@ -42,19 +42,28 @@ class UrlFilterSpec extends SparkSuite {
     val rows = SparkEntry.queries("q214_robots_eval")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getString(4), r.getLong(6))).toMap
     assert(rows.nonEmpty)
-    rows.foreach { case (id, (prefix, allowed)) =>
+    rows.foreach { case (id, (pat, allowed)) =>
       if (id % 13 == 0) // whole-site disallow on the mirror domain
-        assert((prefix, allowed) === (("/", 0L)), s"$id")
-      else if (id % 11 == 0) { // /casino family, /casino/en re-allowed
-        if (langs(id) == "en") assert((prefix, allowed) === (("/casino/en", 1L)), s"$id")
-        else assert((prefix, allowed) === (("/casino", 0L)), s"$id")
-      } else if (id % 17 == 0) // the trap subtree
-        assert((prefix, allowed) === (("/a/b/", 0L)), s"$id")
+        assert((pat, allowed) === (("/", 0L)), s"$id")
+      else if (id % 11 == 0) {
+        // /casino family: /casino/en re-allows, but the LONGER
+        // wildcard+anchor /casino/*4$ re-disallows paths ending in 4
+        if (id % 10 == 4)
+          assert((pat, allowed) === (("/casino/*4$", 0L)), s"$id")
+        else if (langs(id) == "en")
+          assert((pat, allowed) === (("/casino/en", 1L)), s"$id")
+        else assert((pat, allowed) === (("/casino", 0L)), s"$id")
+      } else if (id % 17 == 0)
+        // trap subtree: the equal-length (9) allow/disallow wildcard
+        // tie resolves to ALLOW per RFC 9309 §2.2.2
+        assert((pat, allowed) === (("/a/b/*/h/", 1L)), s"$id")
       else // default allow — the longest (only) match is '/'
-        assert((prefix, allowed) === (("/", 1L)), s"$id")
+        assert((pat, allowed) === (("/", 1L)), s"$id")
     }
-    // the longest-match override is non-vacuous on this corpus
-    assert(rows.exists { case (id, (p, _)) => p == "/casino/en" })
+    // every precedence leg is non-vacuous on this corpus
+    assert(rows.exists { case (_, (p, _)) => p == "/casino/en" })
+    assert(rows.exists { case (_, (p, _)) => p == "/casino/*4$" })
+    assert(rows.exists { case (_, (p, _)) => p == "/a/b/*/h/" })
   }
 
   test("evidence columns are internally consistent") {
