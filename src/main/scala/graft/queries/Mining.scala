@@ -1303,6 +1303,119 @@ object Mining {
           CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
         FROM f LEFT JOIN w ON f.doc_id = w.doc_id""")),
 
+    // --------------------------------------------------------------- q220
+    // ROBOTS.TXT PARSING + USER-AGENT GROUP SELECTION (RFC 9309
+    // §2.2.1) — the stage q214 ASSUMES: a raw robots.txt file is
+    // line-oriented groups (one or more consecutive User-agent lines,
+    // then Allow/Disallow/Crawl-delay rules), and a crawler must obey
+    // exactly ONE group — the one naming its product token, falling
+    // back to the '*' group when absent. Per synthesized domain the
+    // file plants every selection leg: an evilbot group that must be
+    // IGNORED, a shared graftbot+newsbot group (consecutive UA lines —
+    // the multi-agent group form) with a Crawl-delay, and a '*'
+    // fallback; half the domains omit the graftbot group so fallback
+    // is non-vacuous, and the mirror domain is a one-group whole-site
+    // disallow. Parsing is in-row line algebra: split → position
+    // explode → group ids via a lag window (a group STARTS at a UA
+    // line whose predecessor is not a UA line) → per-group agent/delay
+    // aggregation → §2.2.1 selection by (has product token, has *) →
+    // the selected group's rules. Output = the parsed rule table
+    // (domain, agent_matched, rule_path, rule_allow, crawl_delay) —
+    // exactly the shape q214/q219 consume.
+    //
+    // Scale shape: everything is per-domain and line-local; robots
+    // files are KB-sized so the line explode is bounded (~1000 lines),
+    // and the only exchange is the per-domain window/agg — at web
+    // scale (millions of domains) a narrow shuffle of line rows.
+    Q(
+      "q220_robots_parse",
+      (s, dir) => {
+        import s.implicits._
+        val doms = table(s, dir, "documents")
+          .select(expr("concat(source, '.example.org')").as("domain")).distinct()
+          .union(Seq("freestuff-mirror.biz").toDF("domain"))
+        val m3 = doms
+          .withColumn("txt", expr(RobotsTxtSynthSql))
+          .withColumn("lines", expr("split(txt, chr(10))"))
+          .select($"domain", explode(expr("sequence(1, size(lines))")).as("pos"),
+            $"lines")
+          .withColumn("line", expr("element_at(lines, pos)"))
+          .drop("lines")
+          .withColumn("is_ua", expr("CAST(line LIKE 'User-agent:%' AS INT)"))
+          .withColumn("new_grp", expr(
+            "CAST(is_ua = 1 AND coalesce(" +
+              "lag(is_ua) OVER (PARTITION BY domain ORDER BY pos), 0) = 0 AS INT)"))
+          .withColumn("gid",
+            sum($"new_grp").over(Window.partitionBy($"domain").orderBy($"pos")))
+        val grp = m3.groupBy($"domain", $"gid").agg(
+          max(expr("CASE WHEN is_ua = 1 AND lower(trim(substr(line, 12))) = 'graftbot'" +
+            " THEN 1 ELSE 0 END")).as("has_gb"),
+          max(expr("CASE WHEN is_ua = 1 AND trim(substr(line, 12)) = '*'" +
+            " THEN 1 ELSE 0 END")).as("has_star"),
+          max(expr("CASE WHEN line LIKE 'Crawl-delay:%'" +
+            " THEN CAST(trim(substr(line, 13)) AS BIGINT) END")).as("delay"))
+        val sel = grp
+          .withColumn("rn", row_number().over(Window.partitionBy($"domain")
+            .orderBy($"has_gb".desc, $"has_star".desc, $"gid".asc)))
+          .filter($"rn" === 1)
+        val rules = m3
+          .filter(expr("line LIKE 'Allow:%' OR line LIKE 'Disallow:%'"))
+          .select($"domain", $"gid",
+            expr("regexp_extract(line, '^(?:Allow|Disallow):[ ]*(.*)$', 1)").as("rule_path"),
+            expr("CAST(line LIKE 'Allow:%' AS BIGINT)").as("rule_allow"))
+        rules.join(sel, Seq("domain", "gid"))
+          .select($"domain",
+            expr("CASE WHEN has_gb = 1 THEN 'graftbot' ELSE '*' END").as("agent_matched"),
+            $"rule_path", $"rule_allow",
+            coalesce($"delay", lit(0L)).cast("long").as("crawl_delay"))
+      },
+      Some(s"""
+        WITH doms AS (
+          SELECT DISTINCT concat(source, '.example.org') AS domain FROM documents
+          UNION ALL SELECT 'freestuff-mirror.biz'),
+        t AS (SELECT domain, $RobotsTxtSynthSql AS txt FROM doms),
+        l AS (
+          SELECT domain, pos, lines[pos] AS line FROM (
+            SELECT domain, lines,
+              unnest(generate_series(1, len(lines))) AS pos
+            FROM (SELECT domain, string_split(txt, chr(10)) AS lines FROM t) l0) lx),
+        m AS (
+          SELECT domain, pos, line,
+            CASE WHEN line LIKE 'User-agent:%' THEN 1 ELSE 0 END AS is_ua
+          FROM l),
+        m2 AS (
+          SELECT *, CASE WHEN is_ua = 1 AND coalesce(
+              lag(is_ua) OVER (PARTITION BY domain ORDER BY pos), 0) = 0
+            THEN 1 ELSE 0 END AS new_grp
+          FROM m),
+        m3 AS (
+          SELECT *, sum(new_grp) OVER (PARTITION BY domain ORDER BY pos) AS gid
+          FROM m2),
+        g AS (
+          SELECT domain, gid,
+            max(CASE WHEN is_ua = 1 AND lower(trim(substr(line, 12))) = 'graftbot'
+                THEN 1 ELSE 0 END) AS has_gb,
+            max(CASE WHEN is_ua = 1 AND trim(substr(line, 12)) = '*'
+                THEN 1 ELSE 0 END) AS has_star,
+            max(CASE WHEN line LIKE 'Crawl-delay:%'
+                THEN CAST(trim(substr(line, 13)) AS BIGINT) END) AS delay
+          FROM m3 GROUP BY 1, 2),
+        sel AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+              ORDER BY has_gb DESC, has_star DESC, gid) AS rn
+            FROM g) s0 WHERE rn = 1),
+        rules AS (
+          SELECT domain, gid,
+            regexp_extract(line, '^(?:Allow|Disallow):[ ]*(.*)$$', 1) AS rule_path,
+            CAST(CASE WHEN line LIKE 'Allow:%' THEN 1 ELSE 0 END AS BIGINT) AS rule_allow
+          FROM m3 WHERE line LIKE 'Allow:%' OR line LIKE 'Disallow:%')
+        SELECT r.domain,
+          CASE WHEN s.has_gb = 1 THEN 'graftbot' ELSE '*' END AS agent_matched,
+          r.rule_path, r.rule_allow,
+          CAST(coalesce(s.delay, 0) AS BIGINT) AS crawl_delay
+        FROM rules r JOIN sel s ON r.domain = s.domain AND r.gid = s.gid""")),
+
     // --------------------------------------------------------------- q215
     // URL CANONICALIZATION + FRONTIER DEDUP — crawl stage zero's other
     // half (q213 scores URLs; this collapses the frontier so the same
@@ -1578,6 +1691,31 @@ object Mining {
       |  ELSE concat('https://', source, '.example.org/', lang,
       |              '/articles/', doc_id)
       |END""".stripMargin
+
+  /** q220's robots.txt TEXT synthesis — ONE SQL fragment over a
+    * `domain` column, identical in both engines (lines joined by
+    * chr(10), the escape-safe newline). Even-length domains
+    * (src0–src9) carry a graftbot+newsbot group (consecutive UA
+    * lines) with a Crawl-delay; odd-length domains omit it so the
+    * '*'-fallback selection leg is non-vacuous; the mirror is a
+    * one-group whole-site disallow. The evilbot group plants rules
+    * the selector must IGNORE. */
+  private[graft] lazy val RobotsTxtSynthSql: String = {
+    def cat(lines: String*): String =
+      lines.map(l => s"'$l'").mkString("concat(", ", chr(10), ", ")")
+    s"""CASE
+      |  WHEN domain = 'freestuff-mirror.biz' THEN ${cat(
+        "User-agent: *", "Disallow: /")}
+      |  WHEN length(domain) % 2 = 0 THEN ${cat(
+        "User-agent: evilbot", "Disallow: /trap-for-evil", "",
+        "User-agent: graftbot", "User-agent: newsbot",
+        "Disallow: /casino", "Allow: /casino/en", "Crawl-delay: 2", "",
+        "User-agent: *", "Disallow: /a/b/")}
+      |  ELSE ${cat(
+        "User-agent: evilbot", "Disallow: /trap-for-evil", "",
+        "User-agent: *", "Disallow: /a/b/", "Crawl-delay: 5")}
+      |END""".stripMargin
+  }
 
   /** q215's aliased-variant synthesis — ONE SQL fragment over
     * (doc_id, url0) evaluated by both engines: each document's second
