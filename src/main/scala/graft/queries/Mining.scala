@@ -1416,6 +1416,79 @@ object Mining {
           CAST(coalesce(s.delay, 0) AS BIGINT) AS crawl_delay
         FROM rules r JOIN sel s ON r.domain = s.domain AND r.gid = s.gid""")),
 
+    // --------------------------------------------------------------- q221
+    // HTTP REDIRECT CHAIN RESOLUTION — the fetch-side stage between
+    // the frontier (q219) and ingestion (q211): a crawl's 301s must
+    // resolve to their final targets before dedup/extraction, or the
+    // same page is stored once per alias URL. Each doc_id % 3 = 1
+    // document synthesizes a WARC file whose records include its 200
+    // article page plus a redirect chain onto it (one hop; two hops
+    // when doc_id % 9 = 4 — old → moved → article), with the Location
+    // carried in the real HTTP envelope. The resolver is pure
+    // relational algebra on the PARSED records: redirect edges =
+    // (uri → Location) of 301 responses, chain HEADS = srcs that are
+    // no edge's dst (anti-join), then a bounded 3-hop left-join walk
+    // — the standard fixed-k iterate shape, no recursion needed
+    // because real crawlers cap redirect depth anyway. Oracle: DuckDB
+    // computes the expected (start, final, hops) straight from
+    // documents, so the hash match proves parse + envelope status +
+    // Location extraction + the join walk end to end.
+    //
+    // Scale shape: edges are |redirects|-sized (≪ corpus); heads
+    // anti-join and each hop join are hash-equi on the URL — three
+    // narrow shuffles of redirect-sized frames at 100 TB.
+    Q(
+      "q221_redirect_resolve",
+      (s, dir) => {
+        import s.implicits._
+        val warc = table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source").as[(Long, String, String)]
+          .map { case (id, lang, src) =>
+            def rec(uri: String, payload: String) = {
+              val n = payload.getBytes("UTF-8").length
+              s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+                s"Content-Length: $n\r\n\r\n$payload\r\n\r\n"
+            }
+            val fin = s"https://$src.example.org/$lang/articles/$id"
+            val mid = s"https://$src.example.org/moved/$id"
+            val old = s"http://$src.example.org/old/$id"
+            val ok = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>doc $id</html>"
+            def red(loc: String) =
+              s"HTTP/1.1 301 Moved Permanently\r\nLocation: $loc\r\n\r\n"
+            val sb = new StringBuilder(rec(fin, ok))
+            if (id % 3 == 1) {
+              if (id % 9 == 4) { sb ++= rec(old, red(mid)); sb ++= rec(mid, red(fin)) }
+              else sb ++= rec(old, red(fin))
+            }
+            (s"rd-$id.warc", sb.toString.getBytes("UTF-8"))
+          }.toDF("file", "bytes")
+        val recs = graft.ops.Warc.records(warc)
+          .withColumn("status", graft.ops.Warc.httpStatusCol($"body"))
+          .withColumn("code",
+            expr("CAST(regexp_extract(status, 'HTTP/1.1 ([0-9]+)', 1) AS INT)"))
+        val edges = recs.filter($"code" === 301)
+          .select($"uri".as("src"),
+            regexp_extract($"body", "Location: ([^\\r\\n]+)", 1).as("dst"))
+        val heads = edges
+          .join(edges.select($"dst".as("src")), Seq("src"), "left_anti")
+          .select($"src".as("start_uri"), $"dst".as("u1"))
+        val e2 = edges.select($"src".as("u1"), $"dst".as("u2"))
+        val e3 = edges.select($"src".as("u2"), $"dst".as("u3"))
+        heads.join(e2, Seq("u1"), "left").join(e3, Seq("u2"), "left")
+          .select(
+            expr("CAST(regexp_extract(start_uri, '([0-9]+)$', 1) AS BIGINT)").as("doc_id"),
+            $"start_uri",
+            coalesce($"u3", $"u2", $"u1").as("final_uri"),
+            (lit(1) + when($"u2".isNotNull, 1).otherwise(0) +
+              when($"u3".isNotNull, 1).otherwise(0)).cast("long").as("n_hops"))
+      },
+      Some("""
+        SELECT doc_id,
+          concat('http://', source, '.example.org/old/', doc_id) AS start_uri,
+          concat('https://', source, '.example.org/', lang, '/articles/', doc_id) AS final_uri,
+          CAST(CASE WHEN doc_id % 9 = 4 THEN 2 ELSE 1 END AS BIGINT) AS n_hops
+        FROM documents WHERE doc_id % 3 = 1""")),
+
     // --------------------------------------------------------------- q215
     // URL CANONICALIZATION + FRONTIER DEDUP — crawl stage zero's other
     // half (q213 scores URLs; this collapses the frontier so the same
