@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashLongs].getName, "minhash_longs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashLongs.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("pct_decode_unreserved"),
+      new ExpressionInfo(classOf[PctDecodeUnreserved].getName, "pct_decode_unreserved"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PctDecodeUnreserved.fromExprs(exprs)))
     // whole-operator extension: plans the AsOfMergeJoin logical node
     // (graft.plans.AsOfMerge also self-registers on live sessions),
     // plus the left-filter pushdown rule through the opaque node

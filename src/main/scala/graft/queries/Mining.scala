@@ -1844,7 +1844,12 @@ object Mining {
     * [[urlCanonSqlCtes]] — the q215 oracle hash is the mirror's
     * proof. */
   private[graft] def withCanonUrl(
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the native single-pass decoder (one byte scan, codegen'd) — the
+    // oracle mirror remains the 84-step replace chain in
+    // [[urlCanonSqlCtes]]; PctDecodeSpec pins their equivalence on
+    // valid inputs
+    graft.functions.PctDecodeUnreserved.register(df.sparkSession)
     df
       .withColumn("nofrag", expr("regexp_extract(url, '^([^#]*)', 1)"))
       .withColumn("scheme",
@@ -1861,8 +1866,9 @@ object Mining {
         expr("regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$', 1)"))
       .withColumn("rawpath", expr("regexp_extract(pathq, '^([^?]*)', 1)"))
       .withColumn("rawq", expr("regexp_extract(pathq, '[?](.*)$', 1)"))
-      .withColumn("path2", expr(pctDecodeSql(
-        "regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/')")))
+      .withColumn("path2", expr(
+        "pct_decode_unreserved(regexp_replace(" +
+          "CASE WHEN rawpath = '' THEN '/' ELSE rawpath END, '//+', '/'))"))
       .withColumn("q1", expr(
         "array_join(array_sort(filter(split(rawq, '&'), x -> x <> ''" +
           " AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%'))), '&')"))
@@ -1871,6 +1877,7 @@ object Mining {
           " CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)"))
       .drop("nofrag", "scheme", "hostport", "host", "port", "portpart",
         "pathq", "rawpath", "rawq", "path2", "q1")
+  }
 
   /** [[withCanonUrl]]'s DuckDB mirror: CTE defs (caller splices after
     * its own WITH items) reading CTE `src` (any columns + `url`) and
