@@ -72,6 +72,13 @@ object Warc {
   final case class Audit(
       file: String, n_bytes: Long, n_records: Long, truncated: Long)
 
+  /** [[records]] and [[fileAudit]] fused into ONE row stream: record
+    * rows (is_audit = 0, audit columns zeroed) followed by exactly one
+    * per-file audit trailer (is_audit = 1, record columns blank). */
+  final case class RecA(
+      file: String, rec_no: Long, wtype: String, uri: String, body: String,
+      n_bytes: Long, n_records: Long, truncated: Long, is_audit: Int)
+
   /** Parse every record of every (file, bytes) row. Output
     * (file, rec_no, wtype, uri, body). */
   def records(df: DataFrame, fileCol: String = "file",
@@ -82,6 +89,33 @@ object Warc {
     val out = in.mapPartitions { it =>
       it.flatMap { case (file, bytes) => parseFile(file, bytes) }
     }(Encoders.product[Rec])
+    out.toDF()
+  }
+
+  /** Records AND the per-file audit in ONE decompress+frame pass —
+    * the hot-ingest shape ([[graft.streaming.StreamIngest]]): on
+    * gzipped crawls inflation dominates per-byte cost, so running
+    * [[records]] then [[fileAudit]] would decompress every file
+    * twice. Each file's record rows stream out first; its audit
+    * trailer (is_audit = 1, carrying n_bytes / n_records / truncated)
+    * is emitted lazily AFTER the cursor exhausts, so the pass stays
+    * one-record-in-flight. */
+  def recordsAudited(df: DataFrame, fileCol: String = "file",
+      bytesCol: String = "bytes"): DataFrame = {
+    val s = df.sparkSession
+    val in = df.selectExpr(s"$fileCol AS file", s"$bytesCol AS bytes")
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    val out = in.mapPartitions { it =>
+      it.flatMap { case (file, bytes) =>
+        val c = new Cursor(file, bytes, decodeBodies = true)
+        c.map(r => RecA(file, r.rec_no, r.wtype, r.uri, r.body, 0L, 0L, 0L, 0)) ++ {
+          // by-name ++ operand: evaluated only after c exhausts, so
+          // recCount/truncated are final
+          Iterator.single(RecA(file, -1L, "", "", "", bytes.length.toLong,
+            c.recCount, if (c.truncated) 1L else 0L, 1))
+        }
+      }
+    }(Encoders.product[RecA])
     out.toDF()
   }
 
@@ -156,7 +190,14 @@ object Warc {
       file: String, bytes: Array[Byte], decodeBodies: Boolean)
       extends Iterator[Rec] {
 
-    private val in: java.io.PushbackInputStream = {
+    // LAZY: GZIPInputStream reads the first member's header in its
+    // constructor, so a file whose FIRST member is corrupt/truncated
+    // (bare magic bytes, bad compression method) would otherwise throw
+    // OUTSIDE advance()'s catch and crash the task — including the
+    // audit pass whose whole job is flagging such files. A failed lazy
+    // init rethrows on access, which advance() catches once → done +
+    // flagged, 0 records (WarcSpec pins it).
+    private lazy val in: java.io.PushbackInputStream = {
       val raw = new java.io.ByteArrayInputStream(bytes)
       val src: java.io.InputStream =
         if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
@@ -172,6 +213,9 @@ object Warc {
 
     /** Bytes the parser had to drop (valid after exhaustion). */
     def truncated: Boolean = _truncated
+
+    /** Whole records emitted so far (the audit count once exhausted). */
+    def recCount: Long = n
 
     override def hasNext: Boolean = {
       if (pending == null && !done) advance()

@@ -1165,54 +1165,20 @@ object Mining {
       "q213_url_filter",
       (s, dir) => {
         import s.implicits._
-        val bad = UrlBadDomains.map(d => s"'$d'").mkString(", ")
-        table(s, dir, "documents")
-          .withColumn("url", expr(UrlSynthSql))
-          .withColumn("domain", expr(
-            "regexp_extract(url, '^https?://([^/]+)/', 1)"))
-          .withColumn("depth", expr(
-            "CAST(size(split(regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT)"))
-          .withColumn("has_query", expr("CAST(url LIKE '%?%' AS BIGINT)"))
-          .withColumn("too_long", expr("CAST(length(url) > 96 AS BIGINT)"))
-          .withColumn("too_deep", expr("CAST(depth > 6 AS BIGINT)"))
-          .withColumn("bad_domain", expr(
-            s"CAST(exists(array($bad), t -> domain LIKE concat('%', t, '%')) AS BIGINT)"))
-          .withColumn("path_hits", expr(
-            UrlBadPathTerms.map(t =>
-              s"CAST(url LIKE '%/$t/%' OR url LIKE '%/$t?%' AS INT)").mkString(" + ")))
-          .withColumn("score",
-            $"path_hits" + $"has_query" + $"too_long" + $"too_deep")
+        withUrlGate(
+            table(s, dir, "documents").withColumn("url", expr(UrlSynthSql)),
+            "url")
           .select($"doc_id", $"url", $"domain", $"depth",
             $"has_query", $"too_long", $"too_deep", $"bad_domain",
-            $"path_hits".cast("long").as("path_hits"),
-            $"score".cast("long").as("score"),
-            ($"bad_domain" === 1L || $"score" >= 3L).cast("long").as("dropped"))
+            $"path_hits", $"score", $"dropped")
       },
       Some(s"""
         WITH u AS (
           SELECT doc_id, $UrlSynthSql AS url FROM documents),
-        f AS (
-          SELECT doc_id, url,
-            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
-            CAST(len(string_split(regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT) AS depth,
-            CAST(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
-            CAST(CASE WHEN length(url) > 96 THEN 1 ELSE 0 END AS BIGINT) AS too_long
-          FROM u),
-        g AS (
-          SELECT *,
-            CAST(CASE WHEN depth > 6 THEN 1 ELSE 0 END AS BIGINT) AS too_deep,
-            CAST(CASE WHEN ${UrlBadDomains.map(d =>
-              s"domain LIKE '%$d%'").mkString(" OR ")} THEN 1 ELSE 0 END AS BIGINT) AS bad_domain,
-            CAST(${UrlBadPathTerms.map(t =>
-              s"CASE WHEN url LIKE '%/$t/%' OR url LIKE '%/$t?%' THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS path_hits
-          FROM f)
+        ${urlGateSqlCtes("u", "url")}
         SELECT doc_id, url, domain, depth, has_query, too_long, too_deep,
-          bad_domain, path_hits,
-          CAST(path_hits + has_query + too_long + too_deep AS BIGINT) AS score,
-          CAST(CASE WHEN bad_domain = 1 OR
-                         path_hits + has_query + too_long + too_deep >= 3
-               THEN 1 ELSE 0 END AS BIGINT) AS dropped
-        FROM g""")),
+          bad_domain, path_hits, score, dropped
+        FROM gated""")),
 
     // --------------------------------------------------------------- q214
     // ROBOTS.TXT EVALUATION (RFC 9309 §2.2.2 + §2.2.3 wildcards) —
@@ -1579,10 +1545,6 @@ object Mining {
       "q219_frontier_schedule",
       (s, dir) => {
         import s.implicits._
-        val bad = UrlBadDomains.map(d => s"'$d'").mkString(", ")
-        val hits = UrlBadPathTerms.map(t =>
-          s"CAST(canon_url LIKE '%/$t/%' OR canon_url LIKE '%/$t?%' AS INT)")
-          .mkString(" + ")
         val rows = table(s, dir, "documents")
           .withColumn("url0", expr(UrlSynthSql))
           .withColumn("url1", expr(UrlVariantSql))
@@ -1594,23 +1556,11 @@ object Mining {
           .withColumn("mn", min($"url").over(Window.partitionBy($"canon_url")))
           .filter($"url" === $"mn")
           .select($"doc_id", $"canon_url")
-        val gated = kept
-          .withColumn("domain",
-            expr("regexp_extract(canon_url, '^https?://([^/]+)/', 1)"))
+        // the SAME gate definition as q213, applied to the canonical
+        // form (the r15 self-review dedup: one gate, two consumers)
+        val gated = withUrlGate(kept, "canon_url")
           .withColumn("path",
             expr("regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1)"))
-          .withColumn("depth", expr(
-            "CAST(size(split(regexp_extract(canon_url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT)"))
-          .withColumn("has_query", expr("CAST(canon_url LIKE '%?%' AS BIGINT)"))
-          .withColumn("too_long", expr("CAST(length(canon_url) > 96 AS BIGINT)"))
-          .withColumn("too_deep", expr("CAST(depth > 6 AS BIGINT)"))
-          .withColumn("bad_domain", expr(
-            s"CAST(exists(array($bad), t -> domain LIKE concat('%', t, '%')) AS BIGINT)"))
-          .withColumn("path_hits", expr(hits))
-          .withColumn("score", expr(
-            "CAST(path_hits + has_query + too_long + too_deep AS BIGINT)"))
-          .withColumn("dropped",
-            expr("CAST(bad_domain = 1 OR score >= 3 AS BIGINT)"))
         val rules = RobotsRules
           .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
           .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
@@ -1647,29 +1597,11 @@ object Mining {
               MIN(url) OVER (PARTITION BY canon_url) AS mn
             FROM canon) k
           WHERE url = mn),
-        f AS (
-          SELECT doc_id, canon_url,
-            regexp_extract(canon_url, '^https?://([^/]+)/', 1) AS domain,
-            regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1) AS path,
-            CAST(len(string_split(regexp_extract(canon_url, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT) AS depth,
-            CAST(CASE WHEN canon_url LIKE '%?%' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
-            CAST(CASE WHEN length(canon_url) > 96 THEN 1 ELSE 0 END AS BIGINT) AS too_long
-          FROM kept),
-        g AS (
-          SELECT *,
-            CAST(CASE WHEN depth > 6 THEN 1 ELSE 0 END AS BIGINT) AS too_deep,
-            CAST(CASE WHEN ${UrlBadDomains.map(d =>
-              s"domain LIKE '%$d%'").mkString(" OR ")} THEN 1 ELSE 0 END AS BIGINT) AS bad_domain,
-            CAST(${UrlBadPathTerms.map(t =>
-              s"CASE WHEN canon_url LIKE '%/$t/%' OR canon_url LIKE '%/$t?%' THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS path_hits
-          FROM f),
+        ${urlGateSqlCtes("kept", "canon_url")},
         g2 AS (
           SELECT *,
-            CAST(path_hits + has_query + too_long + too_deep AS BIGINT) AS score,
-            CAST(CASE WHEN bad_domain = 1 OR
-                           path_hits + has_query + too_long + too_deep >= 3
-                 THEN 1 ELSE 0 END AS BIGINT) AS dropped
-          FROM g),
+            regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1) AS path
+          FROM gated),
         rules(rule_dom, rule_pat, rule_re, rule_allow) AS (
           VALUES ${RobotsRules.map { case (d, p, a) =>
             s"('$d', '$p', '${robotsRegex(p)}', $a)" }
@@ -1837,6 +1769,61 @@ object Mining {
   private[graft] def pctDecodeSql(inner: String): String =
     PctCodes.foldLeft(inner) { case (e, (code, ch)) =>
       s"replace($e, '$code', '$ch')" }
+
+  /** q213's URL quality gate as reusable column steps over `urlCol`:
+    * adds domain, depth, has_query, too_long, too_deep, bad_domain,
+    * path_hits, score, dropped (all BIGINT; domain STRING). ONE
+    * definition for every consumer (q213 on raw urls, q219 on
+    * canonical ones) — MUST stay mirrored with [[urlGateSqlCtes]].
+    */
+  private[graft] def withUrlGate(
+      df: org.apache.spark.sql.DataFrame, urlCol: String): org.apache.spark.sql.DataFrame = {
+    val bad = UrlBadDomains.map(d => s"'$d'").mkString(", ")
+    val hits = UrlBadPathTerms.map(t =>
+      s"CAST($urlCol LIKE '%/$t/%' OR $urlCol LIKE '%/$t?%' AS INT)").mkString(" + ")
+    df
+      .withColumn("domain",
+        expr(s"regexp_extract($urlCol, '^https?://([^/]+)/', 1)"))
+      .withColumn("depth", expr(
+        s"CAST(size(split(regexp_extract($urlCol, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT)"))
+      .withColumn("has_query", expr(s"CAST($urlCol LIKE '%?%' AS BIGINT)"))
+      .withColumn("too_long", expr(s"CAST(length($urlCol) > 96 AS BIGINT)"))
+      .withColumn("too_deep", expr("CAST(depth > 6 AS BIGINT)"))
+      .withColumn("bad_domain", expr(
+        s"CAST(exists(array($bad), t -> domain LIKE concat('%', t, '%')) AS BIGINT)"))
+      .withColumn("path_hits", expr(s"CAST($hits AS BIGINT)"))
+      .withColumn("score",
+        expr("CAST(path_hits + has_query + too_long + too_deep AS BIGINT)"))
+      .withColumn("dropped",
+        expr("CAST(bad_domain = 1 OR score >= 3 AS BIGINT)"))
+  }
+
+  /** [[withUrlGate]]'s DuckDB mirror: CTE defs reading CTE `src`
+    * (any columns + `urlCol`), ending with CTE `gated` = src's
+    * columns + the gate columns. */
+  private[graft] def urlGateSqlCtes(src: String, urlCol: String): String = s"""
+        gate1 AS (
+          SELECT *,
+            regexp_extract($urlCol, '^https?://([^/]+)/', 1) AS domain,
+            CAST(len(string_split(regexp_extract($urlCol, '^https?://[^/]+(/[^?]*)', 1), '/')) - 2 AS BIGINT) AS depth,
+            CAST(CASE WHEN $urlCol LIKE '%?%' THEN 1 ELSE 0 END AS BIGINT) AS has_query,
+            CAST(CASE WHEN length($urlCol) > 96 THEN 1 ELSE 0 END AS BIGINT) AS too_long
+          FROM $src),
+        gate2 AS (
+          SELECT *,
+            CAST(CASE WHEN depth > 6 THEN 1 ELSE 0 END AS BIGINT) AS too_deep,
+            CAST(CASE WHEN ${UrlBadDomains.map(d =>
+              s"domain LIKE '%$d%'").mkString(" OR ")} THEN 1 ELSE 0 END AS BIGINT) AS bad_domain,
+            CAST(${UrlBadPathTerms.map(t =>
+              s"CASE WHEN $urlCol LIKE '%/$t/%' OR $urlCol LIKE '%/$t?%' THEN 1 ELSE 0 END").mkString(" + ")} AS BIGINT) AS path_hits
+          FROM gate1),
+        gated AS (
+          SELECT *,
+            CAST(path_hits + has_query + too_long + too_deep AS BIGINT) AS score,
+            CAST(CASE WHEN bad_domain = 1 OR
+                           path_hits + has_query + too_long + too_deep >= 3
+                 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+          FROM gate2)"""
 
   /** q215's canonicalization as reusable column steps: adds
     * `canon_url` to a frame carrying a `url` column (intermediates

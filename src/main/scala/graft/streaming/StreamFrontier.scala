@@ -9,14 +9,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * q215's canonical-URL dedup made incremental: micro-batches of
   * discovered URLs canonicalize ([[graft.queries.Mining.withCanonUrl]]
   * — the SAME chain the oracle-checked batch query runs), collapse
-  * within the batch (min url per canonical key, the q215 rule), and
+  * within the batch (exactly ONE row per canonical key: first by url,
+  * then doc_id — a row_number pick, so even the same url discovered
+  * twice in one batch enters once), and
   * anti-join the SEEN state, so each canonical page enters the
   * frontier EXACTLY ONCE across the whole stream — the property a
   * crawler cannot run without (every leaked duplicate is a wasted
   * fetch plus a politeness-budget slot, q219's scarce unit).
-  * First-wins is BATCH order then min-url: a page discovered in batch
-  * 3 under an alias and again in batch 7 canonically emits only the
-  * batch-3 row.
+  * First-wins is BATCH order then (url, doc_id): a page discovered in
+  * batch 3 under an alias and again in batch 7 canonically emits only
+  * the batch-3 row.
   *
   * State = the seen canonical keys as child-dir parquet
   * (`stateDir/seen/b<id>` — [[graft.ops.Layouts]] child-dir layout):
@@ -81,10 +83,15 @@ object StreamFrontier {
     import spark.implicits._
     val b = batchUrls.localCheckpoint()
     try {
-      // within-batch alias collapse (q215's rule: min url per key)
+      // within-batch alias collapse: ONE row per canonical key — a
+      // row_number, not a min-url filter, because the same url string
+      // discovered twice in one batch (two referrer pages) would pass
+      // a min filter twice and enter the frontier twice (the r15
+      // self-review catch); (url, doc_id) makes the pick deterministic
       val kept = graft.queries.Mining.withCanonUrl(b)
-        .withColumn("mn", min($"url").over(Window.partitionBy($"canon_url")))
-        .filter($"url" === $"mn")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"canon_url").orderBy($"url".asc, $"doc_id".asc)))
+        .filter($"rn" === 1)
         .select($"doc_id", $"url", $"canon_url")
       // own-child exclusion: a crashed replay may already have written
       // b<id> — reading it would suppress this batch's own rows

@@ -71,34 +71,37 @@ object StreamIngest {
 
   /** The batch parse+extract — ONE shape shared by the per-trigger
     * path and the spec's one-shot equivalence run. Returns (pages,
-    * quarantine) frames for the given (file, bytes) corpus.
+    * quarantine, handle) for the given (file, bytes) corpus; `handle`
+    * is the materialized one-pass parse BOTH frames read — the caller
+    * must Checkpoints.release it after consuming them.
     */
-  private[graft] def ingest(batch: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def ingest(batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val s = batch.sparkSession
     import s.implicits._
-    // the record parse has exactly ONE consumer (pages) — quarantine
-    // comes from the separate framing-only audit pass below — so
-    // nothing here is checkpointed: no storage outlives the batch
-    // (the round-14 advice; the caller's checkpointed `b` already
-    // keeps the file bytes local to both passes)
-    val recs = Warc.records(batch)
+    // ONE decompress+frame pass for both consumers: records and the
+    // per-file audit trailers come out of the SAME cursor
+    // (Warc.recordsAudited) — on gzipped crawls inflation dominates,
+    // so a separate audit pass would double ingest CPU. The combined
+    // frame is materialized once and handed back to the caller, who
+    // releases it in the same trigger (the StreamWinnow discipline —
+    // nothing outlives the batch).
+    val combined = Warc.recordsAudited(batch).localCheckpoint()
     // envelope strip via Warc.http*Col — the guarded form (a record
     // body without an HTTP envelope passes through whole; a naked
     // locate()+substring drops its first 3 chars on no-match)
     val pages = Html.mainContent(
-        recs.filter($"wtype" === "response")
+        combined.filter($"is_audit" === 0 && $"wtype" === "response")
           .withColumn("http_status", Warc.httpStatusCol($"body"))
           .withColumn("html", Warc.httpBodyCol($"body")))
       .select($"file", $"uri", $"http_status", $"title",
         $"n_lines", $"n_content", $"content_chars", $"content")
     // quarantine BOTH failure shapes: nothing parsed, and a partial
     // parse whose tail was dropped (records were emitted but the file
-    // under-ingested) — the framing-only audit skips body decoding,
-    // so this second pass costs a fraction of the first
-    val quarantine = Warc.fileAudit(batch)
+    // under-ingested)
+    val quarantine = combined.filter($"is_audit" === 1)
       .filter($"n_bytes" > 0L && ($"n_records" === 0L || $"truncated" === 1L))
       .select($"file", $"n_bytes", $"n_records", $"truncated")
-    (pages, quarantine)
+    (pages, quarantine, combined)
   }
 
   /** One micro-batch through ingestion — directly drivable (the
@@ -116,13 +119,16 @@ object StreamIngest {
       return false
     }
     val b = batchFiles.localCheckpoint()
+    val (pages, quarantine, handle) = ingest(b)
     try {
-      val (pages, quarantine) = ingest(b)
       pages.write.mode("overwrite").parquet(s"$outDir/pages/b$batchId")
       quarantine.write.mode("overwrite").parquet(s"$outDir/quar/b$batchId")
       // marker LAST — the commit point
       StreamIndex.writeCommitted(spark, guard, batchId)
       true
-    } finally graft.ops.Checkpoints.release(b)
+    } finally {
+      graft.ops.Checkpoints.release(handle)
+      graft.ops.Checkpoints.release(b)
+    }
   }
 }

@@ -74,5 +74,14 @@ class StreamFrontierSpec extends SparkSuite {
     assert(StreamFrontier.processBatch(spark, df(Seq((5L, "https://d.example.org/x"))),
       stateDir, outDir, 3L))
     assert(newRows(outDir).size === 4)
+
+    // the SAME url discovered twice in one batch (two referrer pages)
+    // must enter the frontier ONCE — a min-url filter would leak both
+    // (r15 self-review catch); lowest doc_id wins the tie
+    assert(StreamFrontier.processBatch(spark,
+      df(Seq((7L, "https://e.example.org/y"), (8L, "https://e.example.org/y"))),
+      stateDir, outDir, 4L))
+    val eRows = newRows(outDir).filter(_._3 == "https://e.example.org/y")
+    assert(eRows === Set((7L, "https://e.example.org/y", "https://e.example.org/y")))
   }
 }

@@ -55,7 +55,7 @@ class StreamIngestSpec extends SparkSuite {
       assert(StreamIngest.processBatch(spark, df(b), stateDir, outDir, i.toLong))
     }
     // one-shot equivalence
-    val (wantPages, wantQuar) = StreamIngest.ingest(df(files))
+    val (wantPages, wantQuar, handle) = StreamIngest.ingest(df(files))
     val want = wantPages.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(3), r.getLong(5))).toSet
     assert(pageRows(outDir) === want)
@@ -75,6 +75,7 @@ class StreamIngestSpec extends SparkSuite {
     assert(quar === Set(("broken.warc", 0L, 1L), ("partial.warc", 2L, 1L)))
     assert(wantQuar.collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet === quar)
+    graft.ops.Checkpoints.release(handle)
     // replayed batch is a no-op
     assert(!StreamIngest.processBatch(spark, df(batches.head), stateDir, outDir, 0L))
     assert(pageRows(outDir) === want)

@@ -115,6 +115,43 @@ class WarcSpec extends SparkSuite {
     assert(c.truncated, "dropped member must flag the file")
   }
 
+  test("corrupt FIRST gzip member flags without throwing (constructor hazard)") {
+    // GZIPInputStream reads the first member's header in its
+    // constructor — bare magic bytes or a bad compression method must
+    // stop-and-flag, not crash the task (r15 self-review catch)
+    val bareMagic = Array[Byte](0x1f, 0x8b.toByte)
+    val badMethod = Array[Byte](0x1f, 0x8b.toByte, 0x07, 0, 0, 0, 0, 0, 0, 0)
+    Seq(bareMagic, badMethod).foreach { bytes =>
+      val c = new Warc.Cursor("f", bytes, decodeBodies = true)
+      assert(c.toSeq.isEmpty && c.truncated)
+    }
+    import spark.implicits._
+    val got = Warc.fileAudit(Seq(("bad.warc.gz", badMethod)).toDF("file", "bytes"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(got === ((0L, 1L)), "audit must flag, not die")
+  }
+
+  test("recordsAudited ≡ records + fileAudit in one pass") {
+    import spark.implicits._
+    val clean = (rec("response", "https://a/1", "good") +
+      rec("metadata", "https://a/1", "m\r\n")).getBytes("UTF-8")
+    val partial = (rec("response", "https://a/2", "ok") +
+      rec("response", "https://a/3", "this is cut").take(35)).getBytes("UTF-8")
+    val df = Seq(("clean", clean), ("partial", partial), ("gz", gz(clean)))
+      .toDF("file", "bytes")
+    val combined = Warc.recordsAudited(df)
+    val recRows = combined.filter("is_audit = 0")
+      .selectExpr("file", "rec_no", "wtype", "uri", "body")
+    val wantRecs = Warc.records(df)
+    assert(recRows.collect().map(_.toSeq).toSet === wantRecs.collect().map(_.toSeq).toSet)
+    val auditRows = combined.filter("is_audit = 1")
+      .selectExpr("file", "n_bytes", "n_records", "truncated")
+    val wantAudit = Warc.fileAudit(df)
+    assert(auditRows.collect().map(_.toSeq).toSet === wantAudit.collect().map(_.toSeq).toSet)
+    // exactly one trailer per file
+    assert(combined.filter("is_audit = 1").count() === 3L)
+  }
+
   test("charset: declared latin-1 round-trips; windows-1252 fallback; utf-8 fast path") {
     val latin1Text = "café au lait, señor"
     val latin1 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n")

@@ -28,6 +28,13 @@ shift || true
 QUERIES=("$@")
 REPS=${REPS:-3}
 if [ ${#QUERIES[@]} -eq 0 ]; then
+  # explicit guard: a python failure inside process substitution is
+  # invisible to set -e, and an empty QUERIES would silently overwrite
+  # BENCH_ISOLATED.json with an empty artifact
+  if [ ! -f BENCH_FULL.json ]; then
+    echo "[bench-isolated] BENCH_FULL.json missing - run 'runMain graft.Bench' first" >&2
+    exit 2
+  fi
   mapfile -t QUERIES < <(python3 - <<'EOF'
 import json
 d = json.load(open("BENCH_FULL.json"))
@@ -36,6 +43,10 @@ for q in sorted(warm, key=lambda q: -warm[q])[:20]:
     print(q)
 EOF
 )
+  if [ ${#QUERIES[@]} -eq 0 ]; then
+    echo "[bench-isolated] no queries derived from BENCH_FULL.json" >&2
+    exit 2
+  fi
 fi
 
 if [ ! -f target/scala-2.13/classes/graft/Bench.class ]; then
