@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Curation.all ++
     graft.queries.Embeddings.all ++
     graft.queries.Mining.all ++
-    graft.queries.Selection.all
+    graft.queries.Selection.all ++
+    graft.queries.Crawl.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -93,6 +93,60 @@ object PageRank {
   private[ops] def segCol(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % Segments
 
+  /** DuckDB mirror of the fixed-round iteration — CTE defs (caller
+    * splices after its own WITH items) reading CTE `edges` (w1, w2,
+    * c BIGINT) and ending with CTE `r<rounds>` = (w, pr).
+    *
+    * Each round unrolls the fixed depth-3 reduction tree (seg =
+    * md5₆₀ % 4096 of the SOURCE node): level 1 folds each (node, seg)
+    * bucket in source order, level 2 folds each 64-segment block in
+    * seg order, level 3 folds block partials in blk order — the
+    * identical association grouping both Spark tiers evaluate, so the
+    * doubles hash-match bit-for-bit. r<k> is MATERIALIZED: each round
+    * references r<k-1> three times (dangling, in-sum, node join) —
+    * inlined, the expansion is 3^rounds and DuckDB takes minutes;
+    * materialized it's one tiny node-sized table per round.
+    */
+  def sqlCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""
+        d${k}a AS (
+          SELECT seg, sum(pr ORDER BY w) AS ssum
+          FROM r${k - 1} JOIN nodes USING (w)
+          WHERE w NOT IN (SELECT w1 FROM trans) GROUP BY seg),
+        d${k}b AS (
+          SELECT seg // 64 AS blk, sum(ssum ORDER BY seg) AS bsum
+          FROM d${k}a GROUP BY 1),
+        d$k AS (
+          SELECT coalesce(sum(bsum ORDER BY blk), 0.0) AS dsum FROM d${k}b),
+        i${k}a AS (
+          SELECT t.w2 AS w, t.seg AS seg, sum(r.pr * t.p ORDER BY t.w1) AS ssum
+          FROM trans t JOIN r${k - 1} r ON t.w1 = r.w GROUP BY 1, 2),
+        i${k}b AS (
+          SELECT w, seg // 64 AS blk, sum(ssum ORDER BY seg) AS bsum
+          FROM i${k}a GROUP BY 1, 2),
+        i$k AS (
+          SELECT w, sum(bsum ORDER BY blk) AS insum FROM i${k}b GROUP BY w),
+        r$k AS MATERIALIZED (
+          SELECT n.w,
+            0.15 / CAST(nn.n AS DOUBLE) + 0.85 *
+              (coalesce(i$k.insum, 0.0) + d$k.dsum / CAST(nn.n AS DOUBLE)) AS pr
+          FROM nodes n LEFT JOIN i$k ON n.w = i$k.w CROSS JOIN d$k CROSS JOIN nn)"""
+    }.mkString(",")
+    s"""wo AS (SELECT w1, CAST(sum(c) AS BIGINT) AS wout FROM edges GROUP BY w1),
+        trans AS MATERIALIZED (
+          SELECT w1, w2, CAST(c AS DOUBLE) / CAST(wout AS DOUBLE) AS p,
+            CAST(CAST(concat('0x', substr(md5(w1), 1, 15)) AS UBIGINT) AS BIGINT) % 4096 AS seg
+          FROM edges JOIN wo USING (w1)),
+        nodes AS MATERIALIZED (
+          SELECT w,
+            CAST(CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT) % 4096 AS seg
+          FROM (SELECT DISTINCT w FROM
+            (SELECT w1 AS w FROM edges UNION ALL SELECT w2 FROM edges) u) d),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        r0 AS (SELECT w, 1.0 / CAST(nn.n AS DOUBLE) AS pr FROM nodes CROSS JOIN nn),$rs"""
+  }
+
   def run(
       edges: DataFrame,
       rounds: Int,

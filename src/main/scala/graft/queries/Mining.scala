@@ -1868,25 +1868,27 @@ object Mining {
 
   /** [[withCanonUrl]]'s DuckDB mirror: CTE defs (caller splices after
     * its own WITH items) reading CTE `src` (any columns + `url`) and
-    * ending with CTE `canon` = src's columns + canon_url. */
-  private[graft] def urlCanonSqlCtes(src: String): String = s"""
-        c1 AS (
+    * ending with CTE `canon$sfx` = src's columns + canon_url. `sfx`
+    * disambiguates the intermediate CTE names so one query can splice
+    * the chain twice (q222 canonicalizes both link endpoints). */
+  private[graft] def urlCanonSqlCtes(src: String, sfx: String = ""): String = s"""
+        c1$sfx AS (
           SELECT *, regexp_extract(url, '^([^#]*)', 1) AS nofrag
           FROM $src),
-        c2 AS (
+        c2$sfx AS (
           SELECT *,
             lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
             lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]*)', 1)) AS hostport,
             regexp_extract(nofrag, '^[A-Za-z]+://[^/?]*(.*)$$', 1) AS pathq
-          FROM c1),
-        c3 AS (
+          FROM c1$sfx),
+        c3$sfx AS (
           SELECT *,
             regexp_extract(hostport, '^([^:]*)', 1) AS host,
             regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
             regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
             regexp_extract(pathq, '[?](.*)$$', 1) AS rawq
-          FROM c2),
-        c4 AS (
+          FROM c2$sfx),
+        c4$sfx AS (
           SELECT *,
             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                       OR (scheme = 'https' AND port = '443')
@@ -1896,13 +1898,13 @@ object Mining {
             coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
               x -> x <> '' AND NOT (x LIKE 'utm_%' OR x LIKE 'fbclid=%'
                 OR x LIKE 'gclid=%'))), '&'), '') AS q1
-          FROM c3),
-        canon AS (
+          FROM c3$sfx),
+        canon$sfx AS (
           SELECT * EXCLUDE (nofrag, scheme, hostport, pathq, host, port,
                             rawpath, rawq, portpart, path2, q1),
             concat(scheme, '://', host, portpart, path2,
               CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END) AS canon_url
-          FROM c4)"""
+          FROM c4$sfx)"""
 
   /** The q213 domain blocklist literal (substring match on the host —
     * mirrors how operational lists name domain families). */
