@@ -365,6 +365,78 @@ object Crawl {
           concat('2020-', lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0'), '-',
                  lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')) AS lastmod,
           CAST(concat('0.', 1 + doc_id % 9) AS DOUBLE) AS priority
-        FROM r"""))
+        FROM r""")),
+
+    // --------------------------------------------------------------- q226
+    // HOST CRAWL-BUDGET APPORTIONMENT — where the rank signal meets
+    // the politeness constraint: q219 packs fetches into per-host
+    // cycles but treats every host as equally deserving; a real
+    // crawler divides its global fetch budget by host IMPORTANCE.
+    // This allocates 1000 fetch slots over hosts by q223's PageRank
+    // mass using Hamilton's largest-remainder method (the apportionment
+    // scheme whose floor+remainder arithmetic is integer-exact):
+    // per-page ranks quantize to BIGINT once (floor(pr·1e12) — one
+    // IEEE multiply then floor of a hash-matched double, so both
+    // engines quantize identically), host mass is an order-free exact
+    // integer sum, base = ⌊B·mass/total⌋, and the leftover slots go
+    // to the largest remainders (host asc breaks ties). Σ budget = B
+    // exactly — CrawlSpec's pin.
+    //
+    // Scale shape: host mass is ONE map-side-combinable agg over the
+    // rank frame; the apportionment runs on the HOST frame (millions
+    // of rows at crawl scale, not billions), with the global
+    // remainder rank through ops.GlobalRank's two-phase prefix-sum —
+    // never a single-partition window (the q54 packing discipline).
+    Q(
+      "q226_host_budget",
+      (s, dir) => {
+        val links = withOutlinks(table(s, dir, "documents"))
+        val edges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .groupBy(col("src_url").as("w1"), col("dst_url").as("w2"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val pr = graft.ops.PageRank.run(edges, rounds = 5, localThreshold = 5000L)
+        val hostMass = pr
+          .withColumn("host", expr("regexp_extract(w, '^https?://([^/]+)', 1)"))
+          .withColumn("q", expr("CAST(floor(pr * 1e12) AS BIGINT)"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).cast("long").as("n_pages"),
+            sum(col("q")).cast("long").as("mass"))
+        val total = hostMass.agg(sum(col("mass")).cast("long").as("total"))
+        val alloc = hostMass.crossJoin(broadcast(total))
+          .withColumn("base", expr("CAST((1000 * mass) div total AS BIGINT)"))
+          .withColumn("rem", expr("CAST((1000 * mass) % total AS BIGINT)"))
+        val leftover = alloc
+          .agg((lit(1000L) - sum(col("base"))).cast("long").as("leftover"))
+        graft.ops.GlobalRank
+          .withRank(alloc, Seq(col("rem").desc, col("host").asc), "rnk", 8)
+          .crossJoin(broadcast(leftover))
+          .select(col("host"), col("n_pages"), col("mass"), col("base"),
+            expr("CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)")
+              .as("budget"))
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes,
+        edges AS (
+          SELECT src_url AS w1, dst_url AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM links2 WHERE kind <> 'skip' AND nofollow = 0
+          GROUP BY 1, 2),
+        ${graft.ops.PageRank.sqlCtes(5)},
+        h AS (
+          SELECT regexp_extract(w, '^https?://([^/]+)', 1) AS host,
+            CAST(count(*) AS BIGINT) AS n_pages,
+            CAST(sum(CAST(floor(pr * 1e12) AS BIGINT)) AS BIGINT) AS mass
+          FROM r5 GROUP BY 1),
+        t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM h),
+        a AS (
+          SELECT h.*, CAST((1000 * mass) // total AS BIGINT) AS base,
+            CAST((1000 * mass) % total AS BIGINT) AS rem
+          FROM h CROSS JOIN t),
+        lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM a),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rnk FROM a)
+        SELECT host, n_pages, mass, base,
+          CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM rk CROSS JOIN lo"""))
   )
 }

@@ -124,6 +124,27 @@ class CrawlSpec extends SparkSuite {
     expected.foreach { case (dst, e) => assert(got(dst) === e, dst) }
   }
 
+  test("q226: Hamilton apportionment — budgets sum to exactly B, replica agrees") {
+    val got = SparkEntry.queries("q226_host_budget")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._5).sum === 1000L, "largest-remainder exactness")
+    // JVM replica of the apportionment from the (host, mass) frame
+    val total = got.map(_._3).sum
+    val base = got.map(t => t._1 -> 1000L * t._3 / total).toMap
+    val leftover = 1000L - base.values.sum
+    val extras = got.map(t => (t._1, 1000L * t._3 % total))
+      .sortBy { case (h, r) => (-r, h) }.take(leftover.toInt).map(_._1).toSet
+    got.foreach { case (h, _, _, b, budget) =>
+      assert(b === base(h), h)
+      assert(budget === base(h) + (if (extras(h)) 1L else 0L), h)
+    }
+    // every host with pages gets ranked; masses are positive (PageRank
+    // gives every node ≥ (1-d)/n mass)
+    assert(got.forall(_._3 > 0L))
+  }
+
   test("q225 sitemap round-trip inverts the synthesis") {
     val got = SparkEntry.queries("q225_sitemap_roundtrip")(spark, dir)
       .collect()
