@@ -437,6 +437,44 @@ object Crawl {
           SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rnk FROM a)
         SELECT host, n_pages, mass, base,
           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
-        FROM rk CROSS JOIN lo"""))
+        FROM rk CROSS JOIN lo""")),
+
+    // --------------------------------------------------------------- q227
+    // HITS HUBS & AUTHORITIES (Kleinberg 1999) — the link graph's
+    // second centrality, orthogonal to PageRank's: a page is a good
+    // AUTHORITY when good hubs link to it, a good HUB when it links
+    // to good authorities — the signal pair a crawler uses to
+    // distinguish content pages worth fetching (authorities) from
+    // directory/listing pages worth re-crawling for discovery (hubs).
+    // 3 fixed L1-normalized rounds over the q222 edges (nofollow
+    // excluded) through ops.Hits — every in-sum, out-sum, and norm
+    // total folds through the fixed depth-3 md5-segment tree and the
+    // per-node normalization is ONE IEEE division, so the unrolled
+    // DuckDB oracle evaluates the identical association grouping and
+    // the doubles hash-match bit-for-bit.
+    //
+    // Scale shape: per round TWO edge-frame joins + tree-fold aggs
+    // (the q96/q223 machinery, auth and hub directions) and two
+    // norm scalars — a 10⁸-degree node's reduction spreads over 4096
+    // shuffle keys; nothing corpus-sized, nothing single-row.
+    Q(
+      "q227_link_hits",
+      (s, dir) => {
+        val links = withOutlinks(table(s, dir, "documents"))
+        val edges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .groupBy(col("src_url").as("w1"), col("dst_url").as("w2"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        graft.ops.Hits.run(edges, rounds = 3)
+          .select(col("w").as("url"), col("auth"), col("hub"))
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes,
+        edges AS (
+          SELECT src_url AS w1, dst_url AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM links2 WHERE kind <> 'skip' AND nofollow = 0
+          GROUP BY 1, 2),
+        ${graft.ops.Hits.sqlCtes(3)}
+        SELECT w AS url, auth, hub FROM hits3"""))
   )
 }
