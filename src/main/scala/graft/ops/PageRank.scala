@@ -147,6 +147,148 @@ object PageRank {
         r0 AS (SELECT w, 1.0 / CAST(nn.n AS DOUBLE) AS pr FROM nodes CROSS JOIN nn),$rs"""
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, VLDB) —
+    * PageRank personalized on a trusted seed set: teleport AND
+    * dangling mass redistribute over the normalized seed vector
+    * t(v) = 1/|S| for seeds, 0 otherwise (not uniformly), and the
+    * walk starts FROM t, so pages unreachable from any seed carry
+    * EXACTLY zero trust — the spam-demotion property (uniform
+    * PageRank hands every node a (1−d)/n floor; trust withholds it).
+    * Update: `0.15·t + 0.85·(insum + dsum·t)` — the same fixed op
+    * tree as [[run]] with t in place of 1/n.
+    *
+    * `seedCond`: a SQL boolean over column `w`, evaluated identically
+    * by Spark and DuckDB (the caller keeps it engine-portable —
+    * regexp_extract/LIKE, never RLIKE). Distributed-only (the Hits
+    * posture: one implementation; [[biasedSqlCtes]]'s unrolled oracle
+    * is the independent replica). Output: (w, trust, is_seed).
+    */
+  def runBiased(edges: DataFrame, rounds: Int, seedCond: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val e0 = edges.localCheckpoint()
+    val e = e0.select(col("w1"), col("w2"), col("c").cast("long").as("c"))
+    val wout = e.groupBy(col("w1")).agg(sum(col("c")).cast("long").as("wout"))
+    val trans = e.join(wout, "w1")
+      .select(col("w1"), col("w2"),
+        (col("c").cast("double") / col("wout").cast("double")).as("p"),
+        segCol(col("w1")).as("seg"))
+      .localCheckpoint()
+    val nodes0 = e.select(col("w1").as("w")).union(e.select(col("w2").as("w")))
+      .distinct()
+      .withColumn("seg", segCol(col("w")))
+      .withColumn("is_seed", expr(s"CAST($seedCond AS BIGINT)"))
+      .localCheckpoint()
+    val ns = nodes0.filter(col("is_seed") === 1L).count()
+    require(ns > 0, "TrustRank needs at least one seed node")
+    // t(v): one exact division for seeds, literal zero otherwise
+    val nodes = nodes0
+      .withColumn("t", expr(s"CASE WHEN is_seed = 1 THEN 1.0 / CAST($ns AS DOUBLE) ELSE 0.0 END"))
+      .localCheckpoint()
+    Checkpoints.release(nodes0)
+    val outW = trans.select(col("w1").as("w")).distinct().localCheckpoint()
+    // the walk starts from the seed distribution itself
+    var pr = nodes.select(col("w"), col("seg"), col("t").as("pr")).localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val dang = pr.join(outW, Seq("w"), "left_anti")
+        .groupBy(col("seg"))
+        .agg(sort_array(collect_list(struct(col("w"), col("pr")))).as("xs"))
+        .select(col("seg"), expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("ssum"))
+        .groupBy(expr("seg div 64").as("blk"))
+        .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
+        .select(col("blk"), expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
+        .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
+        .select(expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("dsum"))
+      val prr = pr.select(col("w"), col("pr"))
+      val insum = trans.join(prr, trans("w1") === prr("w"))
+        .select(col("w2"), col("w1"), trans("seg"), (col("pr") * col("p")).as("ct"))
+        .groupBy(col("w2"), col("seg"))
+        .agg(sort_array(collect_list(struct(col("w1"), col("ct")))).as("xs"))
+        .select(col("w2"), col("seg"), expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("ssum"))
+        .groupBy(col("w2"), expr("seg div 64").as("blk"))
+        .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
+        .select(col("w2"), col("blk"), expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
+        .groupBy(col("w2"))
+        .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
+        .select(col("w2").as("w"), expr(
+          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("insum"))
+      val next = nodes.select(col("w"), col("seg"), col("t"))
+        .join(insum, Seq("w"), "left")
+        .crossJoin(bcast(dang))
+        .select(col("w"), col("seg"),
+          (lit(0.15) * col("t") + lit(0.85) *
+            (coalesce(col("insum"), lit(0.0)) + col("dsum") * col("t"))).as("pr"))
+        .localCheckpoint()
+      Checkpoints.release(pr)
+      pr = next
+      it += 1
+    }
+    val out = pr.select(col("w"), col("pr").as("trust"))
+      .join(nodes.select(col("w"), col("is_seed")), "w")
+    // `nodes` stays checkpointed: the returned (lazy) frame reads it
+    // for is_seed — the ContextCleaner reaps it with the result plan
+    // (the one-shot convention; releasing it here broke the consumer
+    // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    Seq(e0, trans, outW).foreach(Checkpoints.release)
+    out
+  }
+
+  /** [[runBiased]]'s DuckDB mirror — CTE defs reading CTE `edges`
+    * (w1, w2, c), ending with CTE `t$rounds` = (w, trust, is_seed);
+    * `seedCond` is the same engine-portable SQL boolean over `w`. */
+  def biasedSqlCtes(rounds: Int, seedCond: String): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""
+        td${k}a AS (
+          SELECT seg, sum(pr ORDER BY w) AS ssum
+          FROM t${k - 1} JOIN tnodes USING (w)
+          WHERE w NOT IN (SELECT w1 FROM ttrans) GROUP BY seg),
+        td${k}b AS (
+          SELECT seg // 64 AS blk, sum(ssum ORDER BY seg) AS bsum
+          FROM td${k}a GROUP BY 1),
+        td$k AS (
+          SELECT coalesce(sum(bsum ORDER BY blk), 0.0) AS dsum FROM td${k}b),
+        ti${k}a AS (
+          SELECT t.w2 AS w, t.seg AS seg, sum(r.pr * t.p ORDER BY t.w1) AS ssum
+          FROM ttrans t JOIN t${k - 1} r ON t.w1 = r.w GROUP BY 1, 2),
+        ti${k}b AS (
+          SELECT w, seg // 64 AS blk, sum(ssum ORDER BY seg) AS bsum
+          FROM ti${k}a GROUP BY 1, 2),
+        ti$k AS (
+          SELECT w, sum(bsum ORDER BY blk) AS insum FROM ti${k}b GROUP BY w),
+        t$k AS MATERIALIZED (
+          SELECT n.w,
+            0.15 * n.t + 0.85 *
+              (coalesce(ti$k.insum, 0.0) + td$k.dsum * n.t) AS pr
+          FROM tnodes n LEFT JOIN ti$k ON n.w = ti$k.w CROSS JOIN td$k)"""
+    }.mkString(",")
+    s"""two AS (SELECT w1, CAST(sum(c) AS BIGINT) AS wout FROM edges GROUP BY w1),
+        ttrans AS MATERIALIZED (
+          SELECT w1, w2, CAST(c AS DOUBLE) / CAST(wout AS DOUBLE) AS p,
+            CAST(CAST(concat('0x', substr(md5(w1), 1, 15)) AS UBIGINT) AS BIGINT) % 4096 AS seg
+          FROM edges JOIN two USING (w1)),
+        tnodes0 AS (
+          SELECT w,
+            CAST(CAST(concat('0x', substr(md5(w), 1, 15)) AS UBIGINT) AS BIGINT) % 4096 AS seg,
+            CAST(CASE WHEN $seedCond THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+          FROM (SELECT DISTINCT w FROM
+            (SELECT w1 AS w FROM edges UNION ALL SELECT w2 FROM edges) u) d),
+        tns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM tnodes0 WHERE is_seed = 1),
+        tnodes AS MATERIALIZED (
+          SELECT w, seg, is_seed,
+            CASE WHEN is_seed = 1 THEN 1.0 / CAST(tns.ns AS DOUBLE) ELSE 0.0 END AS t
+          FROM tnodes0 CROSS JOIN tns),
+        t0 AS (SELECT w, t AS pr FROM tnodes),$rs,
+        trust$rounds AS (
+          SELECT r.w, r.pr AS trust, n.is_seed
+          FROM t$rounds r JOIN tnodes n USING (w))"""
+  }
+
   def run(
       edges: DataFrame,
       rounds: Int,

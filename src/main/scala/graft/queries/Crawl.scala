@@ -475,6 +475,56 @@ object Crawl {
           FROM links2 WHERE kind <> 'skip' AND nofollow = 0
           GROUP BY 1, 2),
         ${graft.ops.Hits.sqlCtes(3)}
-        SELECT w AS url, auth, hub FROM hits3"""))
+        SELECT w AS url, auth, hub FROM hits3""")),
+
+    // --------------------------------------------------------------- q228
+    // TRUSTRANK (Gyöngyi, Garcia-Molina & Pedersen 2004) — the
+    // spam-demotion signal an LLM-scale crawl curates by: PageRank
+    // personalized on a trusted seed set (here: article pages on
+    // non-blocklisted hosts — an in-row, engine-portable predicate),
+    // teleport AND dangling mass redistributing over the seeds
+    // instead of uniformly, walk started FROM the seed distribution.
+    // The property that matters: a page unreachable from any seed
+    // carries EXACTLY zero trust (uniform PageRank hands every node a
+    // (1−d)/n floor — q223 gives the mirror and casino pages positive
+    // rank; q228 withholds it), so trust vs rank divergence IS the
+    // spam mass. Same fixed-round segment-tree determinism as q223;
+    // the unrolled oracle evaluates the identical op tree.
+    //
+    // Scale shape: identical to q223 — per round one hash join +
+    // depth-3 tree folds on the edge frame; the seed predicate and
+    // t-vector are in-row over the node frame.
+    Q(
+      "q228_trustrank",
+      (s, dir) => {
+        val links = withOutlinks(table(s, dir, "documents"))
+        val edges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .groupBy(col("src_url").as("w1"), col("dst_url").as("w2"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        graft.ops.PageRank.runBiased(edges, rounds = 5, seedCond = TrustSeedCond)
+          .select(col("w").as("url"), col("trust"), col("is_seed"))
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes,
+        edges AS (
+          SELECT src_url AS w1, dst_url AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM links2 WHERE kind <> 'skip' AND nofollow = 0
+          GROUP BY 1, 2),
+        ${graft.ops.PageRank.biasedSqlCtes(5, TrustSeedCond)}
+        SELECT w AS url, trust, is_seed FROM trust5"""))
   )
+
+  /** q228's trust-seed predicate over a canonical-URL column `w` —
+    * article pages on non-blocklisted hosts (the whitelist a curator
+    * actually has: editorially-reviewed content sections), written
+    * engine-portably (plain LIKEs; the q213 blocklist literals). ONE
+    * definition spliced into BOTH the Spark iteration and the DuckDB
+    * oracle. Article pages are the graph's SOURCES, so trust
+    * genuinely propagates (seeding pure targets like home pages would
+    * fix the walk at the seed vector — outlink-less seeds donate
+    * everything straight back through the dangling term). */
+  private[graft] lazy val TrustSeedCond: String =
+    "w LIKE '%/articles/%'" +
+      Mining.UrlBadDomains.map(d => s" AND w NOT LIKE '%$d%'").mkString
 }

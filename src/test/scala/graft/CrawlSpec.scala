@@ -145,6 +145,42 @@ class CrawlSpec extends SparkSuite {
     assert(got.forall(_._3 > 0L))
   }
 
+  test("q228: trust withholds mass from pages unreachable from seeds") {
+    val trust = SparkEntry.queries("q228_trustrank")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val rank = SparkEntry.queries("q223_link_pagerank")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(trust.keySet === rank.keySet)
+    // mass conserved: teleport + dangling both redistribute over t
+    assert(math.abs(trust.values.map(_._1).sum - 1.0) < 1e-9)
+    // seeds are exactly the article pages on non-blocklisted hosts
+    trust.foreach { case (url, (_, isSeed)) =>
+      val expect = url.contains("/articles/") && !url.contains("freestuff-mirror")
+      assert(isSeed === (if (expect) 1L else 0L), url)
+    }
+    // the spam-demotion property: mirror and casino pages are
+    // unreachable from any seed → trust EXACTLY 0.0, while uniform
+    // PageRank hands them its (1-d)/n floor — the divergence IS the
+    // spam mass
+    val demoted = trust.filter { case (u, _) =>
+      u.contains("freestuff-mirror") || u.contains("/casino/") }
+    assert(demoted.nonEmpty)
+    demoted.foreach { case (u, (t, _)) =>
+      assert(t === 0.0, u)
+      assert(rank(u) > 0.0, u)
+    }
+    // trust flows off the seeds onto their link targets — except
+    // /hub/0, whose ONLY linkers are casino pages (doc_id % 11 = 0
+    // implies the hub residue 0 AND the casino path), non-seeds with
+    // zero trust to give: the transitivity property, not a bug
+    val hubs = trust.filter(_._1.contains("/hub/"))
+    assert(hubs.nonEmpty)
+    hubs.foreach { case (u, (t, _)) =>
+      if (u.endsWith("/hub/0")) assert(t === 0.0, u)
+      else assert(t > 0.0, u)
+    }
+  }
+
   test("q225 sitemap round-trip inverts the synthesis") {
     val got = SparkEntry.queries("q225_sitemap_roundtrip")(spark, dir)
       .collect()
