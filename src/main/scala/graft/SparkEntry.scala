@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Embeddings.all ++
     graft.queries.Mining.all ++
     graft.queries.Selection.all ++
-    graft.queries.Crawl.all
+    graft.queries.Crawl.all ++
+    graft.queries.Maintenance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

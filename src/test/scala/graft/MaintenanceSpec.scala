@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The q229–q232 crawl-maintenance family: the re-crawl estimator
+  * lands exactly on hand-solved fetch histories and holds its clamp
+  * invariants corpus-wide, trap mining flags the planted session-id
+  * template and nothing else, mirror detection equals a JVM replica
+  * over the real corpus (and never flags the syndication hub), and the
+  * discovery frontier is disjoint from the crawled set with the
+  * nofollow-only spam farm excluded.
+  */
+class MaintenanceSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q229 hand-solved docs: fast-churn and never-changed regimes") {
+    import spark.implicits._
+    // doc 30: n_f=2, gap=3, chg_k=1 → fps differ → X=1, span=3
+    // doc 11: n_f=3, gap=5, chg_k=3 → versions 0,0,0 → X=0, span=10
+    val docs = Seq((30L, "en", "src7"), (11L, "de", "src3"))
+      .toDF("doc_id", "lang", "source")
+    val hist = graft.queries.Maintenance.fetchSynth(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"url").orderBy($"day")
+    val out = graft.queries.Maintenance.scheduleCols(
+      hist.withColumn("prev_fp", lag($"fp", 1).over(w))
+        .groupBy($"url")
+        .agg(
+          count(lit(1)).cast("long").as("n_fetches"),
+          sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp" +
+            " THEN 1 ELSE 0 END")).cast("long").as("n_changes"),
+          (max($"day") - min($"day")).cast("long").as("span_days"),
+          max($"day").cast("long").as("last_day")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(out("https://src7.example.org/en/articles/30") ===
+      ((2L, 1L, 3L, 333333L, 3L, 6L)))
+    assert(out("https://src3.example.org/casino/de/11") ===
+      ((3L, 0L, 10L, 0L, 30L, 40L)))
+  }
+
+  test("q229 corpus invariants: clamp bounds, exact ppm arithmetic, backoff") {
+    val rows = SparkEntry.queries("q229_recrawl_rate")(spark, dir)
+      .localCheckpoint()
+    assert(rows.count() > 0)
+    assert(rows.filter("next_gap_days < 1 OR next_gap_days > 30").count() === 0)
+    assert(rows.filter("n_changes > n_fetches - 1").count() === 0)
+    assert(rows.filter(
+      "rate_ppm <> CAST(n_changes * 1000000 div span_days AS BIGINT)")
+      .count() === 0)
+    assert(rows.filter("n_changes = 0 AND next_gap_days <> 30").count() === 0)
+    assert(rows.filter("next_fetch_day <> last_day + next_gap_days")
+      .count() === 0)
+    // both regimes genuinely present
+    assert(rows.filter("n_changes = 0").count() > 0)
+    assert(rows.filter("n_changes > 0").count() > 0)
+    rows.unpersist()
+  }
+
+  test("q230 planted trap: the session-id template flags, articles do not") {
+    val rows = SparkEntry.queries("q230_trap_templates")(spark, dir)
+      .localCheckpoint()
+    val trapT = "/a/b/c/d/e/f/g/h/N?session&ref&utm_campaign&sort&page"
+    val traps = rows.filter(col("is_trap") === 1L).collect()
+    assert(traps.nonEmpty, "the planted session-id trap must flag")
+    assert(traps.forall(_.getString(1) === trapT),
+      "only the session-id template may flag")
+    // the trap's arithmetic: 3 URL variants per page, one content each
+    traps.foreach { r =>
+      assert(r.getLong(2) === 3 * r.getLong(3), s"3 variants per page: $r")
+      assert(r.getLong(4) === 33L, s"content_pct must be 33: $r")
+    }
+    // article pages are 1:1 url:content
+    val art = rows.filter("template LIKE '%/articles/N'").collect()
+    assert(art.nonEmpty)
+    assert(art.forall(r => r.getLong(4) === 100L && r.getLong(5) === 0L))
+    // flag definition holds corpus-wide
+    assert(rows.filter(
+      "is_trap <> CAST(CASE WHEN n_urls >= 3 AND n_contents * 100" +
+        " div n_urls <= 40 THEN 1 ELSE 0 END AS BIGINT)").count() === 0)
+    rows.unpersist()
+  }
+
+  test("q231 ≡ JVM replica; syndication hub never flags; cap vacuous") {
+    val rows = SparkEntry.queries("q231_mirror_hosts")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // JVM replica over the same parquet rows
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source", "md5(text) AS fp",
+        s"regexp_extract(${graft.queries.Mining.UrlSynthSql}," +
+          " '^https?://([^/]+)', 1) AS host")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val hf: Seq[(String, String)] = (docs.toSeq.map { case (_, _, fp, h) => (h, fp) } ++
+      docs.toSeq.collect { case (id, s, fp, _) if id % 3 == 0 =>
+        (s"mirror-$s.example.net", fp) } ++
+      docs.toSeq.collect { case (id, _, fp, _) if id % 7 == 0 =>
+        ("syndication-hub.example.net", fp) }).distinct
+    // replication cap (16 hosts per fp) must be vacuous on this corpus
+    assert(hf.groupBy(_._2).values.map(_.size).max <= 16)
+    val sz: Map[String, Long] =
+      hf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = hf.groupBy(_._2).values.toSeq
+      .flatMap { hs =>
+        val hosts = hs.map(_._1)
+        for { a <- hosts; b <- hosts if a < b } yield (a, b)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((h1, h2), shared) =>
+        val (n1, n2) = (sz(h1), sz(h2))
+        val pct = shared * 100 / math.min(n1, n2)
+        (h1, h2) -> ((shared, n1, n2, pct, if (pct >= 80) 1L else 0L))
+      }.toMap
+    assert(rows === expected)
+    // the syndication hub is real co-publication, never a mirror
+    assert(rows.keys.filter(k =>
+        k._1 == "syndication-hub.example.net" ||
+          k._2 == "syndication-hub.example.net")
+      .forall(k => rows(k)._5 === 0L))
+    // at least one true mirror pair flags
+    assert(rows.exists { case ((h1, _), v) =>
+      h1.startsWith("mirror-") && v._5 == 1L })
+  }
+
+  test("q232 frontier: disjoint from crawled, spam farm excluded, mass positive") {
+    val docs = graft.Sql.table(spark, dir, "documents")
+    val links = graft.queries.Crawl.withOutlinks(docs).localCheckpoint()
+    val crawled = links.select("src_url").distinct().collect()
+      .map(_.getString(0)).toSet
+    val cand = SparkEntry.queries("q232_discovery_frontier")(spark, dir)
+      .localCheckpoint()
+    val candUrls = cand.select("dst_url").collect().map(_.getString(0))
+    assert(candUrls.nonEmpty)
+    assert(candUrls.toSet.intersect(crawled).isEmpty,
+      "a crawled page may never re-enter the frontier")
+    // the spam farm is nofollow-only — discovery must not qualify it
+    assert(!candUrls.exists(_.contains("spam-farm")),
+      "nofollow-only targets may not enter the frontier")
+    // hub pages are multiply-linked dangling targets: high in-link count
+    val hubs = cand.filter("dst_url LIKE '%/hub/%'").collect()
+    assert(hubs.nonEmpty)
+    assert(hubs.forall(_.getLong(1) >= 1L))
+    // every candidate received rank mass from at least one crawled page
+    assert(cand.filter("mass_q <= 0").count() === 0)
+    assert(cand.filter("n_links < 1 OR n_src_hosts < 1 OR n_anchors < 1")
+      .count() === 0)
+    links.unpersist(); cand.unpersist()
+  }
+}
