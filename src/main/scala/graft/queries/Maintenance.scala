@@ -114,6 +114,44 @@ object Maintenance {
                ELSE least(30, greatest(1, span_days // n_changes)) END AS BIGINT)
             AS next_fetch_day"""
 
+  /** The full q229 pipeline over a `documents` frame — fetch-history
+    * synthesis → LAG change detection → per-URL aggregate →
+    * [[scheduleCols]]. ONE definition for q229 and q233 (the
+    * withOutlinks discipline; MUST stay mirrored with
+    * [[recrawlSqlCtes]]). */
+  private[graft] def recrawlSchedule(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url")).orderBy(col("day"))
+    scheduleCols(fetchSynth(docs)
+      .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).cast("long").as("n_fetches"),
+        sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp" +
+          " THEN 1 ELSE 0 END")).cast("long").as("n_changes"),
+        (max(col("day")) - min(col("day"))).cast("long").as("span_days"),
+        max(col("day")).cast("long").as("last_day")))
+  }
+
+  /** [[recrawlSchedule]]'s DuckDB mirror: CTE defs over `documents`
+    * ending with CTE `sched` carrying the full q229 output columns. */
+  private[graft] def recrawlSqlCtes: String = s"""
+        $fetchSynthCtes,
+        fc AS (
+          SELECT *, LAG(fp) OVER (PARTITION BY url ORDER BY day) AS prev_fp
+          FROM fetches),
+        agg AS (
+          SELECT url,
+            CAST(count(*) AS BIGINT) AS n_fetches,
+            CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+            CAST(max(day) - min(day) AS BIGINT) AS span_days,
+            CAST(max(day) AS BIGINT) AS last_day
+          FROM fc GROUP BY url),
+        sched AS (
+          SELECT url, n_fetches, n_changes, span_days, last_day,
+            $scheduleSelectSql
+          FROM agg)"""
+
   val all: Seq[Q] = Seq(
 
     // --------------------------------------------------------------- q229
@@ -136,35 +174,10 @@ object Maintenance {
     // never re-shuffles.
     Q(
       "q229_recrawl_rate",
-      (s, dir) => {
-        val w = Window.partitionBy(col("url")).orderBy(col("day"))
-        val hist = fetchSynth(table(s, dir, "documents"))
-          .withColumn("prev_fp", lag(col("fp"), 1).over(w))
-          .groupBy(col("url"))
-          .agg(
-            count(lit(1)).cast("long").as("n_fetches"),
-            sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp" +
-              " THEN 1 ELSE 0 END")).cast("long").as("n_changes"),
-            (max(col("day")) - min(col("day"))).cast("long").as("span_days"),
-            max(col("day")).cast("long").as("last_day"))
-        scheduleCols(hist)
-      },
+      (s, dir) => recrawlSchedule(table(s, dir, "documents")),
       Some(s"""
-        WITH $fetchSynthCtes,
-        fc AS (
-          SELECT *, LAG(fp) OVER (PARTITION BY url ORDER BY day) AS prev_fp
-          FROM fetches),
-        agg AS (
-          SELECT url,
-            CAST(count(*) AS BIGINT) AS n_fetches,
-            CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-            CAST(max(day) - min(day) AS BIGINT) AS span_days,
-            CAST(max(day) AS BIGINT) AS last_day
-          FROM fc GROUP BY url)
-        SELECT url, n_fetches, n_changes, span_days, last_day,
-          $scheduleSelectSql
-        FROM agg""")),
+        WITH $recrawlSqlCtes
+        SELECT * FROM sched""")),
 
     // --------------------------------------------------------------- q230
     // CRAWLER-TRAP DETECTION by URL-template mining (Heydon & Najork
@@ -431,6 +444,64 @@ object Maintenance {
           WHERE e.w2 IN (SELECT dst_url FROM cagg)
           GROUP BY 1)
         SELECT c.dst_url, c.n_links, c.n_src_hosts, c.n_anchors, t.mass_q
-        FROM cagg c JOIN contrib t USING (dst_url)"""))
+        FROM cagg c JOIN contrib t USING (dst_url)""")),
+
+    // --------------------------------------------------------------- q233
+    // REFRESH-DUE LIST — where the two freshness signals meet: q229's
+    // OBSERVED change rate says when a page is statistically due, and
+    // the site's own sitemap <lastmod> (q225's synthesis, here parsed
+    // to a day offset from the 2020-01-01 crawl epoch via exact date
+    // arithmetic both engines share) says the publisher CLAIMS it
+    // changed since our last fetch. A page enters today's refresh list
+    // when either fires — schedule-due at the horizon (day 35), or
+    // lastmod strictly after our last fetch day — with the reason
+    // recorded ('scheduled' | 'lastmod' | 'both'): a crawler audits
+    // WHY it spends a fetch, because the two reasons have different
+    // failure modes (a stale schedule self-corrects; a lying lastmod
+    // must be discounted, which needs the attribution this emits).
+    //
+    // Scale shape: two url-keyed frames (the q229 aggregate and an
+    // in-row lastmod derivation) hash-joined on the url, flags in-row
+    // — nothing beyond q229's own cost.
+    Q(
+      "q233_refresh_due",
+      (s, dir) => {
+        val sched = recrawlSchedule(table(s, dir, "documents"))
+        val lastmod = table(s, dir, "documents")
+          .select(
+            expr(Mining.UrlSynthSql).as("url"),
+            expr("CAST(datediff(make_date(2020, CAST(1 + doc_id % 12 AS INT)," +
+              " CAST(1 + doc_id % 28 AS INT)), DATE'2020-01-01') AS BIGINT)")
+              .as("lastmod_day"))
+        sched.join(lastmod, Seq("url"))
+          .withColumn("due_scheduled",
+            expr("CAST(next_fetch_day <= 35 AS BIGINT)"))
+          .withColumn("due_lastmod",
+            expr("CAST(lastmod_day > last_day AS BIGINT)"))
+          .filter(expr("due_scheduled = 1 OR due_lastmod = 1"))
+          .select(col("url"), col("last_day"), col("next_fetch_day"),
+            col("lastmod_day"),
+            expr("CASE WHEN due_scheduled = 1 AND due_lastmod = 1 THEN 'both'" +
+              " WHEN due_scheduled = 1 THEN 'scheduled'" +
+              " ELSE 'lastmod' END").as("reason"))
+      },
+      Some(s"""
+        WITH $recrawlSqlCtes,
+        lm AS (
+          SELECT ${Mining.UrlSynthSql} AS url,
+            CAST(date_diff('day', DATE '2020-01-01',
+              make_date(2020, CAST(1 + doc_id % 12 AS INT),
+                CAST(1 + doc_id % 28 AS INT))) AS BIGINT) AS lastmod_day
+          FROM documents),
+        j AS (
+          SELECT s.url, s.last_day, s.next_fetch_day, lm.lastmod_day,
+            CASE WHEN s.next_fetch_day <= 35 THEN 1 ELSE 0 END AS due_scheduled,
+            CASE WHEN lm.lastmod_day > s.last_day THEN 1 ELSE 0 END AS due_lastmod
+          FROM sched s JOIN lm ON s.url = lm.url)
+        SELECT url, last_day, next_fetch_day, lastmod_day,
+          CASE WHEN due_scheduled = 1 AND due_lastmod = 1 THEN 'both'
+               WHEN due_scheduled = 1 THEN 'scheduled'
+               ELSE 'lastmod' END AS reason
+        FROM j WHERE due_scheduled = 1 OR due_lastmod = 1"""))
   )
 }

@@ -151,4 +151,32 @@ class MaintenanceSpec extends SparkSuite {
       .count() === 0)
     links.unpersist(); cand.unpersist()
   }
+
+  test("q233 refresh-due: flag algebra, all reasons present, schedule-consistent") {
+    val due = SparkEntry.queries("q233_refresh_due")(spark, dir)
+      .localCheckpoint()
+    val sched = SparkEntry.queries("q229_recrawl_rate")(spark, dir)
+      .select("url", "next_fetch_day")
+    assert(due.count() > 0)
+    // reason algebra is exactly the two flags
+    assert(due.filter(
+      "reason = 'scheduled' AND NOT (next_fetch_day <= 35 AND lastmod_day <= last_day)")
+      .count() === 0)
+    assert(due.filter(
+      "reason = 'lastmod' AND NOT (next_fetch_day > 35 AND lastmod_day > last_day)")
+      .count() === 0)
+    assert(due.filter(
+      "reason = 'both' AND NOT (next_fetch_day <= 35 AND lastmod_day > last_day)")
+      .count() === 0)
+    // every emitted row is genuinely due; the join is schedule-consistent
+    assert(due.filter("next_fetch_day > 35 AND lastmod_day <= last_day")
+      .count() === 0)
+    assert(due.join(sched, Seq("url", "next_fetch_day"), "left_anti")
+      .count() === 0)
+    // all three attributions occur on the corpus (the audit is non-vacuous)
+    val reasons = due.select("reason").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(reasons === Set("scheduled", "lastmod", "both"))
+    due.unpersist()
+  }
 }
