@@ -502,6 +502,65 @@ object Maintenance {
           CASE WHEN due_scheduled = 1 AND due_lastmod = 1 THEN 'both'
                WHEN due_scheduled = 1 THEN 'scheduled'
                ELSE 'lastmod' END AS reason
-        FROM j WHERE due_scheduled = 1 OR due_lastmod = 1"""))
+        FROM j WHERE due_scheduled = 1 OR due_lastmod = 1""")),
+
+    // --------------------------------------------------------------- q234
+    // ROBOTS COMPLIANCE AUDIT — the report a crawl operator actually
+    // owes: join the fetch log (q229's history — what we DID) against
+    // the q214 robots verdicts (what we were ALLOWED to do) and
+    // aggregate per domain: fetch events, distinct URLs, violation
+    // events/URLs, the smallest violating URL as a stable exhibit, and
+    // the violation rate as an exact percent. Violations here are
+    // planted truth, not noise: the fetch-history synthesis revisits
+    // EVERY known URL, including the casino paths and the whole-site-
+    // disallowed mirror — exactly the drift a real audit exists to
+    // catch (a scheduler that re-crawls by change rate alone, q229,
+    // ignores robots until this report shames it; q213's gate is the
+    // fix the audit motivates).
+    //
+    // Scale shape: the verdict side is q214's broadcast-join + narrow
+    // argmax; the audit adds one url-keyed hash join (fetch log ×
+    // verdicts) and ONE domain-keyed agg with per-domain distincts —
+    // a trillion-fetch log reduces to a domains-sized report.
+    Q(
+      "q234_compliance_audit",
+      (s, dir) => {
+        val fetches = fetchSynth(table(s, dir, "documents"))
+        val verd = Mining.robotsVerdicts(s, dir)
+          .select(col("url"), col("domain"), col("allowed"))
+        fetches.join(verd, Seq("url"))
+          .groupBy(col("domain"))
+          .agg(
+            count(lit(1)).cast("long").as("n_fetch_events"),
+            countDistinct(col("url")).cast("long").as("n_urls"),
+            sum(expr("1 - allowed")).cast("long").as("n_violation_events"),
+            countDistinct(expr("CASE WHEN allowed = 0 THEN url END"))
+              .cast("long").as("n_violation_urls"),
+            coalesce(min(expr("CASE WHEN allowed = 0 THEN url END")), lit(""))
+              .as("sample_violation"))
+          .withColumn("violation_pct",
+            expr("CAST(n_violation_events * 100 div n_fetch_events AS BIGINT)"))
+      },
+      Some(s"""
+        WITH $fetchSynthCtes,
+        ${Mining.robotsVerdictSqlCtes},
+        jj AS (
+          SELECT v.domain, fe.url, v.allowed
+          FROM fetches fe JOIN verdicts v ON fe.url = v.url),
+        g AS (
+          SELECT domain,
+            CAST(count(*) AS BIGINT) AS n_fetch_events,
+            CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+            CAST(sum(1 - allowed) AS BIGINT) AS n_violation_events,
+            CAST(count(DISTINCT CASE WHEN allowed = 0 THEN url END) AS BIGINT)
+              AS n_violation_urls,
+            coalesce(min(CASE WHEN allowed = 0 THEN url END), '')
+              AS sample_violation
+          FROM jj GROUP BY domain)
+        SELECT domain, n_fetch_events, n_urls, n_violation_events,
+          n_violation_urls, sample_violation,
+          CAST(n_violation_events * 100 // n_fetch_events AS BIGINT)
+            AS violation_pct
+        FROM g"""))
   )
 }

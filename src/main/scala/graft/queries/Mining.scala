@@ -1212,62 +1212,11 @@ object Mining {
     // (trillions of URLs) this is a broadcast-join + one narrow agg.
     Q(
       "q214_robots_eval",
-      (s, dir) => {
-        import s.implicits._
-        val rules = RobotsRules
-          .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
-          .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
-        val urls = table(s, dir, "documents")
-          .withColumn("url", expr(UrlSynthSql))
-          .select($"doc_id", $"url",
-            expr("regexp_extract(url, '^https?://([^/]+)/', 1)").as("domain"),
-            expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"))
-        val matched = urls.join(broadcast(rules),
-            expr("endswith(domain, rule_dom)") &&
-              expr("path RLIKE rule_re"),
-            "left")
-          .groupBy($"doc_id", $"url", $"domain", $"path")
-          .agg(max(struct(
-            length($"rule_pat").as("plen"),
-            $"rule_allow".as("allow"),
-            $"rule_pat".as("pat"))).as("win"))
-        matched.select($"doc_id", $"url", $"domain", $"path",
-          coalesce($"win.pat", lit("")).as("rule_pat"),
-          coalesce($"win.plen", lit(0)).cast("long").as("rule_len"),
-          // no matching rule (null win) = allowed, per RFC 9309
-          coalesce($"win.allow", lit(1)).cast("long").as("allowed"))
-      },
+      (s, dir) => robotsVerdicts(s, dir),
       Some(s"""
-        WITH rules(rule_dom, rule_pat, rule_re, rule_allow) AS (
-          VALUES ${RobotsRules.map { case (d, p, a) =>
-            // DuckDB string literals are escape-free: the compiled
-            // regex embeds VERBATIM (a \. stays backslash-dot)
-            s"('$d', '$p', '${robotsRegex(p)}', $a)" }
-            .mkString(",\n                 ")}),
-        u AS (
-          SELECT doc_id, $UrlSynthSql AS url FROM documents),
-        f AS (
-          SELECT doc_id, url,
-            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
-            regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path
-          FROM u),
-        m AS (
-          SELECT f.doc_id, f.url, f.domain, f.path,
-            r.rule_pat, r.rule_allow,
-            length(r.rule_pat) AS plen,
-            ROW_NUMBER() OVER (
-              PARTITION BY f.doc_id
-              ORDER BY length(r.rule_pat) DESC, r.rule_allow DESC,
-                       r.rule_pat DESC) AS rn
-          FROM f JOIN rules r
-            ON ends_with(f.domain, r.rule_dom)
-           AND regexp_matches(f.path, r.rule_re)),
-        w AS (SELECT * FROM m WHERE rn = 1)
-        SELECT f.doc_id, f.url, f.domain, f.path,
-          coalesce(w.rule_pat, '') AS rule_pat,
-          CAST(coalesce(w.plen, 0) AS BIGINT) AS rule_len,
-          CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
-        FROM f LEFT JOIN w ON f.doc_id = w.doc_id""")),
+        WITH $robotsVerdictSqlCtes
+        SELECT doc_id, url, domain, path, rule_pat, rule_len, allowed
+        FROM verdicts""")),
 
     // --------------------------------------------------------------- q220
     // ROBOTS.TXT PARSING + USER-AGENT GROUP SELECTION (RFC 9309
@@ -1663,6 +1612,75 @@ object Mining {
     * and a full (length, allow) tie whose winner only the aligned
     * pattern-string order decides (largest wins, both engines).
     */
+  /** q214's per-URL robots verdict — the full evaluation (rule-table
+    * broadcast join, most-octets/allow-wins/largest-pattern argmax via
+    * ONE max(struct), RFC 9309 no-match-allows default) as a reusable
+    * frame: (doc_id, url, domain, path, rule_pat, rule_len, allowed).
+    * ONE definition for q214 and q234's compliance audit (the
+    * withOutlinks discipline; MUST stay mirrored with
+    * [[robotsVerdictSqlCtes]]). */
+  private[graft] def robotsVerdicts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rules = RobotsRules
+      .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
+      .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
+    val urls = table(s, dir, "documents")
+      .withColumn("url", expr(UrlSynthSql))
+      .select($"doc_id", $"url",
+        expr("regexp_extract(url, '^https?://([^/]+)/', 1)").as("domain"),
+        expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"))
+    val matched = urls.join(broadcast(rules),
+        expr("endswith(domain, rule_dom)") &&
+          expr("path RLIKE rule_re"),
+        "left")
+      .groupBy($"doc_id", $"url", $"domain", $"path")
+      .agg(max(struct(
+        length($"rule_pat").as("plen"),
+        $"rule_allow".as("allow"),
+        $"rule_pat".as("pat"))).as("win"))
+    matched.select($"doc_id", $"url", $"domain", $"path",
+      coalesce($"win.pat", lit("")).as("rule_pat"),
+      coalesce($"win.plen", lit(0)).cast("long").as("rule_len"),
+      // no matching rule (null win) = allowed, per RFC 9309
+      coalesce($"win.allow", lit(1)).cast("long").as("allowed"))
+  }
+
+  /** [[robotsVerdicts]]'s DuckDB mirror: CTE defs over `documents`
+    * ending with CTE `verdicts` carrying the same seven columns. */
+  private[graft] def robotsVerdictSqlCtes: String = s"""
+        rules(rule_dom, rule_pat, rule_re, rule_allow) AS (
+          VALUES ${RobotsRules.map { case (d, p, a) =>
+            // DuckDB string literals are escape-free: the compiled
+            // regex embeds VERBATIM (a \. stays backslash-dot)
+            s"('$d', '$p', '${robotsRegex(p)}', $a)" }
+            .mkString(",\n                 ")}),
+        u AS (
+          SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        f AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+            regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path
+          FROM u),
+        m AS (
+          SELECT f.doc_id, f.url, f.domain, f.path,
+            r.rule_pat, r.rule_allow,
+            length(r.rule_pat) AS plen,
+            ROW_NUMBER() OVER (
+              PARTITION BY f.doc_id
+              ORDER BY length(r.rule_pat) DESC, r.rule_allow DESC,
+                       r.rule_pat DESC) AS rn
+          FROM f JOIN rules r
+            ON ends_with(f.domain, r.rule_dom)
+           AND regexp_matches(f.path, r.rule_re)),
+        w AS (SELECT * FROM m WHERE rn = 1),
+        verdicts AS (
+          SELECT f.doc_id, f.url, f.domain, f.path,
+            coalesce(w.rule_pat, '') AS rule_pat,
+            CAST(coalesce(w.plen, 0) AS BIGINT) AS rule_len,
+            CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed
+          FROM f LEFT JOIN w ON f.doc_id = w.doc_id)"""
+
   private[graft] lazy val RobotsRules: Seq[(String, String, Int)] = Seq(
     ("freestuff-mirror.biz", "/", 0),        // whole-site disallow
     (".example.org", "/", 1),                // default allow

@@ -179,4 +179,32 @@ class MaintenanceSpec extends SparkSuite {
     assert(reasons === Set("scheduled", "lastmod", "both"))
     due.unpersist()
   }
+
+  test("q234 compliance audit: mirror 100% violating, counts ≡ q214 verdicts") {
+    val audit = SparkEntry.queries("q234_compliance_audit")(spark, dir)
+      .localCheckpoint()
+    // the whole-site-disallowed mirror violates on every fetch event
+    val mirror = audit.filter("domain = 'freestuff-mirror.biz'").collect()
+    assert(mirror.length === 1)
+    assert(mirror(0).getLong(3) === mirror(0).getLong(1),
+      "every mirror fetch is a violation")
+    assert(mirror(0).getLong(6) === 100L)
+    assert(mirror(0).getString(5).nonEmpty)
+    // flag/percent algebra and the empty-sample contract hold corpus-wide
+    assert(audit.filter(
+      "violation_pct <> CAST(n_violation_events * 100 div n_fetch_events AS BIGINT)")
+      .count() === 0)
+    assert(audit.filter(
+      "(n_violation_urls = 0) <> (sample_violation = '')").count() === 0)
+    // per-domain violating-URL counts equal q214's disallowed verdicts
+    // (the fetch log revisits every URL, so the sets coincide)
+    val fromVerdicts = SparkEntry.queries("q214_robots_eval")(spark, dir)
+      .filter("allowed = 0")
+      .groupBy("domain").agg(countDistinct("url").cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromAudit = audit.collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(fromAudit.filter(_._2 > 0) === fromVerdicts)
+    audit.unpersist()
+  }
 }
