@@ -561,6 +561,131 @@ object Maintenance {
           n_violation_urls, sample_violation,
           CAST(n_violation_events * 100 // n_fetch_events AS BIGINT)
             AS violation_pct
+        FROM g""")),
+
+    // --------------------------------------------------------------- q235
+    // SITEMAP INDEX ROUND-TRIP (sitemaps.org 0.9, <sitemapindex>) —
+    // the protocol's SECOND layer: q225 shards a domain's URLs into
+    // ≤cap sitemap files, and any site with more than one shard must
+    // publish an index file listing each shard's location and
+    // last-modified date (the max <lastmod> of its entries — the
+    // freshness hint that lets a crawler skip unchanged shards, q233's
+    // logic one level up). This builds the per-domain index XML from
+    // the q225 shard arithmetic (shard loc = /sitemap-<k>.xml, shard
+    // lastmod = MAX of its entries' ISO dates — lexicographic =
+    // chronological on the zero-padded form), then parses it back from
+    // the XML alone; the oracle recomputes the expected parse straight
+    // from documents (the q211/q225 invert-the-synthesis discipline).
+    //
+    // Scale shape: reuses q225's per-domain window + per-shard agg,
+    // adds ONE per-domain ordered fold (index XML is shards-sized —
+    // ≤50k entries by the protocol's own cap, same bound as a shard)
+    // and an in-row parse. Nothing corpus-sized in one row.
+    Q(
+      "q235_sitemap_index",
+      (s, dir) => {
+        val pages = table(s, dir, "documents")
+          .withColumn("url", expr(Mining.UrlSynthSql))
+          .select(col("doc_id"), col("url"),
+            expr("regexp_extract(url, '^https?://([^/]+)/', 1)").as("domain"))
+          .withColumn("lastmod", expr(
+            "concat('2020-', lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0')," +
+              " '-', lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'))"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy(col("domain")).orderBy(col("url"))))
+          .withColumn("shard", expr("CAST((rn - 1) div 5 AS BIGINT)"))
+        val shards = pages.groupBy(col("domain"), col("shard"))
+          .agg(max(col("lastmod")).as("shard_lastmod"))
+          .withColumn("loc",
+            expr("concat('https://', domain, '/sitemap-', shard, '.xml')"))
+          .withColumn("entry", expr(
+            "concat('<sitemap><loc>', loc, '</loc><lastmod>', shard_lastmod," +
+              " '</lastmod></sitemap>')"))
+        val index = shards.groupBy(col("domain"))
+          .agg(expr(
+            "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?><sitemapindex>'," +
+              " array_join(transform(sort_array(collect_list(struct(shard, entry)))," +
+              " x -> x.entry), ''), '</sitemapindex>')").as("xml"))
+        index
+          .withColumn("elems",
+            expr("regexp_extract_all(xml, '<sitemap>.*?</sitemap>', 0)"))
+          .select(col("domain"),
+            explode(expr("sequence(1, size(elems))")).as("ipos"), col("elems"))
+          .withColumn("elem", expr("element_at(elems, ipos)"))
+          .select(col("domain"),
+            col("ipos").cast("long").as("idx_pos"),
+            expr("regexp_extract(elem, '<loc>([^<]*)</loc>', 1)").as("shard_url"),
+            expr("regexp_extract(elem, '<lastmod>([^<]*)</lastmod>', 1)")
+              .as("shard_lastmod"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT doc_id, ${Mining.UrlSynthSql} AS url FROM documents),
+        d AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+            concat('2020-', lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0'), '-',
+                   lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')) AS lastmod
+          FROM p),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url) AS rn
+          FROM d),
+        sh AS (
+          SELECT domain, CAST((rn - 1) // 5 AS BIGINT) AS shard,
+            max(lastmod) AS shard_lastmod
+          FROM r GROUP BY 1, 2)
+        SELECT domain,
+          CAST(shard + 1 AS BIGINT) AS idx_pos,
+          concat('https://', domain, '/sitemap-', shard, '.xml') AS shard_url,
+          shard_lastmod
+        FROM sh""")),
+
+    // --------------------------------------------------------------- q236
+    // CONDITIONAL-FETCH SAVINGS — the operational metric behind
+    // ETag / If-Modified-Since: every refetch whose content
+    // fingerprint equals the PREVIOUS fetch's would have been a 304
+    // Not Modified had the crawler sent a validator — pure bandwidth
+    // waste otherwise. Per host: fetch events, revisits (the only
+    // 304-eligible events), not-modified revisits, and the exact
+    // percent of all fetches a conditional-request implementation
+    // would have saved. The report that justifies (or kills) the
+    // engineering: hosts with high change rates save nothing.
+    //
+    // Scale shape: the same per-URL LAG as q229 (url-keyed, revisit-
+    // bounded), then ONE host-keyed map-side-combinable agg — a
+    // trillion-fetch log reduces to a hosts-sized report.
+    Q(
+      "q236_conditional_savings",
+      (s, dir) => {
+        val w = Window.partitionBy(col("url")).orderBy(col("day"))
+        fetchSynth(table(s, dir, "documents"))
+          .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+          .withColumn("host", expr("regexp_extract(url, '^https?://([^/]+)', 1)"))
+          .groupBy(col("host"))
+          .agg(
+            count(lit(1)).cast("long").as("n_fetches"),
+            sum(expr("CASE WHEN prev_fp IS NOT NULL THEN 1 ELSE 0 END"))
+              .cast("long").as("n_revisits"),
+            sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp = prev_fp" +
+              " THEN 1 ELSE 0 END")).cast("long").as("n_not_modified"))
+          .withColumn("saved_pct",
+            expr("CAST(n_not_modified * 100 div n_fetches AS BIGINT)"))
+      },
+      Some(s"""
+        WITH $fetchSynthCtes,
+        fc AS (
+          SELECT *, LAG(fp) OVER (PARTITION BY url ORDER BY day) AS prev_fp
+          FROM fetches),
+        g AS (
+          SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+            CAST(count(*) AS BIGINT) AS n_fetches,
+            CAST(sum(CASE WHEN prev_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_revisits,
+            CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fp = prev_fp
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_not_modified
+          FROM fc GROUP BY 1)
+        SELECT host, n_fetches, n_revisits, n_not_modified,
+          CAST(n_not_modified * 100 // n_fetches AS BIGINT) AS saved_pct
         FROM g"""))
   )
 }

@@ -207,4 +207,45 @@ class MaintenanceSpec extends SparkSuite {
     assert(fromAudit.filter(_._2 > 0) === fromVerdicts)
     audit.unpersist()
   }
+
+  test("q235 sitemap index: round-trip inverts, positions contiguous, lastmod = shard max") {
+    val idx = SparkEntry.queries("q235_sitemap_index")(spark, dir)
+      .localCheckpoint()
+    val shards = SparkEntry.queries("q225_sitemap_roundtrip")(spark, dir)
+      .localCheckpoint()
+    // one index row per q225 shard, loc derived from (domain, shard)
+    val expected = shards.groupBy("domain", "shard")
+      .agg(max("lastmod").as("lm")).collect()
+      .map(r => (r.getString(0), r.getLong(1) + 1,
+        s"https://${r.getString(0)}/sitemap-${r.getLong(1)}.xml", r.getString(2)))
+      .toSet
+    val got = idx.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got === expected)
+    // positions are contiguous 1..k per domain
+    val bad = idx.groupBy("domain")
+      .agg(count(lit(1)).as("n"), max("idx_pos").as("mx"), min("idx_pos").as("mn"))
+      .filter("mx <> n OR mn <> 1").count()
+    assert(bad === 0)
+    idx.unpersist(); shards.unpersist()
+  }
+
+  test("q236 conditional savings: identity algebra, both regimes, casino-host sanity") {
+    val sav = SparkEntry.queries("q236_conditional_savings")(spark, dir)
+      .localCheckpoint()
+    assert(sav.count() > 0)
+    // revisits = fetches - distinct urls is implied by per-url LAG: the
+    // first fetch of each url is the only non-revisit
+    assert(sav.filter("n_not_modified > n_revisits OR n_revisits >= n_fetches")
+      .count() === 0)
+    assert(sav.filter(
+      "saved_pct <> CAST(n_not_modified * 100 div n_fetches AS BIGINT)")
+      .count() === 0)
+    // the corpus genuinely contains both savable and unsavable mass:
+    // chg_k=3 urls repeat fingerprints, chg_k=1 urls never do
+    assert(sav.agg(sum("n_not_modified")).head().getLong(0) > 0)
+    assert(sav.filter("n_not_modified < n_revisits").count() > 0)
+    sav.unpersist()
+  }
 }
