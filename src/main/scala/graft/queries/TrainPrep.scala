@@ -733,7 +733,70 @@ object TrainPrep {
         SELECT rk.doc_id, rk.source, rk.rk,
           CAST(q.quota // q.n_docs +
             CASE WHEN rk.rk <= q.quota % q.n_docs THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-        FROM rk JOIN q USING (source)"""))
+        FROM rk JOIN q USING (source)""")),
+
+    // --------------------------------------------------------------- q237
+    // CURRICULUM ORDERING (Bengio et al. 2009, applied to pretraining
+    // data schedules) — order the corpus easy→hard and cut it into
+    // token-budgeted phases: difficulty is an exact integer proxy
+    // (average word length in permille — n_chars·1000 // tokens, the
+    // classic readability core, monotone with lexical complexity), the
+    // global easy→hard running token sum comes from
+    // ops.GlobalRank.withGroupPrefixSum under a constant group key
+    // (the q54 machinery — a global ORDER BY window would sort the
+    // whole corpus in ONE task at 100 TB; the grouped prefix sum
+    // range-partitions on (g, difficulty, doc_id), prefix-sums
+    // per-partition subtotals on the driver, and streams one narrow
+    // pass), and phases cut at exact integer fractions of the total
+    // token mass: first 20% warmup, next 60% main, last 20% final —
+    // `cum·5 ≤ total` and `cum·5 ≤ total·4`, no floating point
+    // anywhere.
+    //
+    // Scale shape: one scan projection (token count + difficulty are
+    // in-row), one range-partitioned prefix-sum pass, one broadcast
+    // total. The manifest a training loader consumes directly.
+    Q(
+      "q237_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        val scored = table(s, dir, "documents")
+          .select($"doc_id", $"n_chars".cast("long").as("n_chars"),
+            size(filter(split($"text", "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= ""))
+              .cast("long").as("n_tokens"))
+          .withColumn("difficulty_q",
+            expr("CAST(n_chars * 1000 div greatest(n_tokens, 1) AS BIGINT)"))
+          .withColumn("g", lit(0))
+        val cum = graft.ops.GlobalRank.withGroupPrefixSum(
+          scored, Seq("g"), Seq($"difficulty_q".asc, $"doc_id".asc),
+          "n_tokens", "cum_tokens", s.sparkContext.defaultParallelism)
+        val tot = scored.agg(sum($"n_tokens").cast("long").as("total"))
+        cum.crossJoin(broadcast(tot))
+          .select($"doc_id", $"n_tokens", $"difficulty_q",
+            $"cum_tokens".cast("long").as("cum_tokens"),
+            expr("CASE WHEN cum_tokens * 5 <= total THEN 'warmup'" +
+              " WHEN cum_tokens * 5 <= total * 4 THEN 'main'" +
+              " ELSE 'final' END").as("phase"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        d AS (
+          SELECT doc_id, n_tokens,
+            CAST(n_chars * 1000 // greatest(n_tokens, 1) AS BIGINT) AS difficulty_q
+          FROM t),
+        c AS (
+          SELECT *,
+            CAST(sum(n_tokens) OVER (ORDER BY difficulty_q, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM d),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM d)
+        SELECT doc_id, n_tokens, difficulty_q, cum_tokens,
+          CASE WHEN cum_tokens * 5 <= total THEN 'warmup'
+               WHEN cum_tokens * 5 <= total * 4 THEN 'main'
+               ELSE 'final' END AS phase
+        FROM c CROSS JOIN tot"""))
   )
 
   /** Bucketing engine behind q119. Input: (doc_id, lang, text); output
