@@ -512,7 +512,90 @@ object Crawl {
           FROM links2 WHERE kind <> 'skip' AND nofollow = 0
           GROUP BY 1, 2),
         ${graft.ops.PageRank.biasedSqlCtes(5, TrustSeedCond)}
-        SELECT w AS url, trust, is_seed FROM trust5"""))
+        SELECT w AS url, trust, is_seed FROM trust5""")),
+
+    // --------------------------------------------------------------- q238
+    // HOST GRAPH — the web graph at the granularity operations happen
+    // at: per (src_host, dst_host) pair, link multiplicity, distinct
+    // linking pages, the nofollow share, and the internal flag
+    // (same-host navigation vs true inter-site endorsement). The host
+    // graph is the standard reduction every crawl stack maintains —
+    // billions of page edges collapse to millions of host edges, the
+    // input for politeness (q226), spam analysis (q228), and the
+    // community detection q239 runs on top.
+    //
+    // Scale shape: the in-row q222 pass, host extraction in-row, then
+    // ONE (src_host, dst_host) hash agg — map-side combinable, output
+    // hosts²-bounded but in practice linear in hosts (the web's host
+    // graph is sparse).
+    Q(
+      "q238_host_graph",
+      (s, dir) => {
+        withOutlinks(table(s, dir, "documents"))
+          .filter(col("kind") =!= "skip")
+          .withColumn("src_host",
+            expr("regexp_extract(src_url, '^https?://([^/]+)', 1)"))
+          .withColumn("dst_host",
+            expr("regexp_extract(dst_url, '^https?://([^/]+)', 1)"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(
+            count(lit(1)).cast("long").as("n_links"),
+            countDistinct(col("doc_id")).cast("long").as("n_pages"),
+            sum(col("nofollow")).cast("long").as("n_nofollow"))
+          .withColumn("is_internal",
+            expr("CAST(src_host = dst_host AS BIGINT)"))
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes
+        SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+          regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+          CAST(count(*) AS BIGINT) AS n_links,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+          CAST(sum(nofollow) AS BIGINT) AS n_nofollow,
+          CAST(CASE WHEN regexp_extract(src_url, '^https?://([^/]+)', 1) =
+                         regexp_extract(dst_url, '^https?://([^/]+)', 1)
+               THEN 1 ELSE 0 END AS BIGINT) AS is_internal
+        FROM links2 WHERE kind <> 'skip'
+        GROUP BY 1, 2""")),
+
+    // --------------------------------------------------------------- q239
+    // HOST COMMUNITIES via label propagation (Raghavan et al. 2007,
+    // `ops.LabelProp`) — community detection over the q238 host graph
+    // (external, followed edges only; weight = link multiplicity):
+    // mirror rings, syndication networks, and link farms surface as
+    // label-coherent clusters without any seed list — the unsupervised
+    // counterpart to q228's seeded TrustRank. Fully deterministic and
+    // float-free: 3 synchronized rounds, most-edge-weight label wins,
+    // weight ties break to the smallest label string; Spark's
+    // min(struct(-w, label)) argmax and the oracle's independent
+    // ROW_NUMBER evaluate the same total order (the q214 discipline).
+    //
+    // Scale shape: per round ONE hash join + two map-side-combinable
+    // aggs on the HOST frame (millions of rows at web scale) — the
+    // q223 per-round shape one granularity up.
+    Q(
+      "q239_host_communities",
+      (s, dir) => {
+        val hedges = withOutlinks(table(s, dir, "documents"))
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .withColumn("a", expr("regexp_extract(src_url, '^https?://([^/]+)', 1)"))
+          .withColumn("b", expr("regexp_extract(dst_url, '^https?://([^/]+)', 1)"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        graft.ops.LabelProp.run(hedges, rounds = 3)
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes,
+        hedges AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS a,
+              regexp_extract(dst_url, '^https?://([^/]+)', 1) AS b
+            FROM links2 WHERE kind <> 'skip' AND nofollow = 0) x
+          WHERE a <> b
+          GROUP BY 1, 2),
+        ${graft.ops.LabelProp.sqlCtes(3)}
+        SELECT host, community FROM lpafin"""))
   )
 
   /** q228's trust-seed predicate over a canonical-URL column `w` —
