@@ -43,10 +43,10 @@ object LabelProp {
     // discipline) — without this, round r's lineage would re-run the
     // upstream extraction scan r times per join side
     val e0 = edges.localCheckpoint()
-    val sym = e0.filter(col("a") =!= col("b"))
+    val noLoops = e0.filter(col("a") =!= col("b"))
+    val sym = noLoops
       .select(col("a"), col("b"), col("w"))
-      .unionAll(e0.filter(col("a") =!= col("b"))
-        .select(col("b").as("a"), col("a").as("b"), col("w")))
+      .unionAll(noLoops.select(col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy(col("a"), col("b"))
       .agg(sum(col("w")).cast("long").as("w"))
       .localCheckpoint()

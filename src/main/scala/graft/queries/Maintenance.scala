@@ -114,14 +114,15 @@ object Maintenance {
                ELSE least(30, greatest(1, span_days // n_changes)) END AS BIGINT)
             AS next_fetch_day"""
 
-  /** The full q229 pipeline over a `documents` frame — fetch-history
-    * synthesis → LAG change detection → per-URL aggregate →
-    * [[scheduleCols]]. ONE definition for q229 and q233 (the
-    * withOutlinks discipline; MUST stay mirrored with
-    * [[recrawlSqlCtes]]). */
-  private[graft] def recrawlSchedule(docs: DataFrame): DataFrame = {
+  /** The q229 estimator over a RAW fetch frame (url, day, fp) — LAG
+    * change detection → per-URL aggregate → [[scheduleCols]]. The ONE
+    * definition of the fold: q229/q233 run it over [[fetchSynth]],
+    * and StreamRecrawlSpec runs it over hand-built histories as the
+    * incremental maintainer's equivalence target (so the target can
+    * never drift from the production fold). */
+  private[graft] def scheduleFromFetches(fetches: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("url")).orderBy(col("day"))
-    scheduleCols(fetchSynth(docs)
+    scheduleCols(fetches
       .withColumn("prev_fp", lag(col("fp"), 1).over(w))
       .groupBy(col("url"))
       .agg(
@@ -131,6 +132,13 @@ object Maintenance {
         (max(col("day")) - min(col("day"))).cast("long").as("span_days"),
         max(col("day")).cast("long").as("last_day")))
   }
+
+  /** The full q229 pipeline over a `documents` frame —
+    * [[fetchSynth]] ∘ [[scheduleFromFetches]]. ONE definition for
+    * q229 and q233 (the withOutlinks discipline; MUST stay mirrored
+    * with [[recrawlSqlCtes]]). */
+  private[graft] def recrawlSchedule(docs: DataFrame): DataFrame =
+    scheduleFromFetches(fetchSynth(docs))
 
   /** [[recrawlSchedule]]'s DuckDB mirror: CTE defs over `documents`
     * ending with CTE `sched` carrying the full q229 output columns. */

@@ -769,7 +769,10 @@ object TrainPrep {
         val cum = graft.ops.GlobalRank.withGroupPrefixSum(
           scored, Seq("g"), Seq($"difficulty_q".asc, $"doc_id".asc),
           "n_tokens", "cum_tokens", s.sparkContext.defaultParallelism)
-        val tot = scored.agg(sum($"n_tokens").cast("long").as("total"))
+        // total from the prefix-sum frame (checkpointed inside
+        // GlobalRank) — summing from `scored` would re-run the whole
+        // tokenization scan just to produce one number
+        val tot = cum.agg(sum($"n_tokens").cast("long").as("total"))
         cum.crossJoin(broadcast(tot))
           .select($"doc_id", $"n_tokens", $"difficulty_q",
             $"cum_tokens".cast("long").as("cum_tokens"),

@@ -22,12 +22,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * — literally the oracle-checked batch estimator, so
   * incremental ≡ batch is an algebraic identity the spec pins.
   *
-  * Arrival contract: days must move FORWARD per url across batches (a
-  * fetch log's natural order — the crawler stamps fetches as it makes
-  * them). A violating batch fails LOUDLY before any write (the q38
-  * guard discipline): silently merging an out-of-order day would
-  * corrupt the boundary comparison, and quiet corruption is the one
-  * thing a maintainer may never do.
+  * Arrival contract: per-url days must be STRICTLY increasing — both
+  * across batches (forward of the committed last_day) and within a
+  * batch (no two fetches of one url on the same day; a same-day pair
+  * would make the LAG order nondeterministic). A violating batch
+  * fails LOUDLY before any write (the q38 guard discipline): silently
+  * merging ambiguous days would corrupt the boundary comparison, and
+  * quiet corruption is the one thing a maintainer may never do.
   *
   * Exactly-once is the [[StreamWinnow]] protocol verbatim: idempotent
   * per-batch child OVERWRITES (state delta + schedule output), the
@@ -105,6 +106,18 @@ object StreamRecrawl {
     import spark.implicits._
     val b = batchFetches.localCheckpoint()
     try {
+      // arrival-contract guard, WITHIN-batch leg: two fetches of one
+      // url on the same day make the LAG order (and so n_changes /
+      // last_fp) nondeterministic and can produce span=0 with
+      // changes>0 (a divide-by-zero downstream) — ambiguous input
+      // fails loudly before any write (the r15 self-review catch)
+      val dupDays = b.groupBy($"url", $"day")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1).count()
+      if (dupDays > 0) throw new IllegalStateException(
+        s"[StreamRecrawl] batch $batchId: $dupDays (url, day) pair(s)" +
+          " carry multiple fetches — per-url days must be strictly" +
+          " increasing; de-duplicate the fetch log upstream (keep the" +
+          " last fetch per day) before ingesting")
       // within-batch fold: LAG over the batch's own per-url day order
       val w = Window.partitionBy($"url").orderBy($"day")
       val bagg = b
@@ -118,10 +131,15 @@ object StreamRecrawl {
           max($"day").cast("long").as("last_day"),
           expr("min_by(fp, day)").as("first_fp"),
           expr("max_by(fp, day)").as("last_fp"))
-      // prior state for the batch's urls only (own-child exclusion:
-      // a crashed replay may already have written b<id>)
+      // prior state for the batch's urls only — the semi-join runs
+      // BEFORE the merge groupBy, so a 1-row batch aggregates a
+      // handful of state rows, not the whole state (the r15
+      // self-review catch: merging first would make every trigger's
+      // cost grow with total state size). Own-child exclusion:
+      // a crashed replay may already have written b<id>.
       val prior = mergeDeltas(graft.ops.Layouts.readChildren(
-          spark, guard, deltaDdl, beforeBatch = Some(batchId)))
+            spark, guard, deltaDdl, beforeBatch = Some(batchId))
+          .join(bagg.select($"url"), Seq("url"), "left_semi"))
         .select($"url", $"n_fetches".as("s_n"), $"n_changes".as("s_chg"),
           $"last_day".as("s_last_day"),
           ($"last_day" - $"span_days").as("s_first"),

@@ -20,18 +20,7 @@ class MaintenanceSpec extends SparkSuite {
     // doc 11: n_f=3, gap=5, chg_k=3 → versions 0,0,0 → X=0, span=10
     val docs = Seq((30L, "en", "src7"), (11L, "de", "src3"))
       .toDF("doc_id", "lang", "source")
-    val hist = graft.queries.Maintenance.fetchSynth(docs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"url").orderBy($"day")
-    val out = graft.queries.Maintenance.scheduleCols(
-      hist.withColumn("prev_fp", lag($"fp", 1).over(w))
-        .groupBy($"url")
-        .agg(
-          count(lit(1)).cast("long").as("n_fetches"),
-          sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp" +
-            " THEN 1 ELSE 0 END")).cast("long").as("n_changes"),
-          (max($"day") - min($"day")).cast("long").as("span_days"),
-          max($"day").cast("long").as("last_day")))
+    val out = graft.queries.Maintenance.recrawlSchedule(docs)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
           r.getLong(6), r.getLong(7))).toMap

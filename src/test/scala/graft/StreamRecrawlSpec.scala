@@ -18,23 +18,13 @@ class StreamRecrawlSpec extends SparkSuite {
     rows.toDF("url", "day", "fp")
   }
 
-  /** The batch-mode q229 aggregate over a full history — the
-    * equivalence target. */
-  private def batchSchedule(rows: Seq[(String, Long, String)]): Set[Row8] = {
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"url").orderBy($"day")
-    graft.queries.Maintenance.scheduleCols(
-      df(rows).withColumn("prev_fp", lag($"fp", 1).over(w))
-        .groupBy($"url")
-        .agg(
-          count(lit(1)).cast("long").as("n_fetches"),
-          sum(expr("CASE WHEN prev_fp IS NOT NULL AND fp <> prev_fp" +
-            " THEN 1 ELSE 0 END")).cast("long").as("n_changes"),
-          (max($"day") - min($"day")).cast("long").as("span_days"),
-          max($"day").cast("long").as("last_day")))
+  /** The batch-mode q229 aggregate over a full history — literally
+    * the production fold ([[graft.queries.Maintenance
+    * .scheduleFromFetches]]), so the equivalence target can never
+    * drift from it. */
+  private def batchSchedule(rows: Seq[(String, Long, String)]): Set[Row8] =
+    graft.queries.Maintenance.scheduleFromFetches(df(rows))
       .collect().map(Row8.of).toSet
-  }
 
   private type Row8 = (String, Long, Long, Long, Long, Long, Long, Long)
   private object Row8 {
@@ -102,5 +92,18 @@ class StreamRecrawlSpec extends SparkSuite {
     // nothing was written: state and schedule are unchanged
     assert(StreamRecrawl.state(spark, stateDir).count() === 1)
     assert(!new java.io.File(s"$outDir/sched/b1").exists())
+  }
+
+  test("same-day fetches of one url within a batch fail loudly before any write") {
+    val root = java.nio.file.Files.createTempDirectory("srecrawl3").toString
+    val (stateDir, outDir) = (s"$root/state", s"$root/out")
+    val ex = intercept[IllegalStateException] {
+      StreamRecrawl.processBatch(spark,
+        df(Seq(("u", 5L, "A"), ("u", 5L, "B"), ("v", 1L, "K"))),
+        stateDir, outDir, 0L)
+    }
+    assert(ex.getMessage.contains("multiple fetches"))
+    assert(StreamRecrawl.state(spark, stateDir).count() === 0)
+    assert(!new java.io.File(s"$outDir/sched/b0").exists())
   }
 }
