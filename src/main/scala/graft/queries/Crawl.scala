@@ -595,7 +595,100 @@ object Crawl {
           WHERE a <> b
           GROUP BY 1, 2),
         ${graft.ops.LabelProp.sqlCtes(3)}
-        SELECT host, community FROM lpafin"""))
+        SELECT host, community FROM lpafin""")),
+
+    // --------------------------------------------------------------- q240
+    // HOST TRUST AUDIT with community context — the link-farm readout
+    // the whole graph arc builds toward: per host, q223 PageRank mass
+    // vs q228 TrustRank mass as an exact integer percent over the
+    // already-hash-matched floor(·1e12) quantizations (the q226
+    // discipline; no new float surface), plus the host's q239
+    // community label. A legitimate host's rank is backed by trust
+    // (reachable from the seed set); a spam host's rank is
+    // self-referential — rank mass with near-zero trust — so
+    // `trust_pct = trust·100 // rank ≤ 5` flags it (the corpus's
+    // whole-site mirror lands at exactly 0: every one of its pages is
+    // seed-unreachable). The granularity is deliberate: HOST-level
+    // flags with the community as CONTEXT — rolling the flag up to
+    // communities first would launder a farm through whatever clean
+    // community its outlinks attach it to (measured on this corpus:
+    // the mirror's rank mass vanishes inside the cdn community), so
+    // the audit flags hosts and lets the analyst group by the
+    // community column to see farm clusters.
+    //
+    // Scale shape: the two rank loops and LPA are the q223/q228/q239
+    // machinery; the audit adds one in-row host extraction and ONE
+    // page→host hash agg joined to the hosts-sized community frame.
+    Q(
+      "q240_host_trust_audit",
+      (s, dir) => {
+        val links = withOutlinks(table(s, dir, "documents"))
+        val edges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .groupBy(col("src_url").as("w1"), col("dst_url").as("w2"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val pr = graft.ops.PageRank.run(edges, rounds = 5, localThreshold = 5000L)
+        val tr = graft.ops.PageRank
+          .runBiased(edges, rounds = 5, seedCond = TrustSeedCond)
+        val hostMass = pr
+          .join(tr.select(col("w"), col("trust")), Seq("w"))
+          .withColumn("host", expr("regexp_extract(w, '^https?://([^/]+)', 1)"))
+          .groupBy(col("host"))
+          .agg(
+            count(lit(1)).cast("long").as("n_pages"),
+            sum(expr("CAST(floor(pr * 1e12) AS BIGINT)")).cast("long")
+              .as("rank_mass"),
+            sum(expr("CAST(floor(trust * 1e12) AS BIGINT)")).cast("long")
+              .as("trust_mass"))
+        val hedges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .withColumn("a", expr("regexp_extract(src_url, '^https?://([^/]+)', 1)"))
+          .withColumn("b", expr("regexp_extract(dst_url, '^https?://([^/]+)', 1)"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        val comm = graft.ops.LabelProp.run(hedges, rounds = 3)
+        hostMass
+          .join(comm, Seq("host"), "left")
+          .select(col("host"),
+            coalesce(col("community"), col("host")).as("community"),
+            col("n_pages"), col("rank_mass"), col("trust_mass"),
+            expr("CAST(trust_mass * 100 div greatest(rank_mass, 1) AS BIGINT)")
+              .as("trust_pct"),
+            expr("CAST(CASE WHEN trust_mass * 100 div greatest(rank_mass, 1)" +
+              " <= 5 THEN 1 ELSE 0 END AS BIGINT)").as("is_suspect"))
+      },
+      Some(s"""
+        WITH $outlinkSqlCtes,
+        edges AS (
+          SELECT src_url AS w1, dst_url AS w2, CAST(count(*) AS BIGINT) AS c
+          FROM links2 WHERE kind <> 'skip' AND nofollow = 0
+          GROUP BY 1, 2),
+        ${graft.ops.PageRank.sqlCtes(5)},
+        ${graft.ops.PageRank.biasedSqlCtes(5, TrustSeedCond)},
+        hm AS (
+          SELECT regexp_extract(r.w, '^https?://([^/]+)', 1) AS host,
+            CAST(count(*) AS BIGINT) AS n_pages,
+            CAST(sum(CAST(floor(r.pr * 1e12) AS BIGINT)) AS BIGINT) AS rank_mass,
+            CAST(sum(CAST(floor(t.trust * 1e12) AS BIGINT)) AS BIGINT) AS trust_mass
+          FROM r5 r JOIN trust5 t ON r.w = t.w
+          GROUP BY 1),
+        hedges AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS a,
+              regexp_extract(dst_url, '^https?://([^/]+)', 1) AS b
+            FROM links2 WHERE kind <> 'skip' AND nofollow = 0) x
+          WHERE a <> b
+          GROUP BY 1, 2),
+        ${graft.ops.LabelProp.sqlCtes(3)}
+        SELECT hm.host,
+          coalesce(l.community, hm.host) AS community,
+          hm.n_pages, hm.rank_mass, hm.trust_mass,
+          CAST(hm.trust_mass * 100 // greatest(hm.rank_mass, 1) AS BIGINT)
+            AS trust_pct,
+          CAST(CASE WHEN hm.trust_mass * 100 // greatest(hm.rank_mass, 1) <= 5
+               THEN 1 ELSE 0 END AS BIGINT) AS is_suspect
+        FROM hm LEFT JOIN lpafin l ON hm.host = l.host"""))
   )
 
   /** q228's trust-seed predicate over a canonical-URL column `w` —

@@ -61,4 +61,26 @@ class LabelPropSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(run1 === run2)
   }
+
+  test("q240 audit: the mirror is the ONLY suspect, at exactly zero trust") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = SparkEntry.queries("q240_host_trust_audit")(spark, dir)
+      .localCheckpoint()
+    val suspects = audit.filter(col("is_suspect") === 1L).collect()
+    assert(suspects.map(_.getString(0)).toSet === Set("freestuff-mirror.biz"),
+      "every mirror page is seed-unreachable; every other host carries trust")
+    // EXACT zero, not merely small: the TrustRank walk never reaches it
+    assert(suspects.head.getLong(4) === 0L)
+    assert(suspects.head.getLong(5) === 0L)
+    // the flag/percent algebra holds corpus-wide
+    assert(audit.filter(
+      "trust_pct <> CAST(trust_mass * 100 div greatest(rank_mass, 1) AS BIGINT)")
+      .count() === 0)
+    assert(audit.filter(
+      "is_suspect <> CAST(CASE WHEN trust_pct <= 5 THEN 1 ELSE 0 END AS BIGINT)")
+      .count() === 0)
+    // community context present for every host (self-labeled fallback)
+    assert(audit.filter("community IS NULL OR community = ''").count() === 0)
+    audit.unpersist()
+  }
 }
