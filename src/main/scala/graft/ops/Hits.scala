@@ -38,7 +38,9 @@ object Hits {
 
   /** One tree-fold pass: per `key` node, fold score(`other`)·c over
     * the edge frame in `other` order within md5-segments of `other`.
-    * Returns (w, raw). */
+    * Levels 2+3 evaluate through [[PageRank.fold23]] — one shuffle
+    * cheaper per pass, bit-identical association (optimization round
+    * 15). Returns (w, raw). */
   private def foldEdges(
       e: DataFrame, scores: DataFrame,
       key: String, other: String, segOf: String): DataFrame = {
@@ -50,31 +52,26 @@ object Hits {
       .agg(sort_array(collect_list(struct(col("ow"), col("ct")))).as("xs"))
       .select(col("kw"), col("seg"), expr(
         "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("ssum"))
-      .groupBy(col("kw"), expr("seg div 64").as("blk"))
-      .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
-      .select(col("kw"), col("blk"), expr(
-        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
       .groupBy(col("kw"))
-      .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
-      .select(col("kw").as("w"), expr(
-        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("raw"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
+      .select(col("kw").as("w"), expr(PageRank.fold23("ssum")).as("raw"))
   }
 
   /** The norm total: fold `raw` over its rows in (seg(w), w) order
-    * through the same tree. Returns a 1-row (s) frame. */
-  private def foldNorm(raw: DataFrame, nodes: DataFrame): DataFrame =
-    raw.join(nodes, "w")
+    * through the same tree. seg(w) is recomputed IN-ROW (same md5
+    * function of the same strings = same segments) instead of joined
+    * from the node frame, and levels 2+3 fold through
+    * [[PageRank.fold23]] — a join and a shuffle cheaper per norm,
+    * bit-identical (optimization round 15). Returns a 1-row (s)
+    * frame. */
+  private def foldNorm(raw: DataFrame): DataFrame =
+    raw.withColumn("seg", segCol(col("w")))
       .groupBy(col("seg"))
       .agg(sort_array(collect_list(struct(col("w"), col("raw")))).as("xs"))
       .select(col("seg"), expr(
         "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.raw)").as("ssum"))
-      .groupBy(expr("seg div 64").as("blk"))
       .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
-      .select(col("blk"), expr(
-        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
-      .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
-      .select(expr(
-        "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("s"))
+      .select(expr(PageRank.fold23("ssum")).as("s"))
 
   /** Normalize: every node, coalesce(raw, 0)/s — one IEEE division. */
   private def normalize(nodes: DataFrame, raw: DataFrame, s: DataFrame): DataFrame =
@@ -101,12 +98,12 @@ object Hits {
     while (it < rounds) {
       // auth side: in-sums keyed by target, leaves ordered by source
       val araw = foldEdges(e, hub, key = "w2", other = "w1", segOf = "seg1")
-      val aNew = normalize(nodes, araw, foldNorm(araw, nodes)).localCheckpoint()
+      val aNew = normalize(nodes, araw, foldNorm(araw)).localCheckpoint()
       if (auth != null) Checkpoints.release(auth)
       auth = aNew
       // hub side: out-sums keyed by source, leaves ordered by target
       val hraw = foldEdges(e, auth, key = "w1", other = "w2", segOf = "seg2")
-      val hNew = normalize(nodes, hraw, foldNorm(hraw, nodes)).localCheckpoint()
+      val hNew = normalize(nodes, hraw, foldNorm(hraw)).localCheckpoint()
       Checkpoints.release(hub)
       hub = hNew
       it += 1

@@ -45,6 +45,13 @@ import org.apache.spark.sql.functions._
   *     order — hard-bounded at 64 partials per list;
   *  3. level 3 folds the ≤64 block partials in blk order.
   *
+  * In the distributed tier, levels 2 and 3 EVALUATE in one pass
+  * ([[fold23]]): the per-key level-1 partial list is hard-bounded at
+  * 4096 entries, so both levels fold in a single collected-list
+  * aggregation whose accumulator replays the identical association
+  * grouping — one shuffle cheaper per fold, same bits (optimization
+  * round 15). The tree SHAPE (and the oracle SQL) is unchanged.
+  *
   * Depth is a STATIC part of the operator's definition, not derived
   * from the data (a data-dependent depth would change the association
   * grouping and with it the rounded result — the q84 rule). The md5
@@ -92,6 +99,35 @@ object PageRank {
   /** SQL form of [[seg]] on a string column (Spark side). */
   private[ops] def segCol(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % Segments
+
+  /** Tree levels 2+3 as ONE single-pass ordered fold (optimization
+    * round 15: each distributed-tier round previously spent a whole
+    * extra shuffle on the level-2 groupBy; levels 2 and 3 together
+    * touch a hard-bounded ≤4096-entry list per key, so they fold in
+    * one pass over the level-1 partials collected per key).
+    *
+    * `xs` = sort_array(collect_list(struct(seg, <field>))) — one
+    * (seg, partial) entry per non-empty level-1 bucket, seg-ascending,
+    * ≤4096 entries (~64 KB of struct rows: nowhere near the single-row
+    * limit the tree exists to avoid). The accumulator (tot, cur, blk)
+    * replays the EXACT level-2/3 IEEE op sequence: `cur` accumulates
+    * partials in seg order within a 64-segment block, starting each
+    * block from literal `0.0 + first` (level 2's fold seeds at 0.0);
+    * `tot` accumulates finished block sums in blk order starting from
+    * 0.0 (level 3's fold). seg-ascending order visits blocks in
+    * blk-ascending order (blk = seg div 64 is monotonic in seg), so
+    * the association grouping — and therefore every double — is
+    * bit-identical to the unrolled two-groupBy form and to the DuckDB
+    * oracle's unchanged d/i/s CTE pairs (PageRankSpec/HitsSpec pin
+    * this; the cross-engine hash is the second proof).
+    */
+  private[ops] def fold23(field: String): String =
+    "aggregate(xs, " +
+      "struct(CAST(0.0 AS DOUBLE) AS tot, CAST(0.0 AS DOUBLE) AS cur, CAST(-1 AS BIGINT) AS blk), " +
+      "(a, e) -> IF(a.blk = e.seg div 64, " +
+      s"struct(a.tot AS tot, a.cur + e.$field AS cur, a.blk AS blk), " +
+      s"struct(a.tot + a.cur AS tot, CAST(0.0 AS DOUBLE) + e.$field AS cur, e.seg div 64 AS blk)), " +
+      "a -> a.tot + a.cur)"
 
   /** DuckDB mirror of the fixed-round iteration — CTE defs (caller
     * splices after its own WITH items) reading CTE `edges` (w1, w2,
@@ -173,35 +209,38 @@ object PageRank {
         (col("c").cast("double") / col("wout").cast("double")).as("p"),
         segCol(col("w1")).as("seg"))
       .localCheckpoint()
+    // static dangling flag joined ONCE (the iterateDistributed
+    // optimization, round 15) — the per-round dangling fold filters
+    // the rank frame instead of anti-joining it
+    val outW = trans.select(col("w1").as("w")).distinct()
     val nodes0 = e.select(col("w1").as("w")).union(e.select(col("w2").as("w")))
       .distinct()
       .withColumn("seg", segCol(col("w")))
       .withColumn("is_seed", expr(s"CAST($seedCond AS BIGINT)"))
+      .join(outW.withColumn("has_out", lit(1)), Seq("w"), "left")
+      .select(col("w"), col("seg"), col("is_seed"),
+        col("has_out").isNull.as("is_dang"))
       .localCheckpoint()
     val ns = nodes0.filter(col("is_seed") === 1L).count()
     require(ns > 0, "TrustRank needs at least one seed node")
-    // t(v): one exact division for seeds, literal zero otherwise
+    // t(v): one exact division for seeds, literal zero otherwise — a
+    // pure projection over the checkpointed nodes0 blocks (round 15:
+    // the second materialization the old code paid here bought
+    // nothing; the CASE re-evaluates per read at in-row cost)
     val nodes = nodes0
       .withColumn("t", expr(s"CASE WHEN is_seed = 1 THEN 1.0 / CAST($ns AS DOUBLE) ELSE 0.0 END"))
-      .localCheckpoint()
-    Checkpoints.release(nodes0)
-    val outW = trans.select(col("w1").as("w")).distinct().localCheckpoint()
     // the walk starts from the seed distribution itself
-    var pr = nodes.select(col("w"), col("seg"), col("t").as("pr")).localCheckpoint()
+    var pr = nodes.select(col("w"), col("seg"), col("is_dang"), col("t").as("pr"))
+      .localCheckpoint()
     var it = 0
     while (it < rounds) {
-      val dang = pr.join(outW, Seq("w"), "left_anti")
+      val dang = pr.filter(col("is_dang"))
         .groupBy(col("seg"))
         .agg(sort_array(collect_list(struct(col("w"), col("pr")))).as("xs"))
         .select(col("seg"), expr(
           "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("ssum"))
-        .groupBy(expr("seg div 64").as("blk"))
         .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
-        .select(col("blk"), expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
-        .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
-        .select(expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("dsum"))
+        .select(expr(fold23("ssum")).as("dsum"))
       val prr = pr.select(col("w"), col("pr"))
       val insum = trans.join(prr, trans("w1") === prr("w"))
         .select(col("w2"), col("w1"), trans("seg"), (col("pr") * col("p")).as("ct"))
@@ -209,18 +248,13 @@ object PageRank {
         .agg(sort_array(collect_list(struct(col("w1"), col("ct")))).as("xs"))
         .select(col("w2"), col("seg"), expr(
           "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("ssum"))
-        .groupBy(col("w2"), expr("seg div 64").as("blk"))
-        .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
-        .select(col("w2"), col("blk"), expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
         .groupBy(col("w2"))
-        .agg(sort_array(collect_list(struct(col("blk"), col("bsum")))).as("xs"))
-        .select(col("w2").as("w"), expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("insum"))
-      val next = nodes.select(col("w"), col("seg"), col("t"))
+        .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
+        .select(col("w2").as("w"), expr(fold23("ssum")).as("insum"))
+      val next = nodes.select(col("w"), col("seg"), col("is_dang"), col("t"))
         .join(insum, Seq("w"), "left")
         .crossJoin(bcast(dang))
-        .select(col("w"), col("seg"),
+        .select(col("w"), col("seg"), col("is_dang"),
           (lit(0.15) * col("t") + lit(0.85) *
             (coalesce(col("insum"), lit(0.0)) + col("dsum") * col("t"))).as("pr"))
         .localCheckpoint()
@@ -230,11 +264,11 @@ object PageRank {
     }
     val out = pr.select(col("w"), col("pr").as("trust"))
       .join(nodes.select(col("w"), col("is_seed")), "w")
-    // `nodes` stays checkpointed: the returned (lazy) frame reads it
+    // `nodes0` stays checkpointed: the returned (lazy) frame reads it
     // for is_seed — the ContextCleaner reaps it with the result plan
     // (the one-shot convention; releasing it here broke the consumer
     // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
-    Seq(e0, trans, outW).foreach(Checkpoints.release)
+    Seq(e0, trans).foreach(Checkpoints.release)
     out
   }
 
@@ -401,37 +435,42 @@ object PageRank {
     // 10⁸–10⁹-node graph must not funnel the node frame through one
     // task per round, and every per-round reduction already folds
     // through the order-fixed segment tree, so partition count never
-    // touches the bits of the result
+    // touches the bits of the result.
+    // Dangling membership (no out-edges) is STATIC across rounds, so
+    // it is resolved by ONE left join here and carried on the rank
+    // frame as `is_dang` — the per-round dangling fold then filters
+    // instead of re-running an anti-join every round (optimization
+    // round 15: 2 fewer exchanges per round, same fold inputs in the
+    // same order, bit-identical).
+    val outW = trans.select($"w1".as("w")).distinct()
     val nodes = e.select($"w1".as("w")).union(e.select($"w2".as("w"))).distinct()
       .withColumn("seg", segCol($"w"))
+      .join(outW.withColumn("has_out", lit(1)), Seq("w"), "left")
+      .select($"w", $"seg", $"has_out".isNull.as("is_dang"))
       .localCheckpoint()
     // |V| as a driver scalar (1-row collect): constant-folds into the
     // round update as the same single divisions the oracle performs
     val n = nodes.count().toDouble
-    val outW = trans.select($"w1".as("w")).distinct().localCheckpoint()
-    var pr = nodes.select($"w", $"seg", (lit(1.0) / lit(n)).as("pr")).localCheckpoint()
+    var pr = nodes.select($"w", $"seg", $"is_dang", (lit(1.0) / lit(n)).as("pr"))
+      .localCheckpoint()
     var it = 0
     while (it < rounds) {
-      // dangling mass: depth-3 tree — (seg) buckets fold in w order,
-      // 64-segment blocks fold in seg order, the ≤64 block partials
-      // fold in blk order. No single row ever holds more than
-      // max(|dangling|/4096, 64) entries.
-      val dang = pr.join(outW, Seq("w"), "left_anti")
+      // dangling mass: the depth-3 tree — (seg) buckets fold in w
+      // order, then [[fold23]] replays levels 2+3 (blocks in seg
+      // order, block partials in blk order) in one pass over the
+      // ≤4096 collected bucket sums. No single row ever holds more
+      // than max(|dangling|/4096, 4096) entries.
+      val dang = pr.filter($"is_dang")
         .groupBy($"seg")
         .agg(sort_array(collect_list(struct($"w", $"pr"))).as("xs"))
         .select($"seg", expr(
           "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("ssum"))
-        .groupBy(expr("seg div 64").as("blk"))
         .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
-        .select($"blk", expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
-        .agg(sort_array(collect_list(struct($"blk", $"bsum"))).as("xs"))
-        .select(expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("dsum"))
+        .select(expr(fold23("ssum")).as("dsum"))
       // in-sums: the same tree per target node. Level 1 groups on
       // (w2, seg) — a hub's in-neighborhood spreads across 4096
       // shuffle keys and its level-1 lists hold ~in-degree/4096
-      // entries; levels 2 and 3 are hard-bounded at 64.
+      // entries; [[fold23]] folds the ≤4096 per-node bucket sums.
       val prr = pr.select($"w", $"pr")
       val insum = trans.join(prr, trans("w1") === prr("w"))
         .select($"w2", $"w1", trans("seg"), ($"pr" * $"p").as("ct"))
@@ -439,17 +478,12 @@ object PageRank {
         .agg(sort_array(collect_list(struct($"w1", $"ct"))).as("xs"))
         .select($"w2", $"seg", expr(
           "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ct)").as("ssum"))
-        .groupBy($"w2", expr("seg div 64").as("blk"))
-        .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
-        .select($"w2", $"blk", expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.ssum)").as("bsum"))
         .groupBy($"w2")
-        .agg(sort_array(collect_list(struct($"blk", $"bsum"))).as("xs"))
-        .select($"w2".as("w"), expr(
-          "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.bsum)").as("insum"))
+        .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
+        .select($"w2".as("w"), expr(fold23("ssum")).as("insum"))
       val next = nodes.join(insum, Seq("w"), "left")
         .crossJoin(broadcast(dang))
-        .select($"w", $"seg",
+        .select($"w", $"seg", $"is_dang",
           (lit(0.15) / lit(n) + lit(0.85) *
             (coalesce($"insum", lit(0.0)) + $"dsum" / lit(n))).as("pr"))
         .localCheckpoint()
@@ -462,7 +496,7 @@ object PageRank {
     // intermediates are no longer read once the final rank frame is
     // materialized; only `pr` (returned) stays cached
     val out = pr.select($"w", $"pr")
-    Seq(e0, trans, nodes, outW).foreach(Checkpoints.release)
+    Seq(e0, trans, nodes).foreach(Checkpoints.release)
     out
   }
 }

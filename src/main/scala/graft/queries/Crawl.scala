@@ -622,14 +622,41 @@ object Crawl {
     Q(
       "q240_host_trust_audit",
       (s, dir) => {
+        // ONE extraction pass for the three graph builds (PageRank
+        // edges twice — run + runBiased each materialize their own
+        // copy — plus the host edges): checkpointed once instead of
+        // re-running the outlink scan three times (optimization round
+        // 15; one-shot release convention)
         val links = withOutlinks(table(s, dir, "documents"))
+          .localCheckpoint()
         val edges = links
           .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
           .groupBy(col("src_url").as("w1"), col("dst_url").as("w2"))
           .agg(count(lit(1)).cast("long").as("c"))
-        val pr = graft.ops.PageRank.run(edges, rounds = 5, localThreshold = 5000L)
-        val tr = graft.ops.PageRank
-          .runBiased(edges, rounds = 5, seedCond = TrustSeedCond)
+        val hedges = links
+          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
+          .withColumn("a", expr("regexp_extract(src_url, '^https?://([^/]+)', 1)"))
+          .withColumn("b", expr("regexp_extract(dst_url, '^https?://([^/]+)', 1)"))
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("long").as("w"))
+        // the three graph loops are INDEPENDENT eager iterations whose
+        // per-round stages are tiny relative to the cluster — run them
+        // as concurrent jobs so each loop's stage tail back-fills the
+        // others' idle slots (guide §2.6; optimization round 15). Each
+        // loop's internal computation is untouched, so the doubles are
+        // the same bits as the sequential order.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val prF = Future(
+          graft.ops.PageRank.run(edges, rounds = 5, localThreshold = 5000L))
+        val trF = Future(
+          graft.ops.PageRank.runBiased(edges, rounds = 5, seedCond = TrustSeedCond))
+        val commF = Future(graft.ops.LabelProp.run(hedges, rounds = 3))
+        val pr = Await.result(prF, Duration.Inf)
+        val tr = Await.result(trF, Duration.Inf)
+        val comm = Await.result(commF, Duration.Inf)
         val hostMass = pr
           .join(tr.select(col("w"), col("trust")), Seq("w"))
           .withColumn("host", expr("regexp_extract(w, '^https?://([^/]+)', 1)"))
@@ -640,14 +667,6 @@ object Crawl {
               .as("rank_mass"),
             sum(expr("CAST(floor(trust * 1e12) AS BIGINT)")).cast("long")
               .as("trust_mass"))
-        val hedges = links
-          .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
-          .withColumn("a", expr("regexp_extract(src_url, '^https?://([^/]+)', 1)"))
-          .withColumn("b", expr("regexp_extract(dst_url, '^https?://([^/]+)', 1)"))
-          .filter(col("a") =!= col("b"))
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).cast("long").as("w"))
-        val comm = graft.ops.LabelProp.run(hedges, rounds = 3)
         hostMass
           .join(comm, Seq("host"), "left")
           .select(col("host"),

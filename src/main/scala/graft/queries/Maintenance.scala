@@ -393,7 +393,13 @@ object Maintenance {
     Q(
       "q232_discovery_frontier",
       (s, dir) => {
+        // ONE extraction pass: links feeds three consumers (the edge
+        // aggregation inside PageRank, the crawled set, the candidate
+        // anti-join) — materialized once instead of re-running the
+        // regex-heavy outlink scan per consumer (optimization round
+        // 15; one-shot release convention, the GlobalRank note)
         val links = Crawl.withOutlinks(table(s, dir, "documents"))
+          .localCheckpoint()
         val followed = links
           .filter(col("kind") =!= "skip" && col("nofollow") === 0L)
         val edges = followed
