@@ -540,8 +540,16 @@ object Maintenance {
       "q234_compliance_audit",
       (s, dir) => {
         val fetches = fetchSynth(table(s, dir, "documents"))
-        val verd = Mining.robotsVerdicts(s, dir)
-          .select(col("url"), col("domain"), col("allowed"))
+        // the verdict side is now a pure in-row projection (round 15's
+        // robotsWinCol), so no aggregate boundary hands AQE a runtime
+        // size for the join — gate the broadcast on a measured count
+        // instead (the budget-gated hint discipline on graft.Sql):
+        // urls-sized ≤ 2²⁰ → broadcast; corpus-scale → sort-merge,
+        // which a trillion-fetch log needs anyway
+        val verd = graft.Sql.broadcastIfSmall(
+          Mining.robotsVerdicts(s, dir)
+            .select(col("url"), col("domain"), col("allowed")),
+          1L << 20)
         fetches.join(verd, Seq("url"))
           .groupBy(col("domain"))
           .agg(

@@ -1510,18 +1510,17 @@ object Mining {
         val gated = withUrlGate(kept, "canon_url")
           .withColumn("path",
             expr("regexp_extract(canon_url, '^https?://[^/]+([^?]*)', 1)"))
-        val rules = RobotsRules
-          .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
-          .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
-        val rob = gated.join(broadcast(rules),
-            expr("endswith(domain, rule_dom)") &&
-              expr("path RLIKE rule_re"),
-            "left")
-          .groupBy($"doc_id", $"canon_url", $"domain", $"score", $"dropped")
-          .agg(coalesce(
-            max(struct(length($"rule_pat").as("plen"),
-              $"rule_allow".as("allow"))).getField("allow"),
-            lit(1)).cast("long").as("allowed"))
+        // per-rule literal branches + in-row greatest (robotsWinCol):
+        // same argmax, no BroadcastNestedLoopJoin, no SortAggregate
+        // exchange, literal regexes compiled once (optimization
+        // round 15)
+        val rob = gated
+          .withColumn("allowed", coalesce(
+            robotsWinCol($"domain", $"path", withPat = false)
+              .getField("allow"),
+            lit(1)).cast("long"))
+          .select($"doc_id", $"canon_url", $"domain", $"score",
+            $"dropped", $"allowed")
         val wH = Window.partitionBy($"domain")
           .orderBy($"score".asc, $"canon_url".asc)
         rob.filter($"dropped" === 0L && $"allowed" === 1L)
@@ -1612,33 +1611,52 @@ object Mining {
     * and a full (length, allow) tie whose winner only the aligned
     * pattern-string order decides (largest wins, both engines).
     */
-  /** q214's per-URL robots verdict — the full evaluation (rule-table
-    * broadcast join, most-octets/allow-wins/largest-pattern argmax via
-    * ONE max(struct), RFC 9309 no-match-allows default) as a reusable
-    * frame: (doc_id, url, domain, path, rule_pat, rule_len, allowed).
-    * ONE definition for q214 and q234's compliance audit (the
-    * withOutlinks discipline; MUST stay mirrored with
-    * [[robotsVerdictSqlCtes]]). */
+  /** The per-URL robots argmax — max over the rules matching (domain,
+    * path) of struct(plen, allow[, pat]) — as ONE in-row `greatest`
+    * over a per-rule literal branch (optimization round 15). The rule
+    * table is a static literal, so the old broadcast theta-join
+    * (BroadcastNestedLoopJoin: every row × every rule with a
+    * NON-LITERAL `RLIKE` whose pattern recompiles per evaluation)
+    * plus the SortAggregate argmax (struct max is sort-based, one
+    * whole-frame exchange) collapse into a single projection: each
+    * rule becomes `when(endswith(domain, d) && path rlike <literal>,
+    * struct(plen, allow, pat))` — literal regexes compile once per
+    * task — and `greatest(...)` skips the null (non-matching)
+    * branches under the same struct total order max(struct) used.
+    * No match anywhere → NULL → the caller's RFC 9309 allow default.
+    * Same verdicts, zero exchanges, scan-throughput.
+    */
+  private[graft] def robotsWinCol(
+      domain: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column,
+      withPat: Boolean): org.apache.spark.sql.Column = {
+    val branches = RobotsRules.map { case (d, p, a) =>
+      val fields =
+        if (withPat)
+          struct(lit(p.length).as("plen"), lit(a).as("allow"), lit(p).as("pat"))
+        else struct(lit(p.length).as("plen"), lit(a).as("allow"))
+      when(domain.endsWith(d) && path.rlike(robotsRegex(p)), fields)
+    }
+    greatest(branches: _*)
+  }
+
+  /** q214's per-URL robots verdict — the full evaluation (per-rule
+    * literal match branches, most-octets/allow-wins/largest-pattern
+    * argmax via ONE in-row [[robotsWinCol]] `greatest`, RFC 9309
+    * no-match-allows default) as a reusable frame: (doc_id, url,
+    * domain, path, rule_pat, rule_len, allowed). ONE definition for
+    * q214 and q234's compliance audit (the withOutlinks discipline;
+    * MUST stay mirrored with [[robotsVerdictSqlCtes]]). */
   private[graft] def robotsVerdicts(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val rules = RobotsRules
-      .map { case (d, p, a) => (d, p, robotsRegex(p), a) }
-      .toDF("rule_dom", "rule_pat", "rule_re", "rule_allow")
     val urls = table(s, dir, "documents")
       .withColumn("url", expr(UrlSynthSql))
       .select($"doc_id", $"url",
         expr("regexp_extract(url, '^https?://([^/]+)/', 1)").as("domain"),
         expr("regexp_extract(url, '^https?://[^/]+([^?]*)', 1)").as("path"))
-    val matched = urls.join(broadcast(rules),
-        expr("endswith(domain, rule_dom)") &&
-          expr("path RLIKE rule_re"),
-        "left")
-      .groupBy($"doc_id", $"url", $"domain", $"path")
-      .agg(max(struct(
-        length($"rule_pat").as("plen"),
-        $"rule_allow".as("allow"),
-        $"rule_pat".as("pat"))).as("win"))
+    val matched = urls
+      .withColumn("win", robotsWinCol($"domain", $"path", withPat = true))
     matched.select($"doc_id", $"url", $"domain", $"path",
       coalesce($"win.pat", lit("")).as("rule_pat"),
       coalesce($"win.plen", lit(0)).cast("long").as("rule_len"),
