@@ -121,7 +121,7 @@ object PageRank {
     * oracle's unchanged d/i/s CTE pairs (PageRankSpec/HitsSpec pin
     * this; the cross-engine hash is the second proof).
     */
-  private[ops] def fold23(field: String): String =
+  private[graft] def fold23(field: String): String =
     "aggregate(xs, " +
       "struct(CAST(0.0 AS DOUBLE) AS tot, CAST(0.0 AS DOUBLE) AS cur, CAST(-1 AS BIGINT) AS blk), " +
       "(a, e) -> IF(a.blk = e.seg div 64, " +
