@@ -90,26 +90,33 @@ object Hits {
       .distinct()
       .withColumn("seg", segCol(col("w")))
       .localCheckpoint()
-    val n = nodes.count().toDouble
+    val nRows = nodes.count()
+    val n = nRows.toDouble
+    // count-gated per-round broadcast of the score frames (the
+    // PageRank.iterateDistributed discipline — the node count is
+    // already measured, so the hint costs zero extra jobs; see
+    // [[PageRank.BroadcastNodeRows]])
+    val bcastRank = nRows <= PageRank.BroadcastNodeRows
+    def hinted(df: DataFrame): DataFrame = if (bcastRank) broadcast(df) else df
     var hub = nodes.select(col("w"), (lit(1.0) / lit(n)).as("score"))
       .localCheckpoint()
     var auth: DataFrame = null
     var it = 0
     while (it < rounds) {
       // auth side: in-sums keyed by target, leaves ordered by source
-      val araw = foldEdges(e, hub, key = "w2", other = "w1", segOf = "seg1")
-      val aNew = normalize(nodes, araw, foldNorm(araw)).localCheckpoint()
+      val araw = foldEdges(e, hinted(hub), key = "w2", other = "w1", segOf = "seg1")
+      val aNew = normalize(nodes, hinted(araw), foldNorm(araw)).localCheckpoint()
       if (auth != null) Checkpoints.release(auth)
       auth = aNew
       // hub side: out-sums keyed by source, leaves ordered by target
-      val hraw = foldEdges(e, auth, key = "w1", other = "w2", segOf = "seg2")
-      val hNew = normalize(nodes, hraw, foldNorm(hraw)).localCheckpoint()
+      val hraw = foldEdges(e, hinted(auth), key = "w1", other = "w2", segOf = "seg2")
+      val hNew = normalize(nodes, hinted(hraw), foldNorm(hraw)).localCheckpoint()
       Checkpoints.release(hub)
       hub = hNew
       it += 1
     }
     val out = auth.select(col("w"), col("score").as("auth"))
-      .join(hub.select(col("w"), col("score").as("hub")), "w")
+      .join(hinted(hub.select(col("w"), col("score").as("hub"))), "w")
     Seq(e0, e, nodes).foreach(Checkpoints.release)
     out
   }

@@ -69,6 +69,23 @@ object PageRank {
     */
   private[ops] val Segments = 4096
 
+  /** Broadcast budget (rows) for the per-round rank-frame joins
+    * (optimization round 15, guide §3.1): each round joins the edge
+    * frame against the node-sized rank frame. AQE's broadcast
+    * decision reads SIZE ESTIMATES, which for a checkpointed rank
+    * frame past ~10 MB never fire — so at 100× (645 k nodes) every
+    * round SHUFFLED the multi-million-row edge frame twice. The node
+    * COUNT is already measured before the loop (the `n` driver
+    * scalar), so the hint is gated on a real count at zero extra
+    * jobs: ≤ 2²¹ rows (≈ a couple hundred MB built, well under the
+    * guide's broadcast comfort zone and the 8 GB/512 M-row hard cap)
+    * → broadcast the rank frame and leave the edge frame unshuffled;
+    * beyond → today's shuffle join, which a 10⁹-node graph needs
+    * anyway. Join strategy never changes results — fold order is
+    * fixed by sort_array, not arrival order.
+    */
+  private[ops] val BroadcastNodeRows: Long = 1L << 21
+
   /** UTF-8 binary string order — the canonical fold order both engines
     * and both tiers share.
     */
@@ -223,6 +240,11 @@ object PageRank {
       .localCheckpoint()
     val ns = nodes0.filter(col("is_seed") === 1L).count()
     require(ns > 0, "TrustRank needs at least one seed node")
+    // count-gated per-round broadcast of the rank frame (the
+    // iterateDistributed discipline — see [[BroadcastNodeRows]]);
+    // nodes0 is checkpointed, so the count reads cached blocks
+    val bcastRank = nodes0.count() <= BroadcastNodeRows
+    def hinted(df: DataFrame): DataFrame = if (bcastRank) bcast(df) else df
     // t(v): one exact division for seeds, literal zero otherwise — a
     // pure projection over the checkpointed nodes0 blocks (round 15:
     // the second materialization the old code paid here bought
@@ -241,7 +263,7 @@ object PageRank {
           "aggregate(xs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pr)").as("ssum"))
         .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
         .select(expr(fold23("ssum")).as("dsum"))
-      val prr = pr.select(col("w"), col("pr"))
+      val prr = hinted(pr.select(col("w"), col("pr")))
       val insum = trans.join(prr, trans("w1") === prr("w"))
         .select(col("w2"), col("w1"), trans("seg"), (col("pr") * col("p")).as("ct"))
         .groupBy(col("w2"), col("seg"))
@@ -252,7 +274,7 @@ object PageRank {
         .agg(sort_array(collect_list(struct(col("seg"), col("ssum")))).as("xs"))
         .select(col("w2").as("w"), expr(fold23("ssum")).as("insum"))
       val next = nodes.select(col("w"), col("seg"), col("is_dang"), col("t"))
-        .join(insum, Seq("w"), "left")
+        .join(hinted(insum), Seq("w"), "left")
         .crossJoin(bcast(dang))
         .select(col("w"), col("seg"), col("is_dang"),
           (lit(0.15) * col("t") + lit(0.85) *
@@ -263,7 +285,7 @@ object PageRank {
       it += 1
     }
     val out = pr.select(col("w"), col("pr").as("trust"))
-      .join(nodes.select(col("w"), col("is_seed")), "w")
+      .join(hinted(nodes.select(col("w"), col("is_seed"))), "w")
     // `nodes0` stays checkpointed: the returned (lazy) frame reads it
     // for is_seed — the ContextCleaner reaps it with the result plan
     // (the one-shot convention; releasing it here broke the consumer
@@ -450,7 +472,12 @@ object PageRank {
       .localCheckpoint()
     // |V| as a driver scalar (1-row collect): constant-folds into the
     // round update as the same single divisions the oracle performs
-    val n = nodes.count().toDouble
+    val nRows = nodes.count()
+    val n = nRows.toDouble
+    // the count that gates the per-round broadcasts is the one just
+    // measured — no extra jobs (see [[BroadcastNodeRows]])
+    val bcastRank = nRows <= BroadcastNodeRows
+    def hinted(df: DataFrame): DataFrame = if (bcastRank) broadcast(df) else df
     var pr = nodes.select($"w", $"seg", $"is_dang", (lit(1.0) / lit(n)).as("pr"))
       .localCheckpoint()
     var it = 0
@@ -471,7 +498,7 @@ object PageRank {
       // (w2, seg) — a hub's in-neighborhood spreads across 4096
       // shuffle keys and its level-1 lists hold ~in-degree/4096
       // entries; [[fold23]] folds the ≤4096 per-node bucket sums.
-      val prr = pr.select($"w", $"pr")
+      val prr = hinted(pr.select($"w", $"pr"))
       val insum = trans.join(prr, trans("w1") === prr("w"))
         .select($"w2", $"w1", trans("seg"), ($"pr" * $"p").as("ct"))
         .groupBy($"w2", $"seg")
@@ -481,7 +508,7 @@ object PageRank {
         .groupBy($"w2")
         .agg(sort_array(collect_list(struct($"seg", $"ssum"))).as("xs"))
         .select($"w2".as("w"), expr(fold23("ssum")).as("insum"))
-      val next = nodes.join(insum, Seq("w"), "left")
+      val next = nodes.join(hinted(insum), Seq("w"), "left")
         .crossJoin(broadcast(dang))
         .select($"w", $"seg", $"is_dang",
           (lit(0.15) / lit(n) + lit(0.85) *
